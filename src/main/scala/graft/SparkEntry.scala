@@ -1,13 +1,88 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.Knn
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every operator from SURVEY §2 that is SQL-expressible appears both in
+  * `queries` (Spark implementation) and `oracleSql` (DuckDB equivalent on the
+  * same parquet tables); non-SQL-expressible operators get a `queries` entry
+  * (rows-only check) and a ScalaTest oracle instead.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    queries("q_knn_l2")(spark, "/root/testdata/sf0.001")
+
+  // Shared building blocks ---------------------------------------------------
+
+  private def base(s: SparkSession, dir: String): DataFrame =
+    Tables.vectors(s, dir).select(col("id"), col("vec"))
+
+  private def queryVectors(s: SparkSession, dir: String, n: Int = 8): DataFrame =
+    base(s, dir).filter(col("id") < n)
+      .select(col("id").as("query_id"), col("vec").as("query_vec"))
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // T3/J1/T1: exact batch KNN, L2Sqr (flagship; FlatIndex::knn)
+    "q_knn_l2" -> ((s, dir) => {
+      Knn.exact(base(s, dir), queryVectors(s, dir), k = 5, dist = "l2sqr")
+        .select(col("query_id"), col("id"), (round(col("distance"), 6) + lit(0.0)).as("distance"))
+        .orderBy("query_id", "distance", "id")
+    }),
+    // F4: exact batch KNN, cosine with the reference's 1e-10 clamp
+    "q_knn_cosine" -> ((s, dir) => {
+      Knn.exact(base(s, dir), queryVectors(s, dir), k = 5, dist = "cosine")
+        .select(col("query_id"), col("id"), (round(col("distance"), 6) + lit(0.0)).as("distance"))
+        .orderBy("query_id", "distance", "id")
+    }),
+    // P3: distance upper-bound post-filter on KNN results
+    "q_knn_upper_bound" -> ((s, dir) => {
+      Knn.exact(base(s, dir), queryVectors(s, dir), k = 10, dist = "l2sqr",
+          upperBound = 1.5)
+        .select(col("query_id"), col("id"), (round(col("distance"), 6) + lit(0.0)).as("distance"))
+        .orderBy("query_id", "distance", "id")
+    }),
+  )
+
+  // DuckDB oracle ------------------------------------------------------------
+
+  /** DuckDB scored-scan CTE shared by the KNN oracles: all (query, base)
+    * pairs with double-precision distance, queries = vec_id < 8. */
+  private def scoredCte(distExpr: String): String =
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
+       |scored AS (
+       |  SELECT q.query_id, b.vec_id AS id, $distExpr AS d
+       |  FROM q CROSS JOIN embeddings b
+       |)""".stripMargin
+
+  private val l2Expr =
+    "list_sum(list_transform(range(1, len(b.embedding) + 1), " +
+      "i -> (CAST(q.qv[i] AS DOUBLE) - CAST(b.embedding[i] AS DOUBLE)) ^ 2))"
+
+  private val cosExpr =
+    "1.0 - list_sum(list_transform(range(1, len(b.embedding) + 1), " +
+      "i -> CAST(q.qv[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) / " +
+      "greatest(sqrt(list_sum(list_transform(range(1, len(q.qv) + 1), i -> CAST(q.qv[i] AS DOUBLE) ^ 2))) * " +
+      "sqrt(list_sum(list_transform(range(1, len(b.embedding) + 1), i -> CAST(b.embedding[i] AS DOUBLE) ^ 2))), 1e-10)"
+
+  private def topKSql(distExpr: String, k: Int, where: String = "TRUE"): String =
+    s"""${scoredCte(distExpr)}
+       |SELECT query_id, id, round(d, 6) + 0.0 AS distance
+       |FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY d, id) AS rn
+       |      FROM scored WHERE $where)
+       |WHERE rn <= $k
+       |ORDER BY query_id, distance, id""".stripMargin
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+    "q_knn_l2" -> topKSql(l2Expr, 5),
+    "q_knn_cosine" -> topKSql(cosExpr, 5),
+    "q_knn_upper_bound" -> topKSql(l2Expr, 10, where = "d <= 1.5"),
+  )
 }

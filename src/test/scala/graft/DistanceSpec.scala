@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions._
+
+/** Hand-computed distance constants — FIXTURES.md §2, replicating
+  * `/root/reference/src/distance/mod.rs:131-151`. */
+class DistanceSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def one(a: Seq[Float], b: Seq[Float], kind: String): Double = {
+    val df = Seq((a, b)).toDF("a", "b")
+    val c = kind match {
+      case "dot" => vecDot(col("a"), col("b"))
+      case "l2"  => vecL2Sq(col("a"), col("b"))
+      case "cos" => vecCosine(col("a"), col("b"))
+    }
+    df.select(c.as("d")).head().getDouble(0)
+  }
+
+  test("dot([1,2,3],[4,5,6]) = 32") {
+    assert(math.abs(one(Seq(1f, 2f, 3f), Seq(4f, 5f, 6f), "dot") - 32.0) < 1e-6)
+  }
+  test("l2sqr([1,2,3],[4,5,6]) = 27") {
+    assert(math.abs(one(Seq(1f, 2f, 3f), Seq(4f, 5f, 6f), "l2") - 27.0) < 1e-6)
+  }
+  test("cosine([1,2,3],[2,4,6]) = 0 (parallel vectors)") {
+    assert(math.abs(one(Seq(1f, 2f, 3f), Seq(2f, 4f, 6f), "cos")) < 1e-6)
+  }
+  test("cosine zero-vector clamp (1e-10) gives distance 1, not NaN") {
+    val d = one(Seq(0f, 0f), Seq(1f, 1f), "cos")
+    assert(!d.isNaN && math.abs(d - 1.0) < 1e-6)
+  }
+  test("distance symmetry and self-distance zero") {
+    val a = Seq(0.5f, -1.25f, 3f, 0f)
+    val b = Seq(2f, 0.25f, -1f, 4f)
+    assert(one(a, b, "l2") == one(b, a, "l2"))
+    assert(one(a, a, "l2") == 0.0)
+    assert(math.abs(one(a, a, "cos")) < 1e-7)
+  }
+  test("dimension mismatch raises") {
+    intercept[Exception] { one(Seq(1f, 2f), Seq(1f, 2f, 3f), "l2") }
+  }
+}
