@@ -35,9 +35,15 @@ def canon(df):
     return len(df), list(df.columns), hashlib.md5("\n".join(rows).encode()).hexdigest()
 
 fails = 0
-for name in sorted(os.listdir(out)):
+# iterate over the UNION of declared oracle keys and result dirs, so a query
+# that crashed inside graft.Verify (no parquet dir) counts as a failure
+# instead of being silently skipped
+result_dirs = {n for n in os.listdir(out) if os.path.isdir(f"{out}/{n}")}
+for name in sorted(result_dirs | set(oracle.keys())):
     d = f"{out}/{name}"
-    if not os.path.isdir(d):
+    if name not in result_dirs:
+        print(f"{name}: MISSING RESULT (query failed in graft.Verify)")
+        fails += 1
         continue
     got = pd.concat([pd.read_parquet(f) for f in glob.glob(f"{d}/*.parquet")]) if glob.glob(f"{d}/*.parquet") else pd.DataFrame()
     if name not in oracle:

@@ -1,24 +1,73 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.Knn
+
+/** Benchmark main: one JSON line for the driver's BENCH_r{N}.json.
+  *
+  * Fixes from round-1 verdict: an untimed warmup pass absorbs session /
+  * codegen / parquet-footer costs so timed numbers measure the operator; a
+  * failed query is reported in an `errors` field instead of masquerading as a
+  * wall time; the KNN headline runs a ≥1000-query batch and reports q/s so it
+  * is comparable to BASELINE.md's per-query numbers.
+  */
 object Bench {
+
+  /** Heavier workloads than the correctness queries: amortized batch framing
+    * (one warm session, ≥1000 queries per job). */
+  private def knnBatch(s: SparkSession, dir: String, dist: String, nq: Int): DataFrame = {
+    val base = Tables.vectors(s, dir).select(col("id"), col("vec"))
+    val qs = base.limit(nq)
+      .select(col("id").as("query_id"), col("vec").as("query_vec"))
+    Knn.exact(base, qs, k = 10, dist = dist)
+  }
+
+  def workloads(nq: Int): Map[String, (SparkSession, String) => DataFrame] = Map(
+    "knn_l2_batch" -> ((s, dir) => knnBatch(s, dir, "l2sqr", nq)),
+    "knn_cosine_batch" -> ((s, dir) => knnBatch(s, dir, "cosine", nq)),
+  ) ++ SparkEntry.queries
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val nq = sys.env.getOrElse("SPARK_GRAFT_BENCH_NQ", "1000").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    val wl = workloads(nq)
+    // untimed warmup: one full pass (session init, codegen, parquet footers)
+    wl.foreach { case (_, fn) =>
+      try fn(spark, sfDir).count() catch { case _: Throwable => () }
+    }
+
+    var errors = Map.empty[String, String]
+    val results = wl.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try fn(spark, sfDir).count()
+      catch { case e: Throwable =>
+        errors += name -> Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+      } + "\""
+    val qs = results.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
+    val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
+    val qps = results.filter(_._1.endsWith("_batch"))
+      .map { case (k, v) => jstr(k) + ":" + (if (v > 0) nq / v else 0.0) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"qps":$qps,"errors":$errJson,"nq":$nq,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

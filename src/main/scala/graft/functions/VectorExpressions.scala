@@ -188,7 +188,14 @@ object VectorFunctions {
     val reg = spark.sessionState.functionRegistry
     Seq(VecDistanceKind.Dot, VecDistanceKind.L2Sq, VecDistanceKind.Cosine).foreach { k =>
       reg.createOrReplaceTempFunction(
-        s"vec_$k", exprs => VecDistance(exprs(0), exprs(1), k), "builtin")
+        s"vec_$k",
+        exprs => {
+          if (exprs.length != 2)
+            throw new IllegalArgumentException(
+              s"vec_$k requires exactly 2 arguments (got ${exprs.length})")
+          VecDistance(exprs(0), exprs(1), k)
+        },
+        "builtin")
     }
   }
 }

@@ -44,6 +44,23 @@ object Knn {
       vecCol: String = "vec",
       queryIdCol: String = "query_id",
       queryVecCol: String = "query_vec",
+      upperBound: Double = Double.PositiveInfinity): DataFrame =
+    topKArrays(base, queries, k, dist, idCol, vecCol, queryIdCol, queryVecCol, upperBound)
+      .select(col("query_id"), explode(col("topk")).as("hit"))
+      .select(col("query_id"), col("hit.id").as("id"), col("hit.distance").as("distance"))
+
+  /** Batch exact KNN returning one row per query with the ascending
+    * (distance, id)-sorted hit array — the aggregator's native output, no
+    * extra shuffle beyond the top-k merge. */
+  def topKArrays(
+      base: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      dist: String = "l2sqr",
+      idCol: String = "id",
+      vecCol: String = "vec",
+      queryIdCol: String = "query_id",
+      queryVecCol: String = "query_vec",
       upperBound: Double = Double.PositiveInfinity): DataFrame = {
     val scored = base
       .select(col(idCol).cast("long").as("__id"), col(vecCol).as("__vec"))
@@ -57,13 +74,11 @@ object Knn {
     scored
       .groupBy("query_id")
       .agg(TopK.topK(k)(col("__id"), col("__dist")).as("topk"))
-      .select(col("query_id"), explode(col("topk")).as("hit"))
-      .select(col("query_id"), col("hit.id").as("id"), col("hit.distance").as("distance"))
   }
 
-  /** KNN with per-query result arrays instead of exploded rows — the shape
-    * used for ground-truth generation (`/root/reference/src/bin/gen_gnd.rs:56-75`).
-    */
+  /** KNN with per-query id arrays — the shape used for ground-truth
+    * generation (`/root/reference/src/bin/gen_gnd.rs:56-75`). The aggregator
+    * already returns the sorted array, so this is a pure projection. */
   def exactIds(
       base: DataFrame,
       queries: DataFrame,
@@ -73,9 +88,7 @@ object Knn {
       vecCol: String = "vec",
       queryIdCol: String = "query_id",
       queryVecCol: String = "query_vec"): DataFrame =
-    exact(base, queries, k, dist, idCol, vecCol, queryIdCol, queryVecCol)
-      .groupBy("query_id")
-      .agg(collect_list(struct(col("distance"), col("id"))).as("hits"))
+    topKArrays(base, queries, k, dist, idCol, vecCol, queryIdCol, queryVecCol)
       .select(col("query_id"),
-        transform(array_sort(col("hits")), h => h.getField("id")).as("knn_ids"))
+        transform(col("topk"), h => h.getField("id")).as("knn_ids"))
 }

@@ -15,14 +15,28 @@ case class Scored(id: Long, distance: Double)
   * (`/root/reference/src/index_algorithm/candidate_pair.rs:31-74`: BTreeSet
   * capped at k, `add` evicts the max, ordering by (distance, index)).
   *
-  * Arrays kept sorted; once full, a candidate worse than the current worst is
-  * rejected in O(1), so the steady-state cost per scanned row is one compare.
+  * Mutable fixed-capacity arrays with in-place shift: the Aggregator buffer
+  * lives as a JVM object between rows (TypedImperativeAggregate), so inserts
+  * mutate in place — zero allocation per accepted row once capacity is
+  * reached. Once full, a candidate worse than the current worst is rejected
+  * in O(1), so the steady-state cost per scanned row is one compare.
   */
-case class TopKBuf(ids: Array[Long], dists: Array[Double], size: Int) {
+final case class TopKBuf(var ids: Array[Long], var dists: Array[Double], var size: Int) {
+
+  private def ensureCap(k: Int): Unit =
+    if (ids.length < k) {
+      val ni = new Array[Long](k)
+      val nd = new Array[Double](k)
+      System.arraycopy(ids, 0, ni, 0, size)
+      System.arraycopy(dists, 0, nd, 0, size)
+      ids = ni; dists = nd
+    }
+
   def insert(id: Long, distance: Double, k: Int): TopKBuf = {
     if (size == k &&
         (distance > dists(size - 1) ||
           (distance == dists(size - 1) && id >= ids(size - 1)))) return this
+    ensureCap(k)
     // binary search for insertion point by (distance, id)
     var lo = 0; var hi = size
     while (lo < hi) {
@@ -30,18 +44,15 @@ case class TopKBuf(ids: Array[Long], dists: Array[Double], size: Int) {
       if (dists(mid) < distance || (dists(mid) == distance && ids(mid) < id)) lo = mid + 1
       else hi = mid
     }
-    val newSize = math.min(size + 1, k)
-    val nIds = new Array[Long](newSize)
-    val nDists = new Array[Double](newSize)
-    System.arraycopy(ids, 0, nIds, 0, lo)
-    System.arraycopy(dists, 0, nDists, 0, lo)
-    nIds(lo) = id; nDists(lo) = distance
-    val tail = newSize - lo - 1
-    if (tail > 0) {
-      System.arraycopy(ids, lo, nIds, lo + 1, tail)
-      System.arraycopy(dists, lo, nDists, lo + 1, tail)
+    // shift right in place, dropping the evicted worst element when full
+    val nShift = math.min(size, k - 1) - lo
+    if (nShift > 0) {
+      System.arraycopy(ids, lo, ids, lo + 1, nShift)
+      System.arraycopy(dists, lo, dists, lo + 1, nShift)
     }
-    TopKBuf(nIds, nDists, newSize)
+    ids(lo) = id; dists(lo) = distance
+    if (size < k) size += 1
+    this
   }
 
   def merge(other: TopKBuf, k: Int): TopKBuf = {
@@ -59,6 +70,9 @@ object TopKBuf { def empty: TopKBuf = TopKBuf(Array.empty, Array.empty, 0) }
   * over N base rows × Q queries shuffles Q·partitions·k rows, not N·Q.
   * This is the distributed analog of the reference's single-threaded bounded
   * scan (`/root/reference/src/index_algorithm/flat_index.rs:48-57`).
+  *
+  * Returns the ascending (distance, id)-sorted hit array directly, so callers
+  * that want per-query arrays (ground-truth gen) need no second shuffle.
   */
 class TopKAggregator(k: Int) extends Aggregator[Scored, TopKBuf, Seq[Scored]] {
   override def zero: TopKBuf = TopKBuf.empty
