@@ -1,8 +1,8 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.Knn
+import graft.operators.{Knn, Search}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -47,7 +47,31 @@ object SparkEntry {
         .select(col("query_id"), col("id"), (round(col("distance"), 6) + lit(0.0)).as("distance"))
         .orderBy("query_id", "distance", "id")
     }),
+    // P1+J2+T3: the flagship `search` — conjunctive metadata pattern filter
+    // before scoring, top-k, metadata attached to every hit
+    // (/root/reference/src/database/metadata_vec_table.rs:194-212)
+    "q_search_meta_filter" -> ((s, dir) => {
+      Search.flat(Tables.vectorsMeta(s, dir), queryVectors(s, dir), k = 5,
+          dist = "l2sqr", pattern = Map("parity" -> "even"))
+        .select(searchCols: _*)
+        .orderBy("query_id", "distance", "id")
+    }),
+    // J2+P3: unfiltered search with metadata attach + upper bound, cosine
+    "q_search_meta" -> ((s, dir) => {
+      Search.flat(Tables.vectorsMeta(s, dir), queryVectors(s, dir), k = 3,
+          dist = "cosine", upperBound = 0.7)
+        .select(searchCols: _*)
+        .orderBy("query_id", "distance", "id")
+    }),
   )
+
+  /** Search output shape shared by the metadata-search queries: the meta map
+    * is emitted as separate (label, parity) columns so the DuckDB oracle can
+    * rebuild and hash it deterministically. */
+  private def searchCols: Seq[Column] = Seq(
+    col("query_id"), col("id"),
+    (round(col("distance"), 6) + lit(0.0)).as("distance"),
+    col("meta")("label").as("label"), col("meta")("parity").as("parity"))
 
   // DuckDB oracle ------------------------------------------------------------
 
@@ -80,9 +104,35 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
+  /** Scored CTE over the metadata-bearing table: meta rebuilt exactly as
+    * `Tables.vectorsMeta` does (label string + id parity). */
+  private def metaScoredCte(distExpr: String, baseWhere: String): String =
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
+       |b0 AS (
+       |  SELECT vec_id, embedding, CAST(label AS VARCHAR) AS label,
+       |         CASE WHEN vec_id % 2 = 0 THEN 'even' ELSE 'odd' END AS parity
+       |  FROM embeddings
+       |),
+       |scored AS (
+       |  SELECT q.query_id, b.vec_id AS id, b.label, b.parity, $distExpr AS d
+       |  FROM q CROSS JOIN b0 b
+       |  WHERE $baseWhere
+       |)""".stripMargin
+
+  private def searchSql(distExpr: String, k: Int, baseWhere: String = "TRUE",
+      having: String = "TRUE"): String =
+    s"""${metaScoredCte(distExpr, baseWhere)}
+       |SELECT query_id, id, round(d, 6) + 0.0 AS distance, label, parity
+       |FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY d, id) AS rn
+       |      FROM scored WHERE $having)
+       |WHERE rn <= $k
+       |ORDER BY query_id, distance, id""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q_knn_l2" -> topKSql(l2Expr, 5),
     "q_knn_cosine" -> topKSql(cosExpr, 5),
     "q_knn_upper_bound" -> topKSql(l2Expr, 10, where = "d <= 1.5"),
+    "q_search_meta_filter" -> searchSql(l2Expr, 5, baseWhere = "b.parity = 'even'"),
+    "q_search_meta" -> searchSql(cosExpr, 3, having = "d <= 0.7"),
   )
 }

@@ -15,12 +15,15 @@ import graft.functions.VectorFunctions
   *  - The pattern filter runs BEFORE scoring (predicate pushdown to the scan
   *    — an optimization the reference itself cannot do: it scores first and
   *    filters metadata per candidate).
-  *  - Metadata rides through the top-k aggregation as a packed payload
-  *    (TopKRows), so the table is scanned exactly once; no join-back pass
-  *    over the metadata column.
+  *  - The top-k aggregation carries only (id, distance); metadata is attached
+  *    by broadcast-joining the Q×k winners back against a column-pruned
+  *    (id, meta) scan. At 100 TB this means the expensive pass touches only
+  *    the vector column, and no per-row metadata serialization happens for
+  *    rows that lose the top-k race (the round-2 version paid `to_json` on
+  *    100% of scanned rows to keep ~0.001%).
   *  - `ef` is accepted and ignored on the Flat path, matching
   *    `/root/reference/src/database/dynamic_index.rs:75-80`; index-aware
-  *    dispatch lives in the catalog layer (graft.catalog.VecDB).
+  *    dispatch lives in the catalog layer ([[graft.catalog.VecDB]]).
   */
 object Search {
 
@@ -34,7 +37,7 @@ object Search {
   /** Flat search over a `(id, vec, meta)` table for a batch of queries.
     *
     * @return (query_id, id, distance, meta) ascending (distance, id) per
-    *         query; `meta` is the packed JSON string of the row's metadata.
+    *         query; `meta` is the row's `map<string,string>` metadata column.
     */
   def flat(
       base: DataFrame,
@@ -44,22 +47,13 @@ object Search {
       ef: Option[Int] = None,
       upperBound: Double = Double.PositiveInfinity,
       pattern: Map[String, String] = Map.empty): DataFrame = {
-    val filtered = base
-      .filter(metaPattern(pattern, col("meta")))
-      .select(col("id").cast("long").as("__id"), col("vec").as("__vec"),
-        to_json(col("meta")).as("__meta"))
-    val scored = filtered
-      .crossJoin(broadcast(
-        queries.select(col("query_id").cast("long").as("query_id"),
-          col("query_vec").as("__qvec"))))
-      .select(col("query_id"), col("__id"), col("__meta"),
-        VectorFunctions.distance(col("__vec"), col("__qvec"), dist).as("__dist"))
-      .filter(col("__dist") <= lit(upperBound))
-    scored
-      .groupBy("query_id")
-      .agg(TopK.topKRows(k)(col("__id"), col("__dist"), col("__meta")).as("topk"))
-      .select(col("query_id"), explode(col("topk")).as("hit"))
-      .select(col("query_id"), col("hit.id").as("id"),
-        col("hit.distance").as("distance"), col("hit.payload").as("meta"))
+    val filtered = base.filter(metaPattern(pattern, col("meta")))
+    val hits = Knn.exact(
+      filtered, queries, k, dist, upperBound = upperBound)
+    // attach metadata: winners are Q×k rows — broadcast them against a
+    // column-pruned (id, meta) scan of the same filtered table
+    filtered.select(col("id").cast("long").as("id"), col("meta"))
+      .join(broadcast(hits), "id")
+      .select(col("query_id"), col("id"), col("distance"), col("meta"))
   }
 }
