@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Knn, Search}
+import graft.operators.{Ivf, Knn, Search}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -62,6 +62,20 @@ object SparkEntry {
           dist = "cosine", upperBound = 0.7)
         .select(searchCols: _*)
         .orderBy("query_id", "distance", "id")
+    }),
+    // F11+A3: nearest-centroid assignment + cluster histogram over a fixed,
+    // oracle-derivable centroid set (the first 16 vectors); the seeded
+    // k-means IVF build is oracled Flat-vs-IVF in IvfSpec instead
+    "q_centroid_histogram" -> ((s, dir) => {
+      val b = base(s, dir)
+      val centroids = b.filter(col("id") < 16).orderBy("id")
+        .select("vec").collect()
+        .map(_.getSeq[Float](0).toArray)
+      val assigned = b.withColumn("cluster",
+        Ivf.nearestCentroid(col("vec"), centroids, "l2sqr"))
+      Ivf.histogram(assigned)
+        .select(col("cluster").cast("long").as("cluster"), col("cnt"))
+        .orderBy("cluster")
     }),
   )
 
@@ -134,5 +148,17 @@ object SparkEntry {
     "q_knn_upper_bound" -> topKSql(l2Expr, 10, where = "d <= 1.5"),
     "q_search_meta_filter" -> searchSql(l2Expr, 5, baseWhere = "b.parity = 'even'"),
     "q_search_meta" -> searchSql(cosExpr, 3, having = "d <= 0.7"),
+    "q_centroid_histogram" ->
+      s"""WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 16),
+         |d AS (
+         |  SELECT b.vec_id, c.cid,
+         |         list_sum(list_transform(range(1, len(b.embedding) + 1),
+         |           i -> (CAST(b.embedding[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE)) ^ 2)) AS d
+         |  FROM embeddings b CROSS JOIN c
+         |),
+         |a AS (SELECT vec_id, cid,
+         |        row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM d)
+         |SELECT cid AS cluster, count(*) AS cnt FROM a WHERE rn = 1
+         |GROUP BY cluster ORDER BY cluster""".stripMargin,
   )
 }

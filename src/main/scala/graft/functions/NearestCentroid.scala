@@ -1,0 +1,79 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** F11 — nearest centroid: argmin of distance over a fixed centroid set,
+  * ties resolved to the lowest centroid id. Replicates the reference's
+  * `find_nearest_base` (`/root/reference/src/distance/k_means.rs:40-57`,
+  * `164-170`: a 1-element `ResultSet` whose (distance, index) ordering makes
+  * ties pick the lowest index).
+  *
+  * Centroid sets are small (k × dim floats — even k=65536 × dim=1024 is
+  * 256 MB; typical IVF k ≈ √N is far less), so they ship in the serialized
+  * expression; the per-row work reads the `ArrayData` directly with no
+  * boxing. Used for IVF cluster assignment (one pass at build time) and the
+  * centroid-histogram operator (A3).
+  */
+case class NearestCentroid(
+    child: Expression,
+    centroids: Array[Array[Float]],
+    kind: String)
+  extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      if (centroids.nonEmpty) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure("empty centroid set")
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"nearest_centroid requires array<float>/array<double>, got ${other.catalogString}")
+  }
+
+  private lazy val isFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < centroids.length) {
+      val cent = centroids(c)
+      require(cent.length == n,
+        s"nearest_centroid: dimension mismatch ($n vs ${cent.length})")
+      var d = 0.0
+      var i = 0
+      kind match {
+        case "cosine" =>
+          var dot = 0.0; var na = 0.0; var nb = 0.0
+          while (i < n) {
+            val x = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+            val y = cent(i).toDouble
+            dot += x * y; na += x * x; nb += y * y; i += 1
+          }
+          d = 1.0 - dot / math.max(math.sqrt(na) * math.sqrt(nb), 1e-10)
+        case _ => // l2sqr
+          while (i < n) {
+            val x = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+            val diff = x - cent(i); d += diff * diff; i += 1
+          }
+      }
+      if (d < bestD) { bestD = d; best = c } // strict < keeps lowest id on ties
+      c += 1
+    }
+    best
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "nearest_centroid"
+}

@@ -1,0 +1,132 @@
+package graft.operators
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.ColumnShim
+import graft.functions.{NearestCentroid, VectorFunctions}
+
+/** Trained IVF structure: the centroid "sidecar". The cluster column lives on
+  * the assigned DataFrame (and, when persisted, as a Parquet partition
+  * column), mirroring the reference's `IVFIndex { clusters, k_means }`
+  * (`/root/reference/src/index_algorithm/ivf_index.rs:33-47`) with the
+  * inverted lists replaced by cluster-partitioned storage.
+  */
+final case class IvfModel(
+    centroids: Array[Array[Float]],
+    dist: String,
+    defaultNProbes: Int = 4)
+
+/** IVF (inverted-file) index — the most Spark-native ANN structure:
+  * build = k-means on an optional sample + one nearest-centroid assignment
+  * pass (`/root/reference/src/index_algorithm/ivf_index.rs:64-107`);
+  * search = top-`n_probes` centroids per query, scan only those clusters,
+  * exact top-k (`ivf_index.rs:137-155`). `ef` is interpreted as `n_probes`,
+  * default 4 (`ivf_index.rs:97`, `137-143`).
+  *
+  * Scale shape: the assignment pass streams the table once (no shuffle); a
+  * probe search broadcasts Q×n_probes (query, cluster) pairs against the
+  * cluster-partitioned table, so with partition pruning each query touches
+  * only its probed clusters' bytes — at 100 TB with k=1000 clusters and 4
+  * probes, ~0.4% of the table per query batch member, and the scan cost is
+  * shared across the whole batch.
+  */
+object Ivf {
+
+  /** B2 — k-means train via MLlib (the published equivalent of the
+    * reference's k-means++ + Lloyd loop,
+    * `/root/reference/src/distance/k_means.rs:95-162`), seeded for
+    * reproducibility. `trainFraction` mirrors `k_means_size` sampling
+    * (`ivf_index.rs:81-87`) in Spark's fraction form. */
+  def train(
+      base: DataFrame,
+      k: Int,
+      dist: String = "l2sqr",
+      maxIter: Int = 20,
+      tol: Double = 1e-6,
+      seed: Long = 42L,
+      trainFraction: Option[Double] = None,
+      vecCol: String = "vec"): IvfModel = {
+    val trainDf = trainFraction.map(f => base.sample(f, seed)).getOrElse(base)
+    val feats = trainDf.select(array_to_vector(col(vecCol)).as("features"))
+    val model = new KMeans()
+      .setK(k).setMaxIter(maxIter).setTol(tol).setSeed(seed)
+      .setDistanceMeasure(if (dist == "cosine") "cosine" else "euclidean")
+      .setFeaturesCol("features")
+      .fit(feats)
+    IvfModel(model.clusterCenters.map(_.toArray.map(_.toFloat)), dist)
+  }
+
+  /** F11 as a Column: nearest-centroid id (ties → lowest id). */
+  def nearestCentroid(vec: Column, centroids: Array[Array[Float]], dist: String): Column =
+    ColumnShim.column(NearestCentroid(ColumnShim.expression(vec), centroids, dist))
+
+  /** B3 — assignment pass: adds a `cluster` column. One full scan, no
+    * shuffle; write with `.partitionBy("cluster")` for pruned probes. */
+  def assign(base: DataFrame, model: IvfModel, vecCol: String = "vec"): DataFrame =
+    base.withColumn("cluster", nearestCentroid(col(vecCol), model.centroids, model.dist))
+
+  /** Train + assign (`IVFIndex::from_vec_set`). */
+  def build(
+      base: DataFrame,
+      k: Int,
+      dist: String = "l2sqr",
+      maxIter: Int = 20,
+      tol: Double = 1e-6,
+      seed: Long = 42L,
+      trainFraction: Option[Double] = None): (IvfModel, DataFrame) = {
+    val model = train(base, k, dist, maxIter, tol, seed, trainFraction)
+    (model, assign(base, model))
+  }
+
+  /** The centroid sidecar as a DataFrame (cluster: int, centroid: array<float>). */
+  def centroidsDf(spark: org.apache.spark.sql.SparkSession, model: IvfModel): DataFrame = {
+    import spark.implicits._
+    model.centroids.zipWithIndex.map { case (c, i) => (i, c) }.toSeq
+      .toDF("cluster", "centroid")
+  }
+
+  /** T6 — probe search over an assigned table.
+    *
+    * @param assigned (id, vec, cluster) table (output of [[assign]])
+    * @param nProbes  the reference's `ef` for IVF; None → model default (4)
+    * @return (query_id, id, distance) ascending (distance, id) per query
+    */
+  def search(
+      assigned: DataFrame,
+      model: IvfModel,
+      queries: DataFrame,
+      k: Int,
+      nProbes: Option[Int] = None,
+      upperBound: Double = Double.PositiveInfinity): DataFrame = {
+    val np = math.max(1, nProbes.getOrElse(model.defaultNProbes))
+    val spark = assigned.sparkSession
+    // per-query probe list: tiny crossJoin (Q × k_clusters) + bounded top-k
+    val probes = queries
+      .crossJoin(broadcast(centroidsDf(spark, model)))
+      .select(col("query_id"), col("cluster").cast("long").as("cl"),
+        VectorFunctions.distance(col("query_vec"), col("centroid"), model.dist).as("cd"))
+      .groupBy("query_id")
+      .agg(TopK.topK(np)(col("cl"), col("cd")).as("pk"))
+      .select(col("query_id"),
+        explode(transform(col("pk"), h => h.getField("id"))).as("p_cluster"))
+    val probedQueries = probes.join(queries, "query_id")
+    // cluster-pruned scan: base streams, probed (query, cluster) pairs broadcast
+    val scored = assigned
+      .join(broadcast(probedQueries), col("cluster").cast("long") === col("p_cluster"))
+      .select(col("query_id"), col("id").cast("long").as("__id"),
+        VectorFunctions.distance(col("vec"), col("query_vec"), model.dist).as("__dist"))
+      .filter(col("__dist") <= lit(upperBound))
+    scored
+      .groupBy("query_id")
+      .agg(TopK.topK(k)(col("__id"), col("__dist")).as("topk"))
+      .select(col("query_id"), explode(col("topk")).as("hit"))
+      .select(col("query_id"), col("hit.id").as("id"), col("hit.distance").as("distance"))
+  }
+
+  /** A3 — cluster histogram (`/root/reference/src/index_algorithm/ivf_index.rs:88-96`
+    * inverted into sizes): `GROUP BY cluster`. */
+  def histogram(assigned: DataFrame): DataFrame =
+    assigned.groupBy("cluster").agg(count(lit(1)).as("cnt"))
+}
