@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Ivf, Knn, Search}
+import graft.operators.{Dedup, Ivf, Knn, Search}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -77,6 +77,48 @@ object SparkEntry {
         .select(col("cluster").cast("long").as("cluster"), col("cnt"))
         .orderBy("cluster")
     }),
+    // LLM-pipeline: exact dedup — word-set fingerprint groups over documents
+    "q_dedup_exact" -> ((s, dir) => {
+      Dedup.exactGroups(Tables.docs(s, dir))
+        .select(col("doc_id"), col("fingerprint"), col("group_size"),
+          col("canonical_id"), col("is_duplicate"))
+        .orderBy("doc_id")
+    }),
+    // LLM-pipeline: exact n-gram Jaccard similarity self-join (inverted
+    // shingle index — no all-pairs, zero false negatives)
+    "q_dedup_ngram_jaccard" -> ((s, dir) => {
+      Dedup.ngramJaccardJoin(Tables.docs(s, dir), n = 3, threshold = 0.5)
+        .select(col("a_id"), col("b_id"),
+          (round(col("jaccard"), 6) + lit(0.0)).as("jaccard"))
+        .orderBy("a_id", "b_id")
+    }),
+    // LLM-pipeline: embedding near-dup pairs — L2 threshold self-join with
+    // sound centroid-ball blocking (result independent of the blocking)
+    "q_dedup_semantic" -> ((s, dir) => {
+      Dedup.semanticPairs(Tables.vectors(s, dir).select("id", "vec"),
+          threshold = 1.2, numBlocks = 8)
+        .select(col("a_id"), col("b_id"),
+          (round(col("distance"), 6) + lit(0.0)).as("distance"))
+        .orderBy("a_id", "b_id")
+    }),
+    // LLM-pipeline: MinHash-LSH near-dup join (banded signatures, exact
+    // Jaccard verification). Not SQL-expressible (seeded signature
+    // internals) → rows-only check; DedupSpec asserts recall vs the exact
+    // n-gram join.
+    "q_dedup_minhash" -> ((s, dir) => {
+      Dedup.minhashLshJoin(Tables.docs(s, dir), n = 3, numHashes = 32,
+          bands = 8, threshold = 0.5)
+        .select(col("a_id"), col("b_id"),
+          (round(col("jaccard"), 6) + lit(0.0)).as("jaccard"))
+        .orderBy("a_id", "b_id")
+    }),
+    // LLM-pipeline: SimHash near-dup pairs (64-bit sketch, block banding,
+    // Hamming filter). Rows-only; DedupSpec covers semantics.
+    "q_dedup_simhash" -> ((s, dir) => {
+      Dedup.simhashPairs(Tables.docs(s, dir), maxHamming = 3)
+        .select(col("a_id"), col("b_id"), col("hamming"))
+        .orderBy("a_id", "b_id")
+    }),
   )
 
   /** Search output shape shared by the metadata-search queries: the meta map
@@ -148,6 +190,36 @@ object SparkEntry {
     "q_knn_upper_bound" -> topKSql(l2Expr, 10, where = "d <= 1.5"),
     "q_search_meta_filter" -> searchSql(l2Expr, 5, baseWhere = "b.parity = 'even'"),
     "q_search_meta" -> searchSql(cosExpr, 3, having = "d <= 0.7"),
+    "q_dedup_exact" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |         md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fingerprint
+        |  FROM documents)
+        |SELECT doc_id, fingerprint,
+        |       count(*) OVER (PARTITION BY fingerprint) AS group_size,
+        |       min(doc_id) OVER (PARTITION BY fingerprint) AS canonical_id,
+        |       doc_id <> min(doc_id) OVER (PARTITION BY fingerprint) AS is_duplicate
+        |FROM f ORDER BY doc_id""".stripMargin,
+    "q_dedup_ngram_jaccard" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |s AS (SELECT doc_id,
+        |        list_distinct(list_transform(range(1, len(w) - 1),
+        |          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+        |      FROM t WHERE len(w) >= 3),
+        |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |        len(list_intersect(a.sh, b.sh))::DOUBLE /
+        |          (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS j
+        |      FROM s a JOIN s b ON a.doc_id < b.doc_id)
+        |SELECT a_id, b_id, round(j, 6) + 0.0 AS jaccard FROM p
+        |WHERE j >= 0.5 ORDER BY a_id, b_id""".stripMargin,
+    "q_dedup_semantic" ->
+      """WITH p AS (
+        |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |         list_sum(list_transform(range(1, len(a.embedding) + 1),
+        |           i -> (CAST(a.embedding[i] AS DOUBLE) - CAST(b.embedding[i] AS DOUBLE)) ^ 2)) AS d
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+        |SELECT a_id, b_id, round(d, 6) + 0.0 AS distance FROM p
+        |WHERE d <= 1.2 ORDER BY a_id, b_id""".stripMargin,
     "q_centroid_histogram" ->
       s"""WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 16),
          |d AS (

@@ -77,3 +77,73 @@ case class NearestCentroid(
 
   override def prettyName: String = "nearest_centroid"
 }
+
+/** Sound blocking for L2 threshold self-joins: the ids of every centroid
+  * whose L2 distance to the row is ≤ min-centroid-distance + `margin`.
+  *
+  * With `margin = 2t`, any pair (a, b) with ‖a−b‖ ≤ t shares at least one
+  * bucket: let c* be a's nearest centroid; then
+  * d(b,c*) ≤ d(b,a) + d(a,c*) = t + min_c d(a,c) ≤ min_c d(b,c) + 2t
+  * (the last step because min_c d(a,c) ≤ d(a, c_b*) ≤ d(b, c_b*) + t).
+  * So a emits c* (margin 0 suffices) and b emits c* (margin 2t suffices) —
+  * the pair meets in bucket c*. No pair below the threshold is ever missed,
+  * regardless of centroid quality; centroid quality only affects bucket
+  * sizes (cost), not correctness.
+  */
+case class CentroidsWithinRadius(
+    child: Expression,
+    centroids: Array[Array[Float]],
+    margin: Double)
+  extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      if (centroids.nonEmpty) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure("empty centroid set")
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"centroids_within_radius requires array<float>/array<double>, got ${other.catalogString}")
+  }
+
+  private lazy val isFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    val ds = new Array[Double](centroids.length)
+    var dmin = Double.MaxValue
+    var c = 0
+    while (c < centroids.length) {
+      val cent = centroids(c)
+      require(cent.length == n,
+        s"centroids_within_radius: dimension mismatch ($n vs ${cent.length})")
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        val x = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+        val diff = x - cent(i); acc += diff * diff; i += 1
+      }
+      val d = math.sqrt(acc)
+      ds(c) = d
+      if (d < dmin) dmin = d
+      c += 1
+    }
+    val cutoff = dmin + margin
+    val out = scala.collection.mutable.ArrayBuilder.make[Any]
+    c = 0
+    while (c < centroids.length) {
+      if (ds(c) <= cutoff) out += c
+      c += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.result())
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "centroids_within_radius"
+}

@@ -1,0 +1,260 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.ColumnShim
+import graft.functions.{CentroidsWithinRadius, VectorFunctions}
+
+/** Deduplication operators for LLM training-data pipelines — the scale
+  * workloads the reference's KNN-and-metadata engine naturally extends to
+  * (north star in BASELINE.json). None of these exist in the reference; each
+  * is designed shuffle-frugal:
+  *
+  *  - exact dedup: one shuffle on a 16-byte fingerprint;
+  *  - n-gram Jaccard join: inverted-index join on shingles — only docs
+  *    sharing a shingle are ever paired (no all-pairs), exact (zero false
+  *    negatives);
+  *  - MinHash-LSH: banded signatures → candidates only for band collisions,
+  *    then exact-Jaccard verification (zero false positives survive);
+  *  - SimHash: 64-bit sketches, block-banded candidate join, Hamming filter;
+  *  - semantic (embedding) dedup: L2-threshold self-join with sound
+  *    centroid-ball blocking ([[graft.functions.CentroidsWithinRadius]]) —
+  *    never all-pairs, never misses a pair under the threshold.
+  */
+object Dedup {
+
+  // ---------------------------------------------------------------- exact
+
+  /** Document fingerprint: md5 of the sorted distinct whitespace tokens (a
+    * bag-of-words signature — catches reordered/duplicated-word copies that
+    * byte-identical hashing misses; swap in `md5(text)` for strict identity). */
+  def wordSetFingerprint(text: Column): Column =
+    md5(concat_ws(" ", array_sort(array_distinct(split(text, " ")))).cast("binary"))
+
+  /** Exact (hash-groupBy) dedup: every doc annotated with its fingerprint
+    * group — group size, canonical (minimum) id, duplicate flag. One shuffle
+    * on the fingerprint; at 100 TB this is the cheapest possible dedup pass. */
+  def exactGroups(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val w = Window.partitionBy("fingerprint")
+    docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        wordSetFingerprint(col(textCol)).as("fingerprint"))
+      .withColumn("group_size", count(lit(1)).over(w))
+      .withColumn("canonical_id", min("doc_id").over(w))
+      .withColumn("is_duplicate", col("doc_id") =!= col("canonical_id"))
+  }
+
+  // ------------------------------------------------- n-gram Jaccard join
+
+  /** Distinct word n-gram shingles of a text column (empty when the doc has
+    * fewer than n tokens). */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = split(text, " ")
+    when(size(toks) >= n,
+      array_distinct(transform(
+        sequence(lit(1), size(toks) - (n - 1)),
+        s => concat_ws(" ", slice(toks, s, lit(n))))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Exact n-gram Jaccard similarity self-join via an inverted shingle
+    * index: explode doc→shingle, equi-join on the shingle, count common
+    * shingles per pair, compute |A∩B| / (|A|+|B|−|A∩B|), keep ≥ threshold.
+    *
+    * Exact — a pair with Jaccard ≥ t > 0 shares ≥ 1 shingle, so it appears
+    * in the join; pairs sharing nothing are never materialized. Shuffle is
+    * on the shingle key; AQE's skew handling splits hot shingles.
+    *
+    * @return (a_id, b_id, jaccard) with a_id < b_id
+    */
+  def ngramJaccardJoin(
+      docs: DataFrame,
+      n: Int = 3,
+      threshold: Double = 0.5,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val sh = docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        shingles(col(textCol), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val sizes = sh.select(col("doc_id"), size(col("sh")).as("nsh"))
+    val inv = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+    val common = inv.as("a")
+      .join(inv.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.select(col("doc_id").as("a_id"), col("nsh").as("na")), "a_id")
+      .join(sizes.select(col("doc_id").as("b_id"), col("nsh").as("nb")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        (col("common").cast("double") /
+          (col("na") + col("nb") - col("common"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  // ----------------------------------------------------------- MinHash-LSH
+
+  private val MersennePrime = (1L << 31) - 1
+
+  /** MinHash signature of a shingle array: numHashes universal hashes
+    * h_j(x) = (a_j·x + b_j) mod p over a 64-bit base hash of each shingle,
+    * min-reduced per hash function. Coefficients are seeded, so signatures
+    * are reproducible across runs/executors. */
+  def minhashSignature(sh: Column, numHashes: Int, seed: Long = 42L): Column = {
+    val rnd = new scala.util.Random(seed)
+    val coeffs = Array.fill(numHashes)(
+      (1 + rnd.nextLong(MersennePrime - 1), rnd.nextLong(MersennePrime)))
+    val baseHash = transform(sh, s => pmod(xxhash64(s), lit(MersennePrime)))
+    array(coeffs.map { case (a, b) =>
+      array_min(transform(baseHash, x => pmod(x * lit(a) + lit(b), lit(MersennePrime))))
+    }: _*)
+  }
+
+  /** MinHash-LSH near-duplicate join: signature → `bands` band keys → pairs
+    * for any band collision → exact-Jaccard verification ≥ threshold.
+    * Approximate only in recall (a true pair missing every band); verified
+    * output has zero false positives. Shuffles on 8-byte band keys instead
+    * of shingle strings — the scale path when the shingle inverted index is
+    * too hot.
+    *
+    * @return (a_id, b_id, jaccard) with a_id < b_id, exact Jaccard attached
+    */
+  def minhashLshJoin(
+      docs: DataFrame,
+      n: Int = 3,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      threshold: Double = 0.5,
+      seed: Long = 42L,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(numHashes % bands == 0, s"bands ($bands) must divide numHashes ($numHashes)")
+    val r = numHashes / bands
+    val sh = docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        shingles(col(textCol), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sig", minhashSignature(col("sh"), numHashes, seed))
+    val banded = sh.select(col("doc_id"),
+      posexplode(array((0 until bands).map(i =>
+        hash(slice(col("sig"), i * r + 1, r))): _*)).as(Seq("band", "bk")))
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+    // exact verification: join shingle sets back onto the candidate pairs
+    val sets = sh.select(col("doc_id"), col("sh"))
+    cand
+      .join(sets.select(col("doc_id").as("a_id"), col("sh").as("sha")), "a_id")
+      .join(sets.select(col("doc_id").as("b_id"), col("sh").as("shb")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        (size(array_intersect(col("sha"), col("shb"))).cast("double") /
+          size(array_union(col("sha"), col("shb")))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  // --------------------------------------------------------------- SimHash
+
+  /** 64-bit SimHash of the token multiset: per-bit vote of each token's
+    * 64-bit hash, sign → bit. Computed columnar: for each bit, count tokens
+    * with that bit set vs total. */
+  def simhash(text: Column): Column = {
+    val hashes = transform(split(text, " "), t => xxhash64(t))
+    val nTok = size(hashes)
+    val bits = (0 until 64).map { b =>
+      // bit b set iff #tokens with bit set > #tokens without (ties → 0)
+      when(size(filter(hashes,
+        h => shiftright(h, b).bitwiseAND(lit(1L)) === 1)) * 2 > nTok,
+        lit(1L << b)).otherwise(lit(0L))
+    }
+    bits.reduce(_.bitwiseOR(_))
+  }
+
+  /** SimHash near-duplicate join: 4×16-bit block banding (two sketches with
+    * Hamming distance ≤ 3 must agree on ≥ 1 of 4 blocks — pigeonhole), then
+    * exact Hamming ≤ maxHamming filter via bit_count(xor).
+    *
+    * @return (a_id, b_id, hamming) with a_id < b_id
+    */
+  def simhashPairs(
+      docs: DataFrame,
+      maxHamming: Int = 3,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val sk = docs.select(col(idCol).cast("long").as("doc_id"),
+      simhash(col(textCol)).as("sk"))
+    val blocks = sk.select(col("doc_id"), col("sk"),
+      posexplode(array((0 until 4).map(i =>
+        shiftright(col("sk"), i * 16).bitwiseAND(lit(0xFFFFL))): _*))
+        .as(Seq("blk", "bv")))
+    blocks.as("a")
+      .join(blocks.as("b"),
+        col("a.blk") === col("b.blk") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        bit_count(col("a.sk").bitwiseXOR(col("b.sk"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  // --------------------------------------------- semantic (embedding) dedup
+
+  /** Embedding near-duplicate pairs: all (a, b), a.id < b.id, with
+    * distance ≤ threshold. L2-sound centroid-ball blocking: each row is
+    * assigned to every centroid within (nearest + 2·radius), pairs are
+    * generated only within shared buckets, then exact-verified — identical
+    * results to the all-pairs join at any scale, without the all-pairs join.
+    * Cosine mode L2-normalizes first (cos_dist = ‖â−b̂‖²/2 on unit vectors)
+    * and thresholds/reports cosine distance.
+    *
+    * @param threshold l2sqr: squared-L2 cutoff; cosine: cosine-distance cutoff
+    * @return (a_id, b_id, distance) with a_id < b_id
+    */
+  def semanticPairs(
+      vecs: DataFrame,
+      threshold: Double,
+      dist: String = "l2sqr",
+      numBlocks: Int = 16,
+      seed: Long = 42L,
+      idCol: String = "id",
+      vecCol: String = "vec"): DataFrame = {
+    val raw = vecs.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+    val base = dist match {
+      case "cosine" =>
+        // unit-normalize (zero vectors map to zero; they pair only with
+        // other zero vectors at cosine distance 1 — clamp semantics)
+        raw.withColumn("vec",
+          transform(col("vec"), x =>
+            (x / greatest(sqrt(aggregate(col("vec"), lit(0.0d),
+              (acc, v) => acc + v.cast("double") * v.cast("double"))), lit(1e-10)))
+              .cast("float")))
+      case _ => raw
+    }
+    val t2 = dist match {
+      case "cosine" => 2.0 * threshold // ‖â−b̂‖² = 2·cos_dist
+      case _ => threshold
+    }
+    val model = Ivf.train(base, numBlocks, "l2sqr", seed = seed)
+    val margin = 2.0 * math.sqrt(t2)
+    val bucketed = base.withColumn("bucket",
+      explode(ColumnShim.column(CentroidsWithinRadius(
+        ColumnShim.expression(col("vec")), model.centroids, margin))))
+    val pairs = bucketed.as("a")
+      .join(bucketed.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
+        VectorFunctions.vecL2Sq(col("a.vec"), col("b.vec")).as("d2"))
+      .filter(col("d2") <= t2)
+      .select(col("a_id"), col("b_id"),
+        (if (dist == "cosine") col("d2") / 2.0 else col("d2")).as("distance"))
+      .distinct()
+    pairs
+  }
+}

@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+/** Dedup operator semantics: exact fingerprint groups, n-gram Jaccard join
+  * vs a brute-force oracle, MinHash-LSH recall vs the exact join, SimHash
+  * order-invariance, and semantic blocking exactness vs the all-pairs join. */
+class DedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val fixture = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog"),
+    (1L, "dog lazy the over jumps fox brown quick the"), // word-permuted dup of 0
+    (2L, "the quick brown fox jumps over the lazy cat"), // near-dup of 0
+    (3L, "completely different content about spark engines"),
+    (4L, "completely different content about spark engines"), // byte-identical dup of 3
+    (5L, "one two")                                           // < 3 tokens: no shingles
+  ).toDF("doc_id", "text").cache()
+
+  test("exactGroups: permuted and identical docs share a fingerprint group") {
+    val g = Dedup.exactGroups(fixture).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("group_size"), r.getAs[Long]("canonical_id"),
+          r.getAs[Boolean]("is_duplicate"))).toMap
+    assert(g(0L) == (2L, 0L, false))
+    assert(g(1L) == (2L, 0L, true)) // permutation → same word set
+    assert(g(3L) == (2L, 3L, false))
+    assert(g(4L) == (2L, 3L, true))
+    assert(g(2L)._1 == 1L && !g(2L)._3)
+  }
+
+  test("ngramJaccardJoin matches a brute-force shingle oracle") {
+    def sh(t: String): Set[String] =
+      t.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    val texts = fixture.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val want = (for {
+      a <- texts.keys; b <- texts.keys if a < b
+      sa = sh(texts(a)); sb = sh(texts(b))
+      if texts(a).split(" ").length >= 3 && texts(b).split(" ").length >= 3
+      j = sa.intersect(sb).size.toDouble / sa.union(sb).size
+      if j >= 0.3
+    } yield (a, b, math.round(j * 1e6) / 1e6)).toSet
+    val got = Dedup.ngramJaccardJoin(fixture, n = 3, threshold = 0.3)
+      .select($"a_id", $"b_id", round($"jaccard", 6))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == want)
+    assert(want.exists(p => p._1 == 0L && p._2 == 2L)) // the near-dup pair is in there
+  }
+
+  test("minhashLshJoin: verified pairs ⊆ exact join, recall ≥ 0.9 on documents") {
+    val docs = Tables.docs(spark, sf001)
+    val exact = Dedup.ngramJaccardJoin(docs, n = 3, threshold = 0.5)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minhashLshJoin(docs, n = 3, numHashes = 32, bands = 8,
+        threshold = 0.5)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(exact)) // exact verification → no false positives
+    assert(exact.nonEmpty)
+    val recall = lsh.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"LSH recall $recall < 0.9 (found ${lsh.size}/${exact.size})")
+  }
+
+  test("simhash: word order does not change the sketch; dup pair at hamming 0") {
+    val pairs = Dedup.simhashPairs(fixture, maxHamming = 3).collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"), r.getAs[Int]("hamming")))
+    assert(pairs.contains((0L, 1L, 0))) // permutation: identical token multiset
+    assert(pairs.contains((3L, 4L, 0)))
+  }
+
+  test("semanticPairs equals the brute-force all-pairs threshold join") {
+    val vecs = Tables.vectors(spark, sf0001).select("id", "vec").cache()
+    val t2 = 1.3
+    val got = Dedup.semanticPairs(vecs, threshold = t2, numBlocks = 8)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val brute = vecs.as("a").crossJoin(vecs.as("b"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
+        graft.functions.VectorFunctions.vecL2Sq(col("a.vec"), col("b.vec")).as("d"))
+      .filter($"d" <= t2)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(brute.nonEmpty, "fixture should contain at least one close pair")
+    assert(got == brute)
+  }
+
+  test("semanticPairs cosine mode: self-normalized pairs, distance in [0, 2]") {
+    val vecs = Tables.vectors(spark, sf0001).select("id", "vec")
+    val got = Dedup.semanticPairs(vecs, threshold = 0.15, dist = "cosine",
+      numBlocks = 8)
+    val ds = got.select("distance").as[Double].collect()
+    assert(ds.forall(d => d >= 0.0 && d <= 0.15 + 1e-9))
+  }
+}
