@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, Ivf, Knn, Search}
+import graft.operators.{Dedup, Ivf, Knn, Multimodal, Search, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -119,7 +119,65 @@ object SparkEntry {
         .select(col("a_id"), col("b_id"), col("hamming"))
         .orderBy("a_id", "b_id")
     }),
+    // LLM-pipeline: per-document token/length statistics
+    "q_text_stats" -> ((s, dir) => {
+      TextAnalysis.stats(Tables.docs(s, dir))
+        .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+          (round(col("avg_token_len"), 6) + lit(0.0)).as("avg_token_len"),
+          col("n_regex_tokens"))
+        .orderBy("doc_id")
+    }),
+    // LLM-pipeline: heuristic language ID (function-word lexicon argmax)
+    "q_lang_id" -> ((s, dir) => {
+      TextAnalysis.langId(Tables.docs(s, dir))
+        .select(col("doc_id"), col("de_hits"), col("en_hits"), col("es_hits"),
+          col("fr_hits"), col("zh_hits"), col("predicted_lang"), col("top_hits"))
+        .orderBy("doc_id")
+    }),
+    // LLM-pipeline: heuristic quality score (length/diversity/stopword mix)
+    "q_quality_score" -> ((s, dir) => {
+      TextAnalysis.qualityScore(Tables.docs(s, dir))
+        .select(col("doc_id"), col("n_tokens"),
+          (round(col("distinct_ratio"), 6) + lit(0.0)).as("distinct_ratio"),
+          (round(col("stopword_ratio"), 6) + lit(0.0)).as("stopword_ratio"),
+          (round(col("length_score"), 6) + lit(0.0)).as("length_score"),
+          (round(col("quality"), 6) + lit(0.0)).as("quality"))
+        .orderBy("doc_id")
+    }),
+    // A4: per-query recall between two exact KNN rankings (cosine vs L2)
+    "q_recall" -> ((s, dir) => {
+      recallDf(s, dir)
+        .select(col("query_id"),
+          (round(col("recall"), 6) + lit(0.0)).as("recall"))
+        .orderBy("query_id")
+    }),
+    // A5: average-recorder aggregate over the recall column
+    "q_recall_avg" -> ((s, dir) => {
+      recallDf(s, dir)
+        .agg((round(avg(col("recall")), 6) + lit(0.0)).as("avg_recall"))
+    }),
+    // LLM-pipeline: multimodal binary-column feature extraction (decode is
+    // a deterministic stub; length+digest verified end-to-end by oracle)
+    "q_multimodal_features" -> ((s, dir) => {
+      Multimodal.extractFeatures(Multimodal.withPayload(Tables.docs(s, dir)))
+        .toDF()
+        .select(col("doc_id"), col("byte_len"), col("digest"))
+        .orderBy("doc_id")
+    }),
   )
+
+  /** B7+A4: ground-truth ids via `Knn.exactIds` for two distance algorithms,
+    * recall = |l2 ∩ cosine| / k (`/root/reference/src/index_algorithm/candidate_pair.rs:127-140`). */
+  private def recallDf(s: SparkSession, dir: String): DataFrame = {
+    val b = base(s, dir)
+    val q = queryVectors(s, dir)
+    val l2 = Knn.exactIds(b, q, k = 10, dist = "l2sqr")
+    val cos = Knn.exactIds(b, q, k = 10, dist = "cosine")
+      .withColumnRenamed("knn_ids", "cos_ids")
+    l2.join(cos, "query_id")
+      .select(col("query_id"),
+        (size(array_intersect(col("knn_ids"), col("cos_ids"))) / lit(10.0)).as("recall"))
+  }
 
   /** Search output shape shared by the metadata-search queries: the meta map
     * is emitted as separate (label, parity) columns so the DuckDB oracle can
@@ -184,12 +242,81 @@ object SparkEntry {
        |WHERE rn <= $k
        |ORDER BY query_id, distance, id""".stripMargin
 
+  /** DuckDB list literal of a language lexicon (kept in lockstep with
+    * TextAnalysis.lexicons so both sides score identically). */
+  private def lexList(lang: String): String =
+    TextAnalysis.lexicons.toMap.apply(lang).map(w => s"'$w'").mkString("[", ", ", "]")
+
+  /** Shared recall CTE: top-10 id lists per query for L2 and cosine. */
+  private def recallCte: String =
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
+       |l2s AS (SELECT q.query_id, b.vec_id AS id, $l2Expr AS d FROM q CROSS JOIN embeddings b),
+       |cs AS (SELECT q.query_id, b.vec_id AS id, $cosExpr AS d FROM q CROSS JOIN embeddings b),
+       |l2top AS (SELECT query_id, list(id) AS ids FROM (
+       |  SELECT query_id, id, row_number() OVER (PARTITION BY query_id ORDER BY d, id) AS rn FROM l2s)
+       |  WHERE rn <= 10 GROUP BY query_id),
+       |ctop AS (SELECT query_id, list(id) AS ids FROM (
+       |  SELECT query_id, id, row_number() OVER (PARTITION BY query_id ORDER BY d, id) AS rn FROM cs)
+       |  WHERE rn <= 10 GROUP BY query_id)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q_knn_l2" -> topKSql(l2Expr, 5),
     "q_knn_cosine" -> topKSql(cosExpr, 5),
     "q_knn_upper_bound" -> topKSql(l2Expr, 10, where = "d <= 1.5"),
     "q_search_meta_filter" -> searchSql(l2Expr, 5, baseWhere = "b.parity = 'even'"),
     "q_search_meta" -> searchSql(cosExpr, 3, having = "d <= 0.7"),
+    "q_text_stats" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w, text FROM documents)
+        |SELECT doc_id, len(w) AS n_tokens, len(list_distinct(w)) AS n_distinct,
+        |       round(list_sum(list_transform(w, x -> len(x)))::DOUBLE / len(w), 6) + 0.0 AS avg_token_len,
+        |       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS n_regex_tokens
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "q_lang_id" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |h AS (SELECT doc_id,
+         |  len(list_filter(w, x -> list_contains(${lexList("de")}, x))) AS de_hits,
+         |  len(list_filter(w, x -> list_contains(${lexList("en")}, x))) AS en_hits,
+         |  len(list_filter(w, x -> list_contains(${lexList("es")}, x))) AS es_hits,
+         |  len(list_filter(w, x -> list_contains(${lexList("fr")}, x))) AS fr_hits,
+         |  len(list_filter(w, x -> list_contains(${lexList("zh")}, x))) AS zh_hits
+         |  FROM t),
+         |g AS (SELECT *, greatest(de_hits, en_hits, es_hits, fr_hits, zh_hits) AS top_hits FROM h)
+         |SELECT doc_id, de_hits, en_hits, es_hits, fr_hits, zh_hits,
+         |       CASE WHEN top_hits = 0 THEN 'und'
+         |            WHEN de_hits = top_hits THEN 'de'
+         |            WHEN en_hits = top_hits THEN 'en'
+         |            WHEN es_hits = top_hits THEN 'es'
+         |            WHEN fr_hits = top_hits THEN 'fr'
+         |            ELSE 'zh' END AS predicted_lang,
+         |       top_hits
+         |FROM g ORDER BY doc_id""".stripMargin,
+    "q_quality_score" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |b AS (SELECT doc_id, len(w) AS n_tokens,
+         |        len(list_distinct(w))::DOUBLE / len(w) AS distinct_ratio,
+         |        len(list_filter(w, x -> list_contains(${lexList("en")}, x)))::DOUBLE / len(w) AS stopword_ratio
+         |      FROM t),
+         |c AS (SELECT *, least(1.0, n_tokens / 100.0) AS length_score FROM b)
+         |SELECT doc_id, n_tokens,
+         |       round(distinct_ratio, 6) + 0.0 AS distinct_ratio,
+         |       round(stopword_ratio, 6) + 0.0 AS stopword_ratio,
+         |       round(length_score, 6) + 0.0 AS length_score,
+         |       round(0.4 * length_score + 0.3 * distinct_ratio +
+         |             0.3 * least(stopword_ratio * 5.0, 1.0), 6) + 0.0 AS quality
+         |FROM c ORDER BY doc_id""".stripMargin,
+    "q_recall" ->
+      s"""$recallCte
+         |SELECT l2top.query_id, round(len(list_intersect(l2top.ids, ctop.ids)) / 10.0, 6) + 0.0 AS recall
+         |FROM l2top JOIN ctop ON l2top.query_id = ctop.query_id
+         |ORDER BY 1""".stripMargin,
+    "q_recall_avg" ->
+      s"""$recallCte
+         |SELECT round(avg(r), 6) + 0.0 AS avg_recall FROM (
+         |  SELECT len(list_intersect(l2top.ids, ctop.ids)) / 10.0 AS r
+         |  FROM l2top JOIN ctop ON l2top.query_id = ctop.query_id)""".stripMargin,
+    "q_multimodal_features" ->
+      """SELECT doc_id, octet_length(encode(text)) AS byte_len, md5(text) AS digest
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_dedup_exact" ->
       """WITH f AS (
         |  SELECT doc_id,

