@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, Ivf, Knn, Multimodal, Search, TextAnalysis}
+import graft.operators.{Dedup, Ivf, Knn, Multimodal, Pq, Search, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -155,6 +155,18 @@ object SparkEntry {
     "q_recall_avg" -> ((s, dir) => {
       recallDf(s, dir)
         .agg((round(avg(col("recall")), 6) + lit(0.0)).as("avg_recall"))
+    }),
+    // B4+F8-F10+T7: PQ train/encode/ADC search with exact re-rank. Seeded
+    // k-means internals are not SQL-expressible → rows-only here; PqSpec
+    // carries the ported exactness/error-bound/recall oracles.
+    "q_pq_search" -> ((s, dir) => {
+      val b = base(s, dir)
+      val model = Pq.train(b, m = 16, nBits = 4)
+      Pq.searchFlat(Pq.encode(b, model), model, queryVectors(s, dir),
+          k = 5, ef = 40)
+        .select(col("query_id"), col("id"),
+          (round(col("distance"), 6) + lit(0.0)).as("distance"))
+        .orderBy("query_id", "distance", "id")
     }),
     // LLM-pipeline: multimodal binary-column feature extraction (decode is
     // a deterministic stub; length+digest verified end-to-end by oracle)

@@ -1,0 +1,268 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Product-quantization kernel shared by the PQ expressions: the group
+  * layout, nearest-centroid-per-group, and nibble packing replicate
+  * `/root/reference/src/distance/pq_table.rs` exactly (front-loaded
+  * `div_ceil` groups at `38-53`, lo-nibble-first packing at `66-91`).
+  */
+object PqKernel {
+
+  /** F7 — split `dim` into `m` contiguous ranges, front-loading the larger
+    * `div_ceil` sizes. Returns (start, length) pairs. */
+  def pqGroups(dim: Int, m: Int): Array[(Int, Int)] = {
+    require(dim > 0, "dim must be greater than 0 in PQ")
+    require(m > 0, "m must be greater than 0 in PQ")
+    require(dim >= m, "dim must be >= m in PQ")
+    val out = Array.newBuilder[(Int, Int)]
+    var current = 0
+    var g = 0
+    while (current < dim) {
+      val groupSize = (dim - current + (m - g) - 1) / (m - g) // div_ceil
+      out += ((current, groupSize))
+      current += groupSize
+      g += 1
+    }
+    out.result()
+  }
+
+  /** Nearest centroid of a vector slice (ties → lowest id), L2 metric — PQ
+    * always encodes by L2 over the group slice regardless of query metric. */
+  def nearestInGroup(
+      v: ArrayData, isFloat: Boolean, start: Int, len: Int,
+      cents: Array[Array[Float]]): Int = {
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < cents.length) {
+      val cent = cents(c)
+      var d = 0.0
+      var i = 0
+      while (i < len) {
+        val x = if (isFloat) v.getFloat(start + i).toDouble else v.getDouble(start + i)
+        val diff = x - cent(i); d += diff * diff; i += 1
+      }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+}
+
+/** F8 — PQ encode: per group, the nearest-centroid id; 4-bit packs two ids
+  * per byte (low nibble first), 8-bit one per byte
+  * (`/root/reference/src/distance/pq_table.rs:66-91`). Output is a
+  * fixed-width binary column of `ceil(m·n_bits/8)` bytes.
+  */
+case class PqEncode(
+    child: Expression,
+    centroids: Array[Array[Array[Float]]], // (group)(centroidId)(sliceDim)
+    nBits: Int,
+    dim: Int)
+  extends UnaryExpression with CodegenFallback {
+
+  require(nBits == 4 || nBits == 8, "n_bits must be 4 or 8 in PQ")
+
+  private val m = centroids.length
+  private lazy val groups = PqKernel.pqGroups(dim, m)
+
+  override def dataType: DataType = BinaryType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"pq_encode requires array<float>/array<double>, got ${other.catalogString}")
+  }
+
+  private lazy val isFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    require(v.numElements() == dim,
+      s"pq_encode: dimension mismatch (${v.numElements()} vs $dim)")
+    if (nBits == 4) {
+      val out = new Array[Byte]((m + 1) / 2)
+      var i = 0
+      while (i < m / 2) {
+        val (s0, l0) = groups(2 * i)
+        val (s1, l1) = groups(2 * i + 1)
+        val v0 = PqKernel.nearestInGroup(v, isFloat, s0, l0, centroids(2 * i))
+        val v1 = PqKernel.nearestInGroup(v, isFloat, s1, l1, centroids(2 * i + 1))
+        out(i) = (v0 | (v1 << 4)).toByte
+        i += 1
+      }
+      if (m % 2 == 1) {
+        val (s, l) = groups(m - 1)
+        out(m / 2) = PqKernel.nearestInGroup(v, isFloat, s, l, centroids(m - 1)).toByte
+      }
+      out
+    } else {
+      val out = new Array[Byte](m)
+      var i = 0
+      while (i < m) {
+        val (s, l) = groups(i)
+        out(i) = PqKernel.nearestInGroup(v, isFloat, s, l, centroids(i)).toByte
+        i += 1
+      }
+      out
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "pq_encode"
+}
+
+/** F9 — per-query ADC lookup table: for each group i and centroid c, the
+  * partial L2Sqr (or dot product for cosine) between the query's slice and
+  * the centroid, flattened to `m·k` entries at `i·k + c`
+  * (`/root/reference/src/distance/pq_table.rs:195-224`). Computed as a
+  * column on the (small, broadcast) query side, so ADC scoring needs no
+  * driver-side per-query state. */
+case class PqLookup(
+    child: Expression,
+    centroids: Array[Array[Array[Float]]],
+    nBits: Int,
+    dim: Int,
+    kind: String)
+  extends UnaryExpression with CodegenFallback {
+
+  private val m = centroids.length
+  private val k = 1 << nBits
+  private lazy val groups = PqKernel.pqGroups(dim, m)
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"pq_lookup requires array<float>/array<double>, got ${other.catalogString}")
+  }
+
+  private lazy val isFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    require(v.numElements() == dim,
+      s"pq_lookup: dimension mismatch (${v.numElements()} vs $dim)")
+    val out = new Array[Double](m * k)
+    var g = 0
+    while (g < m) {
+      val (start, len) = groups(g)
+      val cents = centroids(g)
+      var c = 0
+      while (c < cents.length) {
+        val cent = cents(c)
+        var acc = 0.0
+        var i = 0
+        if (kind == "cosine") {
+          while (i < len) {
+            val x = if (isFloat) v.getFloat(start + i).toDouble else v.getDouble(start + i)
+            acc += x * cent(i); i += 1
+          }
+        } else {
+          while (i < len) {
+            val x = if (isFloat) v.getFloat(start + i).toDouble else v.getDouble(start + i)
+            val d = x - cent(i); acc += d * d; i += 1
+          }
+        }
+        out(g * k + c) = acc
+        c += 1
+      }
+      g += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "pq_lookup"
+}
+
+/** F10 — ADC distance: sum of lookup entries indexed by the code's nibbles
+  * (low nibble first); cosine re-derives
+  * `1 − sum / max(√(Σ c·c) · ‖query‖, 1e-10)` using the model's cached
+  * per-centroid self-dot products
+  * (`/root/reference/src/distance/pq_table.rs:239-301`).
+  *
+  * Children: (code: binary, lookup: array<double>, queryNorm: double —
+  * ignored for L2Sqr).
+  */
+case class PqAdcDistance(
+    first: Expression,  // code
+    second: Expression, // lookup
+    third: Expression,  // query norm (cosine) or literal 0.0
+    centroidDotCache: Array[Double], // m·k, zeros for L2Sqr
+    nBits: Int,
+    m: Int,
+    kind: String)
+  extends TernaryExpression with CodegenFallback {
+
+  private val k = 1 << nBits
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (BinaryType, ArrayType(DoubleType, _), DoubleType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"pq_adc expects (binary, array<double>, double), got $other")
+    }
+
+  override def nullSafeEval(codeAny: Any, lookupAny: Any, normAny: Any): Any = {
+    val code = codeAny.asInstanceOf[Array[Byte]]
+    val lookup = lookupAny.asInstanceOf[ArrayData]
+    var sum = 0.0
+    var centDot = 0.0
+    if (nBits == 4) {
+      var i = 0
+      var b = 0
+      while (b < code.length) {
+        val u = code(b) & 0xff
+        if (i < m) {
+          val idx = u & 0xf
+          sum += lookup.getDouble(i * k + idx)
+          if (kind == "cosine") centDot += centroidDotCache(i * k + idx)
+        }
+        i += 1
+        if (i < m) {
+          val idx = u >> 4
+          sum += lookup.getDouble(i * k + idx)
+          if (kind == "cosine") centDot += centroidDotCache(i * k + idx)
+        }
+        i += 1
+        b += 1
+      }
+    } else {
+      var i = 0
+      while (i < m) {
+        val idx = code(i) & 0xff
+        sum += lookup.getDouble(i * k + idx)
+        if (kind == "cosine") centDot += centroidDotCache(i * k + idx)
+        i += 1
+      }
+    }
+    if (kind == "cosine") {
+      val norm0 = math.sqrt(centDot)
+      val norm1 = normAny.asInstanceOf[Double]
+      1.0 - sum / math.max(norm0 * norm1, 1e-10)
+    } else sum
+  }
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
+  override def prettyName: String = "pq_adc_distance"
+}

@@ -1,0 +1,158 @@
+package graft.operators
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.ColumnShim
+import graft.functions.{PqAdcDistance, PqEncode, PqKernel, PqLookup, VectorFunctions}
+
+/** Trained product quantizer — the reference's `PQTable`
+  * (`/root/reference/src/distance/pq_table.rs:115-137`): per-group k-means
+  * centroids plus the cosine self-dot cache. The encoded codes live as a
+  * `binary` column on the table (the Spark shape of `encoded_vec_set`).
+  */
+final case class PqModel(
+    dim: Int,
+    nBits: Int,
+    dist: String,
+    centroids: Array[Array[Array[Float]]]) {
+  require(nBits == 4 || nBits == 8, "n_bits must be 4 or 8 in PQ")
+  def m: Int = centroids.length
+  def k: Int = 1 << nBits
+
+  /** Per-centroid self-dot cache, flattened m·k (zeros for L2Sqr) —
+    * `/root/reference/src/distance/pq_table.rs:164-171`. */
+  lazy val centroidDotCache: Array[Double] = {
+    val out = new Array[Double](m * k)
+    if (dist == "cosine") {
+      var g = 0
+      while (g < m) {
+        var c = 0
+        while (c < centroids(g).length) {
+          var acc = 0.0
+          centroids(g)(c).foreach(x => acc += x.toDouble * x)
+          out(g * k + c) = acc
+          c += 1
+        }
+        g += 1
+      }
+    }
+    out
+  }
+}
+
+/** Product quantization: B4 train+encode, F9/F10 ADC scoring, T7 search
+  * with exact re-rank. Spark shape: m seeded MLlib k-means fits on dim
+  * slices of a training sample; encode is one codegen-free scan adding a
+  * `ceil(m·n_bits/8)`-byte binary column (32× smaller than a dim=960 f32
+  * vector at m=320/4-bit — the point of PQ at 100 TB: the ADC scan reads
+  * the code column only, never the vectors; only Q×ef winners are re-ranked
+  * against real vectors).
+  */
+object Pq {
+
+  /** B4 — train per-group centroids (`PQTable::from_vec_set`,
+    * `/root/reference/src/distance/pq_table.rs:141-191`). `trainFraction`
+    * mirrors `k_means_size` sampling. Groups with ≤ 2^nBits training rows
+    * use the rows themselves as centroids (k-means degenerates to identity,
+    * which keeps the small-set exactness property). */
+  def train(
+      base: DataFrame,
+      m: Int,
+      nBits: Int = 4,
+      dist: String = "l2sqr",
+      maxIter: Int = 20,
+      tol: Double = 1e-6,
+      seed: Long = 42L,
+      trainFraction: Option[Double] = None,
+      vecCol: String = "vec"): PqModel = {
+    val k = 1 << nBits
+    val trainDf = trainFraction.map(f => base.sample(f, seed)).getOrElse(base)
+      .select(col(vecCol).as("vec")).cache()
+    try {
+      val dim = trainDf.head().getSeq[Float](0).length
+      val n = trainDf.count()
+      val groups = PqKernel.pqGroups(dim, m)
+      val centroids = groups.zipWithIndex.map { case ((start, len), gi) =>
+        val sliceCol = slice(col("vec"), start + 1, len)
+        if (n <= k) {
+          trainDf.select(sliceCol).collect()
+            .map(_.getSeq[Float](0).toArray)
+        } else {
+          new KMeans()
+            .setK(k).setMaxIter(maxIter).setTol(tol).setSeed(seed + gi)
+            .setFeaturesCol("features")
+            .fit(trainDf.select(array_to_vector(sliceCol).as("features")))
+            .clusterCenters.map(_.toArray.map(_.toFloat))
+        }
+      }
+      PqModel(dim, nBits, dist, centroids)
+    } finally trainDf.unpersist()
+  }
+
+  /** F8 — the code column. */
+  def encodeCol(vec: Column, model: PqModel): Column =
+    ColumnShim.column(PqEncode(ColumnShim.expression(vec), model.centroids,
+      model.nBits, model.dim))
+
+  /** Encode pass: adds a `code` binary column. */
+  def encode(base: DataFrame, model: PqModel, vecCol: String = "vec"): DataFrame =
+    base.withColumn("code", encodeCol(col(vecCol), model))
+
+  /** F9 — the per-query lookup column (computed on the query side). */
+  def lookupCol(queryVec: Column, model: PqModel): Column =
+    ColumnShim.column(PqLookup(ColumnShim.expression(queryVec), model.centroids,
+      model.nBits, model.dim, model.dist))
+
+  /** F10 — ADC distance of a code column against a lookup column. */
+  def adcCol(code: Column, lookup: Column, queryNorm: Column, model: PqModel): Column =
+    ColumnShim.column(PqAdcDistance(
+      ColumnShim.expression(code), ColumnShim.expression(lookup),
+      ColumnShim.expression(queryNorm),
+      model.centroidDotCache, model.nBits, model.m, model.dist))
+
+  /** T7 — Flat+PQ search (`FlatIndex::knn_pq`,
+    * `/root/reference/src/index_algorithm/flat_index.rs:84-104` +
+    * `pq_resort` at `candidate_pair.rs:102-108`): ADC-score every code into
+    * an ef-sized top set, then exact re-rank of the winners to top-k.
+    * The code scan never touches the vector column; the re-rank joins only
+    * Q×ef winner ids back against the (id, vec) projection.
+    */
+  def searchFlat(
+      encoded: DataFrame, // (id, vec, code)
+      model: PqModel,
+      queries: DataFrame,
+      k: Int,
+      ef: Int,
+      upperBound: Double = Double.PositiveInfinity): DataFrame = {
+    val efK = math.max(ef, k)
+    val q = queries.select(
+      col("query_id").cast("long").as("query_id"),
+      col("query_vec"),
+      lookupCol(col("query_vec"), model).as("__lk"),
+      (if (model.dist == "cosine") VectorFunctions.vecNorm(col("query_vec"))
+       else lit(0.0)).as("__qn"))
+    val approx = encoded.select(col("id").cast("long").as("__id"), col("code"))
+      .crossJoin(broadcast(q.select(col("query_id"), col("__lk"), col("__qn"))))
+      .select(col("query_id"), col("__id"),
+        adcCol(col("code"), col("__lk"), col("__qn"), model).as("__ad"))
+      .groupBy("query_id")
+      .agg(TopK.topK(efK)(col("__id"), col("__ad")).as("topef"))
+      .select(col("query_id"),
+        explode(transform(col("topef"), h => h.getField("id"))).as("id"))
+    // exact re-rank of the Q×ef winners
+    val exact = encoded.select(col("id").cast("long").as("id"), col("vec"))
+      .join(broadcast(approx), "id")
+      .join(broadcast(queries.select(col("query_id").cast("long").as("query_id"),
+        col("query_vec"))), "query_id")
+      .select(col("query_id"), col("id"),
+        VectorFunctions.distance(col("vec"), col("query_vec"), model.dist).as("__dist"))
+      .filter(col("__dist") <= lit(upperBound))
+    exact
+      .groupBy("query_id")
+      .agg(TopK.topK(k)(col("id"), col("__dist")).as("topk"))
+      .select(col("query_id"), explode(col("topk")).as("hit"))
+      .select(col("query_id"), col("hit.id").as("id"), col("hit.distance").as("distance"))
+  }
+}

@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.PqKernel
+import graft.operators.{Knn, Pq, PqModel}
+
+/** Product-quantization semantics — ports the reference tests:
+  * group split exactness (`/root/reference/src/distance/pq_table.rs:312-322`),
+  * ADC exactness when #vectors ≤ #centroids (`324-366`), and the p90
+  * relative-error < 0.2 bound on real vectors (`374-412`). */
+class PqSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("pq_groups: front-loaded div_ceil split") {
+    assert(PqKernel.pqGroups(10, 3).toSeq == Seq((0, 4), (4, 3), (7, 3)))
+    assert(PqKernel.pqGroups(8, 4).toSeq == Seq((0, 2), (2, 2), (4, 2), (6, 2)))
+    assert(PqKernel.pqGroups(7, 3).toSeq == Seq((0, 3), (3, 2), (5, 2)))
+    assert(PqKernel.pqGroups(4, 4).toSeq == Seq((0, 1), (1, 1), (2, 1), (3, 1)))
+  }
+
+  test("encode packs 4-bit ids low nibble first") {
+    // dim=2, m=2 → groups (0,1),(1,1); centroid sets {0.0, 1.0} per group
+    val model = PqModel(2, 4, "l2sqr",
+      Array(Array(Array(0f), Array(1f)), Array(Array(0f), Array(1f))))
+    val df = Seq((1L, Array(1f, 0f)), (2L, Array(0f, 1f)), (3L, Array(1f, 1f)))
+      .toDF("id", "vec")
+    val codes = Pq.encode(df, model).select("id", "code")
+      .as[(Long, Array[Byte])].collect().toMap
+    assert(codes(1L).toSeq == Seq(0x01.toByte)) // ids (1,0): lo=1, hi=0
+    assert(codes(2L).toSeq == Seq(0x10.toByte)) // ids (0,1): lo=0, hi=1
+    assert(codes(3L).toSeq == Seq(0x11.toByte))
+  }
+
+  test("ADC distance is exact when #vectors <= #centroids (L2 and cosine)") {
+    val rnd = new scala.util.Random(42)
+    val vecs = (0L until 16L).map(i => (i, Array.fill(8)(rnd.nextFloat()))).toSeq
+    val df = vecs.toDF("id", "vec").cache()
+    for (dist <- Seq("l2sqr", "cosine")) {
+      val model = Pq.train(df, m = 2, nBits = 4, dist = dist)
+      val encoded = Pq.encode(df, model)
+      val q = df.select($"id".as("query_id"), $"vec".as("query_vec"))
+      val withLk = q.select(col("query_id"),
+        Pq.lookupCol(col("query_vec"), model).as("lk"),
+        (if (dist == "cosine") graft.functions.VectorFunctions.vecNorm(col("query_vec"))
+         else lit(0.0)).as("qn"))
+      val adc = encoded.crossJoin(withLk)
+        .select(col("query_id"), col("id"),
+          Pq.adcCol(col("code"), col("lk"), col("qn"), model).as("ad"))
+      val exact = df.as("a").crossJoin(q)
+        .select(col("query_id"), col("id"),
+          graft.functions.VectorFunctions.distance(col("vec"), col("query_vec"), dist).as("ex"))
+      val err = adc.join(exact, Seq("query_id", "id"))
+        .select(abs($"ad" - $"ex").as("e")).agg(max($"e")).head().getDouble(0)
+      assert(err < 1e-5, s"$dist ADC not exact: max err $err")
+    }
+  }
+
+  test("p90 relative ADC error < 0.2 on real embeddings") {
+    val base = Tables.vectors(spark, sf0001).select("id", "vec").cache()
+    val model = Pq.train(base, m = 22, nBits = 4)
+    val encoded = Pq.encode(base, model)
+    val q = base.filter($"id" < 20)
+      .select($"id".as("query_id"), $"vec".as("query_vec"))
+    val withLk = q.select(col("query_id"),
+      Pq.lookupCol(col("query_vec"), model).as("lk"), lit(0.0).as("qn"))
+    val adc = encoded.crossJoin(withLk)
+      .select(col("query_id"), col("id"),
+        Pq.adcCol(col("code"), col("lk"), col("qn"), model).as("ad"))
+    val exact = base.crossJoin(q)
+      .select(col("query_id"), col("id"),
+        graft.functions.VectorFunctions.vecL2Sq(col("vec"), col("query_vec")).as("ex"))
+    val relErr = adc.join(exact, Seq("query_id", "id"))
+      .filter($"ex" > 1e-6)
+      .select((abs($"ad" - $"ex") / $"ex").as("re"))
+      .stat.approxQuantile("re", Array(0.9), 0.001)(0)
+    assert(relErr < 0.2, s"p90 relative error $relErr >= 0.2")
+  }
+
+  test("searchFlat: ADC top-ef + exact re-rank reaches high recall vs Flat") {
+    val base = Tables.vectors(spark, sf0001).select("id", "vec").cache()
+    val model = Pq.train(base, m = 16, nBits = 4)
+    val encoded = Pq.encode(base, model).cache()
+    val q = base.filter($"id" < 8)
+      .select($"id".as("query_id"), $"vec".as("query_vec"))
+    val pq = Pq.searchFlat(encoded, model, q, k = 10, ef = 60)
+      .select("query_id", "id").as[(Long, Long)].collect().toSet
+    val flat = Knn.exact(base, q, k = 10)
+      .select("query_id", "id").as[(Long, Long)].collect().toSet
+    val recall = pq.intersect(flat).size.toDouble / flat.size
+    assert(recall >= 0.8, s"PQ search recall $recall < 0.8")
+    // ascending order + k rows per query
+    val cnt = Pq.searchFlat(encoded, model, q, k = 10, ef = 60)
+      .groupBy("query_id").count().filter($"count" =!= 10).count()
+    assert(cnt == 0)
+  }
+}
