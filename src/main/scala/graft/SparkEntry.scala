@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, Ivf, Knn, Multimodal, Pq, Search, TextAnalysis}
+import graft.operators.{Dedup, Hnsw, Ivf, Knn, Multimodal, Pq, Search, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -156,6 +156,17 @@ object SparkEntry {
       recallDf(s, dir)
         .agg((round(avg(col("recall")), 6) + lit(0.0)).as("avg_recall"))
     }),
+    // B5/B6+T4/T5: partitioned-subgraph HNSW search. With ef ≥ partition
+    // size the beam search is exhaustive per subgraph, so the result equals
+    // exact KNN and the plain top-k SQL oracle applies; HnswSpec adds the
+    // ported HNSW-==-Flat asserts (L2 + cosine) and default-ef recall.
+    "q_hnsw_search" -> ((s, dir) => {
+      Hnsw.search(base(s, dir).repartition(4), queryVectors(s, dir),
+          k = 5, ef = Some(400))
+        .select(col("query_id"), col("id"),
+          (round(col("distance"), 6) + lit(0.0)).as("distance"))
+        .orderBy("query_id", "distance", "id")
+    }),
     // B4+F8-F10+T7: PQ train/encode/ADC search with exact re-rank. Seeded
     // k-means internals are not SQL-expressible → rows-only here; PqSpec
     // carries the ported exactness/error-bound/recall oracles.
@@ -275,6 +286,7 @@ object SparkEntry {
     "q_knn_l2" -> topKSql(l2Expr, 5),
     "q_knn_cosine" -> topKSql(cosExpr, 5),
     "q_knn_upper_bound" -> topKSql(l2Expr, 10, where = "d <= 1.5"),
+    "q_hnsw_search" -> topKSql(l2Expr, 5),
     "q_search_meta_filter" -> searchSql(l2Expr, 5, baseWhere = "b.parity = 'even'"),
     "q_search_meta" -> searchSql(cosExpr, 3, having = "d <= 0.7"),
     "q_text_stats" ->

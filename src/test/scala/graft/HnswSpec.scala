@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.index.HnswGraph
+import graft.operators.{Hnsw, Knn}
+
+/** HNSW invariants — ports the reference's HNSW-vs-Flat oracle test
+  * (`/root/reference/src/index_algorithm/hnsw_index.rs:713-790`, equality
+  * assert at `779-783`) for both metrics, plus local-graph unit behavior
+  * (incremental add, self-query, ascending order). */
+class HnswSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val base = Tables.vectors(spark, sf0001).select("id", "vec").cache()
+  private lazy val queries = base.filter($"id" < 6)
+    .select($"id".as("query_id"), $"vec".as("query_vec")).cache()
+
+  test("local graph: incremental add then search equals brute force (L2)") {
+    val rnd = new scala.util.Random(42)
+    val vecs = Array.fill(300)(Array.fill(16)(rnd.nextFloat()))
+    val g = new HnswGraph(16, "l2sqr", seed = 42L)
+    vecs.foreach(g.add)
+    def l2(a: Array[Float], b: Array[Float]): Double =
+      a.zip(b).map { case (x, y) => (x.toDouble - y) * (x.toDouble - y) }.sum
+    for (qi <- Seq(0, 57, 123, 299)) {
+      val got = g.search(vecs(qi), 10, ef = 300).map(_._1).toSeq
+      val want = vecs.indices
+        .map(i => (l2(vecs(qi), vecs(i)), i)).sorted.take(10).map(_._2)
+      assert(got == want, s"query $qi: $got != $want")
+    }
+  }
+
+  test("local graph: self query returns itself at distance 0 first") {
+    val rnd = new scala.util.Random(7)
+    val vecs = Array.fill(100)(Array.fill(8)(rnd.nextFloat()))
+    val g = new HnswGraph(8, "cosine", seed = 7L)
+    vecs.foreach(g.add)
+    val res = g.searchDefault(vecs(42), 5)
+    assert(res.head._1 == 42)
+    assert(res.head._2 < 1e-9)
+    val ds = res.map(_._2)
+    assert(ds.sameElements(ds.sorted))
+  }
+
+  test("distributed search equals Flat exact KNN with generous ef (L2)") {
+    val hnsw = Hnsw.search(base.repartition(4), queries, k = 10, ef = Some(600))
+      .select("query_id", "id").as[(Long, Long)].collect().toSet
+    val flat = Knn.exact(base, queries, k = 10)
+      .select("query_id", "id").as[(Long, Long)].collect().toSet
+    assert(hnsw == flat)
+  }
+
+  test("distributed search equals Flat exact KNN with generous ef (cosine)") {
+    val hnsw = Hnsw.search(base.repartition(4), queries, k = 8, ef = Some(600),
+        dist = "cosine")
+      .select("query_id", "id").as[(Long, Long)].collect().toSet
+    val flat = Knn.exact(base, queries, k = 8, dist = "cosine")
+      .select("query_id", "id").as[(Long, Long)].collect().toSet
+    assert(hnsw == flat)
+  }
+
+  test("default ef reaches high recall; k rows per query, ascending") {
+    val res = Hnsw.search(base.repartition(4), queries, k = 10)
+    assert(res.groupBy("query_id").count().filter($"count" =!= 10).count() == 0)
+    val hnsw = res.select("query_id", "id").as[(Long, Long)].collect().toSet
+    val flat = Knn.exact(base, queries, k = 10)
+      .select("query_id", "id").as[(Long, Long)].collect().toSet
+    val recall = hnsw.intersect(flat).size.toDouble / flat.size
+    assert(recall >= 0.95, s"recall $recall < 0.95 at default ef")
+    val perQuery = res.orderBy("query_id", "distance", "id")
+      .select("query_id", "distance").as[(Long, Double)].collect()
+    perQuery.groupBy(_._1).values.foreach { g =>
+      val ds = g.map(_._2)
+      assert(ds.sameElements(ds.sorted))
+    }
+  }
+
+  test("upper bound filters hits") {
+    val all = Hnsw.search(base.repartition(4), queries, k = 10, ef = Some(600))
+    val cut = all.agg(avg($"distance")).head().getDouble(0)
+    val bounded = Hnsw.search(base.repartition(4), queries, k = 10,
+      ef = Some(600), upperBound = cut)
+    assert(bounded.filter($"distance" > cut).count() == 0)
+    assert(bounded.count() < all.count())
+  }
+}
