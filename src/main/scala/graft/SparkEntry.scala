@@ -156,6 +156,26 @@ object SparkEntry {
       recallDf(s, dir)
         .agg((round(avg(col("recall")), 6) + lit(0.0)).as("avg_recall"))
     }),
+    // §2.11+P2: full catalog round-trip — create table, batch_add the
+    // embeddings with metadata, delete-by-pattern, emit the survivors.
+    // Runs through the real graft.catalog.VecDB (parquet versions +
+    // brief.json) in a scratch dir under target/.
+    "q_delete_pattern_survivors" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get("target"), "vecdb_q").toString
+      val db = new graft.catalog.VecDB(s, root)
+      val rows = Tables.vectorsMeta(s, dir).orderBy("id").collect()
+      val dim = rows.head.getAs[Seq[Float]]("vec").length
+      db.createTableIfNotExists("emb", dim, "l2sqr")
+      db.batchAdd("emb",
+        rows.map(_.getAs[Seq[Float]]("vec").toArray).toSeq,
+        rows.map(_.getAs[Map[String, String]]("meta")).toSeq)
+      db.delete("emb", Map("parity" -> "odd"))
+      db.table("emb")
+        .select(col("id"), col("meta")("label").as("label"),
+          col("meta")("parity").as("parity"))
+        .orderBy("id")
+    }),
     // B5/B6+T4/T5: partitioned-subgraph HNSW search. With ef ≥ partition
     // size the beam search is exhaustive per subgraph, so the result equals
     // exact KNN and the plain top-k SQL oracle applies; HnswSpec adds the
@@ -287,6 +307,9 @@ object SparkEntry {
     "q_knn_cosine" -> topKSql(cosExpr, 5),
     "q_knn_upper_bound" -> topKSql(l2Expr, 10, where = "d <= 1.5"),
     "q_hnsw_search" -> topKSql(l2Expr, 5),
+    "q_delete_pattern_survivors" ->
+      """SELECT vec_id AS id, CAST(label AS VARCHAR) AS label, 'even' AS parity
+        |FROM embeddings WHERE vec_id % 2 = 0 ORDER BY id""".stripMargin,
     "q_search_meta_filter" -> searchSql(l2Expr, 5, baseWhere = "b.parity = 'even'"),
     "q_search_meta" -> searchSql(cosExpr, 3, having = "d <= 0.7"),
     "q_text_stats" ->

@@ -1,0 +1,351 @@
+package graft.catalog
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.json4s.{DefaultFormats, Formats}
+import org.json4s.jackson.Serialization
+
+import graft.operators.{Hnsw, Knn, Pq, PqModel, Search, TopK}
+import graft.functions.VectorFunctions
+
+/** PQ sidecar parameters recorded in the catalog. */
+case class PqInfo(m: Int, nBits: Int)
+
+/** One catalog row — the Spark shape of the reference's `VecTableBrief` +
+  * per-table index state (`/root/reference/src/database/mod.rs:47-64`,
+  * `metadata_vec_table.rs:14-20`). `version` points at the current data
+  * directory (rewrites go to a fresh version then flip the pointer — the
+  * atomic-save property of `thread_save.rs:11-21` without in-place writes).
+  */
+case class TableEntry(
+    filename: String,
+    dim: Int,
+    dist: String,
+    version: Int,
+    nextId: Long,
+    hasHnsw: Boolean,
+    efConstruction: Int,
+    pq: Option[PqInfo])
+
+/** The database catalog — the reference's `VecDBManager` + Python `VecDB`
+  * surface (`/root/reference/src/database/mod.rs:291-521`,
+  * `/root/reference/src/pyo3/mod.rs:56-296`) over a directory of Parquet
+  * datasets plus a `brief.json` catalog file.
+  *
+  * Semantics preserved:
+  *  - `create_table_if_not_exists(key, dim, dist)` is idempotent; `(dim,
+  *    dist)` are table schema, enforced on every write ("Dimension
+  *    mismatch", `mod.rs:425-431`);
+  *  - filenames come from `sanitize_key` + uniquification (`mod.rs:36-45`,
+  *    `83-106`);
+  *  - `add`/`batch_add` clear the PQ sidecar but keep HNSW
+  *    (`metadata_vec_table.rs:64-81`; test_pyo3 asserts both);
+  *  - `delete(pattern)` clears HNSW *and* PQ and rewrites the survivors
+  *    (`metadata_vec_table.rs:163-187`) — ids stay stable (no swap_remove;
+  *    row identity here is the explicit id column);
+  *  - `build_*` are idempotent skips; `build_pq_table` validates
+  *    `proportion ∈ (0,1)`, `n_bits ∈ {4,8}`, `m ∈ 1..=dim`, non-empty
+  *    table (`metadata_vec_table.rs:112-152`). NOTE: the reference then
+  *    passes a hard-coded `n_bits: 4` regardless (`:140`) — we implement
+  *    the *documented* behavior and honor the validated `n_bits`;
+  *  - `search(key, q, k, ef, upper_bound)` dispatch matrix
+  *    (`metadata_vec_table.rs:201-205`): `(Some ef, pq)` → knn_pq,
+  *    `(Some ef, no pq)` → knn_with_ef (Flat ignores ef,
+  *    `dynamic_index.rs:75-80`), `(None, _)` → knn with the HNSW default
+  *    ef. HNSW+PQ runs ADC-then-rerank over codes (the reference runs ADC
+  *    inside the graph walk — same contract, different physical path).
+  *
+  * Single-writer by convention: one Spark driver session owns the catalog
+  * (the reference's `db.lock` exclusive file lock guards the same thing for
+  * multi-process embedders; Spark deployments put one driver in charge).
+  */
+class VecDB(spark: SparkSession, root: String) {
+  private implicit val formats: Formats = DefaultFormats
+
+  private val rootPath: Path = Paths.get(root)
+  Files.createDirectories(rootPath)
+  private def briefPath: Path = rootPath.resolve("brief.json")
+
+  private var tables: Map[String, TableEntry] = loadBrief()
+  private var cached: Map[String, DataFrame] = Map.empty
+
+  private def loadBrief(): Map[String, TableEntry] =
+    if (Files.exists(briefPath))
+      Serialization.read[Map[String, TableEntry]](Files.readString(briefPath))
+    else Map.empty
+
+  private def saveBrief(): Unit = {
+    val tmp = rootPath.resolve("brief.json.tmp")
+    Files.writeString(tmp, Serialization.write(tables))
+    Files.move(tmp, briefPath, StandardCopyOption.REPLACE_EXISTING,
+      StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  // ------------------------------------------------------------ key/paths
+
+  /** `sanitize_key` (`/root/reference/src/database/mod.rs:36-45`): keep
+    * `[a-zA-Z0-9_-]` and non-ASCII, replace the rest with '_', cap at 32. */
+  def sanitizeKey(key: String): String =
+    key.map {
+      case c if (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+        (c >= '0' && c <= '9') || c == '_' || c == '-' => c
+      case c if c.isControl || c.isWhitespace || c < 128 => '_'
+      case c => c
+    }.take(32)
+
+  private def uniqueFilename(key: String): String = {
+    val base = sanitizeKey(key)
+    val taken = tables.values.map(_.filename).toSet
+    if (!taken.contains(base)) base
+    else Iterator.from(1).map(i => s"${base}_$i").find(!taken.contains(_)).get
+  }
+
+  private def entry(key: String): TableEntry =
+    tables.getOrElse(key, throw new NoSuchElementException(s"no such table: $key"))
+
+  private def dataDir(e: TableEntry): String =
+    rootPath.resolve(e.filename).resolve(s"v${e.version}").toString
+  private def pqDir(e: TableEntry): Path =
+    rootPath.resolve(e.filename).resolve("pq")
+
+  private def dataSchema(dim: Int): StructType = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("vec", ArrayType(FloatType, containsNull = false), nullable = false),
+    StructField("meta", MapType(StringType, StringType), nullable = true)))
+
+  // ----------------------------------------------------------------- DDL
+
+  def createTableIfNotExists(key: String, dim: Int, dist: String = "cosine"): Unit = {
+    require(dim > 0, "dim must be positive")
+    require(dist == "l2sqr" || dist == "cosine", s"unknown distance '$dist'")
+    if (tables.contains(key)) return
+    val e = TableEntry(uniqueFilename(key), dim, dist, version = 0, nextId = 0L,
+      hasHnsw = false, efConstruction = 200, pq = None)
+    spark.createDataFrame(new java.util.ArrayList[Row](), dataSchema(dim))
+      .write.mode("overwrite").parquet(dataDir(e))
+    tables += key -> e
+    saveBrief()
+  }
+
+  def deleteTable(key: String): Unit = {
+    tables.get(key).foreach { e =>
+      tables -= key
+      cached -= key
+      saveBrief()
+      deleteRecursively(rootPath.resolve(e.filename))
+    }
+  }
+
+  def getAllKeys: Seq[String] = tables.keys.toSeq.sorted
+  def containsKey(key: String): Boolean = tables.contains(key)
+
+  def getDim(key: String): Int = entry(key).dim
+  def getDist(key: String): String = entry(key).dist
+  def getLen(key: String): Long = table(key).count()
+
+  // -------------------------------------------------------- cached tables
+
+  /** The table as a DataFrame (id, vec, meta). Cached handles mirror the
+    * reference's loaded-table cache (`mod.rs:340-357`). */
+  def table(key: String): DataFrame =
+    cached.getOrElse(key, spark.read.schema(dataSchema(entry(key).dim))
+      .parquet(dataDir(entry(key))))
+
+  def cacheTable(key: String): Unit =
+    cached += key -> table(key).cache()
+
+  def getCachedTables: Seq[String] = cached.keys.toSeq.sorted
+  def containsCached(key: String): Boolean = cached.contains(key)
+  def removeCachedTable(key: String): Unit = {
+    cached.get(key).foreach(_.unpersist())
+    cached -= key
+  }
+
+  // --------------------------------------------------------------- writes
+
+  private def invalidateCache(key: String): Unit = {
+    cached.get(key).foreach(_.unpersist())
+    cached -= key
+  }
+
+  def add(key: String, vec: Array[Float], meta: Map[String, String] = Map.empty): Unit =
+    batchAdd(key, Seq(vec), Seq(meta))
+
+  /** Append rows; clears PQ, keeps HNSW (`metadata_vec_table.rs:64-81`). */
+  def batchAdd(key: String, vecs: Seq[Array[Float]],
+      metas: Seq[Map[String, String]]): Unit = {
+    require(vecs.length == metas.length, "vec/meta length mismatch")
+    val e = entry(key)
+    vecs.foreach(v => require(v.length == e.dim,
+      s"Dimension mismatch: got ${v.length}, expected ${e.dim}"))
+    clearPqTable(key)
+    val rows = vecs.zip(metas).zipWithIndex.map { case ((v, m), i) =>
+      Row(e.nextId + i, v.toSeq, m)
+    }
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.toSeq, math.max(1, rows.length / 10000)),
+        dataSchema(e.dim))
+      .write.mode("append").parquet(dataDir(e))
+    tables += key -> entry(key).copy(nextId = e.nextId + vecs.length)
+    invalidateCache(key)
+    saveBrief()
+  }
+
+  /** P2 — delete-by-pattern: filtered rewrite to a fresh version dir, then
+    * flip the catalog pointer; clears HNSW and PQ
+    * (`metadata_vec_table.rs:163-187`). Returns the number removed. */
+  def delete(key: String, pattern: Map[String, String]): Long = {
+    val e = entry(key)
+    clearHnswIndex(key)
+    clearPqTable(key)
+    val df = table(key)
+    val matchCond = Search.metaPattern(pattern, col("meta"))
+    val removed = df.filter(matchCond).count()
+    if (removed > 0) {
+      val next = entry(key).copy(version = e.version + 1)
+      df.filter(!matchCond).write.mode("overwrite").parquet(dataDir(next))
+      tables += key -> next
+      invalidateCache(key)
+      saveBrief()
+      deleteRecursively(Paths.get(dataDir(e)))
+    }
+    removed
+  }
+
+  // --------------------------------------------------------------- indexes
+
+  /** Build-flag for the HNSW sidecar: search-time partitioned subgraphs
+    * ([[Hnsw]]) are rebuilt from current data, so add keeps the index fresh
+    * (matching the reference's incremental insert semantics at the API
+    * level: a search after add sees the row). Idempotent skip. */
+  def buildHnswIndex(key: String, efConstruction: Option[Int] = None): Unit = {
+    val e = entry(key)
+    if (!e.hasHnsw) {
+      tables += key -> e.copy(hasHnsw = true,
+        efConstruction = efConstruction.getOrElse(200))
+      saveBrief()
+    }
+  }
+
+  def clearHnswIndex(key: String): Unit = {
+    val e = entry(key)
+    if (e.hasHnsw) { tables += key -> e.copy(hasHnsw = false); saveBrief() }
+  }
+
+  def hasHnswIndex(key: String): Boolean = entry(key).hasHnsw
+
+  /** Build the PQ sidecar (codes + centroids parquet). Validations per
+    * `metadata_vec_table.rs:112-152`; honors n_bits (see class doc). */
+  def buildPqTable(key: String, trainProportion: Option[Double] = None,
+      nBits: Option[Int] = None, m: Option[Int] = None): Unit = {
+    val e = entry(key)
+    if (e.pq.isDefined) return
+    val df = table(key)
+    if (df.isEmpty) throw new IllegalArgumentException(
+      "Cannot build PQ table for an empty table")
+    val proportion = trainProportion.getOrElse(0.1)
+    if (proportion <= 0.0 || proportion >= 1.0)
+      throw new IllegalArgumentException("Train proportion must be in (0, 1)")
+    val nb = nBits.getOrElse(4)
+    if (nb != 4 && nb != 8)
+      throw new IllegalArgumentException("n_bits must be 4 or 8")
+    val mm = m.getOrElse((e.dim + 2) / 3)
+    if (mm == 0 || mm > e.dim)
+      throw new IllegalArgumentException("m must be in 1..=dim")
+    val model = Pq.train(df, mm, nb, e.dist, trainFraction = Some(proportion))
+    // sidecars: codes (id, code) + centroids (grp, cid, centroid)
+    Pq.encode(df, model).select("id", "code")
+      .write.mode("overwrite").parquet(pqDir(e).resolve("codes").toString)
+    import spark.implicits._
+    model.centroids.zipWithIndex.flatMap { case (cs, g) =>
+      cs.zipWithIndex.map { case (c, ci) => (g, ci, c.toSeq) }
+    }.toSeq.toDF("grp", "cid", "centroid")
+      .write.mode("overwrite").parquet(pqDir(e).resolve("centroids").toString)
+    tables += key -> entry(key).copy(pq = Some(PqInfo(mm, nb)))
+    saveBrief()
+  }
+
+  def clearPqTable(key: String): Unit = {
+    val e = entry(key)
+    if (e.pq.isDefined) {
+      tables += key -> e.copy(pq = None)
+      saveBrief()
+      deleteRecursively(pqDir(e))
+    }
+  }
+
+  def hasPqTable(key: String): Boolean = entry(key).pq.isDefined
+
+  private def loadPqModel(key: String): PqModel = {
+    val e = entry(key)
+    val info = e.pq.get
+    val rows = spark.read.parquet(pqDir(e).resolve("centroids").toString)
+      .collect().map(r => (r.getAs[Int]("grp"), r.getAs[Int]("cid"),
+        r.getAs[Seq[Float]]("centroid").toArray))
+    val centroids = rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (_, cs) =>
+      cs.sortBy(_._2).map(_._3)
+    }.toArray
+    PqModel(e.dim, info.nBits, e.dist, centroids)
+  }
+
+  // ---------------------------------------------------------------- search
+
+  /** Batch search with the reference dispatch matrix. Queries DF must have
+    * (query_id, query_vec); returns (query_id, id, distance, meta)
+    * ascending (distance, id) per query. */
+  def searchBatch(key: String, queries: DataFrame, k: Int,
+      ef: Option[Int] = None, upperBound: Option[Double] = None,
+      pattern: Map[String, String] = Map.empty): DataFrame = {
+    val e = entry(key)
+    val ub = upperBound.getOrElse(Double.PositiveInfinity)
+    val data = table(key)
+    val filtered = data.filter(Search.metaPattern(pattern, col("meta")))
+    val hits = (ef, e.pq) match {
+      case (Some(efv), Some(_)) =>
+        val model = loadPqModel(key)
+        val codes = spark.read.parquet(pqDir(e).resolve("codes").toString)
+        val encoded = filtered.join(codes, "id")
+        Pq.searchFlat(encoded, model, queries, k, efv, ub)
+      case (Some(efv), None) if e.hasHnsw =>
+        Hnsw.search(filtered, queries, k, Some(efv), e.dist,
+          efConstruction = e.efConstruction, upperBound = ub)
+      case (None, _) if e.hasHnsw =>
+        Hnsw.search(filtered, queries, k, None, e.dist,
+          efConstruction = e.efConstruction, upperBound = ub)
+      case _ => // Flat path; ef ignored (dynamic_index.rs:75-80)
+        Knn.exact(filtered, queries, k, e.dist, upperBound = ub)
+    }
+    filtered.select(col("id"), col("meta"))
+      .join(broadcast(hits), "id")
+      .select(col("query_id"), col("id"), col("distance"), col("meta"))
+  }
+
+  /** Single-query convenience matching the reference signature: ascending
+    * (metadata, distance) pairs. */
+  def search(key: String, query: Array[Float], k: Int, ef: Option[Int] = None,
+      upperBound: Option[Double] = None): Seq[(Map[String, String], Double)] = {
+    import spark.implicits._
+    val q = Seq((0L, query)).toDF("query_id", "query_vec")
+    searchBatch(key, q, k, ef, upperBound)
+      .orderBy("distance", "id")
+      .collect()
+      .map(r => (Option(r.getAs[Map[String, String]]("meta")).getOrElse(Map.empty),
+        r.getAs[Double]("distance")))
+      .toSeq
+  }
+
+  /** S8 — full extract (`metadata_vec_table.rs:215-222`). */
+  def extractData(key: String): DataFrame = table(key).select("vec", "meta")
+
+  /** Brief flush (writes are already durable; mirrors `force_save`). */
+  def forceSave(): Unit = saveBrief()
+
+  private def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p)) {
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => Files.delete(f))
+    }
+}

@@ -68,8 +68,13 @@ object Pq {
       trainFraction: Option[Double] = None,
       vecCol: String = "vec"): PqModel = {
     val k = 1 << nBits
-    val trainDf = trainFraction.map(f => base.sample(f, seed)).getOrElse(base)
-      .select(col(vecCol).as("vec")).cache()
+    // train_size = max(len·proportion, 1) — the reference floors the sample
+    // at one row (`metadata_vec_table.rs:130`); Bernoulli sampling can
+    // return zero rows on tiny tables, so fall back to the first row.
+    val sampled = trainFraction.map(f => base.sample(f, seed)).getOrElse(base)
+      .select(col(vecCol).as("vec"))
+    val trainDf = (if (sampled.isEmpty) base.select(col(vecCol).as("vec")).limit(1)
+                   else sampled).cache()
     try {
       val dim = trainDf.head().getSeq[Float](0).length
       val n = trainDf.count()

@@ -28,9 +28,13 @@ import graft.functions.VectorFunctions
 object Search {
 
   /** P1 — conjunctive equality pattern over a `meta: map<string,string>`
-    * column: row matches iff ∀(k,v)∈pattern: meta[k] == v. */
+    * column: row matches iff ∀(k,v)∈pattern: meta[k] == v. Null-safe
+    * (`<=>`): a row missing the key is FALSE, not NULL, so the negated form
+    * (delete-by-pattern survivors) keeps such rows — matching the
+    * reference's `metadata.get(k) == Some(v)`
+    * (`/root/reference/src/database/metadata_vec_table.rs:164-169`). */
   def metaPattern(pattern: Map[String, String], metaCol: Column): Column =
-    pattern.map { case (k, v) => metaCol.getItem(k) === lit(v) }
+    pattern.map { case (k, v) => metaCol.getItem(k) <=> lit(v) }
       .reduceOption(_ && _)
       .getOrElse(lit(true))
 

@@ -1,0 +1,127 @@
+package graft
+
+import java.nio.file.Files
+import graft.catalog.VecDB
+
+/** Catalog/CRUD lifecycle — ports `/root/reference/examples/test_pyo3.py`
+  * end-to-end plus the invalidation invariants (add keeps HNSW / clears PQ,
+  * delete clears both), dim enforcement, key sanitization, and the
+  * (ef, pq) search-dispatch matrix. */
+class CatalogSpec extends SparkTestBase {
+
+  private def freshDb(): VecDB =
+    new VecDB(spark, Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "vecdb_test").toString)
+
+  test("test_pyo3 scenario: lifecycle, invalidation, bounded search") {
+    val db = freshDb()
+    db.getAllKeys.foreach(db.deleteTable)
+    assert(db.getAllKeys.isEmpty)
+
+    db.createTableIfNotExists("table_1", 4)
+    db.add("table_1", Array(1f, 0f, 0f, 0f), Map("content" -> "a"))
+    db.add("table_1", Array(0f, 1f, 0f, 0f), Map("content" -> "b"))
+    db.buildHnswIndex("table_1")
+    db.add("table_1", Array(0f, 0f, 1f, 0f), Map("content" -> "c"))
+    db.add("table_1", Array(0f, 0f, 1f, 1f), Map("content" -> "d", "type" -> "oops"))
+    assert(db.hasHnswIndex("table_1"), "Add operation should not clear HNSW index")
+
+    assert(db.delete("table_1", Map("type" -> "oops")) == 1)
+    assert(db.getLen("table_1") == 3)
+    assert(!db.hasHnswIndex("table_1"),
+      "HNSW index should be cleared when a vector is deleted")
+
+    db.buildHnswIndex("table_1")
+    db.buildPqTable("table_1", trainProportion = Some(0.5))
+    val result = db.search("table_1", Array(1f, 0f, 0f, 0f), 3,
+      ef = None, upperBound = Some(0.5))
+    assert(result.length == 1)
+    assert(result.head._1("content") == "a")
+  }
+
+  test("create is idempotent; delete_table removes everything") {
+    val db = freshDb()
+    db.createTableIfNotExists("t", 3, "l2sqr")
+    db.createTableIfNotExists("t", 3, "l2sqr")
+    assert(db.getAllKeys == Seq("t"))
+    assert(db.getDim("t") == 3 && db.getDist("t") == "l2sqr")
+    db.add("t", Array(1f, 2f, 3f))
+    db.deleteTable("t")
+    assert(!db.containsKey("t") && db.getAllKeys.isEmpty)
+  }
+
+  test("dimension mismatch raises on add") {
+    val db = freshDb()
+    db.createTableIfNotExists("t", 4)
+    intercept[IllegalArgumentException] {
+      db.add("t", Array(1f, 2f))
+    }
+  }
+
+  test("sanitize_key: charset filter, 32-char cap, uniquification") {
+    val db = freshDb()
+    assert(db.sanitizeKey("hello world!") == "hello_world_")
+    assert(db.sanitizeKey("a" * 40).length == 32)
+    assert(db.sanitizeKey("中文key") == "中文key") // non-ASCII kept
+    db.createTableIfNotExists("a b", 2) // filename a_b
+    db.createTableIfNotExists("a_b", 2) // collides → a_b_1
+    assert(db.getAllKeys.toSet == Set("a b", "a_b"))
+    db.add("a b", Array(1f, 0f), Map("who" -> "space"))
+    db.add("a_b", Array(0f, 1f), Map("who" -> "underscore"))
+    assert(db.search("a b", Array(1f, 0f), 1).head._1("who") == "space")
+    assert(db.search("a_b", Array(0f, 1f), 1).head._1("who") == "underscore")
+  }
+
+  test("build_pq_table validation rules") {
+    val db = freshDb()
+    db.createTableIfNotExists("t", 6)
+    intercept[IllegalArgumentException] { db.buildPqTable("t") } // empty table
+    (0 until 20).foreach(i => db.add("t", Array.fill(6)(i.toFloat)))
+    intercept[IllegalArgumentException] { db.buildPqTable("t", trainProportion = Some(1.5)) }
+    intercept[IllegalArgumentException] { db.buildPqTable("t", nBits = Some(5)) }
+    intercept[IllegalArgumentException] { db.buildPqTable("t", m = Some(7)) }
+    db.buildPqTable("t", trainProportion = Some(0.5))
+    assert(db.hasPqTable("t"))
+    db.buildPqTable("t") // idempotent skip
+    // add clears PQ
+    db.add("t", Array.fill(6)(1f))
+    assert(!db.hasPqTable("t"))
+  }
+
+  test("search dispatch: all four (ef, pq) x index combinations agree on self-hit") {
+    val db = freshDb()
+    db.createTableIfNotExists("t", 8, "l2sqr")
+    val rnd = new scala.util.Random(42)
+    val vecs = (0 until 40).map(_ => Array.fill(8)(rnd.nextFloat()))
+    db.batchAdd("t", vecs, vecs.indices.map(i => Map("i" -> i.toString)))
+    val q = vecs(7)
+    // (None, no pq) → Flat knn
+    val flat = db.search("t", q, 3)
+    assert(flat.head._1("i") == "7" && flat.head._2 < 1e-9)
+    // (Some ef, no pq, flat) → ef ignored
+    assert(db.search("t", q, 3, ef = Some(10)) == flat)
+    // (None, _) with HNSW
+    db.buildHnswIndex("t")
+    val viaHnsw = db.search("t", q, 3)
+    assert(viaHnsw.head._1("i") == "7")
+    // (Some ef, pq) → knn_pq with exact re-rank
+    db.buildPqTable("t", trainProportion = Some(0.5), m = Some(4))
+    val viaPq = db.search("t", q, 3, ef = Some(20))
+    assert(viaPq.head._1("i") == "7" && viaPq.head._2 < 1e-9)
+  }
+
+  test("catalog persists across reopen") {
+    val root = Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "vecdb_test").toString
+    val db = new VecDB(spark, root)
+    db.createTableIfNotExists("persist", 2, "l2sqr")
+    db.add("persist", Array(1f, 2f), Map("x" -> "1"))
+    db.buildHnswIndex("persist")
+    val db2 = new VecDB(spark, root)
+    assert(db2.getAllKeys == Seq("persist"))
+    assert(db2.getDim("persist") == 2)
+    assert(db2.hasHnswIndex("persist"))
+    assert(db2.getLen("persist") == 1)
+    assert(db2.search("persist", Array(1f, 2f), 1).head._1("x") == "1")
+  }
+}
