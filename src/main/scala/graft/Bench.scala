@@ -2,57 +2,154 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.Knn
+import graft.operators.{Dedup, Hnsw, Ivf, Knn, Pq, TextAnalysis}
 
 /** Benchmark main: one JSON line for the driver's BENCH_r{N}.json.
   *
-  * Fixes from round-1 verdict: an untimed warmup pass absorbs session /
-  * codegen / parquet-footer costs so timed numbers measure the operator; a
-  * failed query is reported in an `errors` field instead of masquerading as a
-  * wall time; the KNN headline runs a ≥1000-query batch and reports q/s so it
-  * is comparable to BASELINE.md's per-query numbers.
+  * Round-3 fixes (from the round-2 verdict):
+  *  - the base scan is explicitly repartitioned to the core count, so no
+  *    workload runs as a single task (sf0.1 embeddings is one 0.8 MB
+  *    parquet split — at real scale file splits provide this for free);
+  *  - vector workloads run on a ≥100k-row seeded synthetic fixture
+  *    generated in-bench (deterministic per (id, dim) via xxhash64 — no
+  *    rand(), so results are partitioning-independent);
+  *  - @10k workload variants use the same table size as BASELINE.md's
+  *    published numbers (`/root/reference/data/t_bench_1e4.toml`) so q/s is
+  *    directly comparable;
+  *  - every new operator family (IVF, PQ, HNSW, dedup, text) has a timed
+  *    entry; index builds are timed separately from searches.
   */
 object Bench {
 
-  /** Heavier workloads than the correctness queries: amortized batch framing
-    * (one warm session, ≥1000 queries per job). */
-  private def knnBatch(s: SparkSession, dir: String, dist: String, nq: Int): DataFrame = {
-    val base = Tables.vectors(s, dir).select(col("id"), col("vec"))
-    val qs = base.limit(nq)
-      .select(col("id").as("query_id"), col("vec").as("query_vec"))
-    Knn.exact(base, qs, k = 10, dist = dist)
-  }
+  /** Deterministic pseudo-random vectors: component j of row i is
+    * xxhash64(i, j) mapped to [-1, 1). Seeded, partitioning-independent. */
+  def synthVectors(s: SparkSession, n: Long, dim: Int): DataFrame =
+    s.range(n).select(col("id"),
+      transform(sequence(lit(0), lit(dim - 1)),
+        j => ((pmod(xxhash64(col("id"), j), lit(20000L)) - 10000L) / 10000.0)
+          .cast("float")).as("vec"))
 
-  def workloads(nq: Int): Map[String, (SparkSession, String) => DataFrame] = Map(
-    "knn_l2_batch" -> ((s, dir) => knnBatch(s, dir, "l2sqr", nq)),
-    "knn_cosine_batch" -> ((s, dir) => knnBatch(s, dir, "cosine", nq)),
-  ) ++ SparkEntry.queries
+  /** Clustered variant for threshold-join workloads: `centers` cluster
+    * centers (from the hash of the cluster id), plus per-row noise of
+    * ±`noise` per component — near-dup structure a uniform cloud lacks. */
+  def synthClusteredVectors(
+      s: SparkSession, n: Long, dim: Int, centers: Int, noise: Double): DataFrame =
+    s.range(n).select(col("id"),
+      transform(sequence(lit(0), lit(dim - 1)),
+        j => (((pmod(xxhash64(col("id") % centers, j), lit(20000L)) - 10000L) / 10000.0) +
+          ((pmod(xxhash64(col("id"), j + dim), lit(20000L)) - 10000L) / 10000.0) * noise)
+          .cast("float")).as("vec"))
+
+  /** Deterministic word-soup documents with a planted duplicate structure:
+    * content derives from `id % (n/2)` (every text appears exactly twice),
+    * and the second copy mutates one word → exact-dup groups for the
+    * fingerprint pass and near-dup pairs for MinHash/Jaccard. */
+  def synthDocs(s: SparkSession, n: Long, words: Int): DataFrame = {
+    val vocabSize = 500
+    val contentId = col("id") % (n / 2)
+    val toks = transform(sequence(lit(0), lit(words - 1)),
+      j => concat(lit("w"), pmod(xxhash64(contentId, j), lit(vocabSize))))
+    val mutated = when(col("id") >= n / 2,
+      concat(slice(toks, 1, words / 2),
+        array(concat(lit("mut"), col("id"))),
+        slice(toks, words / 2 + 2, words - words / 2 - 1)))
+      .otherwise(toks)
+    s.range(n).select(col("id").as("doc_id"),
+      concat_ws(" ", mutated).as("text"))
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val nq = sys.env.getOrElse("SPARK_GRAFT_BENCH_NQ", "1000").toInt
+    val nVec = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "200000").toLong
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val nCores = cpus.toInt
 
-    val wl = workloads(nq)
-    // untimed warmup: one full pass (session init, codegen, parquet footers)
-    wl.foreach { case (_, fn) =>
+    // ---- fixtures (prep, untimed): cache + materialize ---------------------
+    val dim = 64
+    val vecBig = synthVectors(spark, nVec, dim).repartition(nCores).cache()
+    vecBig.count()
+    val vec10k = synthVectors(spark, 10000, dim).repartition(nCores).cache()
+    vec10k.count()
+    val queries = vecBig.filter(col("id") < nq)
+      .select(col("id").as("query_id"), col("vec").as("query_vec")).cache()
+    queries.count()
+    // 64 true clusters matched by 64 blocking centroids: the ball cover is
+    // tight (own-centroid distance ≪ inter-cluster distance ≫ 2t margin)
+    val clustered = synthClusteredVectors(spark, 20000, dim, 64, 0.05)
+      .repartition(nCores).cache()
+    clustered.count()
+    val docs = synthDocs(spark, 100000, 60).repartition(nCores).cache()
+    docs.count()
+
+    // index prep (builds timed separately below on uncached paths)
+    val (ivfModel, ivfAssigned0) = Ivf.build(vecBig, k = 256, trainFraction = Some(0.1))
+    val ivfAssigned = ivfAssigned0.cache(); ivfAssigned.count()
+    val pqModel = Pq.train(vecBig, m = 22, nBits = 4, trainFraction = Some(0.05))
+    val pqEncoded = Pq.encode(vecBig, pqModel).cache(); pqEncoded.count()
+    val pqModel10k = Pq.train(vec10k, m = 22, nBits = 4, trainFraction = Some(0.2))
+    val pqEncoded10k = Pq.encode(vec10k, pqModel10k).cache(); pqEncoded10k.count()
+
+    // ---- timed workloads ---------------------------------------------------
+    // *_batch entries report q/s over nq queries.
+    val workloads: Seq[(String, () => Long)] = Seq(
+      ("knn_l2_batch", () => Knn.exact(vecBig, queries, k = 10).count()),
+      ("knn_cosine_batch", () => Knn.exact(vecBig, queries, k = 10, dist = "cosine").count()),
+      ("knn_l2_10k_batch", () => Knn.exact(vec10k, queries, k = 10).count()),
+      ("ivf_probe_batch", () => Ivf.search(ivfAssigned, ivfModel, queries,
+        k = 10, nProbes = Some(8)).count()),
+      ("pq_adc_batch", () => Pq.searchFlat(pqEncoded, pqModel, queries,
+        k = 10, ef = 100).count()),
+      ("pq_adc_10k_batch", () => Pq.searchFlat(pqEncoded10k, pqModel10k, queries,
+        k = 10, ef = 100).count()),
+      ("hnsw_10k_batch", () => Hnsw.search(vec10k, queries, k = 10,
+        ef = Some(120)).count()),
+      ("ivf_build_200k", () => {
+        val (m, a) = Ivf.build(vecBig, k = 256, trainFraction = Some(0.1))
+        a.count()
+      }),
+      ("pq_encode_200k", () => Pq.encode(vecBig, pqModel).count()),
+      ("dedup_exact_100k", () => Dedup.exactGroups(docs).count()),
+      ("dedup_minhash_100k", () => Dedup.minhashLshJoin(docs, n = 3,
+        numHashes = 32, bands = 8, threshold = 0.5).count()),
+      ("dedup_semantic_20k", () => Dedup.semanticPairs(clustered,
+        threshold = 0.15, numBlocks = 64).count()),
+      ("text_stats_100k", () => TextAnalysis.stats(docs).count()),
+      ("lang_id_100k", () => TextAnalysis.langId(docs).count()),
+      ("quality_100k", () => TextAnalysis.qualityScore(docs).count()),
+    ) ++ SparkEntry.queries.toSeq.map { case (name, fn) =>
+      (name, () => fn(spark, sfDir).count())
+    }
+
+    // untimed warmup on a small slice: absorbs codegen/JIT for the hot
+    // expressions without doubling the heavy workloads
+    Knn.exact(vec10k.limit(2000), queries.limit(50), k = 10).count()
+    Knn.exact(vec10k.limit(2000), queries.limit(50), k = 10, dist = "cosine").count()
+    SparkEntry.queries.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
 
     var errors = Map.empty[String, String]
-    val results = wl.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).count()
-      catch { case e: Throwable =>
-        errors += name -> Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
-      }
-      name -> (System.nanoTime() - t0) / 1e9
+    // *_batch workloads: median of 3 runs — single-JVM timings at this
+    // scale have >2× run-to-run GC/scheduling variance (measured), and the
+    // headline q/s numbers should not inherit it
+    val results = workloads.map { case (name, fn) =>
+      val reps = if (name.endsWith("_batch")) 3 else 1
+      val times = (0 until reps).map { _ =>
+        val t0 = System.nanoTime()
+        try fn()
+        catch { case e: Throwable =>
+          errors += name -> Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+        }
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      name -> times(times.length / 2)
     }
 
     def jstr(s: String): String =
@@ -65,9 +162,9 @@ object Bench {
     val qps = results.filter(_._1.endsWith("_batch"))
       .map { case (k, v) => jstr(k) + ":" + (if (v > 0) nq / v else 0.0) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"qps":$qps,"errors":$errJson,"nq":$nq,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"qps":$qps,"errors":$errJson,"nq":$nq,"n_vec":$nVec,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -192,7 +192,7 @@ object SparkEntry {
     // carries the ported exactness/error-bound/recall oracles.
     "q_pq_search" -> ((s, dir) => {
       val b = base(s, dir)
-      val model = Pq.train(b, m = 16, nBits = 4)
+      val model = Pq.train(b, m = 8, nBits = 4)
       Pq.searchFlat(Pq.encode(b, model), model, queryVectors(s, dir),
           k = 5, ef = 40)
         .select(col("query_id"), col("id"),

@@ -110,6 +110,8 @@ class VecDB(spark: SparkSession, root: String) {
     rootPath.resolve(e.filename).resolve(s"v${e.version}").toString
   private def pqDir(e: TableEntry): Path =
     rootPath.resolve(e.filename).resolve("pq")
+  private def hnswDir(e: TableEntry): Path =
+    rootPath.resolve(e.filename).resolve("hnsw")
 
   private def dataSchema(dim: Int): StructType = StructType(Seq(
     StructField("id", LongType, nullable = false),
@@ -185,10 +187,20 @@ class VecDB(spark: SparkSession, root: String) {
     val rows = vecs.zip(metas).zipWithIndex.map { case ((v, m), i) =>
       Row(e.nextId + i, v.toSeq, m)
     }
-    spark.createDataFrame(
-        spark.sparkContext.parallelize(rows.toSeq, math.max(1, rows.length / 10000)),
-        dataSchema(e.dim))
-      .write.mode("append").parquet(dataDir(e))
+    val appended = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toSeq, math.max(1, rows.length / 10000)),
+      dataSchema(e.dim))
+    appended.write.mode("append").parquet(dataDir(e))
+    if (e.hasHnsw && vecs.nonEmpty) {
+      // incremental insert: a fresh subgraph over just the new rows keeps
+      // searches complete without touching the stored graphs (subgraph
+      // union — the distributed analog of `HNSWIndex::add`)
+      val offset = spark.read.parquet(hnswDir(e).toString)
+        .agg(coalesce(max(col("pid")) + 1, lit(0))).head().getInt(0)
+      Hnsw.buildIndex(appended, e.dist, efConstruction = e.efConstruction)
+        .withColumn("pid", col("pid") + lit(offset))
+        .write.mode("append").parquet(hnswDir(e).toString)
+    }
     tables += key -> entry(key).copy(nextId = e.nextId + vecs.length)
     invalidateCache(key)
     saveBrief()
@@ -217,22 +229,31 @@ class VecDB(spark: SparkSession, root: String) {
 
   // --------------------------------------------------------------- indexes
 
-  /** Build-flag for the HNSW sidecar: search-time partitioned subgraphs
-    * ([[Hnsw]]) are rebuilt from current data, so add keeps the index fresh
-    * (matching the reference's incremental insert semantics at the API
-    * level: a search after add sees the row). Idempotent skip. */
+  /** S5/B6 — materialize the partitioned-subgraph HNSW sidecar (node
+    * vectors + levels + adjacency as Parquet, [[Hnsw.buildIndex]]); later
+    * searches reload the graphs instead of re-inserting every row
+    * (`IndexSerde::save`, `/root/reference/src/index_algorithm/mod.rs:120-141`).
+    * `add` keeps the index fresh by appending a subgraph over the new rows
+    * (the reference's incremental-insert contract: a search after add sees
+    * the row). Idempotent skip. */
   def buildHnswIndex(key: String, efConstruction: Option[Int] = None): Unit = {
     val e = entry(key)
     if (!e.hasHnsw) {
-      tables += key -> e.copy(hasHnsw = true,
-        efConstruction = efConstruction.getOrElse(200))
+      val efc = efConstruction.getOrElse(200)
+      Hnsw.buildIndex(table(key), e.dist, efConstruction = efc)
+        .write.mode("overwrite").parquet(hnswDir(e).toString)
+      tables += key -> e.copy(hasHnsw = true, efConstruction = efc)
       saveBrief()
     }
   }
 
   def clearHnswIndex(key: String): Unit = {
     val e = entry(key)
-    if (e.hasHnsw) { tables += key -> e.copy(hasHnsw = false); saveBrief() }
+    if (e.hasHnsw) {
+      tables += key -> e.copy(hasHnsw = false)
+      saveBrief()
+      deleteRecursively(hnswDir(e))
+    }
   }
 
   def hasHnswIndex(key: String): Boolean = entry(key).hasHnsw
@@ -310,11 +331,9 @@ class VecDB(spark: SparkSession, root: String) {
         val encoded = filtered.join(codes, "id")
         Pq.searchFlat(encoded, model, queries, k, efv, ub)
       case (Some(efv), None) if e.hasHnsw =>
-        Hnsw.search(filtered, queries, k, Some(efv), e.dist,
-          efConstruction = e.efConstruction, upperBound = ub)
+        hnswSearch(e, filtered, queries, k, Some(efv), ub, pattern.isEmpty)
       case (None, _) if e.hasHnsw =>
-        Hnsw.search(filtered, queries, k, None, e.dist,
-          efConstruction = e.efConstruction, upperBound = ub)
+        hnswSearch(e, filtered, queries, k, None, ub, pattern.isEmpty)
       case _ => // Flat path; ef ignored (dynamic_index.rs:75-80)
         Knn.exact(filtered, queries, k, e.dist, upperBound = ub)
     }
@@ -322,6 +341,19 @@ class VecDB(spark: SparkSession, root: String) {
       .join(broadcast(hits), "id")
       .select(col("query_id"), col("id"), col("distance"), col("meta"))
   }
+
+  /** HNSW path: the stored sidecar when the whole table is searched; with a
+    * metadata pattern (our extension — the reference's `search` takes none)
+    * the stored links would point at filtered-out nodes, so fall back to
+    * filter-then-build, which also searches fewer rows. */
+  private def hnswSearch(e: TableEntry, filtered: DataFrame, queries: DataFrame,
+      k: Int, ef: Option[Int], ub: Double, wholeTable: Boolean): DataFrame =
+    if (wholeTable)
+      Hnsw.searchIndexed(spark.read.parquet(hnswDir(e).toString), queries, k,
+        ef, e.dist, efConstruction = e.efConstruction, upperBound = ub)
+    else
+      Hnsw.search(filtered, queries, k, ef, e.dist,
+        efConstruction = e.efConstruction, upperBound = ub)
 
   /** Single-query convenience matching the reference signature: ascending
     * (metadata, distance) pairs. */

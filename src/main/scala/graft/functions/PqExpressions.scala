@@ -207,7 +207,7 @@ case class PqAdcDistance(
     nBits: Int,
     m: Int,
     kind: String)
-  extends TernaryExpression with CodegenFallback {
+  extends TernaryExpression {
 
   private val k = 1 << nBits
 
@@ -259,6 +259,52 @@ case class PqAdcDistance(
       val norm1 = normAny.asInstanceOf[Double]
       1.0 - sum / math.max(norm0 * norm1, 1e-10)
     } else sum
+  }
+
+  /** The ADC sum is the per-candidate hot loop of a PQ scan (evaluated N·Q
+    * times) — codegen keeps it inside whole-stage codegen like the raw
+    * distance expression, instead of per-row interpreted eval. */
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+    : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val cacheRef =
+      if (kind == "cosine") ctx.addReferenceObj("centDotCache", centroidDotCache, "double[]")
+      else null
+    nullSafeCodeGen(ctx, ev, (code, lookup, norm) => {
+      val sum = ctx.freshName("sum")
+      val cd = ctx.freshName("cd")
+      val i = ctx.freshName("i")
+      val b = ctx.freshName("b")
+      val u = ctx.freshName("u")
+      val idx = ctx.freshName("idx")
+      val accumulate = (idxExpr: String) =>
+        s"""int $idx = $idxExpr;
+           |$sum += $lookup.getDouble($i * $k + $idx);
+           |${if (kind == "cosine") s"$cd += $cacheRef[$i * $k + $idx];" else ""}""".stripMargin
+      val body =
+        if (nBits == 4)
+          s"""int $i = 0;
+             |for (int $b = 0; $b < $code.length; $b++) {
+             |  int $u = $code[$b] & 0xff;
+             |  if ($i < $m) { ${accumulate(s"$u & 0xf")} }
+             |  $i++;
+             |  if ($i < $m) { ${accumulate(s"$u >> 4")} }
+             |  $i++;
+             |}""".stripMargin
+        else
+          s"""for (int $i = 0; $i < $m; $i++) {
+             |  ${accumulate(s"$code[$i] & 0xff")}
+             |}""".stripMargin
+      val finish =
+        if (kind == "cosine")
+          s"${ev.value} = 1.0 - $sum / Math.max(Math.sqrt($cd) * $norm, 1e-10);"
+        else s"${ev.value} = $sum;"
+      s"""double $sum = 0.0;
+         |double $cd = 0.0;
+         |$body
+         |$finish""".stripMargin
+    })
   }
 
   override protected def withNewChildrenInternal(

@@ -208,6 +208,17 @@ final class HnswGraph(
     neighbors.foreach(n => arrangeLinks(n, level, vecIdx))
   }
 
+  /** Append a node with precomputed structure (deserialization path — does
+    * not search or mutate other nodes' links). */
+  private[index] def loadNode(
+      vec: Array[Float], level: Int, ls: Array[Array[Int]]): Unit = {
+    require(vec.length == dim, s"HNSW load: dimension mismatch (${vec.length} vs $dim)")
+    vecs += vec
+    vecLevel += level
+    links += ls.map(a => mutable.ArrayBuffer.from(a))
+    if (level > enterLevel) { enterLevel = level; enterPoint = vecs.length - 1 }
+  }
+
   /** B5 — single insert (`HNSWIndex::add`, `hnsw_index.rs:538-572`). */
   def add(vec: Array[Float]): Int = {
     require(vec.length == dim, s"HNSW add: dimension mismatch (${vec.length} vs $dim)")
@@ -246,4 +257,33 @@ final class HnswGraph(
 
   def searchDefault(q: Array[Float], k: Int): Array[(Int, Double)] =
     search(q, k, defaultEf)
+
+  // ------------------------------------------------------- S5 (de)serialize
+
+  /** Export one node's structure: (vector, level, links per level 0..level).
+    * With [[HnswGraph.fromNodes]] this round-trips the graph exactly
+    * (vectors + levels + adjacency determine search behavior; the entry
+    * point is recomputed as the first node of the maximum level, which is
+    * how insertion maintains it — `enterLevel` only increases on strictly
+    * greater levels). */
+  def exportNode(i: Int): (Array[Float], Int, Array[Array[Int]]) =
+    (vecs(i), vecLevel(i), links(i).map(_.toArray))
+}
+
+object HnswGraph {
+
+  /** Rebuild a graph from exported nodes without re-running insertion —
+    * the load half of S5 (`IndexSerde::load`,
+    * `/root/reference/src/index_algorithm/mod.rs:120-141`). Nodes must be
+    * supplied in their original local order. */
+  def fromNodes(
+      dim: Int,
+      dist: String,
+      m: Int,
+      efConstruction: Int,
+      nodes: Iterator[(Array[Float], Int, Array[Array[Int]])]): HnswGraph = {
+    val g = new HnswGraph(dim, dist, m, efConstruction)
+    nodes.foreach { case (vec, level, ls) => g.loadNode(vec, level, ls) }
+    g
+  }
 }

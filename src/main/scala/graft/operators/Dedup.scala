@@ -77,10 +77,16 @@ object Dedup {
       threshold: Double = 0.5,
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
+    // materialized: the shingle set feeds the inverted index once and the
+    // size/verify lookups twice more — recomputing the string-heavy shingle
+    // build per consumer dominates the join otherwise (LRU-evictable; call
+    // spark.catalog.clearCache() to drop eagerly)
     val sh = docs
       .select(col(idCol).cast("long").as("doc_id"),
         shingles(col(textCol), n).as("sh"))
       .filter(size(col("sh")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sh.count()
     val sizes = sh.select(col("doc_id"), size(col("sh")).as("nsh"))
     val inv = sh.select(col("doc_id"), explode(col("sh")).as("s"))
     val common = inv.as("a")
@@ -109,10 +115,27 @@ object Dedup {
     val rnd = new scala.util.Random(seed)
     val coeffs = Array.fill(numHashes)(
       (1 + rnd.nextLong(MersennePrime - 1), rnd.nextLong(MersennePrime)))
+    // materialize the base hashes once per row (no CSE across the numHashes
+    // branches otherwise — base hashing would run numHashes× per shingle)
     val baseHash = transform(sh, s => pmod(xxhash64(s), lit(MersennePrime)))
-    array(coeffs.map { case (a, b) =>
-      array_min(transform(baseHash, x => pmod(x * lit(a) + lit(b), lit(MersennePrime))))
+    val sig = (bh: Column) => array(coeffs.map { case (a, b) =>
+      array_min(transform(bh, x => pmod(x * lit(a) + lit(b), lit(MersennePrime))))
     }: _*)
+    sig(baseHash)
+  }
+
+  /** Signature computation with the base hash materialized as a real column
+    * (forces single evaluation). Internal to [[minhashLshJoin]]. */
+  private def withSignature(sh: DataFrame, numHashes: Int, seed: Long): DataFrame = {
+    val rnd = new scala.util.Random(seed)
+    val coeffs = Array.fill(numHashes)(
+      (1 + rnd.nextLong(MersennePrime - 1), rnd.nextLong(MersennePrime)))
+    sh.withColumn("__bh", transform(col("sh"), s => pmod(xxhash64(s), lit(MersennePrime))))
+      .withColumn("sig", array(coeffs.map { case (a, b) =>
+        array_min(transform(col("__bh"), x =>
+          pmod(x * lit(a) + lit(b), lit(MersennePrime))))
+      }: _*))
+      .drop("__bh")
   }
 
   /** MinHash-LSH near-duplicate join: signature → `bands` band keys → pairs
@@ -135,11 +158,16 @@ object Dedup {
       textCol: String = "text"): DataFrame = {
     require(numHashes % bands == 0, s"bands ($bands) must divide numHashes ($numHashes)")
     val r = numHashes / bands
-    val sh = docs
-      .select(col(idCol).cast("long").as("doc_id"),
-        shingles(col(textCol), n).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .withColumn("sig", minhashSignature(col("sh"), numHashes, seed))
+    // materialized: the signature pipeline feeds band keys + both sides of
+    // the candidate join + both verify lookups — five consumers otherwise
+    // recompute shingling and numHashes universal hashes per row each
+    val sh = withSignature(
+      docs.select(col(idCol).cast("long").as("doc_id"),
+          shingles(col(textCol), n).as("sh"))
+        .filter(size(col("sh")) > 0),
+      numHashes, seed)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sh.count()
     val banded = sh.select(col("doc_id"),
       posexplode(array((0 until bands).map(i =>
         hash(slice(col("sig"), i * r + 1, r))): _*)).as(Seq("band", "bk")))
@@ -163,19 +191,12 @@ object Dedup {
   // --------------------------------------------------------------- SimHash
 
   /** 64-bit SimHash of the token multiset: per-bit vote of each token's
-    * 64-bit hash, sign → bit. Computed columnar: for each bit, count tokens
-    * with that bit set vs total. */
-  def simhash(text: Column): Column = {
-    val hashes = transform(split(text, " "), t => xxhash64(t))
-    val nTok = size(hashes)
-    val bits = (0 until 64).map { b =>
-      // bit b set iff #tokens with bit set > #tokens without (ties → 0)
-      when(size(filter(hashes,
-        h => shiftright(h, b).bitwiseAND(lit(1L)) === 1)) * 2 > nTok,
-        lit(1L << b)).otherwise(lit(0L))
-    }
-    bits.reduce(_.bitwiseOR(_))
-  }
+    * 64-bit hash (bit b set iff a strict majority of token hashes set it;
+    * ties → 0). Single-pass native expression — the equivalent 64-×-`filter`
+    * column formulation rescans the token array once per bit. */
+  def simhash(text: Column): Column =
+    graft.functions.TextFunctions.simhash64(
+      transform(split(text, " "), t => xxhash64(t)))
 
   /** SimHash near-duplicate join: 4×16-bit block banding (two sketches with
     * Hamming distance ≤ 3 must agree on ≥ 1 of 4 blocks — pigeonhole), then

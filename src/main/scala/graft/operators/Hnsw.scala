@@ -67,11 +67,101 @@ object Hnsw {
       .toDF("query_id", "id", "distance")
       .filter(col("distance") <= lit(upperBound))
 
+    merge(partial, k)
+  }
+
+  private def merge(partial: DataFrame, k: Int): DataFrame =
     partial
       .groupBy("query_id")
       .agg(TopK.topK(k)(col("id"), col("distance")).as("topk"))
       .select(col("query_id"), explode(col("topk")).as("hit"))
       .select(col("query_id"), col("hit.id").as("id"),
         col("hit.distance").as("distance"))
+
+  /** B6 + S5 — build the partitioned-subgraph index once and export it as a
+    * DataFrame suitable for a Parquet sidecar: one row per node with its
+    * vector, level, and per-level adjacency (local ids within the
+    * subgraph). Reloading with [[searchIndexed]] skips the O(N·efC) insert
+    * phase every later batch pays in [[search]]. The entry point is not
+    * stored: it is recomputed as the first node of the maximum level, which
+    * is exactly how insertion maintains it (`enterLevel` only advances on
+    * strictly greater draws — `hnsw_index.rs:566-571`).
+    *
+    * @return (pid, local_id, id, vec, level, links)
+    */
+  def buildIndex(
+      base: DataFrame,
+      dist: String = "l2sqr",
+      m: Int = 16,
+      efConstruction: Int = 200,
+      seed: Long = 42L): DataFrame = {
+    val spark = base.sparkSession
+    import spark.implicits._
+    base
+      .select(col("id").cast("long"), col("vec"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val rows = it.toArray
+        if (rows.isEmpty) Iterator.empty
+        else {
+          val pid = TaskContext.getPartitionId()
+          val g = new HnswGraph(rows(0)._2.length, dist, m, efConstruction,
+            seed + pid)
+          rows.foreach(r => g.add(r._2))
+          Iterator.range(0, rows.length).map { i =>
+            val (vec, level, links) = g.exportNode(i)
+            (pid, i, rows(i)._1, vec, level, links)
+          }
+        }
+      }
+      .toDF("pid", "local_id", "id", "vec", "level", "links")
+  }
+
+  /** T4+T5 over a stored index: regroup the sidecar by subgraph, rebuild
+    * each graph from its stored adjacency (no insertion searches), and
+    * beam-search every query. One shuffle of the index by `pid` per batch —
+    * at 100 TB that moves the same bytes a base scan would, but skips the
+    * construction distance computations that dominate [[search]].
+    */
+  def searchIndexed(
+      index: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      ef: Option[Int] = None,
+      dist: String = "l2sqr",
+      m: Int = 16,
+      efConstruction: Int = 200,
+      upperBound: Double = Double.PositiveInfinity): DataFrame = {
+    val spark = index.sparkSession
+    import spark.implicits._
+    val qs = queries
+      .select(col("query_id").cast("long"), col("query_vec"))
+      .as[(Long, Array[Float])].collect()
+    val bc = spark.sparkContext.broadcast(qs)
+    val efq = ef.getOrElse(math.max(efConstruction, 2 * m) / 2)
+
+    val partial = index
+      .select(col("pid").cast("int"), col("local_id").cast("int"),
+        col("id").cast("long"), col("vec"), col("level").cast("int"),
+        col("links"))
+      .as[(Int, Int, Long, Array[Float], Int, Array[Array[Int]])]
+      .groupByKey(_._1)
+      .flatMapGroups { (_, it) =>
+        val rows = it.toArray.sortBy(_._2)
+        if (rows.isEmpty) Iterator.empty
+        else {
+          val g = HnswGraph.fromNodes(rows(0)._4.length, dist, m,
+            efConstruction, rows.iterator.map(r => (r._4, r._5, r._6)))
+          bc.value.iterator.flatMap { case (qid, qv) =>
+            g.search(qv, k, efq).iterator.map { case (local, d) =>
+              (qid, rows(local)._3, d)
+            }
+          }
+        }
+      }
+      .toDF("query_id", "id", "distance")
+      .filter(col("distance") <= lit(upperBound))
+
+    merge(partial, k)
   }
 }

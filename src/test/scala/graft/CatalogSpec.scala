@@ -110,6 +110,20 @@ class CatalogSpec extends SparkTestBase {
     assert(viaPq.head._1("i") == "7" && viaPq.head._2 < 1e-9)
   }
 
+  test("hnsw sidecar: rows added after build are searchable through the index") {
+    val db = freshDb()
+    db.createTableIfNotExists("t", 4, "l2sqr")
+    val rnd = new scala.util.Random(3)
+    val vecs = (0 until 30).map(_ => Array.fill(4)(rnd.nextFloat()))
+    db.batchAdd("t", vecs, vecs.indices.map(i => Map("i" -> i.toString)))
+    db.buildHnswIndex("t")
+    // appended after the build — must be found via the subgraph-union append
+    db.add("t", Array(9f, 9f, 9f, 9f), Map("i" -> "new"))
+    assert(db.hasHnswIndex("t"))
+    val hit = db.search("t", Array(9f, 9f, 9f, 9f), 1)
+    assert(hit.head._1("i") == "new" && hit.head._2 < 1e-9)
+  }
+
   test("catalog persists across reopen") {
     val root = Files.createTempDirectory(
       java.nio.file.Paths.get("target"), "vecdb_test").toString

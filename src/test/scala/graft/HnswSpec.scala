@@ -75,6 +75,30 @@ class HnswSpec extends SparkTestBase {
     }
   }
 
+  test("graph export/import round-trips search results exactly") {
+    val rnd = new scala.util.Random(11)
+    val vecs = Array.fill(200)(Array.fill(12)(rnd.nextFloat()))
+    val g = new HnswGraph(12, "l2sqr", seed = 11L)
+    vecs.foreach(g.add)
+    val g2 = HnswGraph.fromNodes(12, "l2sqr", 16, 200,
+      Iterator.range(0, g.size).map(g.exportNode))
+    for (qi <- Seq(0, 33, 91, 199)) {
+      val want = g.search(vecs(qi), 10, ef = 50).toSeq
+      val got = g2.search(vecs(qi), 10, ef = 50).toSeq
+      assert(got == want, s"query $qi: $got != $want")
+    }
+  }
+
+  test("stored-index search equals build-per-search with identical partitioning") {
+    val parted = base.repartition(4)
+    val idx = Hnsw.buildIndex(parted)
+    val stored = Hnsw.searchIndexed(idx, queries, k = 10, ef = Some(600))
+      .select("query_id", "id").as[(Long, Long)].collect().toSet
+    val flat = Knn.exact(base, queries, k = 10)
+      .select("query_id", "id").as[(Long, Long)].collect().toSet
+    assert(stored == flat)
+  }
+
   test("upper bound filters hits") {
     val all = Hnsw.search(base.repartition(4), queries, k = 10, ef = Some(600))
     val cut = all.agg(avg($"distance")).head().getDouble(0)
