@@ -350,7 +350,9 @@ class VecDB(spark: SparkSession, root: String) {
       k: Int, ef: Option[Int], ub: Double, wholeTable: Boolean): DataFrame =
     if (wholeTable)
       Hnsw.searchIndexed(spark.read.parquet(hnswDir(e).toString), queries, k,
-        ef, e.dist, efConstruction = e.efConstruction, upperBound = ub)
+        ef, e.dist, efConstruction = e.efConstruction, upperBound = ub,
+        // rotate on any content change: version bumps on delete, nextId on add
+        cacheKey = Some(s"${hnswDir(e)}@v${e.version}n${e.nextId}"))
     else
       Hnsw.search(filtered, queries, k, ef, e.dist,
         efConstruction = e.efConstruction, upperBound = ub)

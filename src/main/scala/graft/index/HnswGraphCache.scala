@@ -1,0 +1,38 @@
+package graft.index
+
+/** Executor-local LRU of rebuilt HNSW subgraphs, keyed by (index identity,
+  * partition id). Serving workloads search the same stored index with batch
+  * after batch of queries; without this every batch re-decodes the adjacency
+  * rows and re-allocates the graph. One entry per subgraph per executor JVM;
+  * the caller's key must change whenever the underlying index changes (the
+  * catalog keys on table version + row count, so any add/delete rotates the
+  * key and stale graphs age out of the LRU).
+  *
+  * Same-key same-pid entries are deterministic (the sidecar is immutable for
+  * a given key), so a racing duplicate build is wasted work, not a
+  * correctness issue — builds run outside the lock.
+  */
+object HnswGraphCache {
+
+  /** Cached unit: the rebuilt graph plus the local→global id mapping. */
+  final case class Entry(graph: HnswGraph, ids: Array[Long])
+
+  private val MaxEntries = 64
+
+  private val cache =
+    new java.util.LinkedHashMap[(String, Int), Entry](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Int), Entry]): Boolean =
+        size() > MaxEntries
+    }
+
+  def get(key: String, pid: Int)(build: => Entry): Entry = {
+    val k = (key, pid)
+    val hit = cache.synchronized(Option(cache.get(k)))
+    hit.getOrElse {
+      val e = build
+      cache.synchronized(cache.put(k, e))
+      e
+    }
+  }
+}

@@ -1,0 +1,141 @@
+package graft.index
+
+import scala.util.Random
+
+/** Seeded local k-means for sample-sized training sets — faithful to the
+  * reference's trainer (`/root/reference/src/distance/k_means.rs:58-162`):
+  *
+  *  - k-means++ seeding: first centroid uniform, then each next drawn with
+  *    probability ∝ running min distance to the chosen centroids; an
+  *    all-zero weight vector falls back to uniform (`k_means.rs:61-87`);
+  *  - Lloyd iterations with f32 accumulation, empty cluster keeps its
+  *    centroid (`k_means.rs:114-146`);
+  *  - stop after `maxIter` rounds or when the max squared-L2 centroid
+  *    movement drops below `tol` (`k_means.rs:148-158`);
+  *  - nearest-centroid ties break to the lowest index (`k_means.rs:40-57`
+  *    via `CandidatePair` min).
+  *
+  * PQ sub-space training runs this on the driver: the sample is bounded
+  * (`train_proportion` of the table, reference default 0.1 of ≤1M rows) and
+  * one local fit replaces an m-job sequence of distributed fits whose
+  * scheduling overhead dominates at k = 16/256. Large-k full-table
+  * clustering (IVF) stays on MLlib.
+  */
+object LocalKMeans {
+
+  private def l2sq(a: Array[Float], b: Array[Float]): Double = {
+    var acc = 0.0
+    var i = 0
+    while (i < a.length) { val d = a(i).toDouble - b(i); acc += d * d; i += 1 }
+    acc
+  }
+
+  private def cosine(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < a.length) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dot += x * y; na += x * x; nb += y * y; i += 1
+    }
+    1.0 - dot / math.max(math.sqrt(na) * math.sqrt(nb), 1e-10)
+  }
+
+  private def dist(kind: String)(a: Array[Float], b: Array[Float]): Double =
+    if (kind == "cosine") cosine(a, b) else l2sq(a, b)
+
+  private def nearest(v: Array[Float], cs: Array[Array[Float]], kind: String): Int = {
+    val d = dist(kind) _
+    var best = 0
+    var bestD = d(v, cs(0))
+    var i = 1
+    while (i < cs.length) {
+      val di = d(v, cs(i))
+      if (di < bestD) { bestD = di; best = i } // strict: ties keep lowest index
+      i += 1
+    }
+    best
+  }
+
+  /** Draw an index with probability ∝ weight; all-zero → uniform. */
+  private def weightedDraw(weights: Array[Double], rng: Random): Int = {
+    val total = weights.sum
+    if (total <= 0.0 || !java.lang.Double.isFinite(total)) rng.nextInt(weights.length)
+    else {
+      val target = rng.nextDouble() * total
+      var acc = 0.0
+      var i = 0
+      while (i < weights.length) {
+        acc += weights(i)
+        if (acc >= target) return i
+        i += 1
+      }
+      weights.length - 1
+    }
+  }
+
+  /** Train `k` centroids over `data` (row-major float vectors). */
+  def fit(
+      data: Array[Array[Float]],
+      k: Int,
+      kind: String = "l2sqr",
+      maxIter: Int = 20,
+      tol: Double = 1e-6,
+      seed: Long = 42L): Array[Array[Float]] = {
+    require(k > 0, "k must be positive")
+    require(data.nonEmpty, "empty training set")
+    val n = data.length
+    val dim = data(0).length
+    val rng = new Random(seed)
+    val d = dist(kind) _
+
+    // k-means++ seeding
+    val centroids = new Array[Array[Float]](k)
+    centroids(0) = data(rng.nextInt(n)).clone()
+    val weight = Array.fill(n)(Double.PositiveInfinity)
+    var c = 1
+    while (c < k) {
+      var i = 0
+      while (i < n) {
+        weight(i) = math.min(weight(i), d(centroids(c - 1), data(i)))
+        i += 1
+      }
+      centroids(c) = data(weightedDraw(weight, rng)).clone()
+      c += 1
+    }
+
+    // Lloyd rounds
+    val sums = Array.ofDim[Double](k, dim)
+    val counts = new Array[Int](k)
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      java.util.Arrays.fill(counts, 0)
+      sums.foreach(s => java.util.Arrays.fill(s, 0.0))
+      var i = 0
+      while (i < n) {
+        val ci = nearest(data(i), centroids, kind)
+        counts(ci) += 1
+        val s = sums(ci); val v = data(i)
+        var j = 0
+        while (j < dim) { s(j) += v(j); j += 1 }
+        i += 1
+      }
+      var maxDiff = 0.0
+      var ci = 0
+      while (ci < k) {
+        if (counts(ci) > 0) {
+          val next = new Array[Float](dim)
+          val s = sums(ci)
+          var j = 0
+          while (j < dim) { next(j) = (s(j) / counts(ci)).toFloat; j += 1 }
+          maxDiff = math.max(maxDiff, l2sq(centroids(ci), next))
+          centroids(ci) = next
+        } // empty cluster: keep the centroid unchanged
+        ci += 1
+      }
+      converged = maxDiff < tol
+      iter += 1
+    }
+    centroids
+  }
+}

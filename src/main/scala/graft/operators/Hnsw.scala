@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.TaskContext
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import graft.index.HnswGraph
+import graft.index.{HnswGraph, HnswGraphCache}
 
 /** Distributed HNSW: partitioned-subgraph design (SURVEY §7.2.5). Each
   * partition builds an independent HNSW graph over its rows inside one task
@@ -122,6 +122,11 @@ object Hnsw {
     * beam-search every query. One shuffle of the index by `pid` per batch —
     * at 100 TB that moves the same bytes a base scan would, but skips the
     * construction distance computations that dominate [[search]].
+    *
+    * @param cacheKey identity of the stored index for the executor-side
+    *   graph LRU ([[HnswGraphCache]]): repeat batches against the same key
+    *   skip the adjacency decode + graph rebuild entirely. The key MUST
+    *   change whenever the index contents change.
     */
   def searchIndexed(
       index: DataFrame,
@@ -131,7 +136,8 @@ object Hnsw {
       dist: String = "l2sqr",
       m: Int = 16,
       efConstruction: Int = 200,
-      upperBound: Double = Double.PositiveInfinity): DataFrame = {
+      upperBound: Double = Double.PositiveInfinity,
+      cacheKey: Option[String] = None): DataFrame = {
     val spark = index.sparkSession
     import spark.implicits._
     val qs = queries
@@ -146,16 +152,24 @@ object Hnsw {
         col("links"))
       .as[(Int, Int, Long, Array[Float], Int, Array[Array[Int]])]
       .groupByKey(_._1)
-      .flatMapGroups { (_, it) =>
-        val rows = it.toArray.sortBy(_._2)
-        if (rows.isEmpty) Iterator.empty
-        else {
-          val g = HnswGraph.fromNodes(rows(0)._4.length, dist, m,
-            efConstruction, rows.iterator.map(r => (r._4, r._5, r._6)))
-          bc.value.iterator.flatMap { case (qid, qv) =>
-            g.search(qv, k, efq).iterator.map { case (local, d) =>
-              (qid, rows(local)._3, d)
-            }
+      .flatMapGroups { (pid, it) =>
+        def build: HnswGraphCache.Entry = {
+          val rows = it.toArray.sortBy(_._2)
+          if (rows.isEmpty) HnswGraphCache.Entry(
+            new HnswGraph(1, dist, m, efConstruction), Array.empty)
+          else HnswGraphCache.Entry(
+            HnswGraph.fromNodes(rows(0)._4.length, dist, m, efConstruction,
+              rows.iterator.map(r => (r._4, r._5, r._6))),
+            rows.map(_._3))
+        }
+        val e = cacheKey match {
+          case Some(ck) => HnswGraphCache.get(ck, pid)(build)
+          case None => build
+        }
+        if (e.ids.isEmpty) Iterator.empty
+        else bc.value.iterator.flatMap { case (qid, qv) =>
+          e.graph.search(qv, k, efq).iterator.map { case (local, d) =>
+            (qid, e.ids(local), d)
           }
         }
       }

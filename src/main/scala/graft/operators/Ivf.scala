@@ -39,6 +39,12 @@ object Ivf {
     * `/root/reference/src/distance/k_means.rs:95-162`), seeded for
     * reproducibility. `trainFraction` mirrors `k_means_size` sampling
     * (`ivf_index.rs:81-87`) in Spark's fraction form. */
+  /** Training sets at or below this size are collected and fit driver-side
+    * with [[graft.index.LocalKMeans]] — one job instead of MLlib's
+    * several-job iteration, whose fixed scheduling overhead dominates for
+    * sample-sized inputs. Larger sets use distributed MLlib. */
+  private val LocalTrainMaxRows = 200000
+
   def train(
       base: DataFrame,
       k: Int,
@@ -49,13 +55,24 @@ object Ivf {
       trainFraction: Option[Double] = None,
       vecCol: String = "vec"): IvfModel = {
     val trainDf = trainFraction.map(f => base.sample(f, seed)).getOrElse(base)
-    val feats = trainDf.select(array_to_vector(col(vecCol)).as("features"))
-    val model = new KMeans()
-      .setK(k).setMaxIter(maxIter).setTol(tol).setSeed(seed)
-      .setDistanceMeasure(if (dist == "cosine") "cosine" else "euclidean")
-      .setFeaturesCol("features")
-      .fit(feats)
-    IvfModel(model.clusterCenters.map(_.toArray.map(_.toFloat)), dist)
+    // one job answers "is it sample-sized?" AND fetches the local train set
+    val head = trainDf.select(col(vecCol))
+      .limit(LocalTrainMaxRows + 1).collect()
+    val centroids =
+      if (head.length <= LocalTrainMaxRows) {
+        val rows = head.map(_.getSeq[Float](0).toArray)
+        if (rows.length <= k) rows // degenerate: rows are the centroids
+        else graft.index.LocalKMeans.fit(rows, k, dist, maxIter, tol, seed)
+      } else {
+        val feats = trainDf.select(array_to_vector(col(vecCol)).as("features"))
+        new KMeans()
+          .setK(k).setMaxIter(maxIter).setTol(tol).setSeed(seed)
+          .setDistanceMeasure(if (dist == "cosine") "cosine" else "euclidean")
+          .setFeaturesCol("features")
+          .fit(feats)
+          .clusterCenters.map(_.toArray.map(_.toFloat))
+      }
+    IvfModel(centroids, dist)
   }
 
   /** F11 as a Column: nearest-centroid id (ties → lowest id). */

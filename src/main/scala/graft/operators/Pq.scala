@@ -52,6 +52,13 @@ final case class PqModel(
   */
 object Pq {
 
+  /** Sample sizes up to this are collected and trained driver-side with
+    * [[graft.index.LocalKMeans]] (one job + m in-memory fits); larger
+    * samples fall back to m distributed MLlib fits. The bound is memory-safe
+    * (200k × dim 1024 f32 ≈ 800 MB worst case; typical PQ samples are far
+    * smaller) and covers the reference's whole operating envelope. */
+  private val LocalTrainMaxRows = 200000L
+
   /** B4 — train per-group centroids (`PQTable::from_vec_set`,
     * `/root/reference/src/distance/pq_table.rs:141-191`). `trainFraction`
     * mirrors `k_means_size` sampling. Groups with ≤ 2^nBits training rows
@@ -79,19 +86,24 @@ object Pq {
       val dim = trainDf.head().getSeq[Float](0).length
       val n = trainDf.count()
       val groups = PqKernel.pqGroups(dim, m)
-      val centroids = groups.zipWithIndex.map { case ((start, len), gi) =>
-        val sliceCol = slice(col("vec"), start + 1, len)
-        if (n <= k) {
-          trainDf.select(sliceCol).collect()
-            .map(_.getSeq[Float](0).toArray)
-        } else {
+      val centroids =
+        if (n <= LocalTrainMaxRows) {
+          // one collect, m local fits (reference shape: sample → local
+          // k-means per sub-space, `pq_table.rs:173-184`)
+          val rows = trainDf.collect().map(_.getSeq[Float](0).toArray)
+          groups.zipWithIndex.map { case ((start, len), gi) =>
+            val sliced = rows.map(v => java.util.Arrays.copyOfRange(v, start, start + len))
+            if (n <= k) sliced
+            else graft.index.LocalKMeans.fit(sliced, k, dist, maxIter, tol, seed + gi)
+          }
+        } else groups.zipWithIndex.map { case ((start, len), gi) =>
+          val sliceCol = slice(col("vec"), start + 1, len)
           new KMeans()
             .setK(k).setMaxIter(maxIter).setTol(tol).setSeed(seed + gi)
             .setFeaturesCol("features")
             .fit(trainDf.select(array_to_vector(sliceCol).as("features")))
             .clusterCenters.map(_.toArray.map(_.toFloat))
         }
-      }
       PqModel(dim, nBits, dist, centroids)
     } finally trainDf.unpersist()
   }
