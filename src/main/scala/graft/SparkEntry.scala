@@ -207,6 +207,47 @@ object SparkEntry {
         .select(col("doc_id"), col("byte_len"), col("digest"))
         .orderBy("doc_id")
     }),
+    // F13+P5: u8 quantization round-trip — saturating f32→u8 cast (shifted/
+    // scaled so the byte range is exercised), cast projection back to float,
+    // exact KNN over the quantized vectors. Double math on both sides so the
+    // truncation boundary is bit-identical with the oracle.
+    "q_knn_u8" -> ((s, dir) => {
+      val q8 = base(s, dir).select(col("id"),
+        graft.sources.Ingest.vecCastFloat(graft.sources.Ingest.vecCastU8(
+          transform(col("vec"), x => (x.cast("double") + lit(0.5)) * 255)))
+          .as("vec"))
+      Knn.exact(q8, q8.filter(col("id") < 8)
+          .select(col("id").as("query_id"), col("vec").as("query_vec")), k = 5)
+        .select(col("query_id"), col("id"),
+          (round(col("distance"), 6) + lit(0.0)).as("distance"))
+        .orderBy("query_id", "distance", "id")
+    }),
+    // S5+B6+T4/T5: HNSW over the persisted sidecar (build once, export
+    // adjacency, reload, search). ef ≥ partition size ⇒ exhaustive per
+    // subgraph ⇒ equals exact KNN, so the plain top-k oracle applies.
+    "q_hnsw_indexed" -> ((s, dir) => {
+      Hnsw.searchIndexed(Hnsw.buildIndex(base(s, dir).repartition(4)),
+          queryVectors(s, dir), k = 5, ef = Some(400))
+        .select(col("query_id"), col("id"),
+          (round(col("distance"), 6) + lit(0.0)).as("distance"))
+        .orderBy("query_id", "distance", "id")
+    }),
+    // S1+S2: raw packed-binary round-trip — export the table to one packed
+    // little-endian file, re-read it distributed, emit stable ids + first/
+    // last components (f32 LE round-trip is bit-exact).
+    "q_ingest_roundtrip" -> ((s, dir) => {
+      val b = base(s, dir)
+      val dim = b.head().getAs[Seq[Float]]("vec").length
+      val tmp = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get("target"), "ingest_q")
+      val f = tmp.resolve("emb.bin").toString
+      graft.sources.Ingest.writeRawBin(b, f)
+      graft.sources.Ingest.readRawBin(s, f, dim)
+        .select(col("id"),
+          (round(element_at(col("vec"), 1).cast("double"), 6) + lit(0.0)).as("c_first"),
+          (round(element_at(col("vec"), dim).cast("double"), 6) + lit(0.0)).as("c_last"))
+        .orderBy("id")
+    }),
   )
 
   /** B7+A4: ground-truth ids via `Knn.exactIds` for two distance algorithms,
@@ -307,6 +348,28 @@ object SparkEntry {
     "q_knn_cosine" -> topKSql(cosExpr, 5),
     "q_knn_upper_bound" -> topKSql(l2Expr, 10, where = "d <= 1.5"),
     "q_hnsw_search" -> topKSql(l2Expr, 5),
+    "q_hnsw_indexed" -> topKSql(l2Expr, 5),
+    "q_knn_u8" ->
+      """WITH u AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(trunc(least(255.0, greatest(0.0, (CAST(x AS DOUBLE) + 0.5) * 255))) AS DOUBLE)) AS e
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, e AS qv FROM u WHERE vec_id < 8),
+        |scored AS (
+        |  SELECT q.query_id, b.vec_id AS id,
+        |         list_sum(list_transform(range(1, len(b.e) + 1),
+        |           i -> (q.qv[i] - b.e[i]) ^ 2)) AS d
+        |  FROM q CROSS JOIN u b)
+        |SELECT query_id, id, round(d, 6) + 0.0 AS distance
+        |FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY d, id) AS rn
+        |      FROM scored)
+        |WHERE rn <= 5
+        |ORDER BY query_id, distance, id""".stripMargin,
+    "q_ingest_roundtrip" ->
+      """SELECT vec_id AS id,
+        |       round(CAST(embedding[1] AS DOUBLE), 6) + 0.0 AS c_first,
+        |       round(CAST(embedding[len(embedding)] AS DOUBLE), 6) + 0.0 AS c_last
+        |FROM embeddings ORDER BY id""".stripMargin,
     "q_delete_pattern_survivors" ->
       """SELECT vec_id AS id, CAST(label AS VARCHAR) AS label, 'even' AS parity
         |FROM embeddings WHERE vec_id % 2 = 0 ORDER BY id""".stripMargin,
