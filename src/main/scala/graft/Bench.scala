@@ -96,9 +96,10 @@ object Bench {
     val pqModel10k = Pq.train(vec10k, m = 22, nBits = 4, trainFraction = Some(0.2))
     val pqEncoded10k = Pq.encode(vec10k, pqModel10k).cache(); pqEncoded10k.count()
     // prebuilt HNSW sidecars: searches are timed over the stored graphs
-    // (baseline q/s numbers are search-only, index built beforehand)
-    val hnswIdx10k = Hnsw.buildIndex(vec10k).cache(); hnswIdx10k.count()
-    val hnswIdxBig = Hnsw.buildIndex(vecBig).cache(); hnswIdxBig.count()
+    // (baseline q/s numbers are search-only, index built beforehand).
+    // 10k rows = one graph, the reference's own shape; 200k = 8 subgraphs.
+    val hnswIdx10k = Hnsw.buildIndex(vec10k.coalesce(1)).cache(); hnswIdx10k.count()
+    val hnswIdxBig = Hnsw.buildIndex(vecBig.coalesce(8)).cache(); hnswIdxBig.count()
 
     // ---- timed workloads ---------------------------------------------------
     // *_batch entries report q/s over nq queries.
@@ -112,9 +113,9 @@ object Bench {
         k = 10, ef = 100).count()),
       ("pq_adc_10k_batch", () => Pq.searchFlat(pqEncoded10k, pqModel10k, queries,
         k = 10, ef = 100).count()),
-      ("hnsw_10k_batch", () => Hnsw.searchIndexed(hnswIdx10k, queries, k = 10,
+      ("hnsw_10k_batch", () => Hnsw.searchBroadcast(hnswIdx10k, queries, k = 10,
         ef = Some(120), cacheKey = Some("bench10k")).count()),
-      ("hnsw_200k_batch", () => Hnsw.searchIndexed(hnswIdxBig, queries, k = 10,
+      ("hnsw_200k_batch", () => Hnsw.searchBroadcast(hnswIdxBig, queries, k = 10,
         ef = Some(120), cacheKey = Some("bench200k")).count()),
       ("ivf_build_200k", () => {
         val (m, a) = Ivf.build(vecBig, k = 256, trainFraction = Some(0.1))

@@ -342,18 +342,28 @@ class VecDB(spark: SparkSession, root: String) {
       .select(col("query_id"), col("id"), col("distance"), col("meta"))
   }
 
+  /** Tables at or below this row bound serve HNSW searches via the
+    * broadcast path (index in executor memory, queries partitioned — zero
+    * shuffle); larger tables use the shuffling sidecar scan. */
+  private val HnswBroadcastMaxRows = 1000000L
+
   /** HNSW path: the stored sidecar when the whole table is searched; with a
     * metadata pattern (our extension — the reference's `search` takes none)
     * the stored links would point at filtered-out nodes, so fall back to
     * filter-then-build, which also searches fewer rows. */
   private def hnswSearch(e: TableEntry, filtered: DataFrame, queries: DataFrame,
       k: Int, ef: Option[Int], ub: Double, wholeTable: Boolean): DataFrame =
-    if (wholeTable)
-      Hnsw.searchIndexed(spark.read.parquet(hnswDir(e).toString), queries, k,
-        ef, e.dist, efConstruction = e.efConstruction, upperBound = ub,
-        // rotate on any content change: version bumps on delete, nextId on add
-        cacheKey = Some(s"${hnswDir(e)}@v${e.version}n${e.nextId}"))
-    else
+    if (wholeTable) {
+      val idx = spark.read.parquet(hnswDir(e).toString)
+      // rotate on any content change: version bumps on delete, nextId on add
+      val ck = Some(s"${hnswDir(e)}@v${e.version}n${e.nextId}")
+      if (e.nextId <= HnswBroadcastMaxRows)
+        Hnsw.searchBroadcast(idx, queries, k, ef, e.dist,
+          efConstruction = e.efConstruction, upperBound = ub, cacheKey = ck)
+      else
+        Hnsw.searchIndexed(idx, queries, k, ef, e.dist,
+          efConstruction = e.efConstruction, upperBound = ub, cacheKey = ck)
+    } else
       Hnsw.search(filtered, queries, k, ef, e.dist,
         efConstruction = e.efConstruction, upperBound = ub)
 

@@ -178,4 +178,88 @@ object Hnsw {
 
     merge(partial, k)
   }
+
+  /** Serving-shape search: broadcast the stored index, partition the
+    * QUERIES. The inverse of [[searchIndexed]] — right whenever the index
+    * fits in executor memory (the reference's entire operating envelope:
+    * its single-process graph IS an index-in-memory design). Zero
+    * shuffles: each task searches every subgraph for its query slice and
+    * merges top-k in-task, so per-batch cost is O(Q/cores) graph searches,
+    * not an index scan. With `cacheKey`, repeat batches skip even the
+    * broadcast deserialization (graphs pinned per executor by
+    * [[HnswGraphCache]]; the broadcast is only touched on a cache miss).
+    * For indexes too big to broadcast, use [[searchIndexed]].
+    */
+  def searchBroadcast(
+      index: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      ef: Option[Int] = None,
+      dist: String = "l2sqr",
+      m: Int = 16,
+      efConstruction: Int = 200,
+      upperBound: Double = Double.PositiveInfinity,
+      cacheKey: Option[String] = None): DataFrame = {
+    val spark = index.sparkSession
+    import spark.implicits._
+    val grouped: Array[(Int, Array[(Long, Array[Float], Int, Array[Array[Int]])])] =
+      index
+        .select(col("pid").cast("int"), col("local_id").cast("int"),
+          col("id").cast("long"), col("vec"), col("level").cast("int"),
+          col("links"))
+        .as[(Int, Int, Long, Array[Float], Int, Array[Array[Int]])]
+        .collect()
+        .groupBy(_._1).toArray.sortBy(_._1)
+        .map { case (pid, rows) =>
+          (pid, rows.sortBy(_._2).map(r => (r._3, r._4, r._5, r._6)))
+        }
+    val bcIdx = spark.sparkContext.broadcast(grouped)
+    val efq = ef.getOrElse(math.max(efConstruction, 2 * m) / 2)
+    val ck = cacheKey
+
+    val out = queries
+      .select(col("query_id").cast("long"), col("query_vec"))
+      .as[(Long, Array[Float])]
+      .repartition(spark.sparkContext.defaultParallelism)
+      .mapPartitions { qit =>
+        if (qit.isEmpty) Iterator.empty
+        else {
+          def entryFor(i: Int): HnswGraphCache.Entry = {
+            def build: HnswGraphCache.Entry = {
+              val (_, nodes) = bcIdx.value(i)
+              HnswGraphCache.Entry(
+                HnswGraph.fromNodes(nodes(0)._2.length, dist, m, efConstruction,
+                  nodes.iterator.map(n => (n._2, n._3, n._4))),
+                nodes.map(_._1))
+            }
+            ck match {
+              case Some(key) => HnswGraphCache.get(key, bcIdx.value(i)._1)(build)
+              case None => build
+            }
+          }
+          val entries = Array.tabulate(bcIdx.value.length)(entryFor)
+          qit.flatMap { case (qid, qv) =>
+            // cross-subgraph merge: ascending (distance, id) set capped at k
+            val best = new java.util.TreeSet[(Double, Long)](
+              (a: (Double, Long), b: (Double, Long)) => {
+                val c = java.lang.Double.compare(a._1, b._1)
+                if (c != 0) c else java.lang.Long.compare(a._2, b._2)
+              })
+            entries.foreach { e =>
+              e.graph.search(qv, k, efq).foreach { case (local, d) =>
+                if (d <= upperBound) {
+                  best.add((d, e.ids(local)))
+                  if (best.size > k) best.pollLast()
+                }
+              }
+            }
+            val it = best.iterator()
+            Iterator.continually(it).takeWhile(_.hasNext)
+              .map { i => val (d, id) = i.next(); (qid, id, d) }
+          }
+        }
+      }
+      .toDF("query_id", "id", "distance")
+    out
+  }
 }

@@ -99,6 +99,26 @@ class HnswSpec extends SparkTestBase {
     assert(stored == flat)
   }
 
+  test("broadcast serving search equals exact; cached second batch identical") {
+    val idx = Hnsw.buildIndex(base.repartition(4)).cache()
+    val flat = Knn.exact(base, queries, k = 10)
+      .select("query_id", "id").as[(Long, Long)].collect().toSet
+    val first = Hnsw.searchBroadcast(idx, queries, k = 10, ef = Some(600),
+        cacheKey = Some("spec_bcast"))
+      .select("query_id", "id").as[(Long, Long)].collect().toSet
+    assert(first == flat)
+    // second batch hits the executor graph cache; results must not change
+    val second = Hnsw.searchBroadcast(idx, queries, k = 10, ef = Some(600),
+        cacheKey = Some("spec_bcast"))
+      .select("query_id", "id").as[(Long, Long)].collect().toSet
+    assert(second == flat)
+    // upper bound respected on the broadcast path
+    val cut = 1.0
+    val bounded = Hnsw.searchBroadcast(idx, queries, k = 10, ef = Some(600),
+      upperBound = cut)
+    assert(bounded.filter($"distance" > cut).count() == 0)
+  }
+
   test("upper bound filters hits") {
     val all = Hnsw.search(base.repartition(4), queries, k = 10, ef = Some(600))
     val cut = all.agg(avg($"distance")).head().getDouble(0)
