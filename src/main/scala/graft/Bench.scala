@@ -100,6 +100,16 @@ object Bench {
     // 10k rows = one graph, the reference's own shape; 200k = 8 subgraphs.
     val hnswIdx10k = Hnsw.buildIndex(vec10k.coalesce(1)).cache(); hnswIdx10k.count()
     val hnswIdxBig = Hnsw.buildIndex(vecBig.coalesce(8)).cache(); hnswIdxBig.count()
+    // dim-960 fixtures: BASELINE.md's @10k numbers are GIST-960 — these
+    // workloads are directly comparable (same N, dim, k, ef, metric)
+    val vec960 = synthVectors(spark, 10000, 960).repartition(nCores).cache()
+    vec960.count()
+    val queries960 = vec960.filter(col("id") < nq)
+      .select(col("id").as("query_id"), col("vec").as("query_vec")).cache()
+    queries960.count()
+    val hnswIdx960 = Hnsw.buildIndex(vec960.coalesce(1)).cache(); hnswIdx960.count()
+    val pqModel960 = Pq.train(vec960, m = 320, nBits = 4, trainFraction = Some(0.1))
+    val pqEncoded960 = Pq.encode(vec960, pqModel960).cache(); pqEncoded960.count()
 
     // ---- timed workloads ---------------------------------------------------
     // *_batch entries report q/s over nq queries.
@@ -117,6 +127,12 @@ object Bench {
         ef = Some(120), cacheKey = Some("bench10k")).count()),
       ("hnsw_200k_batch", () => Hnsw.searchBroadcast(hnswIdxBig, queries, k = 10,
         ef = Some(120), cacheKey = Some("bench200k")).count()),
+      // directly comparable to BASELINE.md:24 (HNSW @10k×960, ef=120, k=10)
+      ("hnsw_10k_d960_batch", () => Hnsw.searchBroadcast(hnswIdx960, queries960,
+        k = 10, ef = Some(120), cacheKey = Some("bench960")).count()),
+      // directly comparable to BASELINE.md:28 (Flat+PQ @10k×960, ef=100, m=320)
+      ("pq_adc_10k_d960_batch", () => Pq.searchFlat(pqEncoded960, pqModel960,
+        queries960, k = 10, ef = 100).count()),
       ("ivf_build_200k", () => {
         val (m, a) = Ivf.build(vecBig, k = 256, trainFraction = Some(0.1))
         a.count()

@@ -77,79 +77,140 @@ final class HnswGraph(
   private def linksLimit(level: Int): Int = if (level == 0) maxM0 else m
 
   /** Bounded ascending (distance, index) set — the reference's `ResultSet`
-    * (`candidate_pair.rs:42-74`). */
+    * (`candidate_pair.rs:42-74`), as sorted parallel primitive arrays: the
+    * hot path of every search/insert, so no boxing, no tree nodes.
+    * Ordering and eviction semantics preserved exactly: ascending
+    * (distance, index); when full, replacement needs strictly smaller
+    * distance; `checkCandidate` admits distance ties with a smaller index.
+    */
   private final class ResultSet(val k: Int) {
-    val set = new java.util.TreeSet[(Double, Int)](
-      (a: (Double, Int), b: (Double, Int)) => {
-        val c = java.lang.Double.compare(a._1, b._1)
-        if (c != 0) c else Integer.compare(a._2, b._2)
-      })
+    private val ds = new Array[Double](k)
+    private val is = new Array[Int](k)
+    var size: Int = 0
 
-    def first: (Double, Int) = set.first()
+    def firstDist: Double = ds(0)
+    def firstIdx: Int = is(0)
+
+    @inline private def less(d: Double, i: Int, pos: Int): Boolean =
+      d < ds(pos) || (d == ds(pos) && i < is(pos))
 
     /** Worth expanding this candidate's neighbors? (`check_candidate`) */
     def checkCandidate(d: Double, i: Int): Boolean =
-      set.size < k || {
-        val last = set.last()
-        d < last._1 || (d == last._1 && i < last._2)
-      }
+      size < k || less(d, i, size - 1)
 
     /** Insert with max-eviction; replacement needs strictly smaller
       * distance (`ResultSet::add`). */
-    def add(d: Double, i: Int): Unit =
-      if (set.size < k) { set.add((d, i)); () }
-      else if (d < set.last()._1) { set.pollLast(); set.add((d, i)); () }
-
-    def sortedVec: Array[(Double, Int)] = {
-      val out = new Array[(Double, Int)](set.size)
-      val it = set.iterator()
-      var i = 0
-      while (it.hasNext) { out(i) = it.next(); i += 1 }
-      out
+    def add(d: Double, i: Int): Unit = {
+      if (size == k) {
+        if (d >= ds(k - 1)) return
+        size -= 1
+      }
+      // binary search for the insertion point in (distance, index) order
+      var lo = 0; var hi = size
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (less(d, i, mid)) hi = mid else lo = mid + 1
+      }
+      System.arraycopy(ds, lo, ds, lo + 1, size - lo)
+      System.arraycopy(is, lo, is, lo + 1, size - lo)
+      ds(lo) = d; is(lo) = i
+      size += 1
     }
+
+    def sortedVec: Array[(Double, Int)] =
+      Array.tabulate(size)(p => (ds(p), is(p)))
 
     /** Diversity heuristic (`candidate_pair.rs:85-99`): ascending scan, keep
       * a candidate iff it is closer to the query than to every kept one. */
     def heuristic(limit: Int): mutable.ArrayBuffer[Int] = {
       val kept = mutable.ArrayBuffer.empty[Int]
-      val it = set.iterator()
+      var p = 0
       var continue = true
-      while (continue && it.hasNext) {
-        val (d, v) = it.next()
+      while (continue && p < size) {
+        val d = ds(p); val v = is(p)
         if (kept.length >= limit) continue = false
-        else if (kept.forall(p => distBetween(v, p) >= d)) kept += v
+        else if (kept.forall(q => distBetween(v, q) >= d)) kept += v
+        p += 1
       }
       kept
     }
   }
 
+  /** Min-heap of (distance, index) in (distance, index) order — the search
+    * frontier, primitive arrays. */
+  private final class CandidateHeap(initialCap: Int) {
+    private var ds = new Array[Double](math.max(initialCap, 16))
+    private var is = new Array[Int](ds.length)
+    private var n = 0
+
+    def isEmpty: Boolean = n == 0
+
+    @inline private def lessAt(a: Int, b: Int): Boolean =
+      ds(a) < ds(b) || (ds(a) == ds(b) && is(a) < is(b))
+
+    @inline private def swap(a: Int, b: Int): Unit = {
+      val td = ds(a); ds(a) = ds(b); ds(b) = td
+      val ti = is(a); is(a) = is(b); is(b) = ti
+    }
+
+    def push(d: Double, i: Int): Unit = {
+      if (n == ds.length) {
+        ds = java.util.Arrays.copyOf(ds, n * 2)
+        is = java.util.Arrays.copyOf(is, n * 2)
+      }
+      ds(n) = d; is(n) = i
+      var c = n; n += 1
+      while (c > 0 && lessAt(c, (c - 1) >>> 1)) {
+        swap(c, (c - 1) >>> 1); c = (c - 1) >>> 1
+      }
+    }
+
+    var popDist: Double = 0.0
+    var popIdx: Int = -1
+
+    /** Pop the min into (popDist, popIdx). */
+    def pop(): Unit = {
+      popDist = ds(0); popIdx = is(0)
+      n -= 1
+      if (n > 0) {
+        ds(0) = ds(n); is(0) = is(n)
+        var c = 0
+        var continue = true
+        while (continue) {
+          val l = 2 * c + 1; val r = l + 1
+          var s = c
+          if (l < n && lessAt(l, s)) s = l
+          if (r < n && lessAt(r, s)) s = r
+          if (s == c) continue = false
+          else { swap(c, s); c = s }
+        }
+      }
+    }
+  }
+
   private def searchOnLevel(
       enter: Int, level: Int, ef: Int, q: Array[Float]): ResultSet = {
-    val visited = new java.util.HashSet[Integer]()
-    val queue = new java.util.TreeSet[(Double, Int)](
-      (a: (Double, Int), b: (Double, Int)) => {
-        val c = java.lang.Double.compare(a._1, b._1)
-        if (c != 0) c else Integer.compare(a._2, b._2)
-      })
+    val visited = new java.util.BitSet(size)
+    val queue = new CandidateHeap(ef * 2)
     val result = new ResultSet(ef)
-    visited.add(enter)
+    visited.set(enter)
     val d0 = distTo(enter, q)
     result.add(d0, enter)
-    queue.add((d0, enter))
+    queue.push(d0, enter)
     var continue = true
     while (continue && !queue.isEmpty) {
-      val pair = queue.pollFirst()
-      if (!result.checkCandidate(pair._1, pair._2)) continue = false
+      queue.pop()
+      if (!result.checkCandidate(queue.popDist, queue.popIdx)) continue = false
       else {
-        val nbrs = links(pair._2)(level)
+        val nbrs = links(queue.popIdx)(level)
         var i = 0
         while (i < nbrs.length) {
           val p = nbrs(i)
-          if (!visited.contains(p)) {
-            visited.add(p)
+          if (!visited.get(p)) {
+            visited.set(p)
             val nd = distTo(p, q)
             result.add(nd, p)
-            queue.add((nd, p))
+            queue.push(nd, p)
           }
           i += 1
         }
@@ -236,7 +297,7 @@ final class HnswGraph(
     var lv = math.min(level, enterLevel)
     while (lv >= 0) {
       val candidates = searchOnLevel(curP, lv, efConstruction, vec)
-      curP = candidates.first._2
+      curP = candidates.firstIdx
       connectNewLinks(idx, lv, candidates)
       lv -= 1
     }

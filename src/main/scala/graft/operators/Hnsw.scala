@@ -190,6 +190,22 @@ object Hnsw {
     * [[HnswGraphCache]]; the broadcast is only touched on a cache miss).
     * For indexes too big to broadcast, use [[searchIndexed]].
     */
+  /** Grouped index rows: (pid, nodes sorted by local id). */
+  private type GroupedIndex = Array[(Int, Array[(Long, Array[Float], Int, Array[Array[Int]])])]
+
+  /** Driver-side LRU of index broadcasts keyed by cacheKey: a serving
+    * workload calls [[searchBroadcast]] per query batch, and without this
+    * every batch re-collects and re-ships the whole index. Evicted
+    * broadcasts are destroyed to free executor memory. */
+  private val bcCache =
+    new java.util.LinkedHashMap[String, org.apache.spark.broadcast.Broadcast[GroupedIndex]](
+      8, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, org.apache.spark.broadcast.Broadcast[GroupedIndex]])
+        : Boolean =
+        if (size() > 8) { e.getValue.destroy(); true } else false
+    }
+
   def searchBroadcast(
       index: DataFrame,
       queries: DataFrame,
@@ -202,8 +218,8 @@ object Hnsw {
       cacheKey: Option[String] = None): DataFrame = {
     val spark = index.sparkSession
     import spark.implicits._
-    val grouped: Array[(Int, Array[(Long, Array[Float], Int, Array[Array[Int]])])] =
-      index
+    def collectAndShip(): org.apache.spark.broadcast.Broadcast[GroupedIndex] = {
+      val grouped: GroupedIndex = index
         .select(col("pid").cast("int"), col("local_id").cast("int"),
           col("id").cast("long"), col("vec"), col("level").cast("int"),
           col("links"))
@@ -213,14 +229,28 @@ object Hnsw {
         .map { case (pid, rows) =>
           (pid, rows.sortBy(_._2).map(r => (r._3, r._4, r._5, r._6)))
         }
-    val bcIdx = spark.sparkContext.broadcast(grouped)
+      spark.sparkContext.broadcast(grouped)
+    }
+    val bcIdx = cacheKey match {
+      case Some(ck) => bcCache.synchronized {
+        Option(bcCache.get(ck)).getOrElse {
+          val b = collectAndShip(); bcCache.put(ck, b); b
+        }
+      }
+      case None => collectAndShip()
+    }
     val efq = ef.getOrElse(math.max(efConstruction, 2 * m) / 2)
     val ck = cacheKey
 
-    val out = queries
+    val qds = queries
       .select(col("query_id").cast("long"), col("query_vec"))
       .as[(Long, Array[Float])]
-      .repartition(spark.sparkContext.defaultParallelism)
+    // spread the batch across cores, but don't pay a shuffle if the query
+    // side is already partitioned wide enough
+    val spread =
+      if (qds.rdd.getNumPartitions * 2 >= spark.sparkContext.defaultParallelism) qds
+      else qds.repartition(spark.sparkContext.defaultParallelism)
+    val out = spread
       .mapPartitions { qit =>
         if (qit.isEmpty) Iterator.empty
         else {
