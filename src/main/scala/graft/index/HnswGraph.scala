@@ -49,21 +49,15 @@ final class HnswGraph(
 
   def size: Int = vecs.length
 
-  private def distance(a: Array[Float], b: Array[Float]): Double = {
-    var i = 0
-    if (dist == "cosine") {
-      var dot = 0.0; var na = 0.0; var nb = 0.0
-      while (i < dim) {
-        val x = a(i).toDouble; val y = b(i).toDouble
-        dot += x * y; na += x * x; nb += y * y; i += 1
-      }
-      1.0 - dot / math.max(math.sqrt(na) * math.sqrt(nb), 1e-10)
-    } else {
-      var acc = 0.0
-      while (i < dim) { val d = a(i).toDouble - b(i); acc += d * d; i += 1 }
-      acc
-    }
-  }
+  /** Traversal distance: SIMD float kernels — the reference's own f32
+    * accumulation (`/root/reference/src/distance/mod.rs:71-85`). Search
+    * results are re-scored with [[exactDistance]] before being returned. */
+  private def distance(a: Array[Float], b: Array[Float]): Double =
+    if (dist == "cosine") Simd.cosine(a, b) else Simd.l2sq(a, b)
+
+  /** Double-accumulation distance matching the Spark-side `VecDistance`. */
+  private def exactDistance(a: Array[Float], b: Array[Float]): Double =
+    if (dist == "cosine") Simd.cosineExact(a, b) else Simd.l2sqExact(a, b)
 
   private def distTo(idx: Int, q: Array[Float]): Double = distance(vecs(idx), q)
   private def distBetween(i: Int, j: Int): Double = distance(vecs(i), vecs(j))
@@ -307,13 +301,21 @@ final class HnswGraph(
 
   /** T4+T5 — KNN search (`knn_with_ef`, `hnsw_index.rs:626-637`):
     * `ef := max(ef, k)`, greedy descent to level 0, beam, top-k ascending.
+    * The ef-sized float-ordered candidate set is re-scored with the exact
+    * double kernel and re-sorted before the top-k cut, so returned
+    * distances (and the k-selection among the beam's survivors) match the
+    * engine's double-accumulation convention bit-for-bit.
     * Returns (localIndex, distance) pairs. */
   def search(q: Array[Float], k: Int, ef: Int): Array[(Int, Double)] = {
     if (size == 0) return Array.empty
     val efq = math.max(ef, k)
     val enter = greedyUntilLevel(0, q)
     val result = searchOnLevel(enter, 0, efq, q)
-    result.sortedVec.take(k).map { case (d, i) => (i, d) }
+    result.sortedVec
+      .map { case (_, i) => (exactDistance(vecs(i), q), i) }
+      .sortBy { case (d, i) => (d, i) }
+      .take(k)
+      .map { case (d, i) => (i, d) }
   }
 
   def searchDefault(q: Array[Float], k: Int): Array[(Int, Double)] =
