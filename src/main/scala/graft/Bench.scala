@@ -117,6 +117,10 @@ object Bench {
       ("knn_l2_batch", () => Knn.exact(vecBig, queries, k = 10).count()),
       ("knn_cosine_batch", () => Knn.exact(vecBig, queries, k = 10, dist = "cosine").count()),
       ("knn_l2_10k_batch", () => Knn.exact(vec10k, queries, k = 10).count()),
+      // serving-shape exact scan (broadcast queries, mapPartitions buffers)
+      ("knn_l2_bcast_batch", () => Knn.exactBroadcast(vecBig, queries, k = 10).count()),
+      ("knn_cos_bcast_batch", () => Knn.exactBroadcast(vecBig, queries, k = 10,
+        dist = "cosine").count()),
       ("ivf_probe_batch", () => Ivf.search(ivfAssigned, ivfModel, queries,
         k = 10, nProbes = Some(8)).count()),
       ("pq_adc_batch", () => Pq.searchFlat(pqEncoded, pqModel, queries,

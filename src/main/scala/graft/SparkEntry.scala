@@ -34,6 +34,13 @@ object SparkEntry {
         .select(col("query_id"), col("id"), (round(col("distance"), 6) + lit(0.0)).as("distance"))
         .orderBy("query_id", "distance", "id")
     }),
+    // T3/J1 (serving shape): broadcast-queries mapPartitions exact KNN —
+    // same logical result as q_knn_l2, row-machinery-free scan
+    "q_knn_bcast" -> ((s, dir) => {
+      Knn.exactBroadcast(base(s, dir), queryVectors(s, dir), k = 5)
+        .select(col("query_id"), col("id"), (round(col("distance"), 6) + lit(0.0)).as("distance"))
+        .orderBy("query_id", "distance", "id")
+    }),
     // F4: exact batch KNN, cosine with the reference's 1e-10 clamp
     "q_knn_cosine" -> ((s, dir) => {
       Knn.exact(base(s, dir), queryVectors(s, dir), k = 5, dist = "cosine")
@@ -345,6 +352,7 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "q_knn_l2" -> topKSql(l2Expr, 5),
+    "q_knn_bcast" -> topKSql(l2Expr, 5),
     "q_knn_cosine" -> topKSql(cosExpr, 5),
     "q_knn_upper_bound" -> topKSql(l2Expr, 10, where = "d <= 1.5"),
     "q_hnsw_search" -> topKSql(l2Expr, 5),

@@ -23,25 +23,10 @@ import scala.util.Random
   */
 object LocalKMeans {
 
-  private def l2sq(a: Array[Float], b: Array[Float]): Double = {
-    var acc = 0.0
-    var i = 0
-    while (i < a.length) { val d = a(i).toDouble - b(i); acc += d * d; i += 1 }
-    acc
-  }
-
-  private def cosine(a: Array[Float], b: Array[Float]): Double = {
-    var dot = 0.0; var na = 0.0; var nb = 0.0
-    var i = 0
-    while (i < a.length) {
-      val x = a(i).toDouble; val y = b(i).toDouble
-      dot += x * y; na += x * x; nb += y * y; i += 1
-    }
-    1.0 - dot / math.max(math.sqrt(na) * math.sqrt(nb), 1e-10)
-  }
+  private def l2sq(a: Array[Float], b: Array[Float]): Double = Simd.l2sq(a, b)
 
   private def dist(kind: String)(a: Array[Float], b: Array[Float]): Double =
-    if (kind == "cosine") cosine(a, b) else l2sq(a, b)
+    if (kind == "cosine") Simd.cosine(a, b) else Simd.l2sq(a, b)
 
   private def nearest(v: Array[Float], cs: Array[Array[Float]], kind: String): Int = {
     val d = dist(kind) _

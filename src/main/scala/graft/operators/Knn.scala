@@ -76,6 +76,94 @@ object Knn {
       .agg(TopK.topK(k)(col("__id"), col("__dist")).as("topk"))
   }
 
+  /** Serving-shape exact KNN: broadcast the query batch, stream the base
+    * through `mapPartitions` with per-query primitive top-k buffers, merge
+    * the Q×partitions×k partials with the bounded aggregate. Same logical
+    * result and scale shape as [[exact]] (base streams once, only tiny
+    * partials shuffle) minus the per-pair row machinery of the cross-join
+    * plan, which measures ~25× the distance cost at high pair rates. Scans
+    * with the SIMD float kernel (the reference's own f32 accumulation),
+    * re-scores every kept candidate with the exact double kernel before
+    * the merge, so emitted distances match [[exact]]/the DuckDB oracle.
+    */
+  def exactBroadcast(
+      base: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      dist: String = "l2sqr",
+      idCol: String = "id",
+      vecCol: String = "vec",
+      queryIdCol: String = "query_id",
+      queryVecCol: String = "query_vec",
+      upperBound: Double = Double.PositiveInfinity): DataFrame = {
+    val spark = base.sparkSession
+    import spark.implicits._
+    val qs = queries
+      .select(col(queryIdCol).cast("long"), col(queryVecCol))
+      .as[(Long, Array[Float])].collect()
+    val bc = spark.sparkContext.broadcast(qs)
+    val cosine = dist == "cosine"
+
+    val partial = base
+      .select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val qarr = bc.value
+        val nq = qarr.length
+        if (nq == 0 || !it.hasNext) Iterator.empty
+        else {
+          // per-query bounded buffers in ascending (distance, id) order
+          val bufD = Array.fill(nq)(new Array[Double](k))
+          val bufI = Array.fill(nq)(new Array[Long](k))
+          val bufV = Array.fill(nq)(new Array[Array[Float]](k))
+          val sz = new Array[Int](nq)
+          while (it.hasNext) {
+            val (id, vec) = it.next()
+            var qi = 0
+            while (qi < nq) {
+              val d =
+                if (cosine) graft.index.Simd.cosine(qarr(qi)._2, vec)
+                else graft.index.Simd.l2sq(qarr(qi)._2, vec)
+              val n = sz(qi)
+              val ds = bufD(qi); val ids = bufI(qi)
+              if (n < k || d < ds(n - 1) || (d == ds(n - 1) && id < ids(n - 1))) {
+                val m = if (n < k) n else n - 1
+                // insertion position in (distance, id) order
+                var lo = 0; var hi = m
+                while (lo < hi) {
+                  val mid = (lo + hi) >>> 1
+                  if (d < ds(mid) || (d == ds(mid) && id < ids(mid))) hi = mid
+                  else lo = mid + 1
+                }
+                System.arraycopy(ds, lo, ds, lo + 1, m - lo)
+                System.arraycopy(ids, lo, ids, lo + 1, m - lo)
+                System.arraycopy(bufV(qi), lo, bufV(qi), lo + 1, m - lo)
+                ds(lo) = d; ids(lo) = id; bufV(qi)(lo) = vec
+                if (n < k) sz(qi) = n + 1
+              }
+              qi += 1
+            }
+          }
+          Iterator.range(0, nq).flatMap { qi =>
+            Iterator.range(0, sz(qi)).map { p =>
+              val exact =
+                if (cosine) graft.index.Simd.cosineExact(qarr(qi)._2, bufV(qi)(p))
+                else graft.index.Simd.l2sqExact(qarr(qi)._2, bufV(qi)(p))
+              (qarr(qi)._1, bufI(qi)(p), exact)
+            }
+          }
+        }
+      }
+      .toDF("query_id", "id", "distance")
+      .filter(col("distance") <= lit(upperBound))
+
+    partial
+      .groupBy("query_id")
+      .agg(TopK.topK(k)(col("id"), col("distance")).as("topk"))
+      .select(col("query_id"), explode(col("topk")).as("hit"))
+      .select(col("query_id"), col("hit.id").as("id"), col("hit.distance").as("distance"))
+  }
+
   /** KNN with per-query id arrays — the shape used for ground-truth
     * generation (`/root/reference/src/bin/gen_gnd.rs:56-75`). The aggregator
     * already returns the sorted array, so this is a pure projection. */

@@ -29,6 +29,29 @@ class KnnSpec extends SparkTestBase {
     assert(Knn.exact(tiny, q, k = 10).count() == 3)
   }
 
+  test("exactBroadcast equals exact: ids, distances, upper bound, both metrics") {
+    val qs = base.filter($"id" < 6)
+      .select($"id".as("query_id"), $"vec".as("query_vec"))
+    for (dist <- Seq("l2sqr", "cosine")) {
+      val a = Knn.exact(base, qs, k = 7, dist = dist)
+        .orderBy("query_id", "distance", "id").collect()
+      val b = Knn.exactBroadcast(base.repartition(4), qs, k = 7, dist = dist)
+        .orderBy("query_id", "distance", "id").collect()
+      assert(a.length == b.length, s"$dist row count")
+      a.zip(b).foreach { case (x, y) =>
+        assert(x.getAs[Long]("query_id") == y.getAs[Long]("query_id"))
+        assert(x.getAs[Long]("id") == y.getAs[Long]("id"), s"$dist id mismatch")
+        assert(x.getAs[Double]("distance") == y.getAs[Double]("distance"),
+          s"$dist distance mismatch")
+      }
+    }
+    val cut = 1.5
+    val bounded = Knn.exactBroadcast(base, qs, k = 10, upperBound = cut)
+    assert(bounded.filter($"distance" > cut).count() == 0)
+    val exactBounded = Knn.exact(base, qs, k = 10, upperBound = cut).count()
+    assert(bounded.count() == exactBounded)
+  }
+
   test("top-k equals the k smallest of the full scored scan") {
     val q = base.filter($"id" === 7)
       .select($"id".as("query_id"), $"vec".as("query_vec"))
