@@ -127,6 +127,11 @@ object Bench {
         k = 10, ef = 100).count()),
       ("pq_adc_10k_batch", () => Pq.searchFlat(pqEncoded10k, pqModel10k, queries,
         k = 10, ef = 100).count()),
+      // serving-shape ADC scan (broadcast lookups, mapPartitions buffers)
+      ("pq_bcast_batch", () => Pq.searchFlatBroadcast(pqEncoded, pqModel, queries,
+        k = 10, ef = 100).count()),
+      ("pq_bcast_10k_d960_batch", () => Pq.searchFlatBroadcast(pqEncoded960,
+        pqModel960, queries960, k = 10, ef = 100).count()),
       ("hnsw_10k_batch", () => Hnsw.searchBroadcast(hnswIdx10k, queries, k = 10,
         ef = Some(120), cacheKey = Some("bench10k")).count()),
       ("hnsw_200k_batch", () => Hnsw.searchBroadcast(hnswIdxBig, queries, k = 10,

@@ -259,7 +259,12 @@ class VecDB(spark: SparkSession, root: String) {
   def hasHnswIndex(key: String): Boolean = entry(key).hasHnsw
 
   /** Build the PQ sidecar (codes + centroids parquet). Validations per
-    * `metadata_vec_table.rs:112-152`; honors n_bits (see class doc). */
+    * `metadata_vec_table.rs:112-152`; honors n_bits (see class doc).
+    * This is also the S6 shape — index persisted WITHOUT the vector
+    * payload (`IndexSerdeExternalVecSet::save_without_vec_set`,
+    * `/root/reference/src/index_algorithm/mod.rs:143-148`): the sidecar
+    * holds only codes + centroids and is joined back to the table's
+    * vectors at re-rank time. */
   def buildPqTable(key: String, trainProportion: Option[Double] = None,
       nBits: Option[Int] = None, m: Option[Int] = None): Unit = {
     val e = entry(key)

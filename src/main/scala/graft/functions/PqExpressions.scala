@@ -31,6 +31,84 @@ object PqKernel {
     out.result()
   }
 
+  /** Driver-side F9 — per-query ADC lookup table over a plain float array,
+    * same math as the `PqLookup` expression (`pq_table.rs:195-224`). */
+  def buildLookup(
+      qv: Array[Float],
+      centroids: Array[Array[Array[Float]]],
+      nBits: Int,
+      kind: String): Array[Double] = {
+    val m = centroids.length
+    val k = 1 << nBits
+    val dim = qv.length
+    val groups = pqGroups(dim, m)
+    val out = new Array[Double](m * k)
+    var g = 0
+    while (g < m) {
+      val (start, len) = groups(g)
+      val cents = centroids(g)
+      var c = 0
+      while (c < cents.length) {
+        val cent = cents(c)
+        var acc = 0.0
+        var i = 0
+        if (kind == "cosine") {
+          while (i < len) { acc += qv(start + i).toDouble * cent(i); i += 1 }
+        } else {
+          while (i < len) {
+            val d = qv(start + i).toDouble - cent(i); acc += d * d; i += 1
+          }
+        }
+        out(g * k + c) = acc
+        c += 1
+      }
+      g += 1
+    }
+    out
+  }
+
+  /** Driver/executor-side F10 — ADC distance from a packed code, same math
+    * as the `PqAdcDistance` expression (`pq_table.rs:239-301`). `qn` is the
+    * query norm (cosine only). */
+  def adcScore(
+      code: Array[Byte],
+      lookup: Array[Double],
+      centDot: Array[Double],
+      nBits: Int,
+      m: Int,
+      cosine: Boolean,
+      qn: Double): Double = {
+    val k = 1 << nBits
+    var sum = 0.0
+    var cd = 0.0
+    if (nBits == 4) {
+      var i = 0
+      var b = 0
+      while (b < code.length) {
+        val u = code(b) & 0xff
+        if (i < m) {
+          val idx = u & 0xf
+          sum += lookup(i * k + idx); if (cosine) cd += centDot(i * k + idx)
+        }
+        i += 1
+        if (i < m) {
+          val idx = u >> 4
+          sum += lookup(i * k + idx); if (cosine) cd += centDot(i * k + idx)
+        }
+        i += 1
+        b += 1
+      }
+    } else {
+      var i = 0
+      while (i < m) {
+        val idx = code(i) & 0xff
+        sum += lookup(i * k + idx); if (cosine) cd += centDot(i * k + idx)
+        i += 1
+      }
+    }
+    if (cosine) 1.0 - sum / math.max(math.sqrt(cd) * qn, 1e-10) else sum
+  }
+
   /** Nearest centroid of a vector slice (ties → lowest id), L2 metric — PQ
     * always encodes by L2 over the group slice regardless of query metric. */
   def nearestInGroup(

@@ -264,13 +264,24 @@ object Dedup {
     }
     val model = Ivf.train(base, numBlocks, "l2sqr", seed = seed)
     val margin = 2.0 * math.sqrt(t2)
-    val bucketed = base.withColumn("bucket",
+    // Asymmetric sound blocking: for any pair with ‖a−b‖ ≤ √t2, b's
+    // distance to a's NEAREST centroid na is ≤ ‖b−a‖ + ‖a−na‖ ≤
+    // min_b + 2√t2 — so the pair always meets with one side on its
+    // nearest-only assignment and the other on the (nearest + margin)
+    // ball cover. One bucket per row on the probe side keeps candidate
+    // count at Σ_c |A_c|·|B_c| instead of duplicating every pair once
+    // per shared expanded bucket (the symmetric form degenerates to
+    // numBlocks × all-pairs when the margin covers the data diameter).
+    val nearest = base.withColumn("bucket",
+      Ivf.nearestCentroid(col("vec"), model.centroids, "l2sqr").cast("int"))
+    val expanded = base.withColumn("bucket",
       explode(ColumnShim.column(CentroidsWithinRadius(
         ColumnShim.expression(col("vec")), model.centroids, margin))))
-    val pairs = bucketed.as("a")
-      .join(bucketed.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
+    val pairs = nearest.as("a")
+      .join(expanded.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.id") =!= col("b.id"))
+      .select(least(col("a.id"), col("b.id")).as("a_id"),
+        greatest(col("a.id"), col("b.id")).as("b_id"),
         VectorFunctions.vecL2Sq(col("a.vec"), col("b.vec")).as("d2"))
       .filter(col("d2") <= t2)
       .select(col("a_id"), col("b_id"),

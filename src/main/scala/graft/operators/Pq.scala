@@ -158,7 +158,18 @@ object Pq {
       .agg(TopK.topK(efK)(col("__id"), col("__ad")).as("topef"))
       .select(col("query_id"),
         explode(transform(col("topef"), h => h.getField("id"))).as("id"))
-    // exact re-rank of the Q×ef winners
+    rerank(encoded, queries, approx, model, k, upperBound)
+  }
+
+  /** Exact re-rank of the Q×ef approximate winners (`pq_resort`,
+    * `/root/reference/src/index_algorithm/candidate_pair.rs:102-108`). */
+  private def rerank(
+      encoded: DataFrame,
+      queries: DataFrame,
+      approx: DataFrame, // (query_id, id)
+      model: PqModel,
+      k: Int,
+      upperBound: Double): DataFrame = {
     val exact = encoded.select(col("id").cast("long").as("id"), col("vec"))
       .join(broadcast(approx), "id")
       .join(broadcast(queries.select(col("query_id").cast("long").as("query_id"),
@@ -171,5 +182,86 @@ object Pq {
       .agg(TopK.topK(k)(col("id"), col("__dist")).as("topk"))
       .select(col("query_id"), explode(col("topk")).as("hit"))
       .select(col("query_id"), col("hit.id").as("id"), col("hit.distance").as("distance"))
+  }
+
+  /** T7, serving shape: broadcast the per-query ADC lookup tables, stream
+    * the code column through `mapPartitions` with per-query primitive
+    * top-ef buffers, merge, then the same exact re-rank as [[searchFlat]].
+    * Identical logical result; skips the cross-join row machinery of the
+    * declarative plan (measured ~25× the lookup-sum cost at high pair
+    * rates). The scan still reads ONLY the code column.
+    */
+  def searchFlatBroadcast(
+      encoded: DataFrame, // (id, vec, code)
+      model: PqModel,
+      queries: DataFrame,
+      k: Int,
+      ef: Int,
+      upperBound: Double = Double.PositiveInfinity): DataFrame = {
+    val spark = encoded.sparkSession
+    import spark.implicits._
+    val efK = math.max(ef, k)
+    val qs = queries
+      .select(col("query_id").cast("long"), col("query_vec"))
+      .as[(Long, Array[Float])].collect()
+    val cosine = model.dist == "cosine"
+    val lookups = qs.map(q => PqKernel.buildLookup(q._2, model.centroids,
+      model.nBits, model.dist))
+    val norms = if (cosine)
+      qs.map(q => math.sqrt(q._2.foldLeft(0.0)((a, x) => a + x.toDouble * x)))
+    else Array.empty[Double]
+    val centDot = model.centroidDotCache
+    val nBits = model.nBits
+    val m = model.m
+    val bc = spark.sparkContext.broadcast((qs.map(_._1), lookups, norms))
+
+    val partial = encoded
+      .select(col("id").cast("long"), col("code"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val (qids, lks, qns) = bc.value
+        val nq = qids.length
+        if (nq == 0 || !it.hasNext) Iterator.empty
+        else {
+          val bufD = Array.fill(nq)(new Array[Double](efK))
+          val bufI = Array.fill(nq)(new Array[Long](efK))
+          val sz = new Array[Int](nq)
+          while (it.hasNext) {
+            val (id, code) = it.next()
+            var qi = 0
+            while (qi < nq) {
+              val d = PqKernel.adcScore(code, lks(qi), centDot, nBits, m,
+                cosine, if (cosine) qns(qi) else 0.0)
+              val n = sz(qi)
+              val ds = bufD(qi); val ids = bufI(qi)
+              if (n < efK || d < ds(n - 1) || (d == ds(n - 1) && id < ids(n - 1))) {
+                val mm = if (n < efK) n else n - 1
+                var lo = 0; var hi = mm
+                while (lo < hi) {
+                  val mid = (lo + hi) >>> 1
+                  if (d < ds(mid) || (d == ds(mid) && id < ids(mid))) hi = mid
+                  else lo = mid + 1
+                }
+                System.arraycopy(ds, lo, ds, lo + 1, mm - lo)
+                System.arraycopy(ids, lo, ids, lo + 1, mm - lo)
+                ds(lo) = d; ids(lo) = id
+                if (n < efK) sz(qi) = n + 1
+              }
+              qi += 1
+            }
+          }
+          Iterator.range(0, nq).flatMap { qi =>
+            Iterator.range(0, sz(qi)).map(p => (qids(qi), bufI(qi)(p), bufD(qi)(p)))
+          }
+        }
+      }
+      .toDF("query_id", "__id", "__ad")
+
+    val approx = partial
+      .groupBy("query_id")
+      .agg(TopK.topK(efK)(col("__id"), col("__ad")).as("topef"))
+      .select(col("query_id"),
+        explode(transform(col("topef"), h => h.getField("id"))).as("id"))
+    rerank(encoded, queries, approx, model, k, upperBound)
   }
 }

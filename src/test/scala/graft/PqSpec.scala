@@ -93,4 +93,23 @@ class PqSpec extends SparkTestBase {
       .groupBy("query_id").count().filter($"count" =!= 10).count()
     assert(cnt == 0)
   }
+
+  test("searchFlatBroadcast equals searchFlat exactly (L2 and cosine)") {
+    val base = Tables.vectors(spark, sf0001).select("id", "vec").cache()
+    val q = base.filter($"id" < 6)
+      .select($"id".as("query_id"), $"vec".as("query_vec"))
+    for (dist <- Seq("l2sqr", "cosine")) {
+      val model = Pq.train(base, m = 16, nBits = 4, dist = dist)
+      val encoded = Pq.encode(base, model).cache()
+      val a = Pq.searchFlat(encoded, model, q, k = 8, ef = 40)
+        .orderBy("query_id", "distance", "id").collect()
+      val b = Pq.searchFlatBroadcast(encoded.repartition(4), model, q, k = 8, ef = 40)
+        .orderBy("query_id", "distance", "id").collect()
+      assert(a.length == b.length, s"$dist row count ${a.length} vs ${b.length}")
+      a.zip(b).foreach { case (x, y) =>
+        assert(x.getAs[Long]("id") == y.getAs[Long]("id"), s"$dist id")
+        assert(x.getAs[Double]("distance") == y.getAs[Double]("distance"), s"$dist distance")
+      }
+    }
+  }
 }
