@@ -329,18 +329,23 @@ class VecDB(spark: SparkSession, root: String) {
     val ub = upperBound.getOrElse(Double.PositiveInfinity)
     val data = table(key)
     val filtered = data.filter(Search.metaPattern(pattern, col("meta")))
+    // serving-shape broadcast paths for in-memory-sized tables, declarative
+    // plans beyond (same results; specs assert equality)
+    val small = e.nextId <= HnswBroadcastMaxRows
     val hits = (ef, e.pq) match {
       case (Some(efv), Some(_)) =>
         val model = loadPqModel(key)
         val codes = spark.read.parquet(pqDir(e).resolve("codes").toString)
         val encoded = filtered.join(codes, "id")
-        Pq.searchFlat(encoded, model, queries, k, efv, ub)
+        if (small) Pq.searchFlatBroadcast(encoded, model, queries, k, efv, ub)
+        else Pq.searchFlat(encoded, model, queries, k, efv, ub)
       case (Some(efv), None) if e.hasHnsw =>
         hnswSearch(e, filtered, queries, k, Some(efv), ub, pattern.isEmpty)
       case (None, _) if e.hasHnsw =>
         hnswSearch(e, filtered, queries, k, None, ub, pattern.isEmpty)
       case _ => // Flat path; ef ignored (dynamic_index.rs:75-80)
-        Knn.exact(filtered, queries, k, e.dist, upperBound = ub)
+        if (small) Knn.exactBroadcast(filtered, queries, k, e.dist, upperBound = ub)
+        else Knn.exact(filtered, queries, k, e.dist, upperBound = ub)
     }
     filtered.select(col("id"), col("meta"))
       .join(broadcast(hits), "id")

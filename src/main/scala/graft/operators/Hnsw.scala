@@ -65,10 +65,16 @@ object Hnsw {
         }
       }
       .toDF("query_id", "id", "distance")
-      .filter(col("distance") <= lit(upperBound))
 
-    merge(partial, k)
+    merge(bounded(partial, upperBound), k)
   }
+
+  /** Apply the upper-bound filter only when one is actually set — an
+    * always-true predicate still costs an evaluation per row (and can be
+    * pushed into join conditions, doubling expression work). */
+  private def bounded(df: DataFrame, upperBound: Double): DataFrame =
+    if (upperBound == Double.PositiveInfinity) df
+    else df.filter(col("distance") <= lit(upperBound))
 
   private def merge(partial: DataFrame, k: Int): DataFrame =
     partial
@@ -174,9 +180,8 @@ object Hnsw {
         }
       }
       .toDF("query_id", "id", "distance")
-      .filter(col("distance") <= lit(upperBound))
 
-    merge(partial, k)
+    merge(bounded(partial, upperBound), k)
   }
 
   /** Serving-shape search: broadcast the stored index, partition the

@@ -134,8 +134,10 @@ object Ivf {
       .join(broadcast(probedQueries), col("cluster").cast("long") === col("p_cluster"))
       .select(col("query_id"), col("id").cast("long").as("__id"),
         VectorFunctions.distance(col("vec"), col("query_vec"), model.dist).as("__dist"))
-      .filter(col("__dist") <= lit(upperBound))
-    scored
+    val bounded =
+      if (upperBound == Double.PositiveInfinity) scored
+      else scored.filter(col("__dist") <= lit(upperBound))
+    bounded
       .groupBy("query_id")
       .agg(TopK.topK(k)(col("__id"), col("__dist")).as("topk"))
       .select(col("query_id"), explode(col("topk")).as("hit"))

@@ -69,9 +69,11 @@ object Knn {
           col(queryVecCol).as("__qvec"))))
       .select(col("query_id"), col("__id"),
         VectorFunctions.distance(col("__vec"), col("__qvec"), dist).as("__dist"))
-      .filter(col("__dist") <= lit(upperBound))
+    val bounded =
+      if (upperBound == Double.PositiveInfinity) scored
+      else scored.filter(col("__dist") <= lit(upperBound))
 
-    scored
+    bounded
       .groupBy("query_id")
       .agg(TopK.topK(k)(col("__id"), col("__dist")).as("topk"))
   }

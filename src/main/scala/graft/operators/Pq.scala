@@ -176,8 +176,10 @@ object Pq {
         col("query_vec"))), "query_id")
       .select(col("query_id"), col("id"),
         VectorFunctions.distance(col("vec"), col("query_vec"), model.dist).as("__dist"))
-      .filter(col("__dist") <= lit(upperBound))
-    exact
+    val bounded =
+      if (upperBound == Double.PositiveInfinity) exact
+      else exact.filter(col("__dist") <= lit(upperBound))
+    bounded
       .groupBy("query_id")
       .agg(TopK.topK(k)(col("id"), col("__dist")).as("topk"))
       .select(col("query_id"), explode(col("topk")).as("hit"))
