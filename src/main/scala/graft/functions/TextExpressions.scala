@@ -78,8 +78,93 @@ case class SimHash64(child: Expression) extends UnaryExpression {
   override def prettyName: String = "simhash64"
 }
 
+/** All `numHashes` MinHash signature slots in one pass over the base-hash
+  * array: slot h = min over elements x of floorMod(x·a(h) + b(h), prime) —
+  * value-identical to the per-slot `array_min(transform(...))` column
+  * formulation (Long arithmetic wraps the same way), without materializing
+  * `numHashes` intermediate arrays per row. Null for an empty input (the
+  * columnar form yields all-null slots; callers filter empty shingle sets).
+  */
+case class MinHashSignature(
+    child: Expression,
+    aCoeffs: Array[Long],
+    bCoeffs: Array[Long],
+    prime: Long)
+  extends UnaryExpression {
+
+  private val numHashes = aCoeffs.length
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"minhash_signature requires array<bigint> of base hashes, got ${other.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val xs = input.asInstanceOf[ArrayData]
+    val n = xs.numElements()
+    if (n == 0) return null
+    val mins = new Array[Long](numHashes)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val x = xs.getLong(i)
+      var h = 0
+      while (h < numHashes) {
+        val v = java.lang.Math.floorMod(x * aCoeffs(h) + bCoeffs(h), prime)
+        if (v < mins(h)) mins(h) = v
+        h += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("minhashA", aCoeffs, "long[]")
+    val bRef = ctx.addReferenceObj("minhashB", bCoeffs, "long[]")
+    nullSafeCodeGen(ctx, ev, xs => {
+      val n = ctx.freshName("n")
+      val mins = ctx.freshName("mins")
+      val x = ctx.freshName("x")
+      val v = ctx.freshName("v")
+      val i = ctx.freshName("i")
+      val h = ctx.freshName("h")
+      s"""int $n = $xs.numElements();
+         |if ($n == 0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long[] $mins = new long[$numHashes];
+         |  java.util.Arrays.fill($mins, Long.MAX_VALUE);
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    long $x = $xs.getLong($i);
+         |    for (int $h = 0; $h < $numHashes; $h++) {
+         |      long $v = java.lang.Math.floorMod($x * $aRef[$h] + $bRef[$h], ${prime}L);
+         |      if ($v < $mins[$h]) $mins[$h] = $v;
+         |    }
+         |  }
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($mins);
+         |}""".stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "minhash_signature"
+}
+
 object TextFunctions {
   /** Single-pass 64-bit SimHash over an `array<bigint>` of token hashes. */
   def simhash64(tokenHashes: Column): Column =
     ColumnShim.column(SimHash64(ColumnShim.expression(tokenHashes)))
+
+  /** Single-pass MinHash signature over an `array<bigint>` of base hashes. */
+  def minhashSignature(
+      baseHashes: Column, a: Array[Long], b: Array[Long], prime: Long): Column =
+    ColumnShim.column(MinHashSignature(
+      ColumnShim.expression(baseHashes), a, b, prime))
 }

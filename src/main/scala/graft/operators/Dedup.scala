@@ -124,18 +124,16 @@ object Dedup {
     sig(baseHash)
   }
 
-  /** Signature computation with the base hash materialized as a real column
-    * (forces single evaluation). Internal to [[minhashLshJoin]]. */
+  /** Signature computation via the single-pass native expression (all
+    * `numHashes` mins in one scan of the base hashes — value-identical to
+    * the per-slot columnar form). Internal to [[minhashLshJoin]]. */
   private def withSignature(sh: DataFrame, numHashes: Int, seed: Long): DataFrame = {
     val rnd = new scala.util.Random(seed)
     val coeffs = Array.fill(numHashes)(
       (1 + rnd.nextLong(MersennePrime - 1), rnd.nextLong(MersennePrime)))
-    sh.withColumn("__bh", transform(col("sh"), s => pmod(xxhash64(s), lit(MersennePrime))))
-      .withColumn("sig", array(coeffs.map { case (a, b) =>
-        array_min(transform(col("__bh"), x =>
-          pmod(x * lit(a) + lit(b), lit(MersennePrime))))
-      }: _*))
-      .drop("__bh")
+    sh.withColumn("sig", graft.functions.TextFunctions.minhashSignature(
+      transform(col("sh"), s => pmod(xxhash64(s), lit(MersennePrime))),
+      coeffs.map(_._1), coeffs.map(_._2), MersennePrime))
   }
 
   /** MinHash-LSH near-duplicate join: signature → `bands` band keys → pairs
