@@ -109,6 +109,117 @@ object PqKernel {
     if (cosine) 1.0 - sum / math.max(math.sqrt(cd) * qn, 1e-10) else sum
   }
 
+  /** Unpack a packed code into one byte per group at `out[off..off+m)` —
+    * done ONCE per partition chunk so the ADC scan reads group ids with no
+    * per-pair shift/mask/branch work (4-bit: lo nibble first, matching
+    * `pq_table.rs:66-91`). */
+  def decodeInto(code: Array[Byte], m: Int, nBits: Int, out: Array[Byte], off: Int): Unit = {
+    if (nBits == 4) {
+      var i = 0
+      var b = 0
+      while (i < m) {
+        val u = code(b) & 0xff
+        out(off + i) = (u & 0xf).toByte
+        i += 1
+        if (i < m) { out(off + i) = (u >> 4).toByte; i += 1 }
+        b += 1
+      }
+    } else {
+      System.arraycopy(code, 0, out, off, m)
+    }
+  }
+
+  /** Blocked ADC scan over a decoded-code chunk: scores `nRows` rows against
+    * up to 4 queries at once (shared code-byte decode, 4 independent
+    * accumulators → the lookup loads issue in parallel), maintaining each
+    * query's bounded ascending (distance, id) top-ef buffer in place.
+    * This is the serving hot loop — the per-(row, query) cost is one lookup
+    * add, like the reference's in-memory ADC scan
+    * (`/root/reference/src/index_algorithm/flat_index.rs:84-104`).
+    *
+    * `luts` are float (selection-grade, like the float traversal tier of
+    * HNSW); winners are exact re-ranked downstream. `cdRow` is the per-row
+    * centroid self-dot sum (cosine only; null for L2).
+    */
+  def adcScanChunk(
+      codes: Array[Byte], nRows: Int, m: Int, k: Int,
+      luts: Array[Array[Float]], q0: Int, qn: Int,
+      cosine: Boolean, cdRow: Array[Double], qNorms: Array[Double],
+      ids: Array[Long],
+      bufD: Array[Array[Double]], bufI: Array[Array[Long]], sz: Array[Int],
+      efK: Int): Unit = {
+    var qb = q0
+    val qEnd = q0 + qn
+    while (qb + 4 <= qEnd) {
+      val lut0 = luts(qb); val lut1 = luts(qb + 1)
+      val lut2 = luts(qb + 2); val lut3 = luts(qb + 3)
+      var r = 0
+      while (r < nRows) {
+        val base = r * m
+        var s0 = 0.0; var s1 = 0.0; var s2 = 0.0; var s3 = 0.0
+        var g = 0
+        var gk = 0
+        while (g < m) {
+          val idx = gk + (codes(base + g) & 0xff)
+          s0 += lut0(idx); s1 += lut1(idx); s2 += lut2(idx); s3 += lut3(idx)
+          g += 1; gk += k
+        }
+        if (cosine) {
+          val cn = math.sqrt(cdRow(r))
+          s0 = 1.0 - s0 / math.max(cn * qNorms(qb), 1e-10)
+          s1 = 1.0 - s1 / math.max(cn * qNorms(qb + 1), 1e-10)
+          s2 = 1.0 - s2 / math.max(cn * qNorms(qb + 2), 1e-10)
+          s3 = 1.0 - s3 / math.max(cn * qNorms(qb + 3), 1e-10)
+        }
+        val id = ids(r)
+        insertTopEf(bufD(qb), bufI(qb), sz, qb, id, s0, efK)
+        insertTopEf(bufD(qb + 1), bufI(qb + 1), sz, qb + 1, id, s1, efK)
+        insertTopEf(bufD(qb + 2), bufI(qb + 2), sz, qb + 2, id, s2, efK)
+        insertTopEf(bufD(qb + 3), bufI(qb + 3), sz, qb + 3, id, s3, efK)
+        r += 1
+      }
+      qb += 4
+    }
+    while (qb < qEnd) {
+      val lut = luts(qb)
+      var r = 0
+      while (r < nRows) {
+        val base = r * m
+        var s = 0.0
+        var g = 0
+        var gk = 0
+        while (g < m) {
+          s += lut(gk + (codes(base + g) & 0xff))
+          g += 1; gk += k
+        }
+        if (cosine)
+          s = 1.0 - s / math.max(math.sqrt(cdRow(r)) * qNorms(qb), 1e-10)
+        insertTopEf(bufD(qb), bufI(qb), sz, qb, ids(r), s, efK)
+        r += 1
+      }
+      qb += 1
+    }
+  }
+
+  /** Bounded ascending (distance, id) insert — O(1) reject once full. */
+  @inline private def insertTopEf(
+      ds: Array[Double], idArr: Array[Long], sz: Array[Int], qi: Int,
+      id: Long, d: Double, efK: Int): Unit = {
+    val n = sz(qi)
+    if (n == efK && (d > ds(n - 1) || (d == ds(n - 1) && id >= idArr(n - 1)))) return
+    val mm = if (n < efK) n else n - 1
+    var lo = 0; var hi = mm
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (d < ds(mid) || (d == ds(mid) && id < idArr(mid))) hi = mid
+      else lo = mid + 1
+    }
+    System.arraycopy(ds, lo, ds, lo + 1, mm - lo)
+    System.arraycopy(idArr, lo, idArr, lo + 1, mm - lo)
+    ds(lo) = d; idArr(lo) = id
+    if (n < efK) sz(qi) = n + 1
+  }
+
   /** Nearest centroid of a vector slice (ties → lowest id), L2 metric — PQ
     * always encodes by L2 over the group slice regardless of query metric. */
   def nearestInGroup(

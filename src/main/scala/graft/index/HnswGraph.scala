@@ -3,6 +3,21 @@ package graft.index
 import scala.collection.mutable
 import scala.util.Random
 
+/** Growable primitive int list — adjacency storage without the boxing a
+  * `mutable.ArrayBuffer[Int]` pays per element. */
+private[index] final class IntList(initialCap: Int = 8) {
+  private var arr = new Array[Int](math.max(initialCap, 4))
+  var size: Int = 0
+  @inline def apply(i: Int): Int = arr(i)
+  def add(v: Int): Unit = {
+    if (size == arr.length) arr = java.util.Arrays.copyOf(arr, size * 2)
+    arr(size) = v; size += 1
+  }
+  def clear(): Unit = size = 0
+  def toArray: Array[Int] = java.util.Arrays.copyOf(arr, size)
+  def addAll(vs: Array[Int]): Unit = { var i = 0; while (i < vs.length) { add(vs(i)); i += 1 } }
+}
+
 /** In-memory HNSW proximity graph over a local block of vectors — the
   * per-partition subgraph unit of the distributed HNSW operator
   * ([[graft.operators.Hnsw]]). Faithful port of the reference's algorithm:
@@ -21,8 +36,13 @@ import scala.util.Random
   *    query than to every already-kept neighbor
   *    (`/root/reference/src/index_algorithm/candidate_pair.rs:85-99`).
   *
-  * Single-threaded by design: one graph per Spark task; parallelism comes
-  * from partitioning, not from intra-graph threading (the reference's rayon
+  * Storage is a single packed `float[]` matrix (row `i` at `i*dim`) — no
+  * per-vector object, no pointer chase in the walk — and per-THREAD search
+  * state (visited-epoch array + frontier heap) is pooled in a ThreadLocal,
+  * so concurrent serving threads share one immutable graph with zero
+  * per-query allocation of visited sets. Build (`add`) remains
+  * single-threaded by design: one graph per Spark task; parallelism comes
+  * from partitioning, not intra-graph threading (the reference's rayon
   * batch path, `hnsw_index.rs:399-457`, is a single-process workaround for
   * what Spark tasks give us directly).
   */
@@ -39,28 +59,43 @@ final class HnswGraph(
   val defaultEf: Int = efConstruction / 2
   private val invLogM = 1.0 / math.log(m.toDouble)
   private val rng = new Random(seed)
+  private val isCosine = dist == "cosine"
 
-  private val vecs = mutable.ArrayBuffer.empty[Array[Float]]
-  private val vecLevel = mutable.ArrayBuffer.empty[Int]
+  /** Packed vectors: row i occupies [i*dim, (i+1)*dim). */
+  private var packed = new Array[Float](dim * 256)
+  private var n = 0
+  private val vecLevel = new IntList(256)
   // links(node)(level) — growable adjacency per level 0..vecLevel(node)
-  private val links = mutable.ArrayBuffer.empty[Array[mutable.ArrayBuffer[Int]]]
+  private val links = mutable.ArrayBuffer.empty[Array[IntList]]
   private var enterLevel = -1
   private var enterPoint = -1
 
-  def size: Int = vecs.length
+  def size: Int = n
+
+  private def appendVec(vec: Array[Float]): Unit = {
+    require(vec.length == dim, s"HNSW: dimension mismatch (${vec.length} vs $dim)")
+    if ((n + 1) * dim > packed.length)
+      packed = java.util.Arrays.copyOf(packed, math.max(packed.length * 2, (n + 1) * dim))
+    System.arraycopy(vec, 0, packed, n * dim, dim)
+    n += 1
+  }
 
   /** Traversal distance: SIMD float kernels — the reference's own f32
     * accumulation (`/root/reference/src/distance/mod.rs:71-85`). Search
-    * results are re-scored with [[exactDistance]] before being returned. */
-  private def distance(a: Array[Float], b: Array[Float]): Double =
-    if (dist == "cosine") Simd.cosine(a, b) else Simd.l2sq(a, b)
+    * results are re-scored with the exact double kernels before being
+    * returned. */
+  @inline private def distTo(idx: Int, q: Array[Float]): Double =
+    if (isCosine) Simd.cosineOff(q, packed, idx * dim)
+    else Simd.l2sqOff(q, packed, idx * dim)
+
+  @inline private def distBetween(i: Int, j: Int): Double =
+    if (isCosine) Simd.cosineOff2(packed, i * dim, packed, j * dim, dim)
+    else Simd.l2sqOff2(packed, i * dim, packed, j * dim, dim)
 
   /** Double-accumulation distance matching the Spark-side `VecDistance`. */
-  private def exactDistance(a: Array[Float], b: Array[Float]): Double =
-    if (dist == "cosine") Simd.cosineExact(a, b) else Simd.l2sqExact(a, b)
-
-  private def distTo(idx: Int, q: Array[Float]): Double = distance(vecs(idx), q)
-  private def distBetween(i: Int, j: Int): Double = distance(vecs(i), vecs(j))
+  @inline private def exactDistTo(idx: Int, q: Array[Float]): Double =
+    if (isCosine) Simd.cosineExactOff(q, packed, idx * dim)
+    else Simd.l2sqExactOff(q, packed, idx * dim)
 
   private def randLevel(): Int = {
     var u = rng.nextDouble()
@@ -82,8 +117,9 @@ final class HnswGraph(
     private val is = new Array[Int](k)
     var size: Int = 0
 
-    def firstDist: Double = ds(0)
     def firstIdx: Int = is(0)
+    def distAt(p: Int): Double = ds(p)
+    def idxAt(p: Int): Int = is(p)
 
     @inline private def less(d: Double, i: Int, pos: Int): Boolean =
       d < ds(pos) || (d == ds(pos) && i < is(pos))
@@ -111,33 +147,38 @@ final class HnswGraph(
       size += 1
     }
 
-    def sortedVec: Array[(Double, Int)] =
-      Array.tabulate(size)(p => (ds(p), is(p)))
-
     /** Diversity heuristic (`candidate_pair.rs:85-99`): ascending scan, keep
       * a candidate iff it is closer to the query than to every kept one. */
-    def heuristic(limit: Int): mutable.ArrayBuffer[Int] = {
-      val kept = mutable.ArrayBuffer.empty[Int]
+    def heuristic(limit: Int, kept: IntList): Unit = {
+      kept.clear()
       var p = 0
       var continue = true
       while (continue && p < size) {
         val d = ds(p); val v = is(p)
-        if (kept.length >= limit) continue = false
-        else if (kept.forall(q => distBetween(v, q) >= d)) kept += v
+        if (kept.size >= limit) continue = false
+        else {
+          var ok = true
+          var qi = 0
+          while (ok && qi < kept.size) {
+            if (distBetween(v, kept(qi)) < d) ok = false
+            qi += 1
+          }
+          if (ok) kept.add(v)
+        }
         p += 1
       }
-      kept
     }
   }
 
   /** Min-heap of (distance, index) in (distance, index) order — the search
-    * frontier, primitive arrays. */
+    * frontier, primitive arrays, reused across searches via [[Ctx]]. */
   private final class CandidateHeap(initialCap: Int) {
     private var ds = new Array[Double](math.max(initialCap, 16))
     private var is = new Array[Int](ds.length)
     private var n = 0
 
     def isEmpty: Boolean = n == 0
+    def clear(): Unit = n = 0
 
     @inline private def lessAt(a: Int, b: Int): Boolean =
       ds(a) < ds(b) || (ds(a) == ds(b) && is(a) < is(b))
@@ -182,12 +223,40 @@ final class HnswGraph(
     }
   }
 
+  /** Per-thread reusable search state: visited-epoch array (bump the epoch
+    * instead of clearing — O(1) reset per search) and the frontier heap.
+    * One instance per (thread, graph); concurrent serving threads never
+    * share mutable state. */
+  private final class Ctx {
+    var visited = new Array[Int](math.max(n, 16))
+    var epoch = 0
+    val heap = new CandidateHeap(64)
+    val scratch = new IntList(64)
+    def begin(): Unit = {
+      if (visited.length < n) {
+        visited = new Array[Int](math.max(n, visited.length * 2))
+        epoch = 0
+      }
+      if (epoch == Int.MaxValue) {
+        java.util.Arrays.fill(visited, 0)
+        epoch = 0
+      }
+      epoch += 1
+      heap.clear()
+    }
+    @inline def seen(i: Int): Boolean = visited(i) == epoch
+    @inline def mark(i: Int): Unit = visited(i) = epoch
+  }
+
+  private val ctxTL: ThreadLocal[Ctx] = ThreadLocal.withInitial(() => new Ctx)
+
   private def searchOnLevel(
       enter: Int, level: Int, ef: Int, q: Array[Float]): ResultSet = {
-    val visited = new java.util.BitSet(size)
-    val queue = new CandidateHeap(ef * 2)
+    val ctx = ctxTL.get()
+    ctx.begin()
+    val queue = ctx.heap
     val result = new ResultSet(ef)
-    visited.set(enter)
+    ctx.mark(enter)
     val d0 = distTo(enter, q)
     result.add(d0, enter)
     queue.push(d0, enter)
@@ -198,10 +267,10 @@ final class HnswGraph(
       else {
         val nbrs = links(queue.popIdx)(level)
         var i = 0
-        while (i < nbrs.length) {
+        while (i < nbrs.size) {
           val p = nbrs(i)
-          if (!visited.get(p)) {
-            visited.set(p)
+          if (!ctx.seen(p)) {
+            ctx.mark(p)
             val nd = distTo(p, q)
             result.add(nd, p)
             queue.push(nd, p)
@@ -221,7 +290,7 @@ final class HnswGraph(
       improved = false
       val nbrs = links(curP)(level)
       var i = 0
-      while (i < nbrs.length) {
+      while (i < nbrs.size) {
         val p = nbrs(i)
         val nd = distTo(p, q)
         if (nd < curD) { curD = nd; curP = p; improved = true }
@@ -246,42 +315,47 @@ final class HnswGraph(
   private def arrangeLinks(vecIdx: Int, level: Int, newVecIdx: Int): Unit = {
     val limit = linksLimit(level)
     val l = links(vecIdx)(level)
-    l += newVecIdx
-    if (l.length <= limit) return
+    l.add(newVecIdx)
+    if (l.size <= limit) return
     val set = new ResultSet(limit + 1)
-    l.foreach(idx => set.add(distBetween(vecIdx, idx), idx))
-    val pruned = set.heuristic(limit)
+    var i = 0
+    while (i < l.size) { set.add(distBetween(vecIdx, l(i)), l(i)); i += 1 }
+    val kept = ctxTL.get().scratch
+    set.heuristic(limit, kept)
     l.clear()
-    l ++= pruned
+    i = 0
+    while (i < kept.size) { l.add(kept(i)); i += 1 }
   }
 
   /** Set a fresh node's neighbors (≤ M even at level 0) and fix up the
     * reverse links (`connect_new_links`, `hnsw_index.rs:226-239`). */
   private def connectNewLinks(vecIdx: Int, level: Int, candidates: ResultSet): Unit = {
-    val neighbors = candidates.heuristic(m)
-    links(vecIdx)(level) ++= neighbors
-    neighbors.foreach(n => arrangeLinks(n, level, vecIdx))
+    val kept = ctxTL.get().scratch
+    candidates.heuristic(m, kept)
+    val l = links(vecIdx)(level)
+    val neighbors = kept.toArray
+    l.addAll(neighbors)
+    var i = 0
+    while (i < neighbors.length) { arrangeLinks(neighbors(i), level, vecIdx); i += 1 }
   }
 
   /** Append a node with precomputed structure (deserialization path — does
     * not search or mutate other nodes' links). */
   private[index] def loadNode(
       vec: Array[Float], level: Int, ls: Array[Array[Int]]): Unit = {
-    require(vec.length == dim, s"HNSW load: dimension mismatch (${vec.length} vs $dim)")
-    vecs += vec
-    vecLevel += level
-    links += ls.map(a => mutable.ArrayBuffer.from(a))
-    if (level > enterLevel) { enterLevel = level; enterPoint = vecs.length - 1 }
+    appendVec(vec)
+    vecLevel.add(level)
+    links += ls.map { a => val il = new IntList(a.length); il.addAll(a); il }
+    if (level > enterLevel) { enterLevel = level; enterPoint = n - 1 }
   }
 
   /** B5 — single insert (`HNSWIndex::add`, `hnsw_index.rs:538-572`). */
   def add(vec: Array[Float]): Int = {
-    require(vec.length == dim, s"HNSW add: dimension mismatch (${vec.length} vs $dim)")
     val level = randLevel()
-    val idx = vecs.length
-    vecs += vec
-    vecLevel += level
-    links += Array.fill(level + 1)(mutable.ArrayBuffer.empty[Int])
+    val idx = n
+    appendVec(vec)
+    vecLevel.add(level)
+    links += Array.fill(level + 1)(new IntList(8))
     if (enterPoint < 0) {
       enterLevel = level; enterPoint = idx
       return idx
@@ -305,17 +379,53 @@ final class HnswGraph(
     * double kernel and re-sorted before the top-k cut, so returned
     * distances (and the k-selection among the beam's survivors) match the
     * engine's double-accumulation convention bit-for-bit.
-    * Returns (localIndex, distance) pairs. */
-  def search(q: Array[Float], k: Int, ef: Int): Array[(Int, Double)] = {
-    if (size == 0) return Array.empty
+    *
+    * Primitive-array variant: fills `outIds`/`outDists` (caller-allocated,
+    * length ≥ k) ascending by (distance, index) and returns the hit count —
+    * the zero-allocation serving hot path. */
+  def searchInto(
+      q: Array[Float], k: Int, ef: Int,
+      outIds: Array[Int], outDists: Array[Double]): Int = {
+    if (n == 0) return 0
     val efq = math.max(ef, k)
     val enter = greedyUntilLevel(0, q)
     val result = searchOnLevel(enter, 0, efq, q)
-    result.sortedVec
-      .map { case (_, i) => (exactDistance(vecs(i), q), i) }
-      .sortBy { case (d, i) => (d, i) }
-      .take(k)
-      .map { case (d, i) => (i, d) }
+    // exact re-score + bounded (distance, index) top-k insert
+    var cnt = 0
+    var p = 0
+    while (p < result.size) {
+      val idx = result.idxAt(p)
+      val d = exactDistTo(idx, q)
+      if (cnt < k || d < outDists(cnt - 1) ||
+          (d == outDists(cnt - 1) && idx < outIds(cnt - 1))) {
+        var lo = 0; var hi = cnt
+        while (lo < hi) {
+          val mid = (lo + hi) >>> 1
+          if (outDists(mid) < d || (outDists(mid) == d && outIds(mid) < idx)) lo = mid + 1
+          else hi = mid
+        }
+        val nShift = math.min(cnt, k - 1) - lo
+        if (nShift > 0) {
+          System.arraycopy(outIds, lo, outIds, lo + 1, nShift)
+          System.arraycopy(outDists, lo, outDists, lo + 1, nShift)
+        }
+        if (lo < k) {
+          outIds(lo) = idx; outDists(lo) = d
+          if (cnt < k) cnt += 1
+        }
+      }
+      p += 1
+    }
+    cnt
+  }
+
+  /** Tuple-returning wrapper over [[searchInto]] (tests / non-hot callers).
+    * Returns (localIndex, distance) pairs ascending by (distance, index). */
+  def search(q: Array[Float], k: Int, ef: Int): Array[(Int, Double)] = {
+    val ids = new Array[Int](math.max(k, 1))
+    val ds = new Array[Double](math.max(k, 1))
+    val cnt = searchInto(q, k, ef, ids, ds)
+    Array.tabulate(cnt)(i => (ids(i), ds(i)))
   }
 
   def searchDefault(q: Array[Float], k: Int): Array[(Int, Double)] =
@@ -330,7 +440,8 @@ final class HnswGraph(
     * how insertion maintains it — `enterLevel` only increases on strictly
     * greater levels). */
   def exportNode(i: Int): (Array[Float], Int, Array[Array[Int]]) =
-    (vecs(i), vecLevel(i), links(i).map(_.toArray))
+    (java.util.Arrays.copyOfRange(packed, i * dim, (i + 1) * dim),
+      vecLevel(i), links(i).map(_.toArray))
 }
 
 object HnswGraph {

@@ -23,17 +23,99 @@ object Simd {
 
   def l2sq(a: Array[Float], b: Array[Float]): Double = {
     val n = a.length
-    val upper = FS.loopBound(n)
-    var acc = FloatVector.zero(FS)
+    val L = FS.length()
+    // 4 independent accumulators: a single-accumulator fma chain is
+    // latency-bound (~4-5 cycles per step), which measured ~4× slower than
+    // this on dim-960 inputs.
+    val upper4 = n - n % (4 * L)
+    var acc0 = FloatVector.zero(FS); var acc1 = FloatVector.zero(FS)
+    var acc2 = FloatVector.zero(FS); var acc3 = FloatVector.zero(FS)
     var i = 0
+    while (i < upper4) {
+      val d0 = FloatVector.fromArray(FS, a, i).sub(FloatVector.fromArray(FS, b, i))
+      val d1 = FloatVector.fromArray(FS, a, i + L).sub(FloatVector.fromArray(FS, b, i + L))
+      val d2 = FloatVector.fromArray(FS, a, i + 2 * L).sub(FloatVector.fromArray(FS, b, i + 2 * L))
+      val d3 = FloatVector.fromArray(FS, a, i + 3 * L).sub(FloatVector.fromArray(FS, b, i + 3 * L))
+      acc0 = d0.fma(d0, acc0); acc1 = d1.fma(d1, acc1)
+      acc2 = d2.fma(d2, acc2); acc3 = d3.fma(d3, acc3)
+      i += 4 * L
+    }
+    val upper = FS.loopBound(n)
     while (i < upper) {
       val d = FloatVector.fromArray(FS, a, i).sub(FloatVector.fromArray(FS, b, i))
-      acc = d.fma(d, acc)
-      i += FS.length()
+      acc0 = d.fma(d, acc0)
+      i += L
     }
-    var s = acc.reduceLanes(VectorOperators.ADD).toDouble
+    var s = acc0.add(acc1).add(acc2.add(acc3))
+      .reduceLanes(VectorOperators.ADD).toDouble
     while (i < n) { val dd = a(i).toDouble - b(i); s += dd * dd; i += 1 }
     s
+  }
+
+  /** l2sq against a slice of a packed matrix (row `off/dim` of a flat
+    * `float[]`): the pointer-chase-free layout the graph walk uses. */
+  def l2sqOff(a: Array[Float], b: Array[Float], off: Int): Double = {
+    val n = a.length
+    val L = FS.length()
+    val upper4 = n - n % (4 * L)
+    var acc0 = FloatVector.zero(FS); var acc1 = FloatVector.zero(FS)
+    var acc2 = FloatVector.zero(FS); var acc3 = FloatVector.zero(FS)
+    var i = 0
+    while (i < upper4) {
+      val d0 = FloatVector.fromArray(FS, a, i).sub(FloatVector.fromArray(FS, b, off + i))
+      val d1 = FloatVector.fromArray(FS, a, i + L).sub(FloatVector.fromArray(FS, b, off + i + L))
+      val d2 = FloatVector.fromArray(FS, a, i + 2 * L).sub(FloatVector.fromArray(FS, b, off + i + 2 * L))
+      val d3 = FloatVector.fromArray(FS, a, i + 3 * L).sub(FloatVector.fromArray(FS, b, off + i + 3 * L))
+      acc0 = d0.fma(d0, acc0); acc1 = d1.fma(d1, acc1)
+      acc2 = d2.fma(d2, acc2); acc3 = d3.fma(d3, acc3)
+      i += 4 * L
+    }
+    val upper = FS.loopBound(n)
+    while (i < upper) {
+      val d = FloatVector.fromArray(FS, a, i).sub(FloatVector.fromArray(FS, b, off + i))
+      acc0 = d.fma(d, acc0)
+      i += L
+    }
+    var s = acc0.add(acc1).add(acc2.add(acc3))
+      .reduceLanes(VectorOperators.ADD).toDouble
+    while (i < n) { val dd = a(i).toDouble - b(off + i); s += dd * dd; i += 1 }
+    s
+  }
+
+  /** cosine against a packed-matrix slice; 1e-10 clamp as [[cosine]]. */
+  def cosineOff(a: Array[Float], b: Array[Float], off: Int): Double = {
+    val n = a.length
+    val L = FS.length()
+    val upper2 = n - n % (2 * L)
+    var accD0 = FloatVector.zero(FS); var accD1 = FloatVector.zero(FS)
+    var accA0 = FloatVector.zero(FS); var accA1 = FloatVector.zero(FS)
+    var accB0 = FloatVector.zero(FS); var accB1 = FloatVector.zero(FS)
+    var i = 0
+    while (i < upper2) {
+      val va0 = FloatVector.fromArray(FS, a, i)
+      val vb0 = FloatVector.fromArray(FS, b, off + i)
+      val va1 = FloatVector.fromArray(FS, a, i + L)
+      val vb1 = FloatVector.fromArray(FS, b, off + i + L)
+      accD0 = va0.fma(vb0, accD0); accD1 = va1.fma(vb1, accD1)
+      accA0 = va0.fma(va0, accA0); accA1 = va1.fma(va1, accA1)
+      accB0 = vb0.fma(vb0, accB0); accB1 = vb1.fma(vb1, accB1)
+      i += 2 * L
+    }
+    val upper = FS.loopBound(n)
+    while (i < upper) {
+      val va = FloatVector.fromArray(FS, a, i)
+      val vb = FloatVector.fromArray(FS, b, off + i)
+      accD0 = va.fma(vb, accD0); accA0 = va.fma(va, accA0); accB0 = vb.fma(vb, accB0)
+      i += L
+    }
+    var d = accD0.add(accD1).reduceLanes(VectorOperators.ADD).toDouble
+    var na = accA0.add(accA1).reduceLanes(VectorOperators.ADD).toDouble
+    var nb = accB0.add(accB1).reduceLanes(VectorOperators.ADD).toDouble
+    while (i < n) {
+      val x = a(i).toDouble; val y = b(off + i).toDouble
+      d += x * y; na += x * x; nb += y * y; i += 1
+    }
+    1.0 - d / math.max(math.sqrt(na) * math.sqrt(nb), 1e-10)
   }
 
   def dot(a: Array[Float], b: Array[Float]): Double = {
@@ -76,12 +158,83 @@ object Simd {
     1.0 - d / math.max(math.sqrt(na) * math.sqrt(nb), 1e-10)
   }
 
+  /** l2sq between two rows of packed matrices. */
+  def l2sqOff2(a: Array[Float], offA: Int, b: Array[Float], offB: Int, dim: Int): Double = {
+    val L = FS.length()
+    val upper4 = dim - dim % (4 * L)
+    var acc0 = FloatVector.zero(FS); var acc1 = FloatVector.zero(FS)
+    var acc2 = FloatVector.zero(FS); var acc3 = FloatVector.zero(FS)
+    var i = 0
+    while (i < upper4) {
+      val d0 = FloatVector.fromArray(FS, a, offA + i).sub(FloatVector.fromArray(FS, b, offB + i))
+      val d1 = FloatVector.fromArray(FS, a, offA + i + L).sub(FloatVector.fromArray(FS, b, offB + i + L))
+      val d2 = FloatVector.fromArray(FS, a, offA + i + 2 * L).sub(FloatVector.fromArray(FS, b, offB + i + 2 * L))
+      val d3 = FloatVector.fromArray(FS, a, offA + i + 3 * L).sub(FloatVector.fromArray(FS, b, offB + i + 3 * L))
+      acc0 = d0.fma(d0, acc0); acc1 = d1.fma(d1, acc1)
+      acc2 = d2.fma(d2, acc2); acc3 = d3.fma(d3, acc3)
+      i += 4 * L
+    }
+    val upper = dim - dim % L
+    while (i < upper) {
+      val d = FloatVector.fromArray(FS, a, offA + i).sub(FloatVector.fromArray(FS, b, offB + i))
+      acc0 = d.fma(d, acc0)
+      i += L
+    }
+    var s = acc0.add(acc1).add(acc2.add(acc3))
+      .reduceLanes(VectorOperators.ADD).toDouble
+    while (i < dim) { val dd = a(offA + i).toDouble - b(offB + i); s += dd * dd; i += 1 }
+    s
+  }
+
+  /** cosine between two rows of packed matrices; 1e-10 clamp. */
+  def cosineOff2(a: Array[Float], offA: Int, b: Array[Float], offB: Int, dim: Int): Double = {
+    val L = FS.length()
+    val upper = dim - dim % L
+    var accD = FloatVector.zero(FS)
+    var accA = FloatVector.zero(FS)
+    var accB = FloatVector.zero(FS)
+    var i = 0
+    while (i < upper) {
+      val va = FloatVector.fromArray(FS, a, offA + i)
+      val vb = FloatVector.fromArray(FS, b, offB + i)
+      accD = va.fma(vb, accD)
+      accA = va.fma(va, accA)
+      accB = vb.fma(vb, accB)
+      i += L
+    }
+    var d = accD.reduceLanes(VectorOperators.ADD).toDouble
+    var na = accA.reduceLanes(VectorOperators.ADD).toDouble
+    var nb = accB.reduceLanes(VectorOperators.ADD).toDouble
+    while (i < dim) {
+      val x = a(offA + i).toDouble; val y = b(offB + i).toDouble
+      d += x * y; na += x * x; nb += y * y; i += 1
+    }
+    1.0 - d / math.max(math.sqrt(na) * math.sqrt(nb), 1e-10)
+  }
+
   // ------------------------------------------------- exact (double) tier
 
   def l2sqExact(a: Array[Float], b: Array[Float]): Double = {
     var acc = 0.0; var i = 0
     while (i < a.length) { val d = a(i).toDouble - b(i); acc += d * d; i += 1 }
     acc
+  }
+
+  /** Exact double-accumulation l2sq against a packed-matrix row. */
+  def l2sqExactOff(a: Array[Float], b: Array[Float], off: Int): Double = {
+    var acc = 0.0; var i = 0
+    while (i < a.length) { val d = a(i).toDouble - b(off + i); acc += d * d; i += 1 }
+    acc
+  }
+
+  /** Exact double-accumulation cosine against a packed-matrix row. */
+  def cosineExactOff(a: Array[Float], b: Array[Float], off: Int): Double = {
+    var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) {
+      val x = a(i).toDouble; val y = b(off + i).toDouble
+      d += x * y; na += x * x; nb += y * y; i += 1
+    }
+    1.0 - d / math.max(math.sqrt(na) * math.sqrt(nb), 1e-10)
   }
 
   def cosineExact(a: Array[Float], b: Array[Float]): Double = {

@@ -57,10 +57,11 @@ object Hnsw {
           val g = new HnswGraph(rows(0)._2.length, dist, m, efConstruction,
             seed + pid)
           rows.foreach(r => g.add(r._2))
+          val hitIds = new Array[Int](k)
+          val hitDs = new Array[Double](k)
           bc.value.iterator.flatMap { case (qid, qv) =>
-            g.search(qv, k, efq).iterator.map { case (local, d) =>
-              (qid, rows(local)._1, d)
-            }
+            val cnt = g.searchInto(qv, k, efq, hitIds, hitDs)
+            Iterator.range(0, cnt).map(i => (qid, rows(hitIds(i))._1, hitDs(i)))
           }
         }
       }
@@ -173,9 +174,12 @@ object Hnsw {
           case None => build
         }
         if (e.ids.isEmpty) Iterator.empty
-        else bc.value.iterator.flatMap { case (qid, qv) =>
-          e.graph.search(qv, k, efq).iterator.map { case (local, d) =>
-            (qid, e.ids(local), d)
+        else {
+          val hitIds = new Array[Int](k)
+          val hitDs = new Array[Double](k)
+          bc.value.iterator.flatMap { case (qid, qv) =>
+            val cnt = e.graph.searchInto(qv, k, efq, hitIds, hitDs)
+            Iterator.range(0, cnt).map(i => (qid, e.ids(hitIds(i)), hitDs(i)))
           }
         }
       }
@@ -200,15 +204,17 @@ object Hnsw {
 
   /** Driver-side LRU of index broadcasts keyed by cacheKey: a serving
     * workload calls [[searchBroadcast]] per query batch, and without this
-    * every batch re-collects and re-ships the whole index. Evicted
-    * broadcasts are destroyed to free executor memory. */
+    * every batch re-collects and re-ships the whole index. Eviction uses
+    * `unpersist` (lazy, non-blocking), NOT `destroy`: a previously returned
+    * lazy plan may still reference the broadcast, and unpersist lets such
+    * in-flight executions re-fetch from the driver instead of failing. */
   private val bcCache =
     new java.util.LinkedHashMap[String, org.apache.spark.broadcast.Broadcast[GroupedIndex]](
       8, 0.75f, true) {
       override def removeEldestEntry(
           e: java.util.Map.Entry[String, org.apache.spark.broadcast.Broadcast[GroupedIndex]])
         : Boolean =
-        if (size() > 8) { e.getValue.destroy(); true } else false
+        if (size() > 8) { e.getValue.unpersist(blocking = false); true } else false
     }
 
   def searchBroadcast(
@@ -273,24 +279,50 @@ object Hnsw {
             }
           }
           val entries = Array.tabulate(bcIdx.value.length)(entryFor)
+          // reusable per-task buffers: subgraph hits + bounded global merge
+          val subIds = new Array[Int](k)
+          val subDs = new Array[Double](k)
+          val bestIds = new Array[Long](k)
+          val bestDs = new Array[Double](k)
           qit.flatMap { case (qid, qv) =>
-            // cross-subgraph merge: ascending (distance, id) set capped at k
-            val best = new java.util.TreeSet[(Double, Long)](
-              (a: (Double, Long), b: (Double, Long)) => {
-                val c = java.lang.Double.compare(a._1, b._1)
-                if (c != 0) c else java.lang.Long.compare(a._2, b._2)
-              })
-            entries.foreach { e =>
-              e.graph.search(qv, k, efq).foreach { case (local, d) =>
+            // cross-subgraph merge: ascending (distance, id), capped at k
+            var cnt = 0
+            var ei = 0
+            while (ei < entries.length) {
+              val e = entries(ei)
+              val c = e.graph.searchInto(qv, k, efq, subIds, subDs)
+              var i = 0
+              while (i < c) {
+                val d = subDs(i)
                 if (d <= upperBound) {
-                  best.add((d, e.ids(local)))
-                  if (best.size > k) best.pollLast()
+                  val id = e.ids(subIds(i))
+                  if (cnt < k || d < bestDs(cnt - 1) ||
+                      (d == bestDs(cnt - 1) && id < bestIds(cnt - 1))) {
+                    var lo = 0; var hi = cnt
+                    while (lo < hi) {
+                      val mid = (lo + hi) >>> 1
+                      if (bestDs(mid) < d || (bestDs(mid) == d && bestIds(mid) < id)) lo = mid + 1
+                      else hi = mid
+                    }
+                    val nShift = math.min(cnt, k - 1) - lo
+                    if (nShift > 0) {
+                      System.arraycopy(bestIds, lo, bestIds, lo + 1, nShift)
+                      System.arraycopy(bestDs, lo, bestDs, lo + 1, nShift)
+                    }
+                    if (lo < k) {
+                      bestIds(lo) = id; bestDs(lo) = d
+                      if (cnt < k) cnt += 1
+                    }
+                  }
                 }
+                i += 1
               }
+              ei += 1
             }
-            val it = best.iterator()
-            Iterator.continually(it).takeWhile(_.hasNext)
-              .map { i => val (d, id) = i.next(); (qid, id, d) }
+            val out = new Array[(Long, Long, Double)](cnt)
+            var i = 0
+            while (i < cnt) { out(i) = (qid, bestIds(i), bestDs(i)); i += 1 }
+            out.iterator
           }
         }
       }

@@ -207,14 +207,18 @@ object Pq {
       .select(col("query_id").cast("long"), col("query_vec"))
       .as[(Long, Array[Float])].collect()
     val cosine = model.dist == "cosine"
+    // float lookup tables: selection-grade precision (winners are exact
+    // re-ranked), half the cache footprint of double — the scan's lut reads
+    // are the hot memory traffic
     val lookups = qs.map(q => PqKernel.buildLookup(q._2, model.centroids,
-      model.nBits, model.dist))
+      model.nBits, model.dist).map(_.toFloat))
     val norms = if (cosine)
       qs.map(q => math.sqrt(q._2.foldLeft(0.0)((a, x) => a + x.toDouble * x)))
     else Array.empty[Double]
     val centDot = model.centroidDotCache
     val nBits = model.nBits
     val m = model.m
+    val kCent = model.k
     val bc = spark.sparkContext.broadcast((qs.map(_._1), lookups, norms))
 
     val partial = encoded
@@ -228,29 +232,36 @@ object Pq {
           val bufD = Array.fill(nq)(new Array[Double](efK))
           val bufI = Array.fill(nq)(new Array[Long](efK))
           val sz = new Array[Int](nq)
+          // chunked: decode the packed codes ONCE per chunk (one byte per
+          // group — no per-pair nibble work), then score 4 queries per code
+          // pass; chunking bounds the decode buffer however many rows the
+          // partition holds
+          val chunk = 8192
+          val ids = new Array[Long](chunk)
+          val codes = new Array[Byte](chunk * m)
+          val cdRow = if (cosine) new Array[Double](chunk) else null
           while (it.hasNext) {
-            val (id, code) = it.next()
-            var qi = 0
-            while (qi < nq) {
-              val d = PqKernel.adcScore(code, lks(qi), centDot, nBits, m,
-                cosine, if (cosine) qns(qi) else 0.0)
-              val n = sz(qi)
-              val ds = bufD(qi); val ids = bufI(qi)
-              if (n < efK || d < ds(n - 1) || (d == ds(n - 1) && id < ids(n - 1))) {
-                val mm = if (n < efK) n else n - 1
-                var lo = 0; var hi = mm
-                while (lo < hi) {
-                  val mid = (lo + hi) >>> 1
-                  if (d < ds(mid) || (d == ds(mid) && id < ids(mid))) hi = mid
-                  else lo = mid + 1
-                }
-                System.arraycopy(ds, lo, ds, lo + 1, mm - lo)
-                System.arraycopy(ids, lo, ids, lo + 1, mm - lo)
-                ds(lo) = d; ids(lo) = id
-                if (n < efK) sz(qi) = n + 1
-              }
-              qi += 1
+            var nRows = 0
+            while (nRows < chunk && it.hasNext) {
+              val (id, code) = it.next()
+              ids(nRows) = id
+              PqKernel.decodeInto(code, m, nBits, codes, nRows * m)
+              nRows += 1
             }
+            if (cosine) {
+              var r = 0
+              while (r < nRows) {
+                var acc = 0.0
+                var g = 0; var gk = 0; val base = r * m
+                while (g < m) {
+                  acc += centDot(gk + (codes(base + g) & 0xff)); g += 1; gk += kCent
+                }
+                cdRow(r) = acc
+                r += 1
+              }
+            }
+            PqKernel.adcScanChunk(codes, nRows, m, kCent, lks, 0, nq,
+              cosine, cdRow, qns, ids, bufD, bufI, sz, efK)
           }
           Iterator.range(0, nq).flatMap { qi =>
             Iterator.range(0, sz(qi)).map(p => (qids(qi), bufI(qi)(p), bufD(qi)(p)))
@@ -265,5 +276,179 @@ object Pq {
       .select(col("query_id"),
         explode(transform(col("topef"), h => h.getField("id"))).as("id"))
     rerank(encoded, queries, approx, model, k, upperBound)
+  }
+
+  /** In-memory serving unit for [[searchFlatServe]]: decoded codes, packed
+    * vectors, ids, and (cosine) per-row centroid self-dot sums. */
+  private final case class ServeIndex(
+      ids: Array[Long],
+      codes: Array[Byte], // nRows × m, decoded
+      nRows: Int,
+      vecs: Array[Float], // nRows × dim, packed
+      cdRow: Array[Double]) // nRows (cosine) or null
+
+  /** Driver-side LRU of serve-index broadcasts, keyed by cacheKey — same
+    * role as the HNSW broadcast cache: a serving workload hits this per
+    * batch. Eviction unpersists (lazy) rather than destroys so in-flight
+    * plans keep working. */
+  private val serveCache =
+    new java.util.LinkedHashMap[String, org.apache.spark.broadcast.Broadcast[ServeIndex]](
+      8, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, org.apache.spark.broadcast.Broadcast[ServeIndex]])
+        : Boolean =
+        if (size() > 8) { e.getValue.unpersist(blocking = false); true } else false
+    }
+
+  /** T7, query-partitioned serving shape (the inverse of
+    * [[searchFlatBroadcast]], mirroring `Hnsw.searchBroadcast`): broadcast
+    * the DECODED code matrix + packed vectors, partition the queries, and
+    * resolve each query entirely in its task — blocked ADC scan to top-ef,
+    * exact in-task re-rank to top-k, zero shuffles. Right whenever codes +
+    * vectors fit in executor memory (the reference's whole operating
+    * envelope — its Flat+PQ scan IS an in-memory design,
+    * `/root/reference/src/index_algorithm/flat_index.rs:84-104`). For
+    * tables beyond the broadcast gate use [[searchFlatBroadcast]], which
+    * streams the code column and never materializes the table.
+    *
+    * Within-scan ordering ties break by local row order rather than global
+    * id (the final top-k ties break by (distance, id) as everywhere); the
+    * two can differ only when distinct rows tie exactly at the ef boundary.
+    */
+  def searchFlatServe(
+      encoded: DataFrame, // (id, vec, code)
+      model: PqModel,
+      queries: DataFrame,
+      k: Int,
+      ef: Int,
+      upperBound: Double = Double.PositiveInfinity,
+      cacheKey: Option[String] = None): DataFrame = {
+    val spark = encoded.sparkSession
+    import spark.implicits._
+    val efK = math.max(ef, k)
+    val cosine = model.dist == "cosine"
+    val m = model.m
+    val kCent = model.k
+    val nBits = model.nBits
+    val dim = model.dim
+    val centroids = model.centroids
+    val distKind = model.dist
+    val centDot = model.centroidDotCache
+
+    def collectAndShip(): org.apache.spark.broadcast.Broadcast[ServeIndex] = {
+      val rows = encoded
+        .select(col("id").cast("long"), col("vec"), col("code"))
+        .as[(Long, Array[Float], Array[Byte])]
+        .collect()
+      val n = rows.length
+      val ids = new Array[Long](n)
+      val codes = new Array[Byte](n * m)
+      val vecs = new Array[Float](n * dim)
+      val cdRow = if (cosine) new Array[Double](n) else null
+      var r = 0
+      while (r < n) {
+        ids(r) = rows(r)._1
+        System.arraycopy(rows(r)._2, 0, vecs, r * dim, dim)
+        PqKernel.decodeInto(rows(r)._3, m, nBits, codes, r * m)
+        if (cosine) {
+          var acc = 0.0
+          var g = 0; var gk = 0; val base = r * m
+          while (g < m) { acc += centDot(gk + (codes(base + g) & 0xff)); g += 1; gk += kCent }
+          cdRow(r) = acc
+        }
+        r += 1
+      }
+      spark.sparkContext.broadcast(ServeIndex(ids, codes, n, vecs, cdRow))
+    }
+    val bcIdx = cacheKey match {
+      case Some(ck) => serveCache.synchronized {
+        Option(serveCache.get(ck)).getOrElse {
+          val b = collectAndShip(); serveCache.put(ck, b); b
+        }
+      }
+      case None => collectAndShip()
+    }
+
+    val qds = queries
+      .select(col("query_id").cast("long"), col("query_vec"))
+      .as[(Long, Array[Float])]
+    val spread =
+      if (qds.rdd.getNumPartitions * 2 >= spark.sparkContext.defaultParallelism) qds
+      else qds.repartition(spark.sparkContext.defaultParallelism)
+    spread
+      .mapPartitions { qit =>
+        if (qit.isEmpty) Iterator.empty
+        else {
+          val si = bcIdx.value
+          // local row indices ride through the scan as the "ids"; global
+          // ids only attach at the final emit
+          val rowIdx = Array.tabulate(si.nRows)(_.toLong)
+          val bufD = Array.fill(4)(new Array[Double](efK))
+          val bufI = Array.fill(4)(new Array[Long](efK))
+          val sz = new Array[Int](4)
+          val outIds = new Array[Long](k)
+          val outDs = new Array[Double](k)
+          qit.grouped(4).flatMap { block =>
+            val bn = block.length
+            java.util.Arrays.fill(sz, 0)
+            val luts = new Array[Array[Float]](bn)
+            val qns = new Array[Double](bn)
+            var bi = 0
+            while (bi < bn) {
+              val qv = block(bi)._2
+              luts(bi) = PqKernel.buildLookup(qv, centroids, nBits, distKind)
+                .map(_.toFloat)
+              if (cosine) {
+                var acc = 0.0; var i = 0
+                while (i < qv.length) { acc += qv(i).toDouble * qv(i); i += 1 }
+                qns(bi) = math.sqrt(acc)
+              }
+              bi += 1
+            }
+            PqKernel.adcScanChunk(si.codes, si.nRows, m, kCent, luts, 0, bn,
+              cosine, si.cdRow, qns, rowIdx, bufD, bufI, sz, efK)
+            Iterator.range(0, bn).flatMap { qi =>
+              // exact in-task re-rank of the ef winners (`pq_resort`)
+              val qv = block(qi)._2
+              var cnt = 0
+              var p = 0
+              while (p < sz(qi)) {
+                val r = bufI(qi)(p).toInt
+                val d =
+                  if (cosine) graft.index.Simd.cosineExactOff(qv, si.vecs, r * dim)
+                  else graft.index.Simd.l2sqExactOff(qv, si.vecs, r * dim)
+                if (d <= upperBound) {
+                  val id = si.ids(r)
+                  if (cnt < k || d < outDs(cnt - 1) ||
+                      (d == outDs(cnt - 1) && id < outIds(cnt - 1))) {
+                    var lo = 0; var hi = cnt
+                    while (lo < hi) {
+                      val mid = (lo + hi) >>> 1
+                      if (outDs(mid) < d || (outDs(mid) == d && outIds(mid) < id)) lo = mid + 1
+                      else hi = mid
+                    }
+                    val nShift = math.min(cnt, k - 1) - lo
+                    if (nShift > 0) {
+                      System.arraycopy(outIds, lo, outIds, lo + 1, nShift)
+                      System.arraycopy(outDs, lo, outDs, lo + 1, nShift)
+                    }
+                    if (lo < k) {
+                      outIds(lo) = id; outDs(lo) = d
+                      if (cnt < k) cnt += 1
+                    }
+                  }
+                }
+                p += 1
+              }
+              val qid = block(qi)._1
+              val out = new Array[(Long, Long, Double)](cnt)
+              var i = 0
+              while (i < cnt) { out(i) = (qid, outIds(i), outDs(i)); i += 1 }
+              out.iterator
+            }
+          }
+        }
+      }
+      .toDF("query_id", "id", "distance")
   }
 }

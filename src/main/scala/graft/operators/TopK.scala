@@ -4,7 +4,7 @@ import java.nio.ByteBuffer
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{BoundReference, Expression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.graftshim.ColumnShim
@@ -110,18 +110,44 @@ case class TopKAggregate(
   override def createAggregationBuffer(): TopKState =
     new TopKState(k, payloadExpr.isDefined)
 
+  // After planning, the id/distance children are BoundReferences into the
+  // child projection (operators project the distance before aggregating).
+  // Reading the primitives straight off the InternalRow avoids boxing a
+  // (java.lang.Long, java.lang.Double) pair per SCANNED row — at a 200M-pair
+  // batch-KNN scan that boxing was GC-bound and ~7× the serving path.
+  private lazy val idOrd: Int = idExpr match {
+    case b: BoundReference if b.dataType == LongType => b.ordinal
+    case _ => -1
+  }
+  private lazy val distOrd: Int = distExpr match {
+    case b: BoundReference if b.dataType == DoubleType => b.ordinal
+    case _ => -1
+  }
+
   override def update(buffer: TopKState, input: InternalRow): TopKState = {
-    val idV = idExpr.eval(input)
-    val dV = distExpr.eval(input)
-    if (idV != null && dV != null) {
-      val p = payloadExpr match {
-        case Some(pe) =>
-          val pv = pe.eval(input)
-          // copy out of the (possibly reused) input row buffer
-          if (pv == null) null else pv.asInstanceOf[UTF8String].getBytes
-        case None => null
+    if (idOrd >= 0 && distOrd >= 0) {
+      if (!input.isNullAt(idOrd) && !input.isNullAt(distOrd)) {
+        val p = payloadExpr match {
+          case Some(pe) =>
+            val pv = pe.eval(input)
+            if (pv == null) null else pv.asInstanceOf[UTF8String].getBytes
+          case None => null
+        }
+        buffer.insert(input.getLong(idOrd), input.getDouble(distOrd), p)
       }
-      buffer.insert(idV.asInstanceOf[Long], dV.asInstanceOf[Double], p)
+    } else {
+      val idV = idExpr.eval(input)
+      val dV = distExpr.eval(input)
+      if (idV != null && dV != null) {
+        val p = payloadExpr match {
+          case Some(pe) =>
+            val pv = pe.eval(input)
+            // copy out of the (possibly reused) input row buffer
+            if (pv == null) null else pv.asInstanceOf[UTF8String].getBytes
+          case None => null
+        }
+        buffer.insert(idV.asInstanceOf[Long], dV.asInstanceOf[Double], p)
+      }
     }
     buffer
   }
