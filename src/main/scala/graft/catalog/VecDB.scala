@@ -176,16 +176,26 @@ class VecDB(spark: SparkSession, root: String) {
   def add(key: String, vec: Array[Float], meta: Map[String, String] = Map.empty): Unit =
     batchAdd(key, Seq(vec), Seq(meta))
 
-  /** Append rows; clears PQ, keeps HNSW (`metadata_vec_table.rs:64-81`). */
+  /** Append rows; clears PQ, keeps HNSW (`metadata_vec_table.rs:64-81`).
+    *
+    * The id range is RESERVED in the brief before any data lands: a crash
+    * after the brief write leaves an id gap (harmless); the reverse order
+    * would leave committed rows with a stale `nextId`, so the next add
+    * would reuse ids and break the unique-id invariant the searches and
+    * meta joins rely on. */
   def batchAdd(key: String, vecs: Seq[Array[Float]],
       metas: Seq[Map[String, String]]): Unit = {
     require(vecs.length == metas.length, "vec/meta length mismatch")
-    val e = entry(key)
-    vecs.foreach(v => require(v.length == e.dim,
-      s"Dimension mismatch: got ${v.length}, expected ${e.dim}"))
+    val e0 = entry(key)
+    vecs.foreach(v => require(v.length == e0.dim,
+      s"Dimension mismatch: got ${v.length}, expected ${e0.dim}"))
     clearPqTable(key)
+    val e = entry(key)
+    val start = e.nextId
+    tables += key -> e.copy(nextId = start + vecs.length)
+    saveBrief()
     val rows = vecs.zip(metas).zipWithIndex.map { case ((v, m), i) =>
-      Row(e.nextId + i, v.toSeq, m)
+      Row(start + i, v.toSeq, m)
     }
     val appended = spark.createDataFrame(
       spark.sparkContext.parallelize(rows.toSeq, math.max(1, rows.length / 10000)),
@@ -195,15 +205,53 @@ class VecDB(spark: SparkSession, root: String) {
       // incremental insert: a fresh subgraph over just the new rows keeps
       // searches complete without touching the stored graphs (subgraph
       // union — the distributed analog of `HNSWIndex::add`)
-      val offset = spark.read.parquet(hnswDir(e).toString)
-        .agg(coalesce(max(col("pid")) + 1, lit(0))).head().getInt(0)
+      val stats = spark.read.parquet(hnswDir(e).toString)
+        .agg(coalesce(max(col("pid")) + 1, lit(0)),
+          count_distinct(col("pid"))).head()
       Hnsw.buildIndex(appended, e.dist, efConstruction = e.efConstruction)
-        .withColumn("pid", col("pid") + lit(offset))
+        .withColumn("pid", col("pid") + lit(stats.getInt(0)))
         .write.mode("append").parquet(hnswDir(e).toString)
+      // N small adds would otherwise accrete N tiny subgraphs, and serving
+      // cost grows linearly with the subgraph count — compact when the
+      // sidecar fragments past the bound
+      if (stats.getLong(1) + 1 > MaxSubgraphs) compactHnsw(key)
     }
-    tables += key -> entry(key).copy(nextId = e.nextId + vecs.length)
     invalidateCache(key)
-    saveBrief()
+  }
+
+  /** Subgraph count ceiling before [[compactHnsw]] merges the smallest
+    * deltas; compaction aims for [[TargetSubgraphs]]. */
+  private val MaxSubgraphs = 16
+  private val TargetSubgraphs = 8
+
+  /** Merge the smallest HNSW subgraphs into one freshly built graph so
+    * repeated small adds cannot degrade serving toward a flat scan. Ids are
+    * preserved; only the (pid, local graph) packaging changes — searches
+    * union over subgraphs, so results are unaffected (CatalogSpec pins
+    * this). The sidecar swap goes through a tmp directory; a crash in the
+    * window loses only the rebuildable sidecar, never table data. */
+  private def compactHnsw(key: String): Unit = {
+    val e = entry(key)
+    val dir = hnswDir(e)
+    val sidecar = spark.read.parquet(dir.toString)
+    val counts = sidecar.groupBy("pid").count().collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+    if (counts.length <= MaxSubgraphs) return
+    val nMerge = counts.length - TargetSubgraphs + 1
+    val mergePids = counts.sortBy { case (p, c) => (c, p) }
+      .take(nMerge).map(_._1).toSet
+    val newPid = counts.map(_._1).max + 1
+    val merged = Hnsw.buildIndex(
+      sidecar.filter(col("pid").isInCollection(mergePids))
+        .select("id", "vec").coalesce(1),
+      e.dist, efConstruction = e.efConstruction)
+      .withColumn("pid", lit(newPid))
+    val tmp = dir.resolveSibling("hnsw_tmp")
+    sidecar.filter(!col("pid").isInCollection(mergePids))
+      .unionByName(merged)
+      .write.mode("overwrite").parquet(tmp.toString)
+    deleteRecursively(dir)
+    Files.move(tmp, dir)
   }
 
   /** P2 — delete-by-pattern: filtered rewrite to a fresh version dir, then
@@ -331,14 +379,29 @@ class VecDB(spark: SparkSession, root: String) {
     val filtered = data.filter(Search.metaPattern(pattern, col("meta")))
     // serving-shape broadcast paths for in-memory-sized tables, declarative
     // plans beyond (same results; specs assert equality)
-    val small = e.nextId <= HnswBroadcastMaxRows
+    val small = e.nextId <= FlatBroadcastMaxRows
     val hits = (ef, e.pq) match {
-      case (Some(efv), Some(_)) =>
+      case (Some(efv), Some(info)) =>
         val model = loadPqModel(key)
-        val codes = spark.read.parquet(pqDir(e).resolve("codes").toString)
-        val encoded = filtered.join(codes, "id")
-        if (small) Pq.searchFlatBroadcast(encoded, model, queries, k, efv, ub)
-        else Pq.searchFlat(encoded, model, queries, k, efv, ub)
+        if (e.hasHnsw && pattern.isEmpty &&
+            VecDB.hnswBroadcastEligible(e.nextId, e.dim)) {
+          // combined traversal (knn_pq, hnsw_index.rs:672-697): ADC-scored
+          // graph walk + exact re-rank — sub-linear over the codes, vs the
+          // flat arms' O(N) ADC scan per batch
+          val idx = spark.read.parquet(hnswDir(e).toString)
+          val ck = Some(s"${hnswDir(e)}@v${e.version}n${e.nextId}")
+          Hnsw.searchBroadcastPq(idx, queries, model, k, Some(efv),
+            efConstruction = e.efConstruction, upperBound = ub, cacheKey = ck)
+        } else {
+          val codes = spark.read.parquet(pqDir(e).resolve("codes").toString)
+          val encoded = filtered.join(codes, "id")
+          if (pattern.isEmpty &&
+              VecDB.pqServeEligible(e.nextId, e.dim, info.m)) {
+            val ck = Some(s"${pqDir(e)}@v${e.version}n${e.nextId}")
+            Pq.searchFlatServe(encoded, model, queries, k, efv, ub, ck)
+          } else if (small) Pq.searchFlatBroadcast(encoded, model, queries, k, efv, ub)
+          else Pq.searchFlat(encoded, model, queries, k, efv, ub)
+        }
       case (Some(efv), None) if e.hasHnsw =>
         hnswSearch(e, filtered, queries, k, Some(efv), ub, pattern.isEmpty)
       case (None, _) if e.hasHnsw =>
@@ -352,10 +415,9 @@ class VecDB(spark: SparkSession, root: String) {
       .select(col("query_id"), col("id"), col("distance"), col("meta"))
   }
 
-  /** Tables at or below this row bound serve HNSW searches via the
-    * broadcast path (index in executor memory, queries partitioned — zero
-    * shuffle); larger tables use the shuffling sidecar scan. */
-  private val HnswBroadcastMaxRows = 1000000L
+  /** Row bound for the broadcast-QUERIES flat paths (nothing table-sized is
+    * materialized there — this is a plan choice, not a memory gate). */
+  private val FlatBroadcastMaxRows = 1000000L
 
   /** HNSW path: the stored sidecar when the whole table is searched; with a
     * metadata pattern (our extension — the reference's `search` takes none)
@@ -367,7 +429,7 @@ class VecDB(spark: SparkSession, root: String) {
       val idx = spark.read.parquet(hnswDir(e).toString)
       // rotate on any content change: version bumps on delete, nextId on add
       val ck = Some(s"${hnswDir(e)}@v${e.version}n${e.nextId}")
-      if (e.nextId <= HnswBroadcastMaxRows)
+      if (VecDB.hnswBroadcastEligible(e.nextId, e.dim))
         Hnsw.searchBroadcast(idx, queries, k, ef, e.dist,
           efConstruction = e.efConstruction, upperBound = ub, cacheKey = ck)
       else
@@ -402,4 +464,30 @@ class VecDB(spark: SparkSession, root: String) {
       Files.walk(p).sorted(java.util.Comparator.reverseOrder())
         .forEach(f => Files.delete(f))
     }
+}
+
+object VecDB {
+
+  /** Byte budget for serving paths that materialize the whole table on the
+    * driver and every executor (HNSW index broadcast, PQ decoded-codes +
+    * vectors broadcast). A row-count gate let a 1M × d960 index (~4 GB of
+    * vectors alone) through; the gates are BYTE-based estimates. */
+  private[catalog] val BroadcastMaxBytes: Long = 1L << 30
+
+  /** Estimated broadcast footprint of an HNSW sidecar: packed f32 vectors
+    * plus adjacency (m=16 ints at level 0, geometric upper levels) plus
+    * per-node id/level overhead. */
+  private[graft] def hnswBroadcastBytes(rows: Long, dim: Int): Long =
+    rows * (4L * dim + 4L * 16 * 2 + 64L)
+
+  private[graft] def hnswBroadcastEligible(rows: Long, dim: Int): Boolean =
+    hnswBroadcastBytes(rows, dim) <= BroadcastMaxBytes
+
+  /** Estimated footprint of the PQ serving unit: vectors + decoded codes
+    * (one byte per group) + ids. */
+  private[graft] def pqServeBytes(rows: Long, dim: Int, m: Int): Long =
+    rows * (4L * dim + m + 16L)
+
+  private[graft] def pqServeEligible(rows: Long, dim: Int, m: Int): Boolean =
+    pqServeBytes(rows, dim, m) <= BroadcastMaxBytes
 }

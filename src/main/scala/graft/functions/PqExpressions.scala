@@ -220,11 +220,11 @@ object PqKernel {
     if (n < efK) sz(qi) = n + 1
   }
 
-  /** Nearest centroid of a vector slice (ties → lowest id), L2 metric — PQ
-    * always encodes by L2 over the group slice regardless of query metric. */
-  def nearestInGroup(
-      v: ArrayData, isFloat: Boolean, start: Int, len: Int,
-      cents: Array[Array[Float]]): Int = {
+  /** [[nearestInGroup]] over a plain float array (serving-side encode —
+    * no ArrayData wrapper). Same math, same tie-break. */
+  def nearestInGroupF(
+      v: Array[Float], start: Int, len: Int,
+      cents: Array[Array[Float]], cosine: Boolean): Int = {
     var best = 0
     var bestD = Double.MaxValue
     var c = 0
@@ -232,9 +232,70 @@ object PqKernel {
       val cent = cents(c)
       var d = 0.0
       var i = 0
-      while (i < len) {
-        val x = if (isFloat) v.getFloat(start + i).toDouble else v.getDouble(start + i)
-        val diff = x - cent(i); d += diff * diff; i += 1
+      if (cosine) {
+        var dot = 0.0; var na = 0.0; var nb = 0.0
+        while (i < len) {
+          val x = v(start + i).toDouble
+          dot += x * cent(i); na += x * x; nb += cent(i).toDouble * cent(i)
+          i += 1
+        }
+        d = 1.0 - dot / math.max(math.sqrt(na) * math.sqrt(nb), 1e-10)
+      } else {
+        while (i < len) {
+          val diff = v(start + i).toDouble - cent(i); d += diff * diff; i += 1
+        }
+      }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** F8 over a plain float array, emitting the DECODED form (one byte per
+    * group) straight into `out[off..off+m)` — the serving-side encode used
+    * to align a code matrix with graph-local node indices. Produces exactly
+    * the codes [[decodeInto]] recovers from the stored packed column (the
+    * encoder is deterministic), skipping the id-join. */
+  def encodeDecodedInto(
+      v: Array[Float], centroids: Array[Array[Array[Float]]],
+      groups: Array[(Int, Int)], cosine: Boolean,
+      out: Array[Byte], off: Int): Unit = {
+    var g = 0
+    while (g < groups.length) {
+      val (start, len) = groups(g)
+      out(off + g) = nearestInGroupF(v, start, len, centroids(g), cosine).toByte
+      g += 1
+    }
+  }
+
+  /** Nearest centroid of a vector slice (ties → lowest id) under the
+    * table's configured metric — the reference encodes with
+    * `KMeans::find_nearest`, which uses `config.dist`
+    * (`/root/reference/src/distance/k_means.rs:166-170`), so cosine tables
+    * assign codes by cosine over the slice (1e-10 clamp), not L2. */
+  def nearestInGroup(
+      v: ArrayData, isFloat: Boolean, start: Int, len: Int,
+      cents: Array[Array[Float]], cosine: Boolean): Int = {
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < cents.length) {
+      val cent = cents(c)
+      var d = 0.0
+      var i = 0
+      if (cosine) {
+        var dot = 0.0; var na = 0.0; var nb = 0.0
+        while (i < len) {
+          val x = if (isFloat) v.getFloat(start + i).toDouble else v.getDouble(start + i)
+          dot += x * cent(i); na += x * x; nb += cent(i).toDouble * cent(i)
+          i += 1
+        }
+        d = 1.0 - dot / math.max(math.sqrt(na) * math.sqrt(nb), 1e-10)
+      } else {
+        while (i < len) {
+          val x = if (isFloat) v.getFloat(start + i).toDouble else v.getDouble(start + i)
+          val diff = x - cent(i); d += diff * diff; i += 1
+        }
       }
       if (d < bestD) { bestD = d; best = c }
       c += 1
@@ -252,12 +313,14 @@ case class PqEncode(
     child: Expression,
     centroids: Array[Array[Array[Float]]], // (group)(centroidId)(sliceDim)
     nBits: Int,
-    dim: Int)
+    dim: Int,
+    dist: String = "l2sqr")
   extends UnaryExpression with CodegenFallback {
 
   require(nBits == 4 || nBits == 8, "n_bits must be 4 or 8 in PQ")
 
   private val m = centroids.length
+  private val cosine = dist == "cosine"
   private lazy val groups = PqKernel.pqGroups(dim, m)
 
   override def dataType: DataType = BinaryType
@@ -283,14 +346,14 @@ case class PqEncode(
       while (i < m / 2) {
         val (s0, l0) = groups(2 * i)
         val (s1, l1) = groups(2 * i + 1)
-        val v0 = PqKernel.nearestInGroup(v, isFloat, s0, l0, centroids(2 * i))
-        val v1 = PqKernel.nearestInGroup(v, isFloat, s1, l1, centroids(2 * i + 1))
+        val v0 = PqKernel.nearestInGroup(v, isFloat, s0, l0, centroids(2 * i), cosine)
+        val v1 = PqKernel.nearestInGroup(v, isFloat, s1, l1, centroids(2 * i + 1), cosine)
         out(i) = (v0 | (v1 << 4)).toByte
         i += 1
       }
       if (m % 2 == 1) {
         val (s, l) = groups(m - 1)
-        out(m / 2) = PqKernel.nearestInGroup(v, isFloat, s, l, centroids(m - 1)).toByte
+        out(m / 2) = PqKernel.nearestInGroup(v, isFloat, s, l, centroids(m - 1), cosine).toByte
       }
       out
     } else {
@@ -298,7 +361,7 @@ case class PqEncode(
       var i = 0
       while (i < m) {
         val (s, l) = groups(i)
-        out(i) = PqKernel.nearestInGroup(v, isFloat, s, l, centroids(i)).toByte
+        out(i) = PqKernel.nearestInGroup(v, isFloat, s, l, centroids(i), cosine).toByte
         i += 1
       }
       out

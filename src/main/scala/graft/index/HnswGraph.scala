@@ -282,6 +282,71 @@ final class HnswGraph(
     result
   }
 
+  /** [[searchOnLevel]] with a pluggable node-distance function — the
+    * reference's `search_on_level_fn` (`hnsw_index.rs:293-325` family),
+    * used by the PQ-ADC traversal where walk distances come from a code
+    * lookup, not the stored vectors. Kept separate from the exact path so
+    * the latter stays monomorphic. */
+  private def searchOnLevelFn(
+      enter: Int, level: Int, ef: Int, distFn: Int => Double): ResultSet = {
+    val ctx = ctxTL.get()
+    ctx.begin()
+    val queue = ctx.heap
+    val result = new ResultSet(ef)
+    ctx.mark(enter)
+    val d0 = distFn(enter)
+    result.add(d0, enter)
+    queue.push(d0, enter)
+    var continue = true
+    while (continue && !queue.isEmpty) {
+      queue.pop()
+      if (!result.checkCandidate(queue.popDist, queue.popIdx)) continue = false
+      else {
+        val nbrs = links(queue.popIdx)(level)
+        var i = 0
+        while (i < nbrs.size) {
+          val p = nbrs(i)
+          if (!ctx.seen(p)) {
+            ctx.mark(p)
+            val nd = distFn(p)
+            result.add(nd, p)
+            queue.push(nd, p)
+          }
+          i += 1
+        }
+      }
+    }
+    result
+  }
+
+  private def greedyOnLevelFn(level: Int, enter: Int, distFn: Int => Double): Int = {
+    var curP = enter
+    var curD = distFn(curP)
+    var improved = true
+    while (improved) {
+      improved = false
+      val nbrs = links(curP)(level)
+      var i = 0
+      while (i < nbrs.size) {
+        val p = nbrs(i)
+        val nd = distFn(p)
+        if (nd < curD) { curD = nd; curP = p; improved = true }
+        i += 1
+      }
+    }
+    curP
+  }
+
+  private def greedyUntilLevelFn(targetLevel: Int, distFn: Int => Double): Int = {
+    var level = enterLevel
+    var curP = enterPoint
+    while (level > targetLevel) {
+      curP = greedyOnLevelFn(level, curP, distFn)
+      level -= 1
+    }
+    curP
+  }
+
   private def greedyOnLevel(level: Int, enter: Int, q: Array[Float]): Int = {
     var curP = enter
     var curD = distTo(curP, q)
@@ -391,6 +456,52 @@ final class HnswGraph(
     val enter = greedyUntilLevel(0, q)
     val result = searchOnLevel(enter, 0, efq, q)
     // exact re-score + bounded (distance, index) top-k insert
+    var cnt = 0
+    var p = 0
+    while (p < result.size) {
+      val idx = result.idxAt(p)
+      val d = exactDistTo(idx, q)
+      if (cnt < k || d < outDists(cnt - 1) ||
+          (d == outDists(cnt - 1) && idx < outIds(cnt - 1))) {
+        var lo = 0; var hi = cnt
+        while (lo < hi) {
+          val mid = (lo + hi) >>> 1
+          if (outDists(mid) < d || (outDists(mid) == d && outIds(mid) < idx)) lo = mid + 1
+          else hi = mid
+        }
+        val nShift = math.min(cnt, k - 1) - lo
+        if (nShift > 0) {
+          System.arraycopy(outIds, lo, outIds, lo + 1, nShift)
+          System.arraycopy(outDists, lo, outDists, lo + 1, nShift)
+        }
+        if (lo < k) {
+          outIds(lo) = idx; outDists(lo) = d
+          if (cnt < k) cnt += 1
+        }
+      }
+      p += 1
+    }
+    cnt
+  }
+
+  /** T4+T5 with approximate walk distances — the reference's
+    * `HNSWIndex::knn_pq` (`hnsw_index.rs:672-697`): greedy-descend and
+    * beam-search the graph scoring nodes with `distFn` (an ADC code
+    * lookup), then `pq_resort` the ef survivors with the EXACT double
+    * kernel against the stored vectors and cut to top-k. Output contract
+    * matches [[searchInto]] (ascending (distance, id), exact distances);
+    * only the walk's selection is approximate.
+    *
+    * Fills `outIds`/`outDists` (caller-allocated, length ≥ k), returns the
+    * hit count. */
+  def searchFnInto(
+      distFn: Int => Double, q: Array[Float], k: Int, ef: Int,
+      outIds: Array[Int], outDists: Array[Double]): Int = {
+    if (n == 0) return 0
+    val efq = math.max(ef, k)
+    val enter = greedyUntilLevelFn(0, distFn)
+    val result = searchOnLevelFn(enter, 0, efq, distFn)
+    // pq_resort: exact re-score + bounded (distance, index) top-k insert
     var cnt = 0
     var p = 0
     while (p < result.size) {

@@ -175,9 +175,30 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .distinct()
-    // exact verification: join shingle sets back onto the candidate pairs
+    // signature-estimated Jaccard prefilter: band collisions produce
+    // candidate sets dominated by false positives (at a 50% planted-dup
+    // rate, ~an order of magnitude more FPs than true pairs). Estimating J
+    // from the already-computed signatures (numHashes longs — primitive
+    // slot compares) before shipping the shingle STRING arrays cuts the
+    // exact-verify join's input to ~the true pairs. Slack = 3σ of the
+    // minhash estimator at J=1/2 (σ = √(J(1−J)/numHashes), maximized at
+    // J=1/2), so a pair that would pass exact verification is dropped only
+    // on a >3σ signature fluke — far below the banding stage's own recall
+    // noise (a J=t pair misses every band with prob (1−t^r)^bands).
+    val sigs = sh.select(col("doc_id"), col("sig"))
+    val slack = 1.5 / math.sqrt(numHashes.toDouble)
+    val prefiltered = cand
+      .join(sigs.select(col("doc_id").as("a_id"), col("sig").as("siga")), "a_id")
+      .join(sigs.select(col("doc_id").as("b_id"), col("sig").as("sigb")), "b_id")
+      .filter(
+        aggregate(zip_with(col("siga"), col("sigb"),
+            (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).cast("double") / numHashes
+          >= threshold - slack)
+      .select(col("a_id"), col("b_id"))
+    // exact verification: join shingle sets back onto the surviving pairs
     val sets = sh.select(col("doc_id"), col("sh"))
-    cand
+    prefiltered
       .join(sets.select(col("doc_id").as("a_id"), col("sh").as("sha")), "a_id")
       .join(sets.select(col("doc_id").as("b_id"), col("sh").as("shb")), "b_id")
       .select(col("a_id"), col("b_id"),

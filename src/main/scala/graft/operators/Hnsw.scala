@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.TaskContext
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.functions.PqKernel
 import graft.index.{HnswGraph, HnswGraphCache}
 
 /** Distributed HNSW: partitioned-subgraph design (SURVEY §7.2.5). Each
@@ -328,5 +329,199 @@ object Hnsw {
       }
       .toDF("query_id", "id", "distance")
     out
+  }
+
+  /** Executor-local cache of per-subgraph decoded code matrices for
+    * [[searchBroadcastPq]]: (cacheKey, pid) → (decoded codes n×m, per-node
+    * centroid self-dot sums — cosine only, null for L2). Built once per
+    * (index, model) serving key by re-encoding the subgraph's vectors
+    * (deterministic — identical to decoding the stored code column). */
+  private val pqCodesCache =
+    new java.util.LinkedHashMap[(String, Int), (Array[Byte], Array[Double])](
+      16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Int), (Array[Byte], Array[Double])]): Boolean =
+        size() > 64
+    }
+
+  /** HNSW+PQ combined traversal, serving shape — the reference's
+    * `HNSWIndex::knn_pq` (`/root/reference/src/index_algorithm/
+    * hnsw_index.rs:672-697`): beam-walk each subgraph scoring nodes by ADC
+    * code lookup, then exact re-rank of the ef survivors (`pq_resort`).
+    * Sub-linear over the codes — the graph prunes the scan the flat ADC
+    * path pays per query — with the same output contract as
+    * [[searchBroadcast]] whenever ef is generous enough for the walk to
+    * cover the exact top-k.
+    *
+    * Same broadcast/cache structure as [[searchBroadcast]]; `model` must be
+    * the quantizer of the table the index was built on.
+    */
+  def searchBroadcastPq(
+      index: DataFrame,
+      queries: DataFrame,
+      model: PqModel,
+      k: Int,
+      ef: Option[Int] = None,
+      m: Int = 16,
+      efConstruction: Int = 200,
+      upperBound: Double = Double.PositiveInfinity,
+      cacheKey: Option[String] = None): DataFrame = {
+    val spark = index.sparkSession
+    import spark.implicits._
+    val dist = model.dist
+    val cosine = dist == "cosine"
+    val pm = model.m
+    val kCent = model.k
+    val nBits = model.nBits
+    val centroids = model.centroids
+    val centDot = model.centroidDotCache
+    val groups = PqKernel.pqGroups(model.dim, pm)
+
+    def collectAndShip(): org.apache.spark.broadcast.Broadcast[GroupedIndex] = {
+      val grouped: GroupedIndex = index
+        .select(col("pid").cast("int"), col("local_id").cast("int"),
+          col("id").cast("long"), col("vec"), col("level").cast("int"),
+          col("links"))
+        .as[(Int, Int, Long, Array[Float], Int, Array[Array[Int]])]
+        .collect()
+        .groupBy(_._1).toArray.sortBy(_._1)
+        .map { case (pid, rows) =>
+          (pid, rows.sortBy(_._2).map(r => (r._3, r._4, r._5, r._6)))
+        }
+      spark.sparkContext.broadcast(grouped)
+    }
+    val bcIdx = cacheKey match {
+      case Some(ck) => bcCache.synchronized {
+        Option(bcCache.get(ck)).getOrElse {
+          val b = collectAndShip(); bcCache.put(ck, b); b
+        }
+      }
+      case None => collectAndShip()
+    }
+    val efq = ef.getOrElse(math.max(efConstruction, 2 * m) / 2)
+    val ck = cacheKey
+
+    val qds = queries
+      .select(col("query_id").cast("long"), col("query_vec"))
+      .as[(Long, Array[Float])]
+    val spread =
+      if (qds.rdd.getNumPartitions * 2 >= spark.sparkContext.defaultParallelism) qds
+      else qds.repartition(spark.sparkContext.defaultParallelism)
+    spread
+      .mapPartitions { qit =>
+        if (qit.isEmpty) Iterator.empty
+        else {
+          def entryFor(i: Int): HnswGraphCache.Entry = {
+            def build: HnswGraphCache.Entry = {
+              val (_, nodes) = bcIdx.value(i)
+              HnswGraphCache.Entry(
+                HnswGraph.fromNodes(nodes(0)._2.length, dist, m, efConstruction,
+                  nodes.iterator.map(n => (n._2, n._3, n._4))),
+                nodes.map(_._1))
+            }
+            ck match {
+              case Some(key) => HnswGraphCache.get(key, bcIdx.value(i)._1)(build)
+              case None => build
+            }
+          }
+          def codesFor(i: Int): (Array[Byte], Array[Double]) = {
+            def build: (Array[Byte], Array[Double]) = {
+              val (_, nodes) = bcIdx.value(i)
+              val nn = nodes.length
+              val codes = new Array[Byte](nn * pm)
+              val cdRow = if (cosine) new Array[Double](nn) else null
+              var r = 0
+              while (r < nn) {
+                PqKernel.encodeDecodedInto(nodes(r)._2, centroids, groups,
+                  cosine, codes, r * pm)
+                if (cosine) {
+                  var acc = 0.0
+                  var g = 0; var gk = 0; val base = r * pm
+                  while (g < pm) {
+                    acc += centDot(gk + (codes(base + g) & 0xff)); g += 1; gk += kCent
+                  }
+                  cdRow(r) = acc
+                }
+                r += 1
+              }
+              (codes, cdRow)
+            }
+            ck match {
+              case Some(key) =>
+                val kk = (key + "#pq", bcIdx.value(i)._1)
+                val hit = pqCodesCache.synchronized(Option(pqCodesCache.get(kk)))
+                hit.getOrElse {
+                  val e = build
+                  pqCodesCache.synchronized(pqCodesCache.put(kk, e))
+                  e
+                }
+              case None => build
+            }
+          }
+          val entries = Array.tabulate(bcIdx.value.length)(entryFor)
+          val allCodes = Array.tabulate(bcIdx.value.length)(codesFor)
+          val subIds = new Array[Int](k)
+          val subDs = new Array[Double](k)
+          val bestIds = new Array[Long](k)
+          val bestDs = new Array[Double](k)
+          qit.flatMap { case (qid, qv) =>
+            val lut = PqKernel.buildLookup(qv, centroids, nBits, dist)
+            val qn = if (cosine) {
+              var acc = 0.0; var i = 0
+              while (i < qv.length) { acc += qv(i).toDouble * qv(i); i += 1 }
+              math.sqrt(acc)
+            } else 0.0
+            var cnt = 0
+            var ei = 0
+            while (ei < entries.length) {
+              val e = entries(ei)
+              val (codes, cdRow) = allCodes(ei)
+              val distFn: Int => Double = { idx =>
+                val base = idx * pm
+                var s = 0.0
+                var g = 0; var gk = 0
+                while (g < pm) {
+                  s += lut(gk + (codes(base + g) & 0xff)); g += 1; gk += kCent
+                }
+                if (cosine) 1.0 - s / math.max(math.sqrt(cdRow(idx)) * qn, 1e-10)
+                else s
+              }
+              val c = e.graph.searchFnInto(distFn, qv, k, efq, subIds, subDs)
+              var i = 0
+              while (i < c) {
+                val d = subDs(i)
+                if (d <= upperBound) {
+                  val id = e.ids(subIds(i))
+                  if (cnt < k || d < bestDs(cnt - 1) ||
+                      (d == bestDs(cnt - 1) && id < bestIds(cnt - 1))) {
+                    var lo = 0; var hi = cnt
+                    while (lo < hi) {
+                      val mid = (lo + hi) >>> 1
+                      if (bestDs(mid) < d || (bestDs(mid) == d && bestIds(mid) < id)) lo = mid + 1
+                      else hi = mid
+                    }
+                    val nShift = math.min(cnt, k - 1) - lo
+                    if (nShift > 0) {
+                      System.arraycopy(bestIds, lo, bestIds, lo + 1, nShift)
+                      System.arraycopy(bestDs, lo, bestDs, lo + 1, nShift)
+                    }
+                    if (lo < k) {
+                      bestIds(lo) = id; bestDs(lo) = d
+                      if (cnt < k) cnt += 1
+                    }
+                  }
+                }
+                i += 1
+              }
+              ei += 1
+            }
+            val out = new Array[(Long, Long, Double)](cnt)
+            var i = 0
+            while (i < cnt) { out(i) = (qid, bestIds(i), bestDs(i)); i += 1 }
+            out.iterator
+          }
+        }
+      }
+      .toDF("query_id", "id", "distance")
   }
 }

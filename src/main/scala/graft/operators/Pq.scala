@@ -108,10 +108,11 @@ object Pq {
     } finally trainDf.unpersist()
   }
 
-  /** F8 — the code column. */
+  /** F8 — the code column (assigns by the model's metric, matching
+    * `KMeans::find_nearest` / `k_means.rs:166-170`). */
   def encodeCol(vec: Column, model: PqModel): Column =
     ColumnShim.column(PqEncode(ColumnShim.expression(vec), model.centroids,
-      model.nBits, model.dim))
+      model.nBits, model.dim, model.dist))
 
   /** Encode pass: adds a `code` binary column. */
   def encode(base: DataFrame, model: PqModel, vecCol: String = "vec"): DataFrame =

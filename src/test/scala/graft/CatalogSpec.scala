@@ -124,6 +124,38 @@ class CatalogSpec extends SparkTestBase {
     assert(hit.head._1("i") == "new" && hit.head._2 < 1e-9)
   }
 
+  test("broadcast gates are byte-based: high-dim big tables are ineligible") {
+    // rows × dim decides, not rows alone — the row gate let a 1M × d960
+    // index (~4 GB of vectors) through the broadcast path
+    assert(VecDB.hnswBroadcastEligible(10000, 960))
+    assert(!VecDB.hnswBroadcastEligible(1000000, 960))
+    assert(VecDB.hnswBroadcastEligible(1000000, 64))
+    assert(!VecDB.pqServeEligible(1000000, 960, 320))
+    assert(VecDB.pqServeEligible(10000, 960, 320))
+  }
+
+  test("repeated adds compact the HNSW sidecar; searches stay complete") {
+    val root = Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "vecdb_test").toString
+    val db = new VecDB(spark, root)
+    db.createTableIfNotExists("t", 4, "l2sqr")
+    val rnd = new scala.util.Random(5)
+    db.batchAdd("t", (0 until 20).map(_ => Array.fill(4)(rnd.nextFloat())),
+      (0 until 20).map(i => Map("i" -> i.toString)))
+    db.buildHnswIndex("t")
+    // 24 one-row adds would accrete 24 delta subgraphs without compaction
+    (0 until 24).foreach { j =>
+      db.add("t", Array.fill(4)(rnd.nextFloat()), Map("i" -> s"add$j"))
+    }
+    val idx = spark.read.parquet(
+      java.nio.file.Paths.get(root, "t", "hnsw").toString)
+    val pids = idx.select("pid").distinct().count()
+    assert(pids <= 16, s"sidecar fragmented into $pids subgraphs")
+    // every row still reachable through the compacted index
+    val all = db.search("t", Array(0.5f, 0.5f, 0.5f, 0.5f), 44)
+    assert(all.length == 44)
+  }
+
   test("catalog persists across reopen") {
     val root = Files.createTempDirectory(
       java.nio.file.Paths.get("target"), "vecdb_test").toString

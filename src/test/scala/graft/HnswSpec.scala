@@ -119,6 +119,41 @@ class HnswSpec extends SparkTestBase {
     assert(bounded.filter($"distance" > cut).count() == 0)
   }
 
+  test("HNSW+PQ traversal equals exact with generous ef; distances are exact (L2 and cosine)") {
+    // knn_pq contract (hnsw_index.rs:672-697): ADC-scored walk, exact
+    // re-rank — with ef covering the table the beam reaches the true top-k
+    // and the reported distances are the exact double-kernel values
+    val idx = Hnsw.buildIndex(base.repartition(4)).cache()
+    for (dist <- Seq("l2sqr", "cosine")) {
+      val model = graft.operators.Pq.train(base, m = 8, nBits = 4, dist = dist)
+      val flat = Knn.exact(base, queries, k = 10, dist = dist)
+        .select("query_id", "id", "distance")
+        .as[(Long, Long, Double)].collect().toSet
+      val pq = Hnsw.searchBroadcastPq(idx, queries, model, k = 10,
+          ef = Some(600), cacheKey = Some(s"spec_pq_$dist"))
+        .select("query_id", "id", "distance")
+        .as[(Long, Long, Double)].collect().toSet
+      assert(pq == flat, s"dist=$dist")
+      // cached second batch identical
+      val second = Hnsw.searchBroadcastPq(idx, queries, model, k = 10,
+          ef = Some(600), cacheKey = Some(s"spec_pq_$dist"))
+        .select("query_id", "id", "distance")
+        .as[(Long, Long, Double)].collect().toSet
+      assert(second == flat, s"dist=$dist cached")
+    }
+  }
+
+  test("HNSW+PQ traversal at modest ef reaches high recall") {
+    val idx = Hnsw.buildIndex(base.repartition(4)).cache()
+    val model = graft.operators.Pq.train(base, m = 8, nBits = 4)
+    val flat = Knn.exact(base, queries, k = 10)
+      .select("query_id", "id").as[(Long, Long)].collect().toSet
+    val pq = Hnsw.searchBroadcastPq(idx, queries, model, k = 10, ef = Some(100))
+      .select("query_id", "id").as[(Long, Long)].collect().toSet
+    val recall = pq.intersect(flat).size.toDouble / flat.size
+    assert(recall >= 0.8, s"recall $recall < 0.8 at ef=100 over ADC walk")
+  }
+
   test("upper bound filters hits") {
     val all = Hnsw.search(base.repartition(4), queries, k = 10, ef = Some(600))
     val cut = all.agg(avg($"distance")).head().getDouble(0)
