@@ -239,6 +239,61 @@ object SparkEntry {
           (round(col("distance"), 6) + lit(0.0)).as("distance"))
         .orderBy("query_id", "distance", "id")
     }),
+    // §2.11 dispatch + T4/T5 + knn_pq: the full catalog serving path with
+    // BOTH sidecars — create/batch_add/build_hnsw/build_pq, then search
+    // through VecDB.searchBatch with (ef, pq) set, which dispatches to the
+    // HNSW+PQ combined traversal (ADC-scored walk + exact re-rank,
+    // hnsw_index.rs:672-697). ef ≥ table size ⇒ the beam is exhaustive ⇒
+    // equals exact KNN ⇒ the plain top-k SQL oracle applies; HnswSpec
+    // carries the combined-traversal==Flat assert at modest ef.
+    "q_hnsw_pq_search" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get("target"), "vecdb_qpq").toString
+      val db = new graft.catalog.VecDB(s, root)
+      val rows = Tables.vectorsMeta(s, dir).orderBy("id").collect()
+      val dim = rows.head.getAs[Seq[Float]]("vec").length
+      db.createTableIfNotExists("emb", dim, "l2sqr")
+      db.batchAdd("emb",
+        rows.map(_.getAs[Seq[Float]]("vec").toArray).toSeq,
+        rows.map(_.getAs[Map[String, String]]("meta")).toSeq)
+      db.buildHnswIndex("emb")
+      db.buildPqTable("emb", trainProportion = Some(0.5), m = Some(8))
+      db.searchBatch("emb", queryVectors(s, dir), k = 5, ef = Some(2 * rows.length))
+        .select(col("query_id"), col("id"),
+          (round(col("distance"), 6) + lit(0.0)).as("distance"))
+        .orderBy("query_id", "distance", "id")
+    }),
+    // §2.11 dispatch + S5: the catalog serving path with an HNSW sidecar
+    // only — (Some ef, no pq) dispatches through hnswSearch/searchBroadcast
+    // with metadata attach. Exhaustive ef ⇒ equals exact ⇒ SQL oracle.
+    "q_vecdb_search" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get("target"), "vecdb_qs").toString
+      val db = new graft.catalog.VecDB(s, root)
+      val rows = Tables.vectorsMeta(s, dir).orderBy("id").collect()
+      val dim = rows.head.getAs[Seq[Float]]("vec").length
+      db.createTableIfNotExists("emb", dim, "l2sqr")
+      db.batchAdd("emb",
+        rows.map(_.getAs[Seq[Float]]("vec").toArray).toSeq,
+        rows.map(_.getAs[Map[String, String]]("meta")).toSeq)
+      db.buildHnswIndex("emb")
+      db.searchBatch("emb", queryVectors(s, dir), k = 5, ef = Some(2 * rows.length))
+        .select(searchCols: _*)
+        .orderBy("query_id", "distance", "id")
+    }),
+    // T6+B3: IVF probe search — with n_probes covering every centroid the
+    // probe union is the whole table, so the result equals exact KNN and
+    // the plain top-k SQL oracle applies regardless of the seeded k-means
+    // assignment; IvfSpec carries the partial-probe IVF==Flat recall oracle.
+    "q_ivf_probe" -> ((s, dir) => {
+      val b = base(s, dir)
+      val (model, assigned) = Ivf.build(b, k = 8)
+      Ivf.search(assigned, model, queryVectors(s, dir), k = 5,
+          nProbes = Some(8))
+        .select(col("query_id"), col("id"),
+          (round(col("distance"), 6) + lit(0.0)).as("distance"))
+        .orderBy("query_id", "distance", "id")
+    }),
     // S1+S2: raw packed-binary round-trip — export the table to one packed
     // little-endian file, re-read it distributed, emit stable ids + first/
     // last components (f32 LE round-trip is bit-exact).
@@ -357,6 +412,9 @@ object SparkEntry {
     "q_knn_upper_bound" -> topKSql(l2Expr, 10, where = "d <= 1.5"),
     "q_hnsw_search" -> topKSql(l2Expr, 5),
     "q_hnsw_indexed" -> topKSql(l2Expr, 5),
+    "q_hnsw_pq_search" -> topKSql(l2Expr, 5),
+    "q_ivf_probe" -> topKSql(l2Expr, 5),
+    "q_vecdb_search" -> searchSql(l2Expr, 5),
     "q_knn_u8" ->
       """WITH u AS (
         |  SELECT vec_id, list_transform(embedding,
