@@ -156,6 +156,9 @@ object Bench {
       ef = Some(120), cacheKey = Some("bench960"))
     val pqServe960Plan = Pq.searchFlatServe(pqEncoded960, pqModel960, queries960,
       k = 10, ef = 100, cacheKey = Some("benchpq960"))
+    // combined traversal (knn_pq): ADC-scored walk of the same stored graph
+    val hnswPq960Plan = Hnsw.searchBroadcastPq(hnswIdx960, queries960,
+      pqModel960, k = 10, ef = Some(120), cacheKey = Some("bench960"))
     val pqBcast960Plan = Pq.searchFlatBroadcast(pqEncoded960, pqModel960,
       queries960, k = 10, ef = 100)
     val ivfProbePlan = Ivf.search(ivfAssigned, ivfModel, queries,
@@ -169,6 +172,7 @@ object Bench {
       "hnsw_10k_d960_batch" -> recallOf(hnsw960Plan, truth960),
       "pq_serve_10k_d960_batch" -> recallOf(pqServe960Plan, truth960),
       "pq_bcast_10k_d960_batch" -> recallOf(pqBcast960Plan, truth960),
+      "hnsw_pq_10k_d960_batch" -> recallOf(hnswPq960Plan, truth960),
       "hnsw_10k_batch" -> recallOf(hnsw10kPlan, truth10k),
       "hnsw_200k_batch" -> recallOf(hnsw200kPlan, truthBig),
       "ivf_probe_batch" -> recallOf(ivfProbePlan, truthBig))
@@ -214,6 +218,9 @@ object Bench {
       ("hnsw_200k_batch", () => hnsw200kPlan.count()),
       // directly comparable to BASELINE.md:24 (HNSW @10k×960, ef=120, k=10)
       ("hnsw_10k_d960_batch", () => hnsw960Plan.count()),
+      // knn_pq combined traversal over the same graph — sub-linear over
+      // codes, must beat the flat ADC scans above
+      ("hnsw_pq_10k_d960_batch", () => hnswPq960Plan.count()),
       // declarative (non-serving) ADC scan at the baseline config — kept to
       // show the cost of the shuffle-per-batch shape vs the serving shape
       ("pq_adc_10k_d960_batch", () => Pq.searchFlat(pqEncoded960, pqModel960,

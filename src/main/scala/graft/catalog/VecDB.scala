@@ -8,11 +8,16 @@ import org.apache.spark.sql.types._
 import org.json4s.{DefaultFormats, Formats}
 import org.json4s.jackson.Serialization
 
-import graft.operators.{Hnsw, Knn, Pq, PqModel, Search, TopK}
+import graft.operators.{Hnsw, Ivf, Knn, Pq, PqModel, Search, TopK}
 import graft.functions.VectorFunctions
 
 /** PQ sidecar parameters recorded in the catalog. */
 case class PqInfo(m: Int, nBits: Int)
+
+/** IVF sidecar parameters recorded in the catalog (our extension — the
+  * reference's DB layer is Flat/HNSW only, `dynamic_index.rs:10-14`; at
+  * 100 TB cluster-pruned scans are IVF's entire point). */
+case class IvfInfo(k: Int, defaultNProbes: Int)
 
 /** One catalog row — the Spark shape of the reference's `VecTableBrief` +
   * per-table index state (`/root/reference/src/database/mod.rs:47-64`,
@@ -28,7 +33,8 @@ case class TableEntry(
     nextId: Long,
     hasHnsw: Boolean,
     efConstruction: Int,
-    pq: Option[PqInfo])
+    pq: Option[PqInfo],
+    ivf: Option[IvfInfo] = None)
 
 /** The database catalog — the reference's `VecDBManager` + Python `VecDB`
   * surface (`/root/reference/src/database/mod.rs:291-521`,
@@ -112,6 +118,8 @@ class VecDB(spark: SparkSession, root: String) {
     rootPath.resolve(e.filename).resolve("pq")
   private def hnswDir(e: TableEntry): Path =
     rootPath.resolve(e.filename).resolve("hnsw")
+  private def ivfDir(e: TableEntry): Path =
+    rootPath.resolve(e.filename).resolve("ivf")
 
   private def dataSchema(dim: Int): StructType = StructType(Seq(
     StructField("id", LongType, nullable = false),
@@ -216,6 +224,17 @@ class VecDB(spark: SparkSession, root: String) {
       // sidecar fragments past the bound
       if (stats.getLong(1) + 1 > MaxSubgraphs) compactHnsw(key)
     }
+    if (e.ivf.isDefined && vecs.nonEmpty) {
+      // centroids are fixed after build; new rows are assigned to their
+      // nearest centroid and appended into the partitioned layout — the
+      // same incremental contract as the HNSW sidecar
+      val info = e.ivf.get
+      val model = Ivf.readModel(spark, ivfDir(e).toString, e.dist,
+        info.defaultNProbes)
+      Ivf.assign(appended.select(col("id"), col("vec")), model)
+        .write.partitionBy("cluster").mode("append")
+        .parquet(ivfDir(e).resolve("data").toString)
+    }
     invalidateCache(key)
   }
 
@@ -261,6 +280,7 @@ class VecDB(spark: SparkSession, root: String) {
     val e = entry(key)
     clearHnswIndex(key)
     clearPqTable(key)
+    clearIvfIndex(key)
     val df = table(key)
     val matchCond = Search.metaPattern(pattern, col("meta"))
     val removed = df.filter(matchCond).count()
@@ -342,6 +362,36 @@ class VecDB(spark: SparkSession, root: String) {
     saveBrief()
   }
 
+  /** Build the cluster-partitioned IVF layout (our scale extension; the
+    * reference DB layer is Flat/HNSW only — see [[IvfInfo]]). Train +
+    * assign + `partitionBy("cluster")` write + centroid sidecar; probe
+    * searches through the catalog prune to the probed clusters'
+    * directories. Idempotent skip. */
+  def buildIvfIndex(key: String, k: Int = 256, defaultNProbes: Int = 4,
+      trainProportion: Option[Double] = None): Unit = {
+    val e = entry(key)
+    if (e.ivf.isDefined) return
+    val df = table(key)
+    if (df.isEmpty) throw new IllegalArgumentException(
+      "Cannot build IVF index for an empty table")
+    val (model, assigned) = Ivf.build(df.select(col("id"), col("vec")), k,
+      e.dist, trainFraction = trainProportion)
+    Ivf.writePartitioned(assigned, model, ivfDir(e).toString)
+    tables += key -> e.copy(ivf = Some(IvfInfo(k, defaultNProbes)))
+    saveBrief()
+  }
+
+  def clearIvfIndex(key: String): Unit = {
+    val e = entry(key)
+    if (e.ivf.isDefined) {
+      tables += key -> e.copy(ivf = None)
+      saveBrief()
+      deleteRecursively(ivfDir(e))
+    }
+  }
+
+  def hasIvfIndex(key: String): Boolean = entry(key).ivf.isDefined
+
   def clearPqTable(key: String): Unit = {
     val e = entry(key)
     if (e.pq.isDefined) {
@@ -404,8 +454,16 @@ class VecDB(spark: SparkSession, root: String) {
         }
       case (Some(efv), None) if e.hasHnsw =>
         hnswSearch(e, filtered, queries, k, Some(efv), ub, pattern.isEmpty)
+      // IVF arms (extension): ef → n_probes, the reference's IVF ef mapping
+      // (ivf_index.rs:137-143); the partitioned layout prunes the scan to
+      // the probed clusters. Metadata patterns fall through to Flat (the
+      // layout stores no meta and pruning would fight the filter).
+      case (Some(efv), None) if e.ivf.isDefined && pattern.isEmpty =>
+        ivfSearch(e, queries, k, Some(efv), ub)
       case (None, _) if e.hasHnsw =>
         hnswSearch(e, filtered, queries, k, None, ub, pattern.isEmpty)
+      case (None, None) if e.ivf.isDefined && pattern.isEmpty =>
+        ivfSearch(e, queries, k, None, ub)
       case _ => // Flat path; ef ignored (dynamic_index.rs:75-80)
         if (small) Knn.exactBroadcast(filtered, queries, k, e.dist, upperBound = ub)
         else Knn.exact(filtered, queries, k, e.dist, upperBound = ub)
@@ -418,6 +476,15 @@ class VecDB(spark: SparkSession, root: String) {
   /** Row bound for the broadcast-QUERIES flat paths (nothing table-sized is
     * materialized there — this is a plan choice, not a memory gate). */
   private val FlatBroadcastMaxRows = 1000000L
+
+  /** IVF probe path over the partitioned sidecar layout. */
+  private def ivfSearch(e: TableEntry, queries: DataFrame, k: Int,
+      nProbes: Option[Int], ub: Double): DataFrame = {
+    val info = e.ivf.get
+    val model = Ivf.readModel(spark, ivfDir(e).toString, e.dist,
+      info.defaultNProbes)
+    Ivf.searchPartitioned(ivfDir(e).toString, model, queries, k, nProbes, ub)
+  }
 
   /** HNSW path: the stored sidecar when the whole table is searched; with a
     * metadata pattern (our extension — the reference's `search` takes none)

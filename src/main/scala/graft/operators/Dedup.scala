@@ -266,15 +266,17 @@ object Dedup {
       idCol: String = "id",
       vecCol: String = "vec"): DataFrame = {
     val raw = vecs.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+    val n2 = aggregate(col("vec"), lit(0.0d),
+      (acc, v) => acc + v.cast("double") * v.cast("double"))
     val base = dist match {
       case "cosine" =>
-        // unit-normalize (zero vectors map to zero; they pair only with
-        // other zero vectors at cosine distance 1 — clamp semantics)
-        raw.withColumn("vec",
-          transform(col("vec"), x =>
-            (x / greatest(sqrt(aggregate(col("vec"), lit(0.0d),
-              (acc, v) => acc + v.cast("double") * v.cast("double"))), lit(1e-10)))
-              .cast("float")))
+        // unit-normalize the nonzero vectors. Zero vectors are excluded
+        // from the blocked join: under the reference's 1e-10 clamp their
+        // cosine distance to EVERYTHING (including each other) is exactly
+        // 1, so they participate only in the degenerate threshold ≥ 1 case,
+        // appended explicitly below.
+        raw.filter(n2 > 0.0).withColumn("vec",
+          transform(col("vec"), x => (x / sqrt(n2)).cast("float")))
       case _ => raw
     }
     val t2 = dist match {
@@ -306,6 +308,18 @@ object Dedup {
       .select(col("a_id"), col("b_id"),
         (if (dist == "cosine") col("d2") / 2.0 else col("d2")).as("distance"))
       .distinct()
-    pairs
+    if (dist == "cosine" && threshold >= 1.0) {
+      // degenerate cutoff: zero vectors sit at clamp distance exactly 1 to
+      // every other row, so every pair touching one qualifies
+      val zeros = raw.filter(n2 === 0.0).select(col("id").as("z_id"))
+      val zpairs = zeros
+        .crossJoin(raw.select(col("id").as("o_id")))
+        .filter(col("z_id") =!= col("o_id"))
+        .select(least(col("z_id"), col("o_id")).as("a_id"),
+          greatest(col("z_id"), col("o_id")).as("b_id"),
+          lit(1.0).as("distance"))
+        .distinct()
+      pairs.unionByName(zpairs)
+    } else pairs
   }
 }

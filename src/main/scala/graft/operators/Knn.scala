@@ -114,10 +114,16 @@ object Knn {
         val nq = qarr.length
         if (nq == 0 || !it.hasNext) Iterator.empty
         else {
+          // retain k + slack candidates per partition by FLOAT distance:
+          // the float scan only selects, the double kernel re-scores, and
+          // the final merge cuts to k over exact distances — so a float
+          // rounding flip at the k-boundary would have to displace the true
+          // k-th candidate past k+16 near-ties to change the result
+          val kSel = k + 16
           // per-query bounded buffers in ascending (distance, id) order
-          val bufD = Array.fill(nq)(new Array[Double](k))
-          val bufI = Array.fill(nq)(new Array[Long](k))
-          val bufV = Array.fill(nq)(new Array[Array[Float]](k))
+          val bufD = Array.fill(nq)(new Array[Double](kSel))
+          val bufI = Array.fill(nq)(new Array[Long](kSel))
+          val bufV = Array.fill(nq)(new Array[Array[Float]](kSel))
           val sz = new Array[Int](nq)
           while (it.hasNext) {
             val (id, vec) = it.next()
@@ -128,8 +134,8 @@ object Knn {
                 else graft.index.Simd.l2sq(qarr(qi)._2, vec)
               val n = sz(qi)
               val ds = bufD(qi); val ids = bufI(qi)
-              if (n < k || d < ds(n - 1) || (d == ds(n - 1) && id < ids(n - 1))) {
-                val m = if (n < k) n else n - 1
+              if (n < kSel || d < ds(n - 1) || (d == ds(n - 1) && id < ids(n - 1))) {
+                val m = if (n < kSel) n else n - 1
                 // insertion position in (distance, id) order
                 var lo = 0; var hi = m
                 while (lo < hi) {
@@ -141,7 +147,7 @@ object Knn {
                 System.arraycopy(ids, lo, ids, lo + 1, m - lo)
                 System.arraycopy(bufV(qi), lo, bufV(qi), lo + 1, m - lo)
                 ds(lo) = d; ids(lo) = id; bufV(qi)(lo) = vec
-                if (n < k) sz(qi) = n + 1
+                if (n < kSel) sz(qi) = n + 1
               }
               qi += 1
             }

@@ -124,6 +124,28 @@ class CatalogSpec extends SparkTestBase {
     assert(hit.head._1("i") == "new" && hit.head._2 < 1e-9)
   }
 
+  test("ivf sidecar: dispatcher probes the partitioned layout; add appends; delete clears") {
+    val db = freshDb()
+    db.createTableIfNotExists("t", 8, "l2sqr")
+    val rnd = new scala.util.Random(11)
+    val vecs = (0 until 40).map(_ => Array.fill(8)(rnd.nextFloat()))
+    db.batchAdd("t", vecs, vecs.indices.map(i => Map("i" -> i.toString)))
+    val flat = db.search("t", vecs(9), 5) // Flat baseline (no index yet)
+    db.buildIvfIndex("t", k = 5)
+    assert(db.hasIvfIndex("t"))
+    // ef → n_probes; probing every cluster reproduces the exact result
+    assert(db.search("t", vecs(9), 5, ef = Some(5)) == flat)
+    // default-probe path (no ef): self-hit survives partial probing
+    assert(db.search("t", vecs(9), 1).head._1("i") == "9")
+    // incremental add: assigned + appended into the layout
+    db.add("t", Array.fill(8)(9f), Map("i" -> "new"))
+    assert(db.hasIvfIndex("t"))
+    assert(db.search("t", Array.fill(8)(9f), 1, ef = Some(2)).head._1("i") == "new")
+    // delete clears the sidecar
+    db.delete("t", Map("i" -> "new"))
+    assert(!db.hasIvfIndex("t"))
+  }
+
   test("broadcast gates are byte-based: high-dim big tables are ineligible") {
     // rows × dim decides, not rows alone — the row gate let a 1M × d960
     // index (~4 GB of vectors) through the broadcast path

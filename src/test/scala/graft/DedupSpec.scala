@@ -90,4 +90,26 @@ class DedupSpec extends SparkTestBase {
     val ds = got.select("distance").as[Double].collect()
     assert(ds.forall(d => d >= 0.0 && d <= 0.15 + 1e-9))
   }
+
+  test("semanticPairs cosine: zero vectors follow the 1e-10 clamp (distance 1)") {
+    // clamp semantics (F4): cos_dist(0, x) = 1 for every x — zero vectors
+    // are NOT near-dups of each other at any threshold < 1, and pair with
+    // everything at exactly 1.0 when the cutoff admits distance 1
+    val rows = Seq(
+      (0L, Array(0f, 0f, 0f, 0f)), // zero
+      (1L, Array(0f, 0f, 0f, 0f)), // zero
+      (2L, Array(1f, 0f, 0f, 0f)),
+      (3L, Array(1f, 1e-4f, 0f, 0f))) // near-dup of 2
+    val df = rows.toDF("id", "vec")
+    val tight = Dedup.semanticPairs(df, threshold = 0.5, dist = "cosine",
+      numBlocks = 2).select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(tight == Set((2L, 3L)), s"zero vectors leaked into $tight")
+    val loose = Dedup.semanticPairs(df, threshold = 1.0, dist = "cosine",
+      numBlocks = 2)
+    val zeroPairs = loose.filter($"a_id" <= 1).orderBy("a_id", "b_id")
+      .as[(Long, Long, Double)].collect()
+    assert(zeroPairs.map(p => (p._1, p._2)).toSet ==
+      Set((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L)))
+    assert(zeroPairs.forall(_._3 == 1.0))
+  }
 }

@@ -67,4 +67,32 @@ class IvfSpec extends SparkTestBase {
       val c = r.getAs[Int]("cluster"); c >= 0 && c < model.centroids.length
     })
   }
+
+  test("partitioned layout: searchPartitioned equals search; the scan partition-prunes") {
+    val (model, assigned) = built
+    val dir = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "ivf_part").toString
+    Ivf.writePartitioned(assigned, model, dir)
+    // centroid sidecar round-trips
+    val reloaded = Ivf.readModel(spark, dir, model.dist)
+    assert(reloaded.centroids.length == model.centroids.length)
+    assert(reloaded.centroids.zip(model.centroids)
+      .forall { case (a, b) => a.sameElements(b) })
+    for (np <- Seq(2, 7)) {
+      val part = Ivf.searchPartitioned(dir, reloaded, queries, k = 6,
+        nProbes = Some(np))
+      val plain = Ivf.search(assigned, model, queries, k = 6, nProbes = Some(np))
+        .select("query_id", "id", "distance").as[(Long, Long, Double)]
+        .collect().toSet
+      assert(part.select("query_id", "id", "distance")
+        .as[(Long, Long, Double)].collect().toSet == plain, s"np=$np")
+      // the probe scan must carry partition filters on `cluster` — the
+      // physical pruning IVF exists for
+      if (np < model.centroids.length) {
+        val plan = part.queryExecution.executedPlan.toString
+        assert(plan.contains("PartitionFilters: [cluster"),
+          s"no partition filters in plan:\n$plan")
+      }
+    }
+  }
 }
