@@ -64,9 +64,10 @@ case class TableEntry(
   *    ef. HNSW+PQ runs ADC-then-rerank over codes (the reference runs ADC
   *    inside the graph walk — same contract, different physical path).
   *
-  * Single-writer by convention: one Spark driver session owns the catalog
-  * (the reference's `db.lock` exclusive file lock guards the same thing for
-  * multi-process embedders; Spark deployments put one driver in charge).
+  * Single-writer, enforced: an exclusive `db.lock` file lock is taken on
+  * open and held until [[close]] (`/root/reference/src/database/mod.rs:21-30`,
+  * `293-317`; `examples/test_try_lock.py`) — a second open of the same root,
+  * from this or any other process, fails with "Failed to lock".
   */
 class VecDB(spark: SparkSession, root: String) {
   private implicit val formats: Formats = DefaultFormats
@@ -74,6 +75,29 @@ class VecDB(spark: SparkSession, root: String) {
   private val rootPath: Path = Paths.get(root)
   Files.createDirectories(rootPath)
   private def briefPath: Path = rootPath.resolve("brief.json")
+
+  // exclusive database lock (reference `DB_LOCK_FILE`): tryLock returns
+  // null when another process holds it; a second open in THIS process
+  // throws OverlappingFileLockException — both mean "already open"
+  private val lockChannel = java.nio.channels.FileChannel.open(
+    rootPath.resolve("db.lock"),
+    java.nio.file.StandardOpenOption.CREATE,
+    java.nio.file.StandardOpenOption.WRITE)
+  private val dbLock =
+    try Option(lockChannel.tryLock())
+    catch { case _: java.nio.channels.OverlappingFileLockException => None }
+  if (dbLock.isEmpty) {
+    lockChannel.close()
+    throw new IllegalStateException(
+      s"Failed to lock database at $root: it is open elsewhere")
+  }
+
+  /** Release the exclusive database lock (the reference releases on
+    * manager drop; call before reopening the same root). Idempotent. */
+  def close(): Unit = {
+    dbLock.filter(_.isValid).foreach(_.release())
+    if (lockChannel.isOpen) lockChannel.close()
+  }
 
   private var tables: Map[String, TableEntry] = loadBrief()
   private var cached: Map[String, DataFrame] = Map.empty

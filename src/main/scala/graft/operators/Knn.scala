@@ -27,6 +27,13 @@ object Knn {
 
   /** Batch exact KNN.
     *
+    * Physically served by [[exactBroadcast]] — same logical result
+    * (KnnSpec asserts id/distance equality on both metrics and under
+    * upper bounds), but the scan reads primitive float arrays instead of
+    * per-pair ArrayData element accessors, which measures ~11× cheaper per
+    * pair at a 200M-pair batch. The declarative cross-join shape remains
+    * available as [[exactDeclarative]].
+    *
     * @param base     DataFrame with (idCol: long, vecCol: array<float|double>)
     * @param queries  DataFrame with (queryIdCol: long, queryVecCol: array) —
     *                 assumed small enough to broadcast (the query batch)
@@ -36,6 +43,25 @@ object Knn {
     * @return (query_id, id, distance) ascending per query
     */
   def exact(
+      base: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      dist: String = "l2sqr",
+      idCol: String = "id",
+      vecCol: String = "vec",
+      queryIdCol: String = "query_id",
+      queryVecCol: String = "query_vec",
+      upperBound: Double = Double.PositiveInfinity): DataFrame =
+    exactBroadcast(base, queries, k, dist, idCol, vecCol, queryIdCol,
+      queryVecCol, upperBound)
+
+  /** The fully declarative cross-join + bounded-aggregate shape of
+    * [[exact]]: broadcast(queries) ⋈ base → codegen'd distance → TopK
+    * aggregate. Kept for plan-composition contexts (Catalyst sees every
+    * operator) and as the oracle for the serving shape; the per-pair
+    * ArrayData access makes it the slower physical choice for batch
+    * serving. */
+  def exactDeclarative(
       base: DataFrame,
       queries: DataFrame,
       k: Int,

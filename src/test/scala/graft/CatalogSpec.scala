@@ -124,6 +124,18 @@ class CatalogSpec extends SparkTestBase {
     assert(hit.head._1("i") == "new" && hit.head._2 < 1e-9)
   }
 
+  test("exclusive db.lock: second open fails until close (test_try_lock.py)") {
+    val root = Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "vecdb_test").toString
+    val db = new VecDB(spark, root)
+    val ex = intercept[IllegalStateException] { new VecDB(spark, root) }
+    assert(ex.getMessage.contains("Failed to lock"))
+    db.close()
+    val db2 = new VecDB(spark, root) // released → acquirable
+    db2.close()
+    db.close() // idempotent
+  }
+
   test("ivf sidecar: dispatcher probes the partitioned layout; add appends; delete clears") {
     val db = freshDb()
     db.createTableIfNotExists("t", 8, "l2sqr")
@@ -185,6 +197,7 @@ class CatalogSpec extends SparkTestBase {
     db.createTableIfNotExists("persist", 2, "l2sqr")
     db.add("persist", Array(1f, 2f), Map("x" -> "1"))
     db.buildHnswIndex("persist")
+    db.close() // release the exclusive lock before reopening
     val db2 = new VecDB(spark, root)
     assert(db2.getAllKeys == Seq("persist"))
     assert(db2.getDim("persist") == 2)

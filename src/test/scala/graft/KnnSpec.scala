@@ -29,11 +29,11 @@ class KnnSpec extends SparkTestBase {
     assert(Knn.exact(tiny, q, k = 10).count() == 3)
   }
 
-  test("exactBroadcast equals exact: ids, distances, upper bound, both metrics") {
+  test("exactBroadcast equals exactDeclarative: ids, distances, upper bound, both metrics") {
     val qs = base.filter($"id" < 6)
       .select($"id".as("query_id"), $"vec".as("query_vec"))
     for (dist <- Seq("l2sqr", "cosine")) {
-      val a = Knn.exact(base, qs, k = 7, dist = dist)
+      val a = Knn.exactDeclarative(base, qs, k = 7, dist = dist)
         .orderBy("query_id", "distance", "id").collect()
       val b = Knn.exactBroadcast(base.repartition(4), qs, k = 7, dist = dist)
         .orderBy("query_id", "distance", "id").collect()
@@ -48,7 +48,7 @@ class KnnSpec extends SparkTestBase {
     val cut = 1.5
     val bounded = Knn.exactBroadcast(base, qs, k = 10, upperBound = cut)
     assert(bounded.filter($"distance" > cut).count() == 0)
-    val exactBounded = Knn.exact(base, qs, k = 10, upperBound = cut).count()
+    val exactBounded = Knn.exactDeclarative(base, qs, k = 10, upperBound = cut).count()
     assert(bounded.count() == exactBounded)
   }
 
