@@ -102,6 +102,10 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // the bounded top-k aggregate holds one k-sized state per query key;
+      // the default 128-key fallback would sort-spill millions of scored
+      // rows per task (measured: 128 MB pointer arrays x 32 tasks -> OOM)
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", 8192)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val nCores = cpus.toInt

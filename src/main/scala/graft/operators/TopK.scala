@@ -83,6 +83,14 @@ final class TopKState(val k: Int, withPayload: Boolean) {
   *
   * Returns the ascending (distance, id)-sorted hit array directly, so callers
   * that want per-query arrays (ground-truth gen) need no second shuffle.
+  *
+  * Deployment note: `ObjectHashAggregateExec` falls back to SORT-based
+  * aggregation after `spark.sql.objectHashAggregate.sortBased.fallbackThreshold`
+  * (default 128) distinct keys per task — which sorts every scanned row
+  * (measured: 128 MB sort pointer arrays per task on a 200M-pair scan)
+  * even though this state is k-bounded and the hash map stays tiny. Set
+  * the threshold at or above the expected distinct query count per task
+  * (graft's Bench/Verify sessions use 8192).
   */
 case class TopKAggregate(
     idExpr: Expression,
