@@ -222,7 +222,7 @@ class VecDB(spark: SparkSession, root: String) {
     vecs.foreach(v => require(v.length == e0.dim,
       s"Dimension mismatch: got ${v.length}, expected ${e0.dim}"))
     clearPqTable(key)
-    val e = entry(key)
+    val e = healMissingSidecars(key)
     val start = e.nextId
     tables += key -> e.copy(nextId = start + vecs.length)
     saveBrief()
@@ -237,16 +237,19 @@ class VecDB(spark: SparkSession, root: String) {
       // incremental insert: a fresh subgraph over just the new rows keeps
       // searches complete without touching the stored graphs (subgraph
       // union — the distributed analog of `HNSWIndex::add`)
-      val stats = spark.read.parquet(hnswDir(e).toString)
-        .agg(coalesce(max(col("pid")) + 1, lit(0)),
-          count_distinct(col("pid"))).head()
+      val maxPid = spark.read.parquet(hnswDir(e).toString)
+        .agg(coalesce(max(col("pid")) + 1, lit(0))).head().getInt(0)
       Hnsw.buildIndex(appended, e.dist, efConstruction = e.efConstruction)
-        .withColumn("pid", col("pid") + lit(stats.getInt(0)))
+        .withColumn("pid", col("pid") + lit(maxPid))
         .write.mode("append").parquet(hnswDir(e).toString)
       // N small adds would otherwise accrete N tiny subgraphs, and serving
       // cost grows linearly with the subgraph count — compact when the
-      // sidecar fragments past the bound
-      if (stats.getLong(1) + 1 > MaxSubgraphs) compactHnsw(key)
+      // sidecar fragments past the bound. Recount AFTER the append: one
+      // large add lands rows.length/10000 subgraphs, not one, so a
+      // pre-append count + 1 could blow well past the bound unnoticed.
+      val nPids = spark.read.parquet(hnswDir(e).toString)
+        .agg(count_distinct(col("pid"))).head().getLong(0)
+      if (nPids > MaxSubgraphs) compactHnsw(key)
     }
     if (e.ivf.isDefined && vecs.nonEmpty) {
       // centroids are fixed after build; new rows are assigned to their
@@ -271,8 +274,11 @@ class VecDB(spark: SparkSession, root: String) {
     * repeated small adds cannot degrade serving toward a flat scan. Ids are
     * preserved; only the (pid, local graph) packaging changes — searches
     * union over subgraphs, so results are unaffected (CatalogSpec pins
-    * this). The sidecar swap goes through a tmp directory; a crash in the
-    * window loses only the rebuildable sidecar, never table data. */
+    * this). Swap order is crash-safe: the old sidecar is renamed aside
+    * (not deleted) before the new one moves into place, so no crash window
+    * leaves `hasHnsw=true` with no readable hnsw directory — and the read
+    * path additionally degrades a missing sidecar to Flat
+    * ([[healMissingSidecars]]) rather than throwing. */
   private def compactHnsw(key: String): Unit = {
     val e = entry(key)
     val dir = hnswDir(e)
@@ -293,8 +299,35 @@ class VecDB(spark: SparkSession, root: String) {
     sidecar.filter(!col("pid").isInCollection(mergePids))
       .unionByName(merged)
       .write.mode("overwrite").parquet(tmp.toString)
-    deleteRecursively(dir)
+    val old = dir.resolveSibling("hnsw_old")
+    deleteRecursively(old) // leftover from a prior crash
+    Files.move(dir, old)
     Files.move(tmp, dir)
+    deleteRecursively(old)
+  }
+
+  /** Crash resilience for index sidecars: if the catalog says an index
+    * exists but its directory is gone (e.g. a crash inside an old
+    * non-atomic swap), flip the flag off and serve degraded (Flat) instead
+    * of throwing on every subsequent search/add. */
+  private def healMissingSidecars(key: String): TableEntry = {
+    var e = entry(key)
+    if (e.hasHnsw && !Files.exists(hnswDir(e))) {
+      e = e.copy(hasHnsw = false)
+      tables += key -> e
+      saveBrief()
+    }
+    if (e.pq.isDefined && !Files.exists(pqDir(e))) {
+      e = e.copy(pq = None)
+      tables += key -> e
+      saveBrief()
+    }
+    if (e.ivf.isDefined && !Files.exists(ivfDir(e))) {
+      e = e.copy(ivf = None)
+      tables += key -> e
+      saveBrief()
+    }
+    e
   }
 
   /** P2 — delete-by-pattern: filtered rewrite to a fresh version dir, then
@@ -447,7 +480,7 @@ class VecDB(spark: SparkSession, root: String) {
   def searchBatch(key: String, queries: DataFrame, k: Int,
       ef: Option[Int] = None, upperBound: Option[Double] = None,
       pattern: Map[String, String] = Map.empty): DataFrame = {
-    val e = entry(key)
+    val e = healMissingSidecars(key)
     val ub = upperBound.getOrElse(Double.PositiveInfinity)
     val data = table(key)
     val filtered = data.filter(Search.metaPattern(pattern, col("meta")))

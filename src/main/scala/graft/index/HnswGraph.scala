@@ -18,6 +18,88 @@ private[index] final class IntList(initialCap: Int = 8) {
   def addAll(vs: Array[Int]): Unit = { var i = 0; while (i < vs.length) { add(vs(i)); i += 1 } }
 }
 
+/** Min-heap of (distance, index) in (distance, index) order — the search
+  * frontier, primitive arrays, reused across searches via
+  * [[HnswSearchCtx]]. Top-level (not an inner class) so a pooled instance
+  * holds no reference to any graph. */
+private[index] final class CandidateHeap(initialCap: Int) {
+  private var ds = new Array[Double](math.max(initialCap, 16))
+  private var is = new Array[Int](ds.length)
+  private var n = 0
+
+  def isEmpty: Boolean = n == 0
+  def clear(): Unit = n = 0
+
+  @inline private def lessAt(a: Int, b: Int): Boolean =
+    ds(a) < ds(b) || (ds(a) == ds(b) && is(a) < is(b))
+
+  @inline private def swap(a: Int, b: Int): Unit = {
+    val td = ds(a); ds(a) = ds(b); ds(b) = td
+    val ti = is(a); is(a) = is(b); is(b) = ti
+  }
+
+  def push(d: Double, i: Int): Unit = {
+    if (n == ds.length) {
+      ds = java.util.Arrays.copyOf(ds, n * 2)
+      is = java.util.Arrays.copyOf(is, n * 2)
+    }
+    ds(n) = d; is(n) = i
+    var c = n; n += 1
+    while (c > 0 && lessAt(c, (c - 1) >>> 1)) {
+      swap(c, (c - 1) >>> 1); c = (c - 1) >>> 1
+    }
+  }
+
+  var popDist: Double = 0.0
+  var popIdx: Int = -1
+
+  /** Pop the min into (popDist, popIdx). */
+  def pop(): Unit = {
+    popDist = ds(0); popIdx = is(0)
+    n -= 1
+    if (n > 0) {
+      ds(0) = ds(n); is(0) = is(n)
+      var c = 0
+      var continue = true
+      while (continue) {
+        val l = 2 * c + 1; val r = l + 1
+        var s = c
+        if (l < n && lessAt(l, s)) s = l
+        if (r < n && lessAt(r, s)) s = r
+        if (s == c) continue = false
+        else { swap(c, s); c = s }
+      }
+    }
+  }
+}
+
+/** Per-thread reusable search state: visited-epoch array (bump the epoch
+  * instead of clearing — O(1) reset per search), frontier heap, link
+  * scratch. ONE instance per thread, shared across graphs (sized up to the
+  * largest `n` seen) and holding no graph reference — a ThreadLocal of an
+  * inner class would keep an evicted multi-GB graph reachable from
+  * long-lived executor threads until ThreadLocalMap expungement. */
+private[index] final class HnswSearchCtx {
+  var visited = new Array[Int](16)
+  var epoch = 0
+  val heap = new CandidateHeap(64)
+  val scratch = new IntList(64)
+  def begin(n: Int): Unit = {
+    if (visited.length < n) {
+      visited = new Array[Int](math.max(n, visited.length * 2))
+      epoch = 0
+    }
+    if (epoch == Int.MaxValue) {
+      java.util.Arrays.fill(visited, 0)
+      epoch = 0
+    }
+    epoch += 1
+    heap.clear()
+  }
+  @inline def seen(i: Int): Boolean = visited(i) == epoch
+  @inline def mark(i: Int): Unit = visited(i) = epoch
+}
+
 /** In-memory HNSW proximity graph over a local block of vectors — the
   * per-partition subgraph unit of the distributed HNSW operator
   * ([[graft.operators.Hnsw]]). Faithful port of the reference's algorithm:
@@ -170,90 +252,10 @@ final class HnswGraph(
     }
   }
 
-  /** Min-heap of (distance, index) in (distance, index) order — the search
-    * frontier, primitive arrays, reused across searches via [[Ctx]]. */
-  private final class CandidateHeap(initialCap: Int) {
-    private var ds = new Array[Double](math.max(initialCap, 16))
-    private var is = new Array[Int](ds.length)
-    private var n = 0
-
-    def isEmpty: Boolean = n == 0
-    def clear(): Unit = n = 0
-
-    @inline private def lessAt(a: Int, b: Int): Boolean =
-      ds(a) < ds(b) || (ds(a) == ds(b) && is(a) < is(b))
-
-    @inline private def swap(a: Int, b: Int): Unit = {
-      val td = ds(a); ds(a) = ds(b); ds(b) = td
-      val ti = is(a); is(a) = is(b); is(b) = ti
-    }
-
-    def push(d: Double, i: Int): Unit = {
-      if (n == ds.length) {
-        ds = java.util.Arrays.copyOf(ds, n * 2)
-        is = java.util.Arrays.copyOf(is, n * 2)
-      }
-      ds(n) = d; is(n) = i
-      var c = n; n += 1
-      while (c > 0 && lessAt(c, (c - 1) >>> 1)) {
-        swap(c, (c - 1) >>> 1); c = (c - 1) >>> 1
-      }
-    }
-
-    var popDist: Double = 0.0
-    var popIdx: Int = -1
-
-    /** Pop the min into (popDist, popIdx). */
-    def pop(): Unit = {
-      popDist = ds(0); popIdx = is(0)
-      n -= 1
-      if (n > 0) {
-        ds(0) = ds(n); is(0) = is(n)
-        var c = 0
-        var continue = true
-        while (continue) {
-          val l = 2 * c + 1; val r = l + 1
-          var s = c
-          if (l < n && lessAt(l, s)) s = l
-          if (r < n && lessAt(r, s)) s = r
-          if (s == c) continue = false
-          else { swap(c, s); c = s }
-        }
-      }
-    }
-  }
-
-  /** Per-thread reusable search state: visited-epoch array (bump the epoch
-    * instead of clearing — O(1) reset per search) and the frontier heap.
-    * One instance per (thread, graph); concurrent serving threads never
-    * share mutable state. */
-  private final class Ctx {
-    var visited = new Array[Int](math.max(n, 16))
-    var epoch = 0
-    val heap = new CandidateHeap(64)
-    val scratch = new IntList(64)
-    def begin(): Unit = {
-      if (visited.length < n) {
-        visited = new Array[Int](math.max(n, visited.length * 2))
-        epoch = 0
-      }
-      if (epoch == Int.MaxValue) {
-        java.util.Arrays.fill(visited, 0)
-        epoch = 0
-      }
-      epoch += 1
-      heap.clear()
-    }
-    @inline def seen(i: Int): Boolean = visited(i) == epoch
-    @inline def mark(i: Int): Unit = visited(i) = epoch
-  }
-
-  private val ctxTL: ThreadLocal[Ctx] = ThreadLocal.withInitial(() => new Ctx)
-
   private def searchOnLevel(
       enter: Int, level: Int, ef: Int, q: Array[Float]): ResultSet = {
-    val ctx = ctxTL.get()
-    ctx.begin()
+    val ctx = HnswGraph.ctxTL.get()
+    ctx.begin(n)
     val queue = ctx.heap
     val result = new ResultSet(ef)
     ctx.mark(enter)
@@ -289,8 +291,8 @@ final class HnswGraph(
     * the latter stays monomorphic. */
   private def searchOnLevelFn(
       enter: Int, level: Int, ef: Int, distFn: Int => Double): ResultSet = {
-    val ctx = ctxTL.get()
-    ctx.begin()
+    val ctx = HnswGraph.ctxTL.get()
+    ctx.begin(n)
     val queue = ctx.heap
     val result = new ResultSet(ef)
     ctx.mark(enter)
@@ -385,7 +387,7 @@ final class HnswGraph(
     val set = new ResultSet(limit + 1)
     var i = 0
     while (i < l.size) { set.add(distBetween(vecIdx, l(i)), l(i)); i += 1 }
-    val kept = ctxTL.get().scratch
+    val kept = HnswGraph.ctxTL.get().scratch
     set.heuristic(limit, kept)
     l.clear()
     i = 0
@@ -395,7 +397,7 @@ final class HnswGraph(
   /** Set a fresh node's neighbors (≤ M even at level 0) and fix up the
     * reverse links (`connect_new_links`, `hnsw_index.rs:226-239`). */
   private def connectNewLinks(vecIdx: Int, level: Int, candidates: ResultSet): Unit = {
-    val kept = ctxTL.get().scratch
+    val kept = HnswGraph.ctxTL.get().scratch
     candidates.heuristic(m, kept)
     val l = links(vecIdx)(level)
     val neighbors = kept.toArray
@@ -556,6 +558,11 @@ final class HnswGraph(
 }
 
 object HnswGraph {
+
+  /** Shared per-thread search state (see [[HnswSearchCtx]]): static so the
+    * pooled arrays never pin a graph instance after cache eviction. */
+  private[index] val ctxTL: ThreadLocal[HnswSearchCtx] =
+    ThreadLocal.withInitial(() => new HnswSearchCtx)
 
   /** Rebuild a graph from exported nodes without re-running insertion —
     * the load half of S5 (`IndexSerde::load`,

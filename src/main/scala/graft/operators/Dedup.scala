@@ -138,11 +138,23 @@ object Dedup {
 
   /** MinHash-LSH near-duplicate join: signature → `bands` band keys → pairs
     * for any band collision → exact-Jaccard verification ≥ threshold.
-    * Approximate only in recall (a true pair missing every band); verified
-    * output has zero false positives. Shuffles on 8-byte band keys instead
-    * of shingle strings — the scale path when the shingle inverted index is
-    * too hot.
+    * Approximate only in recall; verified output has zero false positives.
+    * Shuffles on 8-byte band keys instead of shingle strings — the scale
+    * path when the shingle inverted index is too hot.
     *
+    * RECALL IS PROBABILISTIC BEYOND THE BANDING STAGE: with the default
+    * `prefilterSigmas`, band-collision candidates are prefiltered by
+    * signature-estimated Jaccard ≥ threshold − prefilterSigmas·σ
+    * (σ = ½/√numHashes, the minhash estimator's worst-case std-dev) before
+    * the exact shingle verification, so a pair that would pass exact
+    * verification can additionally be dropped on a > `prefilterSigmas`-σ
+    * signature fluke (the σ bound assumes independent min-hashes). Set
+    * `prefilterSigmas = Double.PositiveInfinity` to disable the prefilter
+    * and restore the every-banded-candidate-is-exactly-verified contract at
+    * the cost of shipping shingle arrays for every band collision.
+    *
+    * @param prefilterSigmas slack (in σ units) of the signature prefilter;
+    *                        +∞ disables it
     * @return (a_id, b_id, jaccard) with a_id < b_id, exact Jaccard attached
     */
   def minhashLshJoin(
@@ -153,7 +165,8 @@ object Dedup {
       threshold: Double = 0.5,
       seed: Long = 42L,
       idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text",
+      prefilterSigmas: Double = 3.0): DataFrame = {
     require(numHashes % bands == 0, s"bands ($bands) must divide numHashes ($numHashes)")
     val r = numHashes / bands
     // materialized: the signature pipeline feeds band keys + both sides of
@@ -180,22 +193,24 @@ object Dedup {
     // rate, ~an order of magnitude more FPs than true pairs). Estimating J
     // from the already-computed signatures (numHashes longs — primitive
     // slot compares) before shipping the shingle STRING arrays cuts the
-    // exact-verify join's input to ~the true pairs. Slack = 3σ of the
-    // minhash estimator at J=1/2 (σ = √(J(1−J)/numHashes), maximized at
-    // J=1/2), so a pair that would pass exact verification is dropped only
-    // on a >3σ signature fluke — far below the banding stage's own recall
-    // noise (a J=t pair misses every band with prob (1−t^r)^bands).
-    val sigs = sh.select(col("doc_id"), col("sig"))
-    val slack = 1.5 / math.sqrt(numHashes.toDouble)
-    val prefiltered = cand
-      .join(sigs.select(col("doc_id").as("a_id"), col("sig").as("siga")), "a_id")
-      .join(sigs.select(col("doc_id").as("b_id"), col("sig").as("sigb")), "b_id")
-      .filter(
-        aggregate(zip_with(col("siga"), col("sigb"),
-            (x, y) => when(x === y, 1).otherwise(0)),
-          lit(0), (acc, v) => acc + v).cast("double") / numHashes
-          >= threshold - slack)
-      .select(col("a_id"), col("b_id"))
+    // exact-verify join's input to ~the true pairs. See the scaladoc: this
+    // makes verification recall probabilistic (bounded by prefilterSigmas·σ
+    // at σ = ½/√numHashes, J=1/2 worst case); +∞ disables it.
+    val prefiltered =
+      if (prefilterSigmas.isPosInfinity) cand
+      else {
+        val sigs = sh.select(col("doc_id"), col("sig"))
+        val slack = prefilterSigmas * 0.5 / math.sqrt(numHashes.toDouble)
+        cand
+          .join(sigs.select(col("doc_id").as("a_id"), col("sig").as("siga")), "a_id")
+          .join(sigs.select(col("doc_id").as("b_id"), col("sig").as("sigb")), "b_id")
+          .filter(
+            aggregate(zip_with(col("siga"), col("sigb"),
+                (x, y) => when(x === y, 1).otherwise(0)),
+              lit(0), (acc, v) => acc + v).cast("double") / numHashes
+              >= threshold - slack)
+          .select(col("a_id"), col("b_id"))
+      }
     // exact verification: join shingle sets back onto the surviving pairs
     val sets = sh.select(col("doc_id"), col("sh"))
     prefiltered

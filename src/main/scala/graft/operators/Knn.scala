@@ -109,10 +109,17 @@ object Knn {
     * the Q×partitions×k partials with the bounded aggregate. Same logical
     * result and scale shape as [[exact]] (base streams once, only tiny
     * partials shuffle) minus the per-pair row machinery of the cross-join
-    * plan, which measures ~25× the distance cost at high pair rates. Scans
-    * with the SIMD float kernel (the reference's own f32 accumulation),
-    * re-scores every kept candidate with the exact double kernel before
-    * the merge, so emitted distances match [[exact]]/the DuckDB oracle.
+    * plan, which measures ~25× the distance cost at high pair rates.
+    *
+    * Selection is EXACT: a candidate enters the per-partition top-k only by
+    * the double kernel's (distance, id) order. The SIMD float kernel is a
+    * conservative prefilter — a row skips the double re-score only when its
+    * float distance exceeds the current k-th exact distance by more than
+    * the float kernel's error bound (relative `dim · 2⁻²⁴` with a 4×
+    * safety factor, plus an absolute guard), so no amount of float-tie
+    * pileup at the k boundary can evict a true top-k row. Cosine caches
+    * query and row norms so the per-pair prefilter cost is one dot product
+    * — the same arithmetic intensity as L2.
     */
   def exactBroadcast(
       base: DataFrame,
@@ -140,51 +147,58 @@ object Knn {
         val nq = qarr.length
         if (nq == 0 || !it.hasNext) Iterator.empty
         else {
-          // retain k + slack candidates per partition by FLOAT distance:
-          // the float scan only selects, the double kernel re-scores, and
-          // the final merge cuts to k over exact distances — so a float
-          // rounding flip at the k-boundary would have to displace the true
-          // k-th candidate past k+16 near-ties to change the result
-          val kSel = k + 16
-          // per-query bounded buffers in ascending (distance, id) order
-          val bufD = Array.fill(nq)(new Array[Double](kSel))
-          val bufI = Array.fill(nq)(new Array[Long](kSel))
-          val bufV = Array.fill(nq)(new Array[Array[Float]](kSel))
+          // per-query bounded buffers in ascending EXACT (distance, id) order
+          val bufD = Array.fill(nq)(new Array[Double](k))
+          val bufI = Array.fill(nq)(new Array[Long](k))
           val sz = new Array[Int](nq)
+          val dim = qarr(0)._2.length
+          // float-kernel error envelope: accumulation error grows ~dim·2⁻²⁴
+          // relative; 2.4e-7·dim is a 4× margin, the absolute term guards
+          // near-zero distances (cosine lives in [0,2])
+          val rel = 1e-3 + dim * 2.4e-7
+          val abs = 1e-6 + dim * 2.4e-7
+          // cosine: norms cached per query / per row — prefilter is 1 dot
+          val qn =
+            if (cosine) qarr.map(q => math.sqrt(graft.index.Simd.dot(q._2, q._2)))
+            else null
           while (it.hasNext) {
             val (id, vec) = it.next()
+            val nb = if (cosine) math.sqrt(graft.index.Simd.dot(vec, vec)) else 0.0
             var qi = 0
             while (qi < nq) {
-              val d =
-                if (cosine) graft.index.Simd.cosine(qarr(qi)._2, vec)
-                else graft.index.Simd.l2sq(qarr(qi)._2, vec)
+              val q = qarr(qi)._2
+              val dF =
+                if (cosine) 1.0 - graft.index.Simd.dot(q, vec) / math.max(qn(qi) * nb, 1e-10)
+                else graft.index.Simd.l2sq(q, vec)
               val n = sz(qi)
               val ds = bufD(qi); val ids = bufI(qi)
-              if (n < kSel || d < ds(n - 1) || (d == ds(n - 1) && id < ids(n - 1))) {
-                val m = if (n < kSel) n else n - 1
-                // insertion position in (distance, id) order
-                var lo = 0; var hi = m
-                while (lo < hi) {
-                  val mid = (lo + hi) >>> 1
-                  if (d < ds(mid) || (d == ds(mid) && id < ids(mid))) hi = mid
-                  else lo = mid + 1
+              val bound =
+                if (n < k) Double.PositiveInfinity
+                else ds(n - 1) + math.abs(ds(n - 1)) * rel + abs
+              if (dF <= bound) {
+                val d =
+                  if (cosine) graft.index.Simd.cosineExact(q, vec)
+                  else graft.index.Simd.l2sqExact(q, vec)
+                if (n < k || d < ds(n - 1) || (d == ds(n - 1) && id < ids(n - 1))) {
+                  val m = if (n < k) n else n - 1
+                  // insertion position in (distance, id) order
+                  var lo = 0; var hi = m
+                  while (lo < hi) {
+                    val mid = (lo + hi) >>> 1
+                    if (d < ds(mid) || (d == ds(mid) && id < ids(mid))) hi = mid
+                    else lo = mid + 1
+                  }
+                  System.arraycopy(ds, lo, ds, lo + 1, m - lo)
+                  System.arraycopy(ids, lo, ids, lo + 1, m - lo)
+                  ds(lo) = d; ids(lo) = id
+                  if (n < k) sz(qi) = n + 1
                 }
-                System.arraycopy(ds, lo, ds, lo + 1, m - lo)
-                System.arraycopy(ids, lo, ids, lo + 1, m - lo)
-                System.arraycopy(bufV(qi), lo, bufV(qi), lo + 1, m - lo)
-                ds(lo) = d; ids(lo) = id; bufV(qi)(lo) = vec
-                if (n < kSel) sz(qi) = n + 1
               }
               qi += 1
             }
           }
           Iterator.range(0, nq).flatMap { qi =>
-            Iterator.range(0, sz(qi)).map { p =>
-              val exact =
-                if (cosine) graft.index.Simd.cosineExact(qarr(qi)._2, bufV(qi)(p))
-                else graft.index.Simd.l2sqExact(qarr(qi)._2, bufV(qi)(p))
-              (qarr(qi)._1, bufI(qi)(p), exact)
-            }
+            Iterator.range(0, sz(qi)).map(p => (qarr(qi)._1, bufI(qi)(p), bufD(qi)(p)))
           }
         }
       }
