@@ -102,6 +102,15 @@ class VecDB(spark: SparkSession, root: String) {
   private var tables: Map[String, TableEntry] = loadBrief()
   private var cached: Map[String, DataFrame] = Map.empty
 
+  /** Intra-process guard for every read-modify-write of `tables` +
+    * `saveBrief()`. The exclusive `db.lock` only fences OTHER processes; a
+    * search thread healing a degraded table concurrently with another
+    * thread's `batchAdd` could otherwise write a stale snapshot back and
+    * roll back the just-reserved `nextId` — id reuse, the one invariant
+    * appends must never break. Mutators re-read `entry(key)` INSIDE the
+    * lock so no stale copy is ever written. */
+  private val catalogLock = new Object
+
   private def loadBrief(): Map[String, TableEntry] =
     if (Files.exists(briefPath))
       Serialization.read[Map[String, TableEntry]](Files.readString(briefPath))
@@ -155,22 +164,33 @@ class VecDB(spark: SparkSession, root: String) {
   def createTableIfNotExists(key: String, dim: Int, dist: String = "cosine"): Unit = {
     require(dim > 0, "dim must be positive")
     require(dist == "l2sqr" || dist == "cosine", s"unknown distance '$dist'")
-    if (tables.contains(key)) return
-    val e = TableEntry(uniqueFilename(key), dim, dist, version = 0, nextId = 0L,
-      hasHnsw = false, efConstruction = 200, pq = None)
-    spark.createDataFrame(new java.util.ArrayList[Row](), dataSchema(dim))
-      .write.mode("overwrite").parquet(dataDir(e))
-    tables += key -> e
-    saveBrief()
+    val created = catalogLock.synchronized {
+      if (tables.contains(key)) None
+      else {
+        val e = TableEntry(uniqueFilename(key), dim, dist, version = 0,
+          nextId = 0L, hasHnsw = false, efConstruction = 200, pq = None)
+        tables += key -> e
+        saveBrief()
+        Some(e)
+      }
+    }
+    created.foreach { e =>
+      spark.createDataFrame(new java.util.ArrayList[Row](), dataSchema(dim))
+        .write.mode("overwrite").parquet(dataDir(e))
+    }
   }
 
   def deleteTable(key: String): Unit = {
-    tables.get(key).foreach { e =>
-      tables -= key
-      cached -= key
-      saveBrief()
-      deleteRecursively(rootPath.resolve(e.filename))
+    val removed = catalogLock.synchronized {
+      val e = tables.get(key)
+      e.foreach { _ =>
+        tables -= key
+        cached -= key
+        saveBrief()
+      }
+      e
     }
+    removed.foreach(e => deleteRecursively(rootPath.resolve(e.filename)))
   }
 
   def getAllKeys: Seq[String] = tables.keys.toSeq.sorted
@@ -188,21 +208,22 @@ class VecDB(spark: SparkSession, root: String) {
     cached.getOrElse(key, spark.read.schema(dataSchema(entry(key).dim))
       .parquet(dataDir(entry(key))))
 
-  def cacheTable(key: String): Unit =
-    cached += key -> table(key).cache()
+  def cacheTable(key: String): Unit = {
+    val df = table(key).cache()
+    catalogLock.synchronized { cached += key -> df }
+  }
 
   def getCachedTables: Seq[String] = cached.keys.toSeq.sorted
   def containsCached(key: String): Boolean = cached.contains(key)
-  def removeCachedTable(key: String): Unit = {
-    cached.get(key).foreach(_.unpersist())
-    cached -= key
-  }
+  def removeCachedTable(key: String): Unit = invalidateCache(key)
 
   // --------------------------------------------------------------- writes
 
   private def invalidateCache(key: String): Unit = {
-    cached.get(key).foreach(_.unpersist())
-    cached -= key
+    val old = catalogLock.synchronized {
+      val o = cached.get(key); cached -= key; o
+    }
+    old.foreach(_.unpersist())
   }
 
   def add(key: String, vec: Array[Float], meta: Map[String, String] = Map.empty): Unit =
@@ -222,10 +243,13 @@ class VecDB(spark: SparkSession, root: String) {
     vecs.foreach(v => require(v.length == e0.dim,
       s"Dimension mismatch: got ${v.length}, expected ${e0.dim}"))
     clearPqTable(key)
-    val e = healMissingSidecars(key)
-    val start = e.nextId
-    tables += key -> e.copy(nextId = start + vecs.length)
-    saveBrief()
+    val (e, start) = catalogLock.synchronized {
+      val healed = healMissingSidecars(key)
+      val s = healed.nextId
+      tables += key -> healed.copy(nextId = s + vecs.length)
+      saveBrief()
+      (healed, s)
+    }
     val rows = vecs.zip(metas).zipWithIndex.map { case ((v, m), i) =>
       Row(start + i, v.toSeq, m)
     }
@@ -233,28 +257,88 @@ class VecDB(spark: SparkSession, root: String) {
       spark.sparkContext.parallelize(rows.toSeq, math.max(1, rows.length / 10000)),
       dataSchema(e.dim))
     appended.write.mode("append").parquet(dataDir(e))
-    if (e.hasHnsw && vecs.nonEmpty) {
-      // incremental insert: a fresh subgraph over just the new rows keeps
-      // searches complete without touching the stored graphs (subgraph
-      // union — the distributed analog of `HNSWIndex::add`)
-      val maxPid = spark.read.parquet(hnswDir(e).toString)
-        .agg(coalesce(max(col("pid")) + 1, lit(0))).head().getInt(0)
-      Hnsw.buildIndex(appended, e.dist, efConstruction = e.efConstruction)
-        .withColumn("pid", col("pid") + lit(maxPid))
-        .write.mode("append").parquet(hnswDir(e).toString)
-      // N small adds would otherwise accrete N tiny subgraphs, and serving
-      // cost grows linearly with the subgraph count — compact when the
-      // sidecar fragments past the bound. Recount AFTER the append: one
-      // large add lands rows.length/10000 subgraphs, not one, so a
-      // pre-append count + 1 could blow well past the bound unnoticed.
-      val nPids = spark.read.parquet(hnswDir(e).toString)
-        .agg(count_distinct(col("pid"))).head().getLong(0)
-      if (nPids > MaxSubgraphs) compactHnsw(key)
+    if (vecs.nonEmpty) appendIndexSidecars(key, e, appended)
+    invalidateCache(key)
+  }
+
+  /** Append a DataFrame of `(vec[, meta])` rows WITHOUT materializing them
+    * on the driver — the 100 TB ingest shape ([[batchAdd]] parallelizes a
+    * driver-held Seq, so its input is bounded by driver memory). Contract
+    * matches [[batchAdd]] exactly: columnar dimension check, contiguous id
+    * range reserved in the brief BEFORE any data lands, PQ sidecar cleared,
+    * HNSW kept fresh via an appended subgraph, IVF rows assigned to their
+    * nearest centroid. Returns the number of rows appended.
+    *
+    * A `meta` column is optional (null metadata when absent); any other
+    * extra columns are ignored. */
+  def addDataFrame(key: String, df: DataFrame): Long = {
+    val dim0 = entry(key).dim
+    val metaT = MapType(StringType, StringType)
+    val src = (if (df.columns.contains("meta"))
+        df.select(col("vec"), col("meta").cast(metaT))
+      else df.select(col("vec"), lit(null).cast(metaT).as("meta")))
+      .select(col("vec").cast(ArrayType(FloatType)).as("vec"), col("meta"))
+    // one columnar pass answers both the row count and the dim check
+    val stats = src.agg(count(lit(1)),
+      sum(when(col("vec").isNull.or(size(col("vec")) =!= dim0), 1L)
+        .otherwise(0L))).head()
+    val n = stats.getLong(0)
+    val bad = if (stats.isNullAt(1)) 0L else stats.getLong(1)
+    require(bad == 0L,
+      s"Dimension mismatch: $bad rows are not $dim0-dimensional vectors")
+    if (n == 0L) return 0L
+    clearPqTable(key)
+    val (e, start) = catalogLock.synchronized {
+      val healed = healMissingSidecars(key)
+      val s = healed.nextId
+      tables += key -> healed.copy(nextId = s + n)
+      saveBrief()
+      (healed, s)
     }
-    if (e.ivf.isDefined && vecs.nonEmpty) {
-      // centroids are fixed after build; new rows are assigned to their
-      // nearest centroid and appended into the partitioned layout — the
-      // same incremental contract as the HNSW sidecar
+    // contiguous ids from the reserved range via zipWithIndex (distributed;
+    // ordering = the source's partition order, same determinism class as
+    // the reference's insertion order)
+    val withId = spark.createDataFrame(
+      src.rdd.zipWithIndex.map { case (r, i) => Row(start + i, r.get(0), r.get(1)) },
+      dataSchema(dim0))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      withId.write.mode("append").parquet(dataDir(e))
+      appendIndexSidecars(key, e, withId)
+    } finally withId.unpersist()
+    invalidateCache(key)
+    n
+  }
+
+  /** Index-sidecar upkeep shared by [[batchAdd]] and [[addDataFrame]]:
+    *
+    *  - HNSW: a fresh subgraph over just the new rows keeps searches
+    *    complete without touching the stored graphs (subgraph union — the
+    *    distributed analog of `HNSWIndex::add`). N small adds would accrete
+    *    N tiny subgraphs and serving cost grows with the subgraph count, so
+    *    compact past [[MaxSubgraphs]]. The post-append subgraph count comes
+    *    from ONE column-pruned pre-scan (max pid + distinct count) plus the
+    *    build output's own pid count — no second sidecar scan.
+    *  - IVF: centroids are fixed after build; new rows are assigned to
+    *    their nearest centroid and appended into the partitioned layout.
+    */
+  private def appendIndexSidecars(key: String, e: TableEntry, appended: DataFrame): Unit = {
+    if (e.hasHnsw) {
+      val stats = spark.read.parquet(hnswDir(e).toString)
+        .agg(coalesce(max(col("pid")) + 1, lit(0)).as("maxp"),
+          count_distinct(col("pid")).as("np")).head()
+      val maxPid = stats.getInt(0)
+      val prePids = stats.getLong(1)
+      val idx = Hnsw.buildIndex(appended, e.dist, efConstruction = e.efConstruction)
+        .withColumn("pid", col("pid") + lit(maxPid))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        idx.write.mode("append").parquet(hnswDir(e).toString)
+        val newPids = idx.select(col("pid")).distinct().count()
+        if (prePids + newPids > MaxSubgraphs) compactHnsw(key)
+      } finally idx.unpersist()
+    }
+    if (e.ivf.isDefined) {
       val info = e.ivf.get
       val model = Ivf.readModel(spark, ivfDir(e).toString, e.dist,
         info.defaultNProbes)
@@ -262,7 +346,6 @@ class VecDB(spark: SparkSession, root: String) {
         .write.partitionBy("cluster").mode("append")
         .parquet(ivfDir(e).resolve("data").toString)
     }
-    invalidateCache(key)
   }
 
   /** Subgraph count ceiling before [[compactHnsw]] merges the smallest
