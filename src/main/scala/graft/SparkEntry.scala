@@ -163,20 +163,15 @@ object SparkEntry {
       recallDf(s, dir)
         .agg((round(avg(col("recall")), 6) + lit(0.0)).as("avg_recall"))
     }),
-    // §2.11+P2: full catalog round-trip — create table, batch_add the
-    // embeddings with metadata, delete-by-pattern, emit the survivors.
-    // Runs through the real graft.catalog.VecDB (parquet versions +
-    // brief.json) in a scratch dir under target/.
+    // §2.11+P2: full catalog round-trip — create table, distributed
+    // addDataFrame ingest (no driver materialization — the 100 TB shape),
+    // delete-by-pattern, emit the survivors. Runs through the real
+    // graft.catalog.VecDB (parquet versions + brief.json) in a scratch dir
+    // under target/. The source is sorted by id, so zipWithIndex assigns
+    // ids in vec_id order (vec_ids are contiguous from 0 ⇒ id == vec_id,
+    // same as the driver-side batchAdd this replaced).
     "q_delete_pattern_survivors" -> ((s, dir) => {
-      val root = java.nio.file.Files.createTempDirectory(
-        java.nio.file.Paths.get("target"), "vecdb_q").toString
-      val db = new graft.catalog.VecDB(s, root)
-      val rows = Tables.vectorsMeta(s, dir).orderBy("id").collect()
-      val dim = rows.head.getAs[Seq[Float]]("vec").length
-      db.createTableIfNotExists("emb", dim, "l2sqr")
-      db.batchAdd("emb",
-        rows.map(_.getAs[Seq[Float]]("vec").toArray).toSeq,
-        rows.map(_.getAs[Map[String, String]]("meta")).toSeq)
+      val db = catalogIngest(s, dir, "vecdb_q")
       db.delete("emb", Map("parity" -> "odd"))
       db.table("emb")
         .select(col("id"), col("meta")("label").as("label"),
@@ -247,18 +242,11 @@ object SparkEntry {
     // equals exact KNN ⇒ the plain top-k SQL oracle applies; HnswSpec
     // carries the combined-traversal==Flat assert at modest ef.
     "q_hnsw_pq_search" -> ((s, dir) => {
-      val root = java.nio.file.Files.createTempDirectory(
-        java.nio.file.Paths.get("target"), "vecdb_qpq").toString
-      val db = new graft.catalog.VecDB(s, root)
-      val rows = Tables.vectorsMeta(s, dir).orderBy("id").collect()
-      val dim = rows.head.getAs[Seq[Float]]("vec").length
-      db.createTableIfNotExists("emb", dim, "l2sqr")
-      db.batchAdd("emb",
-        rows.map(_.getAs[Seq[Float]]("vec").toArray).toSeq,
-        rows.map(_.getAs[Map[String, String]]("meta")).toSeq)
+      val db = catalogIngest(s, dir, "vecdb_qpq")
+      val n = db.getLen("emb").toInt
       db.buildHnswIndex("emb")
       db.buildPqTable("emb", trainProportion = Some(0.5), m = Some(8))
-      db.searchBatch("emb", queryVectors(s, dir), k = 5, ef = Some(2 * rows.length))
+      db.searchBatch("emb", queryVectors(s, dir), k = 5, ef = Some(2 * n))
         .select(col("query_id"), col("id"),
           (round(col("distance"), 6) + lit(0.0)).as("distance"))
         .orderBy("query_id", "distance", "id")
@@ -267,18 +255,24 @@ object SparkEntry {
     // only — (Some ef, no pq) dispatches through hnswSearch/searchBroadcast
     // with metadata attach. Exhaustive ef ⇒ equals exact ⇒ SQL oracle.
     "q_vecdb_search" -> ((s, dir) => {
-      val root = java.nio.file.Files.createTempDirectory(
-        java.nio.file.Paths.get("target"), "vecdb_qs").toString
-      val db = new graft.catalog.VecDB(s, root)
-      val rows = Tables.vectorsMeta(s, dir).orderBy("id").collect()
-      val dim = rows.head.getAs[Seq[Float]]("vec").length
-      db.createTableIfNotExists("emb", dim, "l2sqr")
-      db.batchAdd("emb",
-        rows.map(_.getAs[Seq[Float]]("vec").toArray).toSeq,
-        rows.map(_.getAs[Map[String, String]]("meta")).toSeq)
+      val db = catalogIngest(s, dir, "vecdb_qs")
+      val n = db.getLen("emb").toInt
       db.buildHnswIndex("emb")
-      db.searchBatch("emb", queryVectors(s, dir), k = 5, ef = Some(2 * rows.length))
+      db.searchBatch("emb", queryVectors(s, dir), k = 5, ef = Some(2 * n))
         .select(searchCols: _*)
+        .orderBy("query_id", "distance", "id")
+    }),
+    // §2.11 dispatch + T6: the catalog serving path through the IVF arm —
+    // create/addDataFrame/build_ivf, then searchBatch with ef = the cluster
+    // count, which the dispatch maps to n_probes (ivf_index.rs:137-143);
+    // probing every cluster ⇒ exact ⇒ the plain top-k SQL oracle applies.
+    // Exercises Ivf.searchPartitioned's cluster-pruned partitioned layout.
+    "q_ivf_catalog" -> ((s, dir) => {
+      val db = catalogIngest(s, dir, "vecdb_qivf")
+      db.buildIvfIndex("emb", k = 8)
+      db.searchBatch("emb", queryVectors(s, dir), k = 5, ef = Some(8))
+        .select(col("query_id"), col("id"),
+          (round(col("distance"), 6) + lit(0.0)).as("distance"))
         .orderBy("query_id", "distance", "id")
     }),
     // T6+B3: IVF probe search — with n_probes covering every centroid the
@@ -311,6 +305,22 @@ object SparkEntry {
         .orderBy("id")
     }),
   )
+
+  /** Shared catalog-query fixture: scratch-dir VecDB + distributed
+    * [[graft.catalog.VecDB.addDataFrame]] ingest of the metadata-bearing
+    * vector table (sorted by id ⇒ assigned ids equal vec_id — see
+    * q_delete_pattern_survivors). No driver-side collect anywhere. */
+  private def catalogIngest(s: SparkSession, dir: String, prefix: String)
+    : graft.catalog.VecDB = {
+    val root = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), prefix).toString
+    val db = new graft.catalog.VecDB(s, root)
+    val src = Tables.vectorsMeta(s, dir).orderBy("id")
+    val dim = src.select(size(col("vec"))).head().getInt(0)
+    db.createTableIfNotExists("emb", dim, "l2sqr")
+    db.addDataFrame("emb", src)
+    db
+  }
 
   /** B7+A4: ground-truth ids via `Knn.exactIds` for two distance algorithms,
     * recall = |l2 ∩ cosine| / k (`/root/reference/src/index_algorithm/candidate_pair.rs:127-140`). */
@@ -414,6 +424,7 @@ object SparkEntry {
     "q_hnsw_indexed" -> topKSql(l2Expr, 5),
     "q_hnsw_pq_search" -> topKSql(l2Expr, 5),
     "q_ivf_probe" -> topKSql(l2Expr, 5),
+    "q_ivf_catalog" -> topKSql(l2Expr, 5),
     "q_vecdb_search" -> searchSql(l2Expr, 5),
     "q_knn_u8" ->
       """WITH u AS (

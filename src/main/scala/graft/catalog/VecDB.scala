@@ -99,17 +99,30 @@ class VecDB(spark: SparkSession, root: String) {
     if (lockChannel.isOpen) lockChannel.close()
   }
 
-  private var tables: Map[String, TableEntry] = loadBrief()
-  private var cached: Map[String, DataFrame] = Map.empty
+  @volatile private var tables: Map[String, TableEntry] = loadBrief()
+  @volatile private var cached: Map[String, DataFrame] = Map.empty
 
   /** Intra-process guard for every read-modify-write of `tables` +
     * `saveBrief()`. The exclusive `db.lock` only fences OTHER processes; a
     * search thread healing a degraded table concurrently with another
     * thread's `batchAdd` could otherwise write a stale snapshot back and
     * roll back the just-reserved `nextId` — id reuse, the one invariant
-    * appends must never break. Mutators re-read `entry(key)` INSIDE the
-    * lock so no stale copy is ever written. */
+    * appends must never break. EVERY mutation of `tables`/`cached` +
+    * `saveBrief()` goes through this lock (build/clear/delete/heal
+    * included), and mutators re-read `entry(key)` INSIDE the lock so no
+    * stale copy is ever written. `tables`/`cached` are volatile so lockless
+    * readers (search dispatch, getters) see published snapshots. */
   private val catalogLock = new Object
+
+  /** Per-table locks serializing index-SIDECAR maintenance (subgraph
+    * append pid assignment, compaction's directory swap, heal's restore):
+    * two concurrent adds on one key could otherwise assign colliding pids,
+    * and a compaction swap could drop an in-flight append. Lock order is
+    * catalogLock → tableLock (heal) or tableLock alone (append/compact);
+    * no path acquires catalogLock while holding a tableLock. */
+  private val tableLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]
+  private def tableLock(key: String): Object =
+    tableLocks.computeIfAbsent(key, _ => new Object)
 
   private def loadBrief(): Map[String, TableEntry] =
     if (Files.exists(briefPath))
@@ -164,19 +177,18 @@ class VecDB(spark: SparkSession, root: String) {
   def createTableIfNotExists(key: String, dim: Int, dist: String = "cosine"): Unit = {
     require(dim > 0, "dim must be positive")
     require(dist == "l2sqr" || dist == "cosine", s"unknown distance '$dist'")
-    val created = catalogLock.synchronized {
-      if (tables.contains(key)) None
-      else {
+    catalogLock.synchronized {
+      if (!tables.contains(key)) {
         val e = TableEntry(uniqueFilename(key), dim, dist, version = 0,
           nextId = 0L, hasHnsw = false, efConstruction = 200, pq = None)
+        // data dir FIRST, catalog entry second: a crash in between leaves an
+        // orphan directory (harmless, reclaimed by the next create's unique
+        // filename), never a published entry whose data dir is missing
+        spark.createDataFrame(new java.util.ArrayList[Row](), dataSchema(dim))
+          .write.mode("overwrite").parquet(dataDir(e))
         tables += key -> e
         saveBrief()
-        Some(e)
       }
-    }
-    created.foreach { e =>
-      spark.createDataFrame(new java.util.ArrayList[Row](), dataSchema(dim))
-        .write.mode("overwrite").parquet(dataDir(e))
     }
   }
 
@@ -274,40 +286,51 @@ class VecDB(spark: SparkSession, root: String) {
   def addDataFrame(key: String, df: DataFrame): Long = {
     val dim0 = entry(key).dim
     val metaT = MapType(StringType, StringType)
+    // persisted BEFORE the count so the dim check, the count, and the id
+    // assignment below all observe the same materialized rows — a
+    // non-deterministic input (sample, unordered limit, shuffle under task
+    // retry) re-evaluated per action could otherwise produce more rows than
+    // the reserved id range, colliding with the next add's ids
     val src = (if (df.columns.contains("meta"))
         df.select(col("vec"), col("meta").cast(metaT))
       else df.select(col("vec"), lit(null).cast(metaT).as("meta")))
       .select(col("vec").cast(ArrayType(FloatType)).as("vec"), col("meta"))
-    // one columnar pass answers both the row count and the dim check
-    val stats = src.agg(count(lit(1)),
-      sum(when(col("vec").isNull.or(size(col("vec")) =!= dim0), 1L)
-        .otherwise(0L))).head()
-    val n = stats.getLong(0)
-    val bad = if (stats.isNullAt(1)) 0L else stats.getLong(1)
-    require(bad == 0L,
-      s"Dimension mismatch: $bad rows are not $dim0-dimensional vectors")
-    if (n == 0L) return 0L
-    clearPqTable(key)
-    val (e, start) = catalogLock.synchronized {
-      val healed = healMissingSidecars(key)
-      val s = healed.nextId
-      tables += key -> healed.copy(nextId = s + n)
-      saveBrief()
-      (healed, s)
-    }
-    // contiguous ids from the reserved range via zipWithIndex (distributed;
-    // ordering = the source's partition order, same determinism class as
-    // the reference's insertion order)
-    val withId = spark.createDataFrame(
-      src.rdd.zipWithIndex.map { case (r, i) => Row(start + i, r.get(0), r.get(1)) },
-      dataSchema(dim0))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      withId.write.mode("append").parquet(dataDir(e))
-      appendIndexSidecars(key, e, withId)
-    } finally withId.unpersist()
-    invalidateCache(key)
-    n
+      // one columnar pass answers the row count and the full data-schema
+      // check (null array / wrong length / null element — per-element cast
+      // failures surface as null elements, not a null array)
+      val badCond = col("vec").isNull.or(size(col("vec")) =!= dim0)
+        .or(exists(col("vec"), _.isNull))
+      val stats = src.agg(count(lit(1)),
+        sum(when(badCond, 1L).otherwise(0L))).head()
+      val n = stats.getLong(0)
+      val bad = if (stats.isNullAt(1)) 0L else stats.getLong(1)
+      require(bad == 0L,
+        s"Dimension mismatch: $bad rows are not $dim0-dimensional vectors")
+      if (n == 0L) return 0L
+      clearPqTable(key)
+      val (e, start) = catalogLock.synchronized {
+        val healed = healMissingSidecars(key)
+        val s = healed.nextId
+        tables += key -> healed.copy(nextId = s + n)
+        saveBrief()
+        (healed, s)
+      }
+      // contiguous ids from the reserved range via zipWithIndex over the
+      // PERSISTED rows (deterministic; ordering = the source's partition
+      // order, same determinism class as the reference's insertion order)
+      val withId = spark.createDataFrame(
+        src.rdd.zipWithIndex.map { case (r, i) => Row(start + i, r.get(0), r.get(1)) },
+        dataSchema(dim0))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        withId.write.mode("append").parquet(dataDir(e))
+        appendIndexSidecars(key, e, withId)
+      } finally withId.unpersist()
+      invalidateCache(key)
+      n
+    } finally src.unpersist()
   }
 
   /** Index-sidecar upkeep shared by [[batchAdd]] and [[addDataFrame]]:
@@ -322,7 +345,8 @@ class VecDB(spark: SparkSession, root: String) {
     *  - IVF: centroids are fixed after build; new rows are assigned to
     *    their nearest centroid and appended into the partitioned layout.
     */
-  private def appendIndexSidecars(key: String, e: TableEntry, appended: DataFrame): Unit = {
+  private def appendIndexSidecars(key: String, e: TableEntry, appended: DataFrame): Unit =
+    tableLock(key).synchronized {
     if (e.hasHnsw) {
       val stats = spark.read.parquet(hnswDir(e).toString)
         .agg(coalesce(max(col("pid")) + 1, lit(0)).as("maxp"),
@@ -348,6 +372,11 @@ class VecDB(spark: SparkSession, root: String) {
     }
   }
 
+  /** Rows per compaction-rebuild task: the merged subgraphs are rebuilt as
+    * ceil(rows / this) fresh subgraphs so a large merge set never becomes a
+    * single O(N·efC) straggler task. */
+  private val CompactRowsPerTask = 500000L
+
   /** Subgraph count ceiling before [[compactHnsw]] merges the smallest
     * deltas; compaction aims for [[TargetSubgraphs]]. */
   private val MaxSubgraphs = 16
@@ -370,14 +399,19 @@ class VecDB(spark: SparkSession, root: String) {
       .map(r => (r.getInt(0), r.getLong(1)))
     if (counts.length <= MaxSubgraphs) return
     val nMerge = counts.length - TargetSubgraphs + 1
-    val mergePids = counts.sortBy { case (p, c) => (c, p) }
-      .take(nMerge).map(_._1).toSet
+    val picked = counts.sortBy { case (p, c) => (c, p) }.take(nMerge)
+    val mergePids = picked.map(_._1).toSet
+    val mergeRows = picked.map(_._2).sum
     val newPid = counts.map(_._1).max + 1
+    // rebuild the merge set as ceil(rows/CompactRowsPerTask) parallel tasks
+    // (one fresh subgraph each) — after many large appends the merge set can
+    // be most of the table, and a single-task rebuild would straggle
+    val nTasks = math.max(1L, (mergeRows + CompactRowsPerTask - 1) / CompactRowsPerTask).toInt
     val merged = Hnsw.buildIndex(
       sidecar.filter(col("pid").isInCollection(mergePids))
-        .select("id", "vec").coalesce(1),
+        .select("id", "vec").repartition(nTasks),
       e.dist, efConstruction = e.efConstruction)
-      .withColumn("pid", lit(newPid))
+      .withColumn("pid", col("pid") + lit(newPid))
     val tmp = dir.resolveSibling("hnsw_tmp")
     sidecar.filter(!col("pid").isInCollection(mergePids))
       .unionByName(merged)
@@ -389,13 +423,30 @@ class VecDB(spark: SparkSession, root: String) {
     deleteRecursively(old)
   }
 
+  /** Crash-window recovery for [[compactHnsw]]'s two-move swap: if `hnsw`
+    * is missing but the renamed-aside `hnsw_old` survives, restore it (a
+    * fully intact pre-compaction graph) instead of degrading to Flat. */
+  private def restoreHnswOld(key: String, e: TableEntry): Boolean =
+    tableLock(key).synchronized {
+      val dir = hnswDir(e)
+      if (Files.exists(dir)) true
+      else {
+        val old = dir.resolveSibling("hnsw_old")
+        val restored = Files.exists(old) && { Files.move(old, dir); true }
+        deleteRecursively(dir.resolveSibling("hnsw_tmp"))
+        restored
+      }
+    }
+
   /** Crash resilience for index sidecars: if the catalog says an index
-    * exists but its directory is gone (e.g. a crash inside an old
-    * non-atomic swap), flip the flag off and serve degraded (Flat) instead
-    * of throwing on every subsequent search/add. */
+    * exists but its directory is gone, first try to restore the graph from
+    * a compaction swap's `hnsw_old` ([[restoreHnswOld]]); only when nothing
+    * recoverable remains, flip the flag off and serve degraded (Flat)
+    * instead of throwing on every subsequent search/add. MUST be called
+    * with `catalogLock` held (every caller is a locked mutator). */
   private def healMissingSidecars(key: String): TableEntry = {
     var e = entry(key)
-    if (e.hasHnsw && !Files.exists(hnswDir(e))) {
+    if (e.hasHnsw && !restoreHnswOld(key, e)) {
       e = e.copy(hasHnsw = false)
       tables += key -> e
       saveBrief()
@@ -425,11 +476,13 @@ class VecDB(spark: SparkSession, root: String) {
     val matchCond = Search.metaPattern(pattern, col("meta"))
     val removed = df.filter(matchCond).count()
     if (removed > 0) {
-      val next = entry(key).copy(version = e.version + 1)
-      df.filter(!matchCond).write.mode("overwrite").parquet(dataDir(next))
-      tables += key -> next
+      df.filter(!matchCond).write.mode("overwrite")
+        .parquet(dataDir(e.copy(version = e.version + 1)))
+      catalogLock.synchronized {
+        tables += key -> entry(key).copy(version = e.version + 1)
+        saveBrief()
+      }
       invalidateCache(key)
-      saveBrief()
       deleteRecursively(Paths.get(dataDir(e)))
     }
     removed
@@ -450,18 +503,23 @@ class VecDB(spark: SparkSession, root: String) {
       val efc = efConstruction.getOrElse(200)
       Hnsw.buildIndex(table(key), e.dist, efConstruction = efc)
         .write.mode("overwrite").parquet(hnswDir(e).toString)
-      tables += key -> e.copy(hasHnsw = true, efConstruction = efc)
-      saveBrief()
+      catalogLock.synchronized {
+        tables += key -> entry(key).copy(hasHnsw = true, efConstruction = efc)
+        saveBrief()
+      }
     }
   }
 
   def clearHnswIndex(key: String): Unit = {
-    val e = entry(key)
-    if (e.hasHnsw) {
-      tables += key -> e.copy(hasHnsw = false)
-      saveBrief()
-      deleteRecursively(hnswDir(e))
+    val cleared = catalogLock.synchronized {
+      val e = entry(key)
+      if (e.hasHnsw) {
+        tables += key -> e.copy(hasHnsw = false)
+        saveBrief()
+        Some(e)
+      } else None
     }
+    cleared.foreach(e => deleteRecursively(hnswDir(e)))
   }
 
   def hasHnswIndex(key: String): Boolean = entry(key).hasHnsw
@@ -498,8 +556,10 @@ class VecDB(spark: SparkSession, root: String) {
       cs.zipWithIndex.map { case (c, ci) => (g, ci, c.toSeq) }
     }.toSeq.toDF("grp", "cid", "centroid")
       .write.mode("overwrite").parquet(pqDir(e).resolve("centroids").toString)
-    tables += key -> entry(key).copy(pq = Some(PqInfo(mm, nb)))
-    saveBrief()
+    catalogLock.synchronized {
+      tables += key -> entry(key).copy(pq = Some(PqInfo(mm, nb)))
+      saveBrief()
+    }
   }
 
   /** Build the cluster-partitioned IVF layout (our scale extension; the
@@ -517,28 +577,36 @@ class VecDB(spark: SparkSession, root: String) {
     val (model, assigned) = Ivf.build(df.select(col("id"), col("vec")), k,
       e.dist, trainFraction = trainProportion)
     Ivf.writePartitioned(assigned, model, ivfDir(e).toString)
-    tables += key -> e.copy(ivf = Some(IvfInfo(k, defaultNProbes)))
-    saveBrief()
+    catalogLock.synchronized {
+      tables += key -> entry(key).copy(ivf = Some(IvfInfo(k, defaultNProbes)))
+      saveBrief()
+    }
   }
 
   def clearIvfIndex(key: String): Unit = {
-    val e = entry(key)
-    if (e.ivf.isDefined) {
-      tables += key -> e.copy(ivf = None)
-      saveBrief()
-      deleteRecursively(ivfDir(e))
+    val cleared = catalogLock.synchronized {
+      val e = entry(key)
+      if (e.ivf.isDefined) {
+        tables += key -> e.copy(ivf = None)
+        saveBrief()
+        Some(e)
+      } else None
     }
+    cleared.foreach(e => deleteRecursively(ivfDir(e)))
   }
 
   def hasIvfIndex(key: String): Boolean = entry(key).ivf.isDefined
 
   def clearPqTable(key: String): Unit = {
-    val e = entry(key)
-    if (e.pq.isDefined) {
-      tables += key -> e.copy(pq = None)
-      saveBrief()
-      deleteRecursively(pqDir(e))
+    val cleared = catalogLock.synchronized {
+      val e = entry(key)
+      if (e.pq.isDefined) {
+        tables += key -> e.copy(pq = None)
+        saveBrief()
+        Some(e)
+      } else None
     }
+    cleared.foreach(e => deleteRecursively(pqDir(e)))
   }
 
   def hasPqTable(key: String): Boolean = entry(key).pq.isDefined
@@ -563,7 +631,7 @@ class VecDB(spark: SparkSession, root: String) {
   def searchBatch(key: String, queries: DataFrame, k: Int,
       ef: Option[Int] = None, upperBound: Option[Double] = None,
       pattern: Map[String, String] = Map.empty): DataFrame = {
-    val e = healMissingSidecars(key)
+    val e = catalogLock.synchronized(healMissingSidecars(key))
     val ub = upperBound.getOrElse(Double.PositiveInfinity)
     val data = table(key)
     val filtered = data.filter(Search.metaPattern(pattern, col("meta")))

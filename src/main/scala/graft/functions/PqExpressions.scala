@@ -201,6 +201,30 @@ object PqKernel {
     }
   }
 
+  /** Single-row ADC lookup sum over a decoded code-matrix row (row starts
+    * at `base`, one byte per group, lut laid out group-major `g*k + c`).
+    * Four independent accumulators: a single dependent-add chain is
+    * latency-bound (~4-5 cycles per lookup), which measured the HNSW+PQ
+    * combined walk SLOWER than plain HNSW's SIMD exact distances at m=320 —
+    * the hot kernel of the graph walk's ADC `distFn`. */
+  def adcOne(codes: Array[Byte], base: Int, m: Int, k: Int,
+      lut: Array[Float]): Double = {
+    var s0 = 0.0; var s1 = 0.0; var s2 = 0.0; var s3 = 0.0
+    var g = 0
+    var gk = 0
+    val lim = m - 3
+    while (g < lim) {
+      s0 += lut(gk + (codes(base + g) & 0xff))
+      s1 += lut(gk + k + (codes(base + g + 1) & 0xff))
+      s2 += lut(gk + 2 * k + (codes(base + g + 2) & 0xff))
+      s3 += lut(gk + 3 * k + (codes(base + g + 3) & 0xff))
+      g += 4; gk += 4 * k
+    }
+    var s = (s0 + s1) + (s2 + s3)
+    while (g < m) { s += lut(gk + (codes(base + g) & 0xff)); g += 1; gk += k }
+    s
+  }
+
   /** Bounded ascending (distance, id) insert — O(1) reject once full. */
   @inline private def insertTopEf(
       ds: Array[Double], idArr: Array[Long], sz: Array[Int], qi: Int,

@@ -465,7 +465,10 @@ object Hnsw {
           val bestIds = new Array[Long](k)
           val bestDs = new Array[Double](k)
           qit.flatMap { case (qid, qv) =>
+            // float lut: selection-grade precision (winners are exact
+            // re-ranked), half the cache footprint of double
             val lut = PqKernel.buildLookup(qv, centroids, nBits, dist)
+              .map(_.toFloat)
             val qn = if (cosine) {
               var acc = 0.0; var i = 0
               while (i < qv.length) { acc += qv(i).toDouble * qv(i); i += 1 }
@@ -477,12 +480,7 @@ object Hnsw {
               val e = entries(ei)
               val (codes, cdRow) = allCodes(ei)
               val distFn: Int => Double = { idx =>
-                val base = idx * pm
-                var s = 0.0
-                var g = 0; var gk = 0
-                while (g < pm) {
-                  s += lut(gk + (codes(base + g) & 0xff)); g += 1; gk += kCent
-                }
+                val s = PqKernel.adcOne(codes, idx * pm, pm, kCent, lut)
                 if (cosine) 1.0 - s / math.max(math.sqrt(cdRow(idx)) * qn, 1e-10)
                 else s
               }

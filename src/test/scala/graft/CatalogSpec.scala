@@ -190,6 +190,79 @@ class CatalogSpec extends SparkTestBase {
     assert(all.length == 44)
   }
 
+  test("addDataFrame: contiguous ids across adds, meta optional, sidecar upkeep") {
+    import spark.implicits._
+    val db = freshDb()
+    db.createTableIfNotExists("t", 4, "l2sqr")
+    val rnd = new scala.util.Random(7)
+    def vecDf(n: Int, withMeta: Boolean) = {
+      val rows = (0 until n).map(i => (Array.fill(4)(rnd.nextFloat()), Map("i" -> i.toString)))
+      if (withMeta) rows.toDF("vec", "meta").repartition(3)
+      else rows.map(_._1).toDF("vec").repartition(3)
+    }
+    assert(db.addDataFrame("t", vecDf(25, withMeta = true)) == 25)
+    db.buildHnswIndex("t")
+    db.buildPqTable("t", trainProportion = Some(0.5), m = Some(4))
+    // second add: ids continue contiguously, PQ cleared, HNSW kept fresh
+    assert(db.addDataFrame("t", vecDf(15, withMeta = false)) == 15)
+    assert(!db.hasPqTable("t"), "addDataFrame must clear the PQ sidecar")
+    assert(db.hasHnswIndex("t"), "addDataFrame must keep HNSW (appended subgraph)")
+    val ids = db.table("t").select("id").as[Long].collect().sorted
+    assert(ids.sameElements(0L until 40L), s"ids not contiguous: ${ids.take(50).mkString(",")}")
+    // meta-less rows carry null metadata and are searchable through the index
+    val nullMeta = db.table("t").filter(org.apache.spark.sql.functions.col("meta").isNull).count()
+    assert(nullMeta == 15)
+    assert(db.search("t", Array(0.5f, 0.5f, 0.5f, 0.5f), 40).length == 40)
+    // empty input: no-op, nextId unchanged
+    assert(db.addDataFrame("t", Seq.empty[Array[Float]].toDF("vec")) == 0)
+    assert(db.getLen("t") == 40)
+  }
+
+  test("addDataFrame rejects dimension mismatches and null elements") {
+    import spark.implicits._
+    val db = freshDb()
+    db.createTableIfNotExists("t", 3, "l2sqr")
+    intercept[IllegalArgumentException] {
+      db.addDataFrame("t", Seq(Array(1f, 2f)).toDF("vec"))
+    }
+    intercept[IllegalArgumentException] {
+      db.addDataFrame("t", spark.sql(
+        "SELECT array(CAST(1.0 AS FLOAT), CAST(NULL AS FLOAT), CAST(2.0 AS FLOAT)) AS vec"))
+    }
+    assert(db.getLen("t") == 0, "rejected adds must not write rows")
+  }
+
+  test("heal restores an intact graph from hnsw_old after a crashed compaction swap") {
+    val root = Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "vecdb_test").toString
+    val db = new VecDB(spark, root)
+    db.createTableIfNotExists("t", 4, "l2sqr")
+    val rnd = new scala.util.Random(13)
+    db.batchAdd("t", (0 until 30).map(_ => Array.fill(4)(rnd.nextFloat())),
+      (0 until 30).map(i => Map("i" -> i.toString)))
+    db.buildHnswIndex("t")
+    val before = db.search("t", Array(0.5f, 0.5f, 0.5f, 0.5f), 5)
+    // simulate a crash between compactHnsw's two moves: hnsw renamed aside,
+    // replacement never landed (plus a stale tmp left behind)
+    val dir = java.nio.file.Paths.get(root, "t", "hnsw")
+    val old = java.nio.file.Paths.get(root, "t", "hnsw_old")
+    val tmp = java.nio.file.Paths.get(root, "t", "hnsw_tmp")
+    Files.move(dir, old)
+    Files.createDirectories(tmp)
+    assert(db.search("t", Array(0.5f, 0.5f, 0.5f, 0.5f), 5) == before)
+    assert(db.hasHnswIndex("t"), "heal must restore from hnsw_old, not degrade to Flat")
+    assert(Files.exists(dir) && !Files.exists(old) && !Files.exists(tmp))
+    // nothing recoverable → degrade to Flat (old behavior), results intact
+    deleteDir(dir)
+    assert(db.search("t", Array(0.5f, 0.5f, 0.5f, 0.5f), 5) == before)
+    assert(!db.hasHnswIndex("t"))
+  }
+
+  private def deleteDir(p: java.nio.file.Path): Unit =
+    if (Files.exists(p))
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => Files.delete(f))
+
   test("catalog persists across reopen") {
     val root = Files.createTempDirectory(
       java.nio.file.Paths.get("target"), "vecdb_test").toString
