@@ -114,12 +114,19 @@ class VecDB(spark: SparkSession, root: String) {
     * readers (search dispatch, getters) see published snapshots. */
   private val catalogLock = new Object
 
-  /** Per-table locks serializing index-SIDECAR maintenance (subgraph
-    * append pid assignment, compaction's directory swap, heal's restore):
-    * two concurrent adds on one key could otherwise assign colliding pids,
-    * and a compaction swap could drop an in-flight append. Lock order is
-    * catalogLock → tableLock (heal) or tableLock alone (append/compact);
-    * no path acquires catalogLock while holding a tableLock. */
+  /** Per-table locks serializing every per-key MUTATOR end to end — data
+    * rewrites (`delete`), data+sidecar appends (`batchAdd`/`addDataFrame`),
+    * index builds/clears, compaction's directory swap, and heal's restore.
+    * Metadata-only flips were already race-free under [[catalogLock]]; this
+    * lock closes the data-FILE windows: a `delete` rewriting survivors to
+    * v+1 while an append lands files into v would silently drop the
+    * appended rows, and an index build racing an append would publish
+    * `hasHnsw=true` with a sidecar missing the new rows.
+    *
+    * Lock order is tableLock → catalogLock, UNIFORMLY: no path acquires a
+    * tableLock while holding catalogLock. Reads (`searchBatch`) stay
+    * lock-free on the volatile snapshot unless a sidecar is actually
+    * missing, so searches never block behind a long-running build/ingest. */
   private val tableLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]
   private def tableLock(key: String): Object =
     tableLocks.computeIfAbsent(key, _ => new Object)
@@ -177,22 +184,30 @@ class VecDB(spark: SparkSession, root: String) {
   def createTableIfNotExists(key: String, dim: Int, dist: String = "cosine"): Unit = {
     require(dim > 0, "dim must be positive")
     require(dist == "l2sqr" || dist == "cosine", s"unknown distance '$dist'")
-    catalogLock.synchronized {
-      if (!tables.contains(key)) {
-        val e = TableEntry(uniqueFilename(key), dim, dist, version = 0,
-          nextId = 0L, hasHnsw = false, efConstruction = 200, pq = None)
-        // data dir FIRST, catalog entry second: a crash in between leaves an
-        // orphan directory (harmless, reclaimed by the next create's unique
-        // filename), never a published entry whose data dir is missing
-        spark.createDataFrame(new java.util.ArrayList[Row](), dataSchema(dim))
-          .write.mode("overwrite").parquet(dataDir(e))
-        tables += key -> e
-        saveBrief()
+    // the Spark write runs OUTSIDE catalogLock (a slow/queued cluster job
+    // must not block every other catalog operation); the filename choice is
+    // re-validated inside the lock and the write retried on the rare race
+    var orphan: Option[TableEntry] = None
+    var done = tables.contains(key)
+    while (!done) {
+      val e = TableEntry(uniqueFilename(key), dim, dist, version = 0,
+        nextId = 0L, hasHnsw = false, efConstruction = 200, pq = None)
+      // data dir FIRST, catalog entry second: a crash in between leaves an
+      // orphan directory (harmless, reclaimed by the next create's unique
+      // filename), never a published entry whose data dir is missing
+      spark.createDataFrame(new java.util.ArrayList[Row](), dataSchema(dim))
+        .write.mode("overwrite").parquet(dataDir(e))
+      catalogLock.synchronized {
+        if (tables.contains(key)) { orphan = Some(e); done = true }
+        else if (tables.values.exists(_.filename == e.filename)) orphan = Some(e)
+        else { tables += key -> e; saveBrief(); done = true }
       }
+      orphan.foreach(o => deleteRecursively(rootPath.resolve(o.filename)))
+      orphan = None
     }
   }
 
-  def deleteTable(key: String): Unit = {
+  def deleteTable(key: String): Unit = tableLock(key).synchronized {
     val removed = catalogLock.synchronized {
       val e = tables.get(key)
       e.foreach { _ =>
@@ -254,23 +269,25 @@ class VecDB(spark: SparkSession, root: String) {
     val e0 = entry(key)
     vecs.foreach(v => require(v.length == e0.dim,
       s"Dimension mismatch: got ${v.length}, expected ${e0.dim}"))
-    clearPqTable(key)
-    val (e, start) = catalogLock.synchronized {
-      val healed = healMissingSidecars(key)
-      val s = healed.nextId
-      tables += key -> healed.copy(nextId = s + vecs.length)
-      saveBrief()
-      (healed, s)
+    tableLock(key).synchronized {
+      clearPqTable(key)
+      val (e, start) = catalogLock.synchronized {
+        val healed = healMissingSidecars(key)
+        val s = healed.nextId
+        tables += key -> healed.copy(nextId = s + vecs.length)
+        saveBrief()
+        (healed, s)
+      }
+      val rows = vecs.zip(metas).zipWithIndex.map { case ((v, m), i) =>
+        Row(start + i, v.toSeq, m)
+      }
+      val appended = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.toSeq, math.max(1, rows.length / 10000)),
+        dataSchema(e.dim))
+      appended.write.mode("append").parquet(dataDir(e))
+      if (vecs.nonEmpty) appendIndexSidecars(key, e, appended)
+      invalidateCache(key)
     }
-    val rows = vecs.zip(metas).zipWithIndex.map { case ((v, m), i) =>
-      Row(start + i, v.toSeq, m)
-    }
-    val appended = spark.createDataFrame(
-      spark.sparkContext.parallelize(rows.toSeq, math.max(1, rows.length / 10000)),
-      dataSchema(e.dim))
-    appended.write.mode("append").parquet(dataDir(e))
-    if (vecs.nonEmpty) appendIndexSidecars(key, e, appended)
-    invalidateCache(key)
   }
 
   /** Append a DataFrame of `(vec[, meta])` rows WITHOUT materializing them
@@ -309,26 +326,50 @@ class VecDB(spark: SparkSession, root: String) {
       require(bad == 0L,
         s"Dimension mismatch: $bad rows are not $dim0-dimensional vectors")
       if (n == 0L) return 0L
-      clearPqTable(key)
-      val (e, start) = catalogLock.synchronized {
-        val healed = healMissingSidecars(key)
-        val s = healed.nextId
-        tables += key -> healed.copy(nextId = s + n)
-        saveBrief()
-        (healed, s)
+      tableLock(key).synchronized {
+        clearPqTable(key)
+        val (e, start) = catalogLock.synchronized {
+          val healed = healMissingSidecars(key)
+          val s = healed.nextId
+          tables += key -> healed.copy(nextId = s + n)
+          saveBrief()
+          (healed, s)
+        }
+        // contiguous ids from the reserved range via zipWithIndex over the
+        // PERSISTED rows (deterministic; ordering = the source's partition
+        // order, same determinism class as the reference's insertion order).
+        // The persist MITIGATES, not guarantees, re-evaluation drift: cached
+        // blocks lost to executor failure recompute from lineage, so a
+        // non-deterministic source could still land a different row set —
+        // the post-write verification below turns that into a detected
+        // failure (with the id reservation healed) instead of silent id
+        // collisions on later adds
+        val withId = spark.createDataFrame(
+          src.rdd.zipWithIndex.map { case (r, i) => Row(start + i, r.get(0), r.get(1)) },
+          dataSchema(dim0))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          withId.write.mode("append").parquet(dataDir(e))
+          val landed = spark.read.parquet(dataDir(e))
+            .filter(col("id") >= start).count()
+          if (landed != n) {
+            catalogLock.synchronized {
+              val cur = entry(key)
+              val maxId = spark.read.parquet(dataDir(e))
+                .agg(max(col("id"))).head().getLong(0)
+              if (cur.nextId <= maxId) {
+                tables += key -> cur.copy(nextId = maxId + 1)
+                saveBrief()
+              }
+            }
+            throw new IllegalStateException(
+              s"addDataFrame: source re-evaluated non-deterministically " +
+              s"($landed rows landed for a reserved range of $n); nextId healed")
+          }
+          appendIndexSidecars(key, e, withId)
+        } finally withId.unpersist()
+        invalidateCache(key)
       }
-      // contiguous ids from the reserved range via zipWithIndex over the
-      // PERSISTED rows (deterministic; ordering = the source's partition
-      // order, same determinism class as the reference's insertion order)
-      val withId = spark.createDataFrame(
-        src.rdd.zipWithIndex.map { case (r, i) => Row(start + i, r.get(0), r.get(1)) },
-        dataSchema(dim0))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try {
-        withId.write.mode("append").parquet(dataDir(e))
-        appendIndexSidecars(key, e, withId)
-      } finally withId.unpersist()
-      invalidateCache(key)
       n
     } finally src.unpersist()
   }
@@ -350,16 +391,25 @@ class VecDB(spark: SparkSession, root: String) {
     if (e.hasHnsw) {
       val stats = spark.read.parquet(hnswDir(e).toString)
         .agg(coalesce(max(col("pid")) + 1, lit(0)).as("maxp"),
-          count_distinct(col("pid")).as("np")).head()
+          count_distinct(col("pid")).as("np"),
+          count(lit(1)).as("rows")).head()
       val maxPid = stats.getInt(0)
       val prePids = stats.getLong(1)
+      val preRows = stats.getLong(2)
       val idx = Hnsw.buildIndex(appended, e.dist, efConstruction = e.efConstruction)
         .withColumn("pid", col("pid") + lit(maxPid))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         idx.write.mode("append").parquet(hnswDir(e).toString)
-        val newPids = idx.select(col("pid")).distinct().count()
-        if (prePids + newPids > MaxSubgraphs) compactHnsw(key)
+        val newStats = idx.agg(count_distinct(col("pid")), count(lit(1))).head()
+        val newPids = newStats.getLong(0)
+        val newRows = newStats.getLong(1)
+        // same size-scaled ceiling as compactHnsw's own guard, so appends
+        // to a large table don't pay a no-op compaction scan every time
+        val floorSubs =
+          ((preRows + newRows + CompactRowsPerTask - 1) / CompactRowsPerTask).toInt
+        if (prePids + newPids > math.max(MaxSubgraphs, floorSubs + TargetSubgraphs))
+          compactHnsw(key)
       } finally idx.unpersist()
     }
     if (e.ivf.isDefined) {
@@ -377,8 +427,10 @@ class VecDB(spark: SparkSession, root: String) {
     * single O(N·efC) straggler task. */
   private val CompactRowsPerTask = 500000L
 
-  /** Subgraph count ceiling before [[compactHnsw]] merges the smallest
-    * deltas; compaction aims for [[TargetSubgraphs]]. */
+  /** Base subgraph-count ceiling before [[compactHnsw]] merges the smallest
+    * deltas; compaction aims for [[TargetSubgraphs]]. The effective ceiling
+    * scales with table size (ceil(rows/[[CompactRowsPerTask]]) +
+    * [[TargetSubgraphs]]) — see [[compactHnsw]]'s convergence guard. */
   private val MaxSubgraphs = 16
   private val TargetSubgraphs = 8
 
@@ -397,7 +449,14 @@ class VecDB(spark: SparkSession, root: String) {
     val sidecar = spark.read.parquet(dir.toString)
     val counts = sidecar.groupBy("pid").count().collect()
       .map(r => (r.getInt(0), r.getLong(1)))
-    if (counts.length <= MaxSubgraphs) return
+    // a table of N rows needs at least ceil(N / CompactRowsPerTask)
+    // subgraphs (that's the rebuild granularity), so the trigger ceiling
+    // scales with table size — a fixed MaxSubgraphs would re-trigger after
+    // EVERY append once the table outgrows MaxSubgraphs·rowsPerTask,
+    // rebuilding most of the table each time without ever converging
+    val totalRows = counts.map(_._2).sum
+    val floorSubs = ((totalRows + CompactRowsPerTask - 1) / CompactRowsPerTask).toInt
+    if (counts.length <= math.max(MaxSubgraphs, floorSubs + TargetSubgraphs)) return
     val nMerge = counts.length - TargetSubgraphs + 1
     val picked = counts.sortBy { case (p, c) => (c, p) }.take(nMerge)
     val mergePids = picked.map(_._1).toSet
@@ -407,6 +466,8 @@ class VecDB(spark: SparkSession, root: String) {
     // (one fresh subgraph each) — after many large appends the merge set can
     // be most of the table, and a single-task rebuild would straggle
     val nTasks = math.max(1L, (mergeRows + CompactRowsPerTask - 1) / CompactRowsPerTask).toInt
+    // only compact when it actually reduces the subgraph count
+    if (nTasks >= nMerge) return
     val merged = Hnsw.buildIndex(
       sidecar.filter(col("pid").isInCollection(mergePids))
         .select("id", "vec").repartition(nTasks),
@@ -438,12 +499,19 @@ class VecDB(spark: SparkSession, root: String) {
       }
     }
 
+  /** All-sidecars-present fast check for the lock-free search path. */
+  private def sidecarsIntact(e: TableEntry): Boolean =
+    (!e.hasHnsw || Files.exists(hnswDir(e))) &&
+      (e.pq.isEmpty || Files.exists(pqDir(e))) &&
+      (e.ivf.isEmpty || Files.exists(ivfDir(e)))
+
   /** Crash resilience for index sidecars: if the catalog says an index
     * exists but its directory is gone, first try to restore the graph from
     * a compaction swap's `hnsw_old` ([[restoreHnswOld]]); only when nothing
     * recoverable remains, flip the flag off and serve degraded (Flat)
     * instead of throwing on every subsequent search/add. MUST be called
-    * with `catalogLock` held (every caller is a locked mutator). */
+    * with the key's tableLock AND `catalogLock` held, in that order (every
+    * caller is a locked mutator). */
   private def healMissingSidecars(key: String): TableEntry = {
     var e = entry(key)
     if (e.hasHnsw && !restoreHnswOld(key, e)) {
@@ -467,26 +535,30 @@ class VecDB(spark: SparkSession, root: String) {
   /** P2 — delete-by-pattern: filtered rewrite to a fresh version dir, then
     * flip the catalog pointer; clears HNSW and PQ
     * (`metadata_vec_table.rs:163-187`). Returns the number removed. */
-  def delete(key: String, pattern: Map[String, String]): Long = {
-    val e = entry(key)
-    clearHnswIndex(key)
-    clearPqTable(key)
-    clearIvfIndex(key)
-    val df = table(key)
-    val matchCond = Search.metaPattern(pattern, col("meta"))
-    val removed = df.filter(matchCond).count()
-    if (removed > 0) {
-      df.filter(!matchCond).write.mode("overwrite")
-        .parquet(dataDir(e.copy(version = e.version + 1)))
-      catalogLock.synchronized {
-        tables += key -> entry(key).copy(version = e.version + 1)
-        saveBrief()
+  def delete(key: String, pattern: Map[String, String]): Long =
+    tableLock(key).synchronized {
+      // under the table lock: a concurrent append would otherwise land
+      // parquet files into the old version dir AFTER the survivor rewrite
+      // read it — silently dropped rows with nextId still advanced
+      val e = entry(key)
+      clearHnswIndex(key)
+      clearPqTable(key)
+      clearIvfIndex(key)
+      val df = table(key)
+      val matchCond = Search.metaPattern(pattern, col("meta"))
+      val removed = df.filter(matchCond).count()
+      if (removed > 0) {
+        df.filter(!matchCond).write.mode("overwrite")
+          .parquet(dataDir(e.copy(version = e.version + 1)))
+        catalogLock.synchronized {
+          tables += key -> entry(key).copy(version = e.version + 1)
+          saveBrief()
+        }
+        invalidateCache(key)
+        deleteRecursively(Paths.get(dataDir(e)))
       }
-      invalidateCache(key)
-      deleteRecursively(Paths.get(dataDir(e)))
+      removed
     }
-    removed
-  }
 
   // --------------------------------------------------------------- indexes
 
@@ -497,20 +569,23 @@ class VecDB(spark: SparkSession, root: String) {
     * `add` keeps the index fresh by appending a subgraph over the new rows
     * (the reference's incremental-insert contract: a search after add sees
     * the row). Idempotent skip. */
-  def buildHnswIndex(key: String, efConstruction: Option[Int] = None): Unit = {
-    val e = entry(key)
-    if (!e.hasHnsw) {
-      val efc = efConstruction.getOrElse(200)
-      Hnsw.buildIndex(table(key), e.dist, efConstruction = efc)
-        .write.mode("overwrite").parquet(hnswDir(e).toString)
-      catalogLock.synchronized {
-        tables += key -> entry(key).copy(hasHnsw = true, efConstruction = efc)
-        saveBrief()
+  def buildHnswIndex(key: String, efConstruction: Option[Int] = None): Unit =
+    tableLock(key).synchronized {
+      // build + flag-set under the table lock: an append racing the build
+      // would otherwise yield hasHnsw=true with an index missing its rows
+      val e = entry(key)
+      if (!e.hasHnsw) {
+        val efc = efConstruction.getOrElse(200)
+        Hnsw.buildIndex(table(key), e.dist, efConstruction = efc)
+          .write.mode("overwrite").parquet(hnswDir(e).toString)
+        catalogLock.synchronized {
+          tables += key -> entry(key).copy(hasHnsw = true, efConstruction = efc)
+          saveBrief()
+        }
       }
     }
-  }
 
-  def clearHnswIndex(key: String): Unit = {
+  def clearHnswIndex(key: String): Unit = tableLock(key).synchronized {
     val cleared = catalogLock.synchronized {
       val e = entry(key)
       if (e.hasHnsw) {
@@ -532,7 +607,7 @@ class VecDB(spark: SparkSession, root: String) {
     * holds only codes + centroids and is joined back to the table's
     * vectors at re-rank time. */
   def buildPqTable(key: String, trainProportion: Option[Double] = None,
-      nBits: Option[Int] = None, m: Option[Int] = None): Unit = {
+      nBits: Option[Int] = None, m: Option[Int] = None): Unit = tableLock(key).synchronized {
     val e = entry(key)
     if (e.pq.isDefined) return
     val df = table(key)
@@ -568,7 +643,7 @@ class VecDB(spark: SparkSession, root: String) {
     * searches through the catalog prune to the probed clusters'
     * directories. Idempotent skip. */
   def buildIvfIndex(key: String, k: Int = 256, defaultNProbes: Int = 4,
-      trainProportion: Option[Double] = None): Unit = {
+      trainProportion: Option[Double] = None): Unit = tableLock(key).synchronized {
     val e = entry(key)
     if (e.ivf.isDefined) return
     val df = table(key)
@@ -583,7 +658,7 @@ class VecDB(spark: SparkSession, root: String) {
     }
   }
 
-  def clearIvfIndex(key: String): Unit = {
+  def clearIvfIndex(key: String): Unit = tableLock(key).synchronized {
     val cleared = catalogLock.synchronized {
       val e = entry(key)
       if (e.ivf.isDefined) {
@@ -597,7 +672,7 @@ class VecDB(spark: SparkSession, root: String) {
 
   def hasIvfIndex(key: String): Boolean = entry(key).ivf.isDefined
 
-  def clearPqTable(key: String): Unit = {
+  def clearPqTable(key: String): Unit = tableLock(key).synchronized {
     val cleared = catalogLock.synchronized {
       val e = entry(key)
       if (e.pq.isDefined) {
@@ -631,7 +706,16 @@ class VecDB(spark: SparkSession, root: String) {
   def searchBatch(key: String, queries: DataFrame, k: Int,
       ef: Option[Int] = None, upperBound: Option[Double] = None,
       pattern: Map[String, String] = Map.empty): DataFrame = {
-    val e = catalogLock.synchronized(healMissingSidecars(key))
+    // lock-free on the healthy path (a search must not block behind a
+    // long-running build/ingest holding the table lock); only when a
+    // sidecar is actually missing, heal under tableLock → catalogLock
+    val e = {
+      val snap = entry(key)
+      if (sidecarsIntact(snap)) snap
+      else tableLock(key).synchronized {
+        catalogLock.synchronized(healMissingSidecars(key))
+      }
+    }
     val ub = upperBound.getOrElse(Double.PositiveInfinity)
     val data = table(key)
     val filtered = data.filter(Search.metaPattern(pattern, col("meta")))

@@ -35,4 +35,27 @@ object HnswGraphCache {
       e
     }
   }
+
+  /** Group variant for the pinned (beyond-broadcast) serving path: one
+    * entry per SPARK partition of the pinned index dataset, holding every
+    * subgraph that partition carries. Keyed by Spark partition id — stable
+    * across jobs over the same persisted RDD — so a repeat batch can skip
+    * reading the partition's rows entirely (the `build` thunk, which
+    * consumes them, is only forced on a miss). */
+  private val groupCache =
+    new java.util.LinkedHashMap[(String, Int), Array[Entry]](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Int), Array[Entry]]): Boolean =
+        size() > MaxEntries
+    }
+
+  def getGroup(key: String, spid: Int)(build: => Array[Entry]): Array[Entry] = {
+    val k = (key, spid)
+    val hit = groupCache.synchronized(Option(groupCache.get(k)))
+    hit.getOrElse {
+      val e = build
+      groupCache.synchronized(groupCache.put(k, e))
+      e
+    }
+  }
 }
