@@ -123,10 +123,14 @@ class VecDB(spark: SparkSession, root: String) {
     * appended rows, and an index build racing an append would publish
     * `hasHnsw=true` with a sidecar missing the new rows.
     *
-    * Lock order is tableLock → catalogLock, UNIFORMLY: no path acquires a
-    * tableLock while holding catalogLock. Reads (`searchBatch`) stay
-    * lock-free on the volatile snapshot unless a sidecar is actually
-    * missing, so searches never block behind a long-running build/ingest. */
+    * Lock order is tableLock → catalogLock, UNIFORMLY: the one place that
+    * *syntactically* takes a tableLock under catalogLock —
+    * [[healMissingSidecars]] → [[restoreHnswOld]] — is safe only because
+    * every heal caller already holds the key's tableLock, so the inner
+    * `synchronized` is a reentrant no-op (asserted at heal entry). Reads
+    * (`searchBatch`) stay lock-free on the volatile snapshot unless a
+    * sidecar is actually missing, so searches never block behind a
+    * long-running build/ingest. */
   private val tableLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]
   private def tableLock(key: String): Object =
     tableLocks.computeIfAbsent(key, _ => new Object)
@@ -155,9 +159,17 @@ class VecDB(spark: SparkSession, root: String) {
       case c => c
     }.take(32)
 
+  /** Directory names held by in-flight create/delete operations. Guarded by
+    * [[catalogLock]]. [[uniqueFilename]] treats a reserved name as taken, so
+    * two concurrent creates (same key, or different keys sanitizing to the
+    * same base) can never pick the same directory, and a delete's directory
+    * removal completes before the freed name can be reused by a create. */
+  private var reservedFilenames: Set[String] = Set.empty
+
+  /** MUST be called with [[catalogLock]] held. */
   private def uniqueFilename(key: String): String = {
     val base = sanitizeKey(key)
-    val taken = tables.values.map(_.filename).toSet
+    val taken = tables.values.map(_.filename).toSet ++ reservedFilenames
     if (!taken.contains(base)) base
     else Iterator.from(1).map(i => s"${base}_$i").find(!taken.contains(_)).get
   }
@@ -184,40 +196,57 @@ class VecDB(spark: SparkSession, root: String) {
   def createTableIfNotExists(key: String, dim: Int, dist: String = "cosine"): Unit = {
     require(dim > 0, "dim must be positive")
     require(dist == "l2sqr" || dist == "cosine", s"unknown distance '$dist'")
-    // the Spark write runs OUTSIDE catalogLock (a slow/queued cluster job
-    // must not block every other catalog operation); the filename choice is
-    // re-validated inside the lock and the write retried on the rare race
-    var orphan: Option[TableEntry] = None
-    var done = tables.contains(key)
-    while (!done) {
-      val e = TableEntry(uniqueFilename(key), dim, dist, version = 0,
-        nextId = 0L, hasHnsw = false, efConstruction = 200, pq = None)
-      // data dir FIRST, catalog entry second: a crash in between leaves an
-      // orphan directory (harmless, reclaimed by the next create's unique
-      // filename), never a published entry whose data dir is missing
-      spark.createDataFrame(new java.util.ArrayList[Row](), dataSchema(dim))
-        .write.mode("overwrite").parquet(dataDir(e))
-      catalogLock.synchronized {
-        if (tables.contains(key)) { orphan = Some(e); done = true }
-        else if (tables.values.exists(_.filename == e.filename)) orphan = Some(e)
-        else { tables += key -> e; saveBrief(); done = true }
+    if (tables.contains(key)) return
+    // two-phase create: RESERVE the directory name under catalogLock, run
+    // the slow Spark write outside the lock, publish under the lock again.
+    // The reservation makes filename collisions impossible (no retry loop,
+    // and no path ever deletes a directory another create registered);
+    // tableLock serializes create/delete on the same key, so a concurrent
+    // deleteTable cannot free this name mid-create either.
+    tableLock(key).synchronized {
+      val fname = catalogLock.synchronized {
+        if (tables.contains(key)) null
+        else { val f = uniqueFilename(key); reservedFilenames += f; f }
       }
-      orphan.foreach(o => deleteRecursively(rootPath.resolve(o.filename)))
-      orphan = None
+      if (fname == null) return
+      try {
+        val e = TableEntry(fname, dim, dist, version = 0,
+          nextId = 0L, hasHnsw = false, efConstruction = 200, pq = None)
+        // data dir FIRST, catalog entry second: a crash in between leaves
+        // an orphan directory behind a never-published name (reclaimed by
+        // the failure cleanup below on a plain error), never a published
+        // entry whose data dir is missing
+        var published = false
+        try {
+          spark.createDataFrame(new java.util.ArrayList[Row](), dataSchema(dim))
+            .write.mode("overwrite").parquet(dataDir(e))
+          catalogLock.synchronized { tables += key -> e; saveBrief() }
+          published = true
+        } finally if (!published) deleteRecursively(rootPath.resolve(fname))
+      } finally catalogLock.synchronized { reservedFilenames -= fname }
     }
   }
 
   def deleteTable(key: String): Unit = tableLock(key).synchronized {
-    val removed = catalogLock.synchronized {
+    val (removed, oldCache) = catalogLock.synchronized {
       val e = tables.get(key)
-      e.foreach { _ =>
+      val c = cached.get(key)
+      e.foreach { x =>
         tables -= key
         cached -= key
+        // keep the freed name reserved until the directory is actually
+        // gone: a concurrent create could otherwise register the name and
+        // then lose its just-written data to the removal below
+        reservedFilenames += x.filename
         saveBrief()
       }
-      e
+      (e, c)
     }
-    removed.foreach(e => deleteRecursively(rootPath.resolve(e.filename)))
+    oldCache.foreach(_.unpersist())
+    removed.foreach { e =>
+      try deleteRecursively(rootPath.resolve(e.filename))
+      finally catalogLock.synchronized { reservedFilenames -= e.filename }
+    }
   }
 
   def getAllKeys: Seq[String] = tables.keys.toSeq.sorted
@@ -341,38 +370,70 @@ class VecDB(spark: SparkSession, root: String) {
         // The persist MITIGATES, not guarantees, re-evaluation drift: cached
         // blocks lost to executor failure recompute from lineage, so a
         // non-deterministic source could still land a different row set —
-        // the post-write verification below turns that into a detected
-        // failure (with the id reservation healed) instead of silent id
-        // collisions on later adds
+        // the post-write verification below turns that into a detected,
+        // ROLLED-BACK failure instead of silent id collisions on later adds
         val withId = spark.createDataFrame(
           src.rdd.zipWithIndex.map { case (r, i) => Row(start + i, r.get(0), r.get(1)) },
           dataSchema(dim0))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
+          // verify against ONLY the part files this append commits (set
+          // difference of the directory listing — the table lock excludes
+          // other writers): a metadata-only parquet count, not the full-dir
+          // listing + scan a filter(id >= start) over the whole table costs
+          val dPath = Paths.get(dataDir(e))
+          val before = listPartFiles(dPath)
           withId.write.mode("append").parquet(dataDir(e))
-          val landed = spark.read.parquet(dataDir(e))
-            .filter(col("id") >= start).count()
+          val newFiles = (listPartFiles(dPath) -- before).toSeq.sorted
+            .map(dPath.resolve(_).toString)
+          val landed =
+            if (newFiles.isEmpty) 0L
+            else spark.read.schema(dataSchema(dim0))
+              .parquet(newFiles: _*).count()
           if (landed != n) {
+            // roll back: the appended part files hold exactly this add's
+            // rows, so deleting them restores the pre-add data state; then
+            // heal the id reservation so the range isn't left as a gap
+            newFiles.foreach(f => Files.deleteIfExists(Paths.get(f)))
             catalogLock.synchronized {
               val cur = entry(key)
-              val maxId = spark.read.parquet(dataDir(e))
-                .agg(max(col("id"))).head().getLong(0)
-              if (cur.nextId <= maxId) {
-                tables += key -> cur.copy(nextId = maxId + 1)
+              if (cur.nextId == start + n) {
+                tables += key -> cur.copy(nextId = start)
                 saveBrief()
               }
             }
             throw new IllegalStateException(
               s"addDataFrame: source re-evaluated non-deterministically " +
-              s"($landed rows landed for a reserved range of $n); nextId healed")
+              s"($landed rows landed for a reserved range of $n); rolled back")
           }
           appendIndexSidecars(key, e, withId)
-        } finally withId.unpersist()
-        invalidateCache(key)
+        } finally {
+          withId.unpersist()
+          // on success the cached handle is stale (missing the new rows);
+          // on the rollback path dropping it is harmless — either way the
+          // next reader must re-open the data directory
+          invalidateCache(key)
+        }
       }
       n
     } finally src.unpersist()
   }
+
+  /** Data part files of a table version directory (excludes `_SUCCESS` and
+    * other metadata/hidden files Spark commits alongside). */
+  private def listPartFiles(dir: Path): Set[String] =
+    if (!Files.exists(dir)) Set.empty
+    else {
+      val s = Files.list(dir)
+      try {
+        val b = Set.newBuilder[String]
+        s.forEach { p =>
+          val n = p.getFileName.toString
+          if (!n.startsWith("_") && !n.startsWith(".")) b += n
+        }
+        b.result()
+      } finally s.close()
+    }
 
   /** Index-sidecar upkeep shared by [[batchAdd]] and [[addDataFrame]]:
     *
@@ -513,6 +574,11 @@ class VecDB(spark: SparkSession, root: String) {
     * with the key's tableLock AND `catalogLock` held, in that order (every
     * caller is a locked mutator). */
   private def healMissingSidecars(key: String): TableEntry = {
+    // both locks must already be held (class doc: restoreHnswOld's inner
+    // tableLock sync is a no-op only under reentrancy — a caller without
+    // the tableLock would deadlock against a concurrent mutator)
+    assert(Thread.holdsLock(tableLock(key)) && Thread.holdsLock(catalogLock),
+      s"healMissingSidecars($key) requires tableLock+catalogLock held")
     var e = entry(key)
     if (e.hasHnsw && !restoreHnswOld(key, e)) {
       e = e.copy(hasHnsw = false)

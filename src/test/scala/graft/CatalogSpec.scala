@@ -263,6 +263,71 @@ class CatalogSpec extends SparkTestBase {
       Files.walk(p).sorted(java.util.Comparator.reverseOrder())
         .forEach(f => Files.delete(f))
 
+  test("concurrent creates with colliding sanitized names never cross-delete data") {
+    // "c 1", "c.1", "c,1" all sanitize to base "c_1": without the two-phase
+    // filename reservation, racing creates could pick the same directory and
+    // the loser's cleanup deleted the winner's just-registered data
+    val db = freshDb()
+    val keys = Seq("c 1", "c.1", "c,1", "c_1")
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(keys.length)
+    try {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      val futs = keys.map { k =>
+        Future {
+          db.createTableIfNotExists(k, 2, "l2sqr")
+          db.add(k, Array(1f, 2f), Map("k" -> k))
+        }
+      }
+      Await.result(Future.sequence(futs), scala.concurrent.duration.Duration.Inf)
+      keys.foreach { k =>
+        assert(db.containsKey(k), s"table '$k' lost")
+        assert(db.getLen(k) == 1, s"table '$k' data lost")
+        assert(db.search(k, Array(1f, 2f), 1).head._1("k") == k,
+          s"table '$k' serving another table's rows")
+      }
+    } finally pool.shutdown()
+  }
+
+  test("delete/create same-key race: the surviving table keeps its data") {
+    val db = freshDb()
+    db.createTableIfNotExists("d", 2, "l2sqr")
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      (0 until 3).foreach { _ =>
+        val del = Future { db.deleteTable("d") }
+        val cre = Future { db.createTableIfNotExists("d", 2, "l2sqr") }
+        Await.result(Future.sequence(Seq(del, cre)),
+          scala.concurrent.duration.Duration.Inf)
+        if (db.containsKey("d")) {
+          // a published entry must have a live data directory behind it
+          db.add("d", Array(1f, 1f))
+          assert(db.getLen("d") >= 1)
+        } else db.createTableIfNotExists("d", 2, "l2sqr")
+      }
+      // freed names are release-after-removal: a fresh create reuses cleanly
+      db.deleteTable("d")
+      db.createTableIfNotExists("d", 2, "l2sqr")
+      db.add("d", Array(2f, 2f))
+      assert(db.getLen("d") == 1)
+    } finally pool.shutdown()
+  }
+
+  test("rejected addDataFrame leaves nextId untouched; later ids stay contiguous") {
+    import spark.implicits._
+    val db = freshDb()
+    db.createTableIfNotExists("t", 2, "l2sqr")
+    assert(db.addDataFrame("t", Seq(Array(1f, 2f)).toDF("vec")) == 1)
+    intercept[IllegalArgumentException] {
+      db.addDataFrame("t", Seq(Array(1f, 2f, 3f)).toDF("vec"))
+    }
+    assert(db.addDataFrame("t", Seq(Array(3f, 4f)).toDF("vec")) == 1)
+    val ids = db.table("t").select("id").as[Long].collect().sorted
+    assert(ids.sameElements(0L until 2L), s"ids not contiguous: ${ids.mkString(",")}")
+  }
+
   test("catalog persists across reopen") {
     val root = Files.createTempDirectory(
       java.nio.file.Paths.get("target"), "vecdb_test").toString
