@@ -288,6 +288,22 @@ object SparkEntry {
           (round(col("distance"), 6) + lit(0.0)).as("distance"))
         .orderBy("query_id", "distance", "id")
     }),
+    // IVF-routed HNSW (IvfHnsw): coarse k-means routing + one HNSW graph
+    // per cluster, searched through the pinned serving core (the
+    // beyond-one-machine ANN shape). Probing every cluster with exhaustive
+    // ef ⇒ the union of per-cluster walks covers the table ⇒ equals exact
+    // KNN ⇒ the plain top-k SQL oracle applies; IvfHnswSpec carries the
+    // partial-probe routing oracles.
+    "q_ivf_hnsw_routed" -> ((s, dir) => {
+      val b = base(s, dir)
+      val n = b.count().toInt
+      val (model, idx) = graft.operators.IvfHnsw.buildIndex(b, kClusters = 8)
+      graft.operators.IvfHnsw.searchPinned(idx, model, queryVectors(s, dir),
+          k = 5, ef = Some(2 * n), nProbes = Some(8))
+        .select(col("query_id"), col("id"),
+          (round(col("distance"), 6) + lit(0.0)).as("distance"))
+        .orderBy("query_id", "distance", "id")
+    }),
     // S1+S2: raw packed-binary round-trip — export the table to one packed
     // little-endian file, re-read it distributed, emit stable ids + first/
     // last components (f32 LE round-trip is bit-exact).
@@ -425,6 +441,7 @@ object SparkEntry {
     "q_hnsw_pq_search" -> topKSql(l2Expr, 5),
     "q_ivf_probe" -> topKSql(l2Expr, 5),
     "q_ivf_catalog" -> topKSql(l2Expr, 5),
+    "q_ivf_hnsw_routed" -> topKSql(l2Expr, 5),
     "q_vecdb_search" -> searchSql(l2Expr, 5),
     "q_knn_u8" ->
       """WITH u AS (

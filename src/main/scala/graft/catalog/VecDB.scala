@@ -858,7 +858,9 @@ class VecDB(spark: SparkSession, root: String) {
         Hnsw.searchBroadcast(idx, queries, k, ef, e.dist,
           efConstruction = e.efConstruction, upperBound = ub, cacheKey = ck)
       else
-        Hnsw.searchIndexed(idx, queries, k, ef, e.dist,
+        // beyond-broadcast: pin the index across the cluster (resident,
+        // partitioned) instead of re-shuffling it per batch
+        Hnsw.searchPinned(idx, queries, k, ef, e.dist,
           efConstruction = e.efConstruction, upperBound = ub, cacheKey = ck)
     } else
       Hnsw.search(filtered, queries, k, ef, e.dist,

@@ -38,18 +38,20 @@ object HnswGraphCache {
 
   /** Group variant for the pinned (beyond-broadcast) serving path: one
     * entry per SPARK partition of the pinned index dataset, holding every
-    * subgraph that partition carries. Keyed by Spark partition id — stable
-    * across jobs over the same persisted RDD — so a repeat batch can skip
-    * reading the partition's rows entirely (the `build` thunk, which
-    * consumes them, is only forced on a miss). */
+    * (subgraph id, rebuilt graph) that partition carries. Keyed by Spark
+    * partition id — stable across jobs over the same persisted RDD — so a
+    * repeat batch can skip reading the partition's rows entirely (the
+    * `build` thunk, which consumes them, is only forced on a miss). The
+    * subgraph id rides along so routed searches (IVF+HNSW: pid = cluster)
+    * can skip graphs the query does not probe. */
   private val groupCache =
-    new java.util.LinkedHashMap[(String, Int), Array[Entry]](16, 0.75f, true) {
+    new java.util.LinkedHashMap[(String, Int), Array[(Int, Entry)]](16, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[(String, Int), Array[Entry]]): Boolean =
+          e: java.util.Map.Entry[(String, Int), Array[(Int, Entry)]]): Boolean =
         size() > MaxEntries
     }
 
-  def getGroup(key: String, spid: Int)(build: => Array[Entry]): Array[Entry] = {
+  def getGroup(key: String, spid: Int)(build: => Array[(Int, Entry)]): Array[(Int, Entry)] = {
     val k = (key, spid)
     val hit = groupCache.synchronized(Option(groupCache.get(k)))
     hit.getOrElse {

@@ -189,6 +189,143 @@ object Hnsw {
     merge(bounded(partial, upperBound), k)
   }
 
+  /** Typed sidecar row: (pid, local_id, id, vec, level, links). */
+  private type IndexRow = (Int, Int, Long, Array[Float], Int, Array[Array[Int]])
+
+  /** Driver-side LRU of PINNED index datasets for [[searchPinned]]: the
+    * sidecar repartitioned by `pid` and persisted, so repeat batches against
+    * the same cacheKey re-scan resident cached blocks instead of re-reading
+    * and re-shuffling the sidecar. Eviction unpersists (lazy). */
+  private val pinnedCache =
+    new java.util.LinkedHashMap[String, org.apache.spark.sql.Dataset[IndexRow]](
+      8, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, org.apache.spark.sql.Dataset[IndexRow]])
+        : Boolean =
+        if (size() > 4) { e.getValue.unpersist(blocking = false); true } else false
+    }
+
+  /** Serving-shape search for indexes too big to broadcast: PIN the stored
+    * index across the cluster (repartitioned by subgraph, persisted) and
+    * broadcast the QUERIES — the memory inverse of [[searchBroadcast]] and
+    * the shuffle-free replacement for [[searchIndexed]], whose per-batch
+    * groupByKey re-shuffles every index byte. The first batch pays one
+    * shuffle of the sidecar plus the graph rebuilds; rebuilt graphs pin per
+    * executor in [[HnswGraphCache.getGroup]] keyed by (cacheKey, Spark
+    * partition id) — stable across jobs over the same persisted dataset —
+    * so steady-state batches do pure graph walks: no index bytes move, no
+    * adjacency re-decode. This is the 100 TB serving arm: the index lives
+    * partitioned across executor memory/disk, each partition walks its
+    * resident subgraphs for the whole (broadcast) query batch, and only
+    * per-partition top-k rows (Q·k per subgraph) reach the merge.
+    *
+    * Without `cacheKey` nothing is persisted or cached (one-shot shape:
+    * repartition + build + search).
+    */
+  def searchPinned(
+      index: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      ef: Option[Int] = None,
+      dist: String = "l2sqr",
+      m: Int = 16,
+      efConstruction: Int = 200,
+      upperBound: Double = Double.PositiveInfinity,
+      cacheKey: Option[String] = None): DataFrame = {
+    val spark = index.sparkSession
+    import spark.implicits._
+    val qs = queries
+      .select(col("query_id").cast("long"), col("query_vec"))
+      .as[(Long, Array[Float])].collect()
+      .map { case (qid, qv) => (qid, qv, null: Array[Int]) }
+    pinnedSearchCore(index, qs, k,
+      ef.getOrElse(math.max(efConstruction, 2 * m) / 2),
+      dist, m, efConstruction, upperBound, cacheKey)
+  }
+
+  /** Shared pinned-search engine: queries (with an optional per-query probe
+    * list — null = search every subgraph) broadcast against the pinned
+    * index. Used by [[searchPinned]] (unrouted) and
+    * [[IvfHnsw.searchPinned]] (pid = cluster, probes from the centroid
+    * sidecar). */
+  private[operators] def pinnedSearchCore(
+      index: DataFrame,
+      qs: Array[(Long, Array[Float], Array[Int])],
+      k: Int,
+      efq: Int,
+      dist: String,
+      m: Int,
+      efConstruction: Int,
+      upperBound: Double,
+      cacheKey: Option[String]): DataFrame = {
+    val spark = index.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(qs)
+
+    val typed = index
+      .select(col("pid").cast("int"), col("local_id").cast("int"),
+        col("id").cast("long"), col("vec"), col("level").cast("int"),
+        col("links"))
+      .as[IndexRow]
+      .repartition(col("pid"))
+    val pinned = cacheKey match {
+      case Some(ckey) => pinnedCache.synchronized {
+        Option(pinnedCache.get(ckey)).getOrElse {
+          val ds = typed.persist(
+            org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          ds.count() // materialize: later batches must not re-pay the shuffle
+          pinnedCache.put(ckey, ds)
+          ds
+        }
+      }
+      case None => typed
+    }
+    val ck = cacheKey
+
+    val partial = pinned
+      .mapPartitions { it =>
+        def buildAll: Array[(Int, HnswGraphCache.Entry)] = {
+          val byPid = it.toArray.groupBy(_._1)
+          byPid.toArray.sortBy(_._1).map { case (pid, rows0) =>
+            val rows = rows0.sortBy(_._2)
+            pid -> HnswGraphCache.Entry(
+              HnswGraph.fromNodes(rows(0)._4.length, dist, m, efConstruction,
+                rows.iterator.map(r => (r._4, r._5, r._6))),
+              rows.map(_._3))
+          }
+        }
+        val entries = ck match {
+          case Some(key) =>
+            HnswGraphCache.getGroup(key, TaskContext.getPartitionId())(buildAll)
+          case None => buildAll
+        }
+        if (entries.isEmpty) Iterator.empty
+        else {
+          val hitIds = new Array[Int](k)
+          val hitDs = new Array[Double](k)
+          bc.value.iterator.flatMap { case (qid, qv, probes) =>
+            entries.iterator
+              .filter { case (pid, _) =>
+                probes == null || {
+                  var i = 0; var hit = false
+                  while (i < probes.length && !hit) {
+                    hit = probes(i) == pid; i += 1
+                  }
+                  hit
+                }
+              }
+              .flatMap { case (_, e) =>
+                val cnt = e.graph.searchInto(qv, k, efq, hitIds, hitDs)
+                Iterator.range(0, cnt).map(i => (qid, e.ids(hitIds(i)), hitDs(i)))
+              }
+          }
+        }
+      }
+      .toDF("query_id", "id", "distance")
+
+    merge(bounded(partial, upperBound), k)
+  }
+
   /** Serving-shape search: broadcast the stored index, partition the
     * QUERIES. The inverse of [[searchIndexed]] — right whenever the index
     * fits in executor memory (the reference's entire operating envelope:
@@ -198,7 +335,7 @@ object Hnsw {
     * not an index scan. With `cacheKey`, repeat batches skip even the
     * broadcast deserialization (graphs pinned per executor by
     * [[HnswGraphCache]]; the broadcast is only touched on a cache miss).
-    * For indexes too big to broadcast, use [[searchIndexed]].
+    * For indexes too big to broadcast, use [[searchPinned]].
     */
   /** Grouped index rows: (pid, nodes sorted by local id). */
   private type GroupedIndex = Array[(Int, Array[(Long, Array[Float], Int, Array[Array[Int]])])]

@@ -169,6 +169,21 @@ object Ivf {
     IvfModel(rows.sortBy(_._1).map(_._2), dist, defaultNProbes)
   }
 
+  /** The `np` nearest centroids of one query (exact double distances, ties
+    * → lowest cluster id — the same order as [[search]]'s TopK pass).
+    * Driver-side: Q × k_clusters tiny distance evaluations. */
+  private[operators] def probeList(
+      qv: Array[Float], model: IvfModel, np: Int): Array[Int] = {
+    val cents = model.centroids
+    val cosine = model.dist == "cosine"
+    val ds = Array.tabulate(cents.length) { c =>
+      val d = if (cosine) graft.index.Simd.cosineExact(qv, cents(c))
+              else graft.index.Simd.l2sqExact(qv, cents(c))
+      (d, c)
+    }
+    ds.sortBy(identity).take(np).map(_._2)
+  }
+
   /** T6 over the partitioned layout — the probe scan that actually prunes.
     * Probe lists are selected driver-side (Q × k_clusters exact double
     * distances, ties → lowest cluster — same order as [[search]]'s TopK
@@ -190,18 +205,8 @@ object Ivf {
     val qs = queries
       .select(col("query_id").cast("long"), col("query_vec"))
       .as[(Long, Array[Float])].collect()
-    val cents = model.centroids
-    val cosine = model.dist == "cosine"
-    def probesFor(qv: Array[Float]): Array[Int] = {
-      val ds = Array.tabulate(cents.length) { c =>
-        val d = if (cosine) graft.index.Simd.cosineExact(qv, cents(c))
-                else graft.index.Simd.l2sqExact(qv, cents(c))
-        (d, c)
-      }
-      ds.sortBy(identity).take(np).map(_._2)
-    }
     val probeRows = qs.flatMap { case (qid, qv) =>
-      probesFor(qv).map(c => (qid, c, qv))
+      probeList(qv, model, np).map(c => (qid, c, qv))
     }.toSeq
     val clusters = probeRows.map(_._2).distinct.sorted
     val probedQueries = probeRows.toDF("query_id", "p_cluster", "query_vec")

@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.index.HnswGraph
+
+/** IVF-routed HNSW — the composition that actually scales ANN serving past
+  * one machine's memory. Neither parent structure alone survives 100 TB:
+  * the reference's single HNSW graph (`/root/reference/src/index_algorithm/
+  * hnsw_index.rs`) must fit in one process, and an UNROUTED subgraph union
+  * ([[Hnsw.searchPinned]]) pays P graph walks per query — total work grows
+  * linearly with the partition count, i.e. with table size. Routing fixes
+  * the latter: partition the table by k-means cluster (the reference's own
+  * IVF construction, `ivf_index.rs:64-107`), build one HNSW graph *per
+  * cluster*, and walk only the `n_probes` clusters nearest each query —
+  * per-query work is n_probes graph walks regardless of how many
+  * partitions the table spans. This is the standard coarse-quantizer +
+  * per-cell-graph design of the public ANN literature (FAISS's IVF+HNSW,
+  * SPANN's cluster-and-route); recall is bounded by the same routing
+  * quality as plain IVF probes (`ivf_index.rs:137-155`) — full probes
+  * degenerate to the exact union, which is the oracle-gradable config.
+  *
+  * Index schema matches [[Hnsw.buildIndex]] (`pid` = cluster id), so the
+  * sidecar persists/pins identically; search reuses
+  * [[Hnsw.pinnedSearchCore]] with a per-query probe list.
+  */
+object IvfHnsw {
+
+  /** Build: k-means route ([[Ivf.train]]) + one HNSW subgraph per cluster.
+    * One shuffle of the base by cluster; each cluster's graph builds inside
+    * a single task (clusters are the serving unit, sized by `kClusters` —
+    * aim for ≲500k rows per cluster; a heavily skewed cluster makes a
+    * straggler task, the classic IVF imbalance).
+    *
+    * @return (routing model, index rows (pid=cluster, local_id, id, vec,
+    *         level, links))
+    */
+  def buildIndex(
+      base: DataFrame,
+      kClusters: Int,
+      dist: String = "l2sqr",
+      m: Int = 16,
+      efConstruction: Int = 200,
+      seed: Long = 42L,
+      trainFraction: Option[Double] = None,
+      defaultNProbes: Int = 4): (IvfModel, DataFrame) = {
+    val spark = base.sparkSession
+    import spark.implicits._
+    val (model0, assigned) = Ivf.build(base.select(col("id"), col("vec")),
+      kClusters, dist, seed = seed, trainFraction = trainFraction)
+    val model = model0.copy(defaultNProbes = defaultNProbes)
+    val idx = assigned
+      .select(col("cluster").cast("int"), col("id").cast("long"), col("vec"))
+      .as[(Int, Long, Array[Float])]
+      .groupByKey(_._1)
+      .flatMapGroups { (cl, it) =>
+        val rows = it.toArray
+        val g = new HnswGraph(rows(0)._3.length, dist, m, efConstruction,
+          seed + cl)
+        rows.foreach(r => g.add(r._3))
+        Iterator.range(0, rows.length).map { i =>
+          val (vec, level, links) = g.exportNode(i)
+          (cl, i, rows(i)._2, vec, level, links)
+        }
+      }
+      .toDF("pid", "local_id", "id", "vec", "level", "links")
+    (model, idx)
+  }
+
+  /** Routed batch search over a pinned index: probe lists are selected
+    * driver-side against the centroid sidecar (exact distances, ties →
+    * lowest cluster — identical to [[Ivf.searchPartitioned]]), then each
+    * pinned partition walks only the graphs its queries probed.
+    * Steady-state per-batch cost: Q × n_probes graph walks + the top-k
+    * merge — independent of the total partition count.
+    *
+    * @param nProbes the reference's IVF `ef` (`ivf_index.rs:137-143`);
+    *                None → model default. `kClusters` probes = exact union
+    *                of per-cluster walks (gradable against the flat oracle
+    *                when `ef` covers the clusters).
+    */
+  def searchPinned(
+      index: DataFrame,
+      model: IvfModel,
+      queries: DataFrame,
+      k: Int,
+      ef: Option[Int] = None,
+      nProbes: Option[Int] = None,
+      m: Int = 16,
+      efConstruction: Int = 200,
+      upperBound: Double = Double.PositiveInfinity,
+      cacheKey: Option[String] = None): DataFrame = {
+    val spark = index.sparkSession
+    import spark.implicits._
+    val np = math.max(1, nProbes.getOrElse(model.defaultNProbes))
+    val qs = queries
+      .select(col("query_id").cast("long"), col("query_vec"))
+      .as[(Long, Array[Float])].collect()
+      .map { case (qid, qv) => (qid, qv, Ivf.probeList(qv, model, np)) }
+    Hnsw.pinnedSearchCore(index, qs, k,
+      ef.getOrElse(math.max(efConstruction, 2 * m) / 2),
+      model.dist, m, efConstruction, upperBound, cacheKey)
+  }
+}

@@ -99,6 +99,30 @@ class HnswSpec extends SparkTestBase {
     assert(stored == flat)
   }
 
+  test("pinned serving search equals exact; cached second batch identical; bound respected") {
+    val idx = Hnsw.buildIndex(base.repartition(4)).cache()
+    val flat = Knn.exact(base, queries, k = 10)
+      .select("query_id", "id").as[(Long, Long)].collect().toSet
+    val first = Hnsw.searchPinned(idx, queries, k = 10, ef = Some(600),
+        cacheKey = Some("spec_pinned"))
+      .select("query_id", "id").as[(Long, Long)].collect().toSet
+    assert(first == flat)
+    // second batch reuses the pinned dataset + executor group cache;
+    // results must not change
+    val second = Hnsw.searchPinned(idx, queries, k = 10, ef = Some(600),
+        cacheKey = Some("spec_pinned"))
+      .select("query_id", "id").as[(Long, Long)].collect().toSet
+    assert(second == flat)
+    // one-shot shape (no cacheKey): same results, nothing pinned
+    val oneShot = Hnsw.searchPinned(idx, queries, k = 10, ef = Some(600))
+      .select("query_id", "id").as[(Long, Long)].collect().toSet
+    assert(oneShot == flat)
+    val cut = 1.0
+    val bounded = Hnsw.searchPinned(idx, queries, k = 10, ef = Some(600),
+      upperBound = cut, cacheKey = Some("spec_pinned"))
+    assert(bounded.filter($"distance" > cut).count() == 0)
+  }
+
   test("broadcast serving search equals exact; cached second batch identical") {
     val idx = Hnsw.buildIndex(base.repartition(4)).cache()
     val flat = Knn.exact(base, queries, k = 10)

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{IvfHnsw, Knn}
+
+/** IVF-routed HNSW invariants: full probes + generous ef equal exact KNN
+  * (the union of per-cluster walks covers the table — the same oracle the
+  * reference uses for HNSW and IVF, `hnsw_index.rs:779-783`,
+  * `ivf_index.rs:225-229`); partial probes stay inside the probed clusters
+  * and keep high recall on clustered data (IVF's operating point). */
+class IvfHnswSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val base = Tables.vectors(spark, sf0001).select("id", "vec").cache()
+  private lazy val queries = base.filter($"id" < 6)
+    .select($"id".as("query_id"), $"vec".as("query_vec")).cache()
+
+  test("full probes + generous ef equal exact KNN (L2 and cosine)") {
+    for (dist <- Seq("l2sqr", "cosine")) {
+      val (model, idx) = IvfHnsw.buildIndex(base, kClusters = 5, dist = dist,
+        trainFraction = Some(0.5))
+      val routed = IvfHnsw.searchPinned(idx, model, queries, k = 10,
+        ef = Some(600), nProbes = Some(5))
+        .select("query_id", "id").as[(Long, Long)].collect().toSet
+      val flat = Knn.exact(base, queries, k = 10, dist = dist)
+        .select("query_id", "id").as[(Long, Long)].collect().toSet
+      assert(routed == flat, s"dist=$dist")
+    }
+  }
+
+  test("partial probes: self-hit survives, results come only from probed clusters") {
+    // clustered fixture: 4 well-separated centers so routing is decisive
+    val rnd = new scala.util.Random(17)
+    val centers = Array.fill(4)(Array.fill(8)(rnd.nextFloat() * 10f))
+    val rows = (0 until 400).map { i =>
+      val c = centers(i % 4)
+      (i.toLong, c.map(x => x + rnd.nextFloat() * 0.1f))
+    }
+    val clustered = rows.toDF("id", "vec").repartition(4).cache()
+    val qs = clustered.filter($"id" < 8)
+      .select($"id".as("query_id"), $"vec".as("query_vec"))
+    val (model, idx) = IvfHnsw.buildIndex(clustered, kClusters = 4,
+      trainFraction = Some(0.5))
+    val hits = IvfHnsw.searchPinned(idx, model, qs, k = 5,
+      ef = Some(200), nProbes = Some(1)).cache()
+    // k rows per query, self-hit at distance ~0 first
+    val byQ = hits.collect().groupBy(_.getLong(0))
+    assert(byQ.size == 8)
+    byQ.foreach { case (qid, rs) =>
+      assert(rs.length == 5, s"query $qid returned ${rs.length} rows")
+      val best = rs.minBy(r => (r.getDouble(2), r.getLong(1)))
+      assert(best.getLong(1) == qid && best.getDouble(2) < 1e-6,
+        s"query $qid self-hit missing")
+    }
+    // 1-probe results all come from the query's own planted cluster
+    // (ids ≡ qid mod 4 — same center)
+    hits.collect().foreach { r =>
+      assert(r.getLong(1) % 4 == r.getLong(0) % 4,
+        s"query ${r.getLong(0)} hit foreign cluster row ${r.getLong(1)}")
+    }
+    // cached second batch via cacheKey: identical results
+    val first = IvfHnsw.searchPinned(idx, model, qs, k = 5, ef = Some(200),
+      nProbes = Some(1), cacheKey = Some("spec_ivfhnsw"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val second = IvfHnsw.searchPinned(idx, model, qs, k = 5, ef = Some(200),
+      nProbes = Some(1), cacheKey = Some("spec_ivfhnsw"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(first == second)
+  }
+
+  test("index schema matches the Hnsw sidecar contract; pid = cluster") {
+    val (model, idx) = IvfHnsw.buildIndex(base, kClusters = 3,
+      trainFraction = Some(0.5))
+    assert(idx.columns.toSeq ==
+      Seq("pid", "local_id", "id", "vec", "level", "links"))
+    val pids = idx.select("pid").distinct().as[Int].collect().sorted
+    assert(pids.forall(p => p >= 0 && p < model.centroids.length))
+    // every base row lands in exactly one subgraph
+    assert(idx.count() == base.count())
+    assert(idx.select("id").distinct().count() == base.count())
+  }
+}
