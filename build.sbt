@@ -27,5 +27,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "--add-modules=jdk.incubator.vector", // SIMD distance kernels
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // default sized for the 1M×960 bench fixtures (pinned index + rebuilt
+  // graphs + shuffle); the sandbox has 125 GiB — a high cap is just a cap
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
 )

@@ -192,18 +192,27 @@ object Hnsw {
   /** Typed sidecar row: (pid, local_id, id, vec, level, links). */
   private type IndexRow = (Int, Int, Long, Array[Float], Int, Array[Array[Int]])
 
-  /** Driver-side LRU of PINNED index datasets for [[searchPinned]]: the
-    * sidecar repartitioned by `pid` and persisted, so repeat batches against
-    * the same cacheKey re-scan resident cached blocks instead of re-reading
-    * and re-shuffling the sidecar. Eviction unpersists (lazy). */
+  /** Driver-side LRU of PINNED index RDDs for [[searchPinned]]: the sidecar
+    * exact-partitioned by `pid` (partition i ⇔ subgraph i — a hash
+    * repartition would starve cores by folding several subgraphs into one
+    * partition and leaving others empty) and persisted serialized, so
+    * repeat batches re-scan resident blocks instead of re-reading and
+    * re-shuffling the sidecar — and on a graph-cache hit never even
+    * deserialize them. Eviction unpersists (lazy). */
   private val pinnedCache =
-    new java.util.LinkedHashMap[String, org.apache.spark.sql.Dataset[IndexRow]](
+    new java.util.LinkedHashMap[String, org.apache.spark.rdd.RDD[IndexRow]](
       8, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[String, org.apache.spark.sql.Dataset[IndexRow]])
+          e: java.util.Map.Entry[String, org.apache.spark.rdd.RDD[IndexRow]])
         : Boolean =
         if (size() > 4) { e.getValue.unpersist(blocking = false); true } else false
     }
+
+  /** partition i ⇔ subgraph pid i. */
+  private final class PidPartitioner(n: Int) extends org.apache.spark.Partitioner {
+    override def numPartitions: Int = n
+    override def getPartition(key: Any): Int = key.asInstanceOf[Int]
+  }
 
   /** Serving-shape search for indexes too big to broadcast: PIN the stored
     * index across the cluster (repartitioned by subgraph, persisted) and
@@ -262,29 +271,38 @@ object Hnsw {
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(qs)
 
-    val typed = index
-      .select(col("pid").cast("int"), col("local_id").cast("int"),
-        col("id").cast("long"), col("vec"), col("level").cast("int"),
-        col("links"))
-      .as[IndexRow]
-      .repartition(col("pid"))
+    def partitionByPid(): org.apache.spark.rdd.RDD[IndexRow] = {
+      // exact pid ⇔ partition mapping: with P subgraphs the walk
+      // parallelism is exactly P tasks, each owning one whole graph
+      val nPids = index.agg(max(col("pid")).cast("int")).head().getInt(0) + 1
+      index
+        .select(col("pid").cast("int"), col("local_id").cast("int"),
+          col("id").cast("long"), col("vec"), col("level").cast("int"),
+          col("links"))
+        .as[IndexRow]
+        .rdd
+        .keyBy(_._1)
+        .partitionBy(new PidPartitioner(nPids))
+        .values
+    }
     val pinned = cacheKey match {
       case Some(ckey) => pinnedCache.synchronized {
         Option(pinnedCache.get(ckey)).getOrElse {
-          val ds = typed.persist(
-            org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          ds.count() // materialize: later batches must not re-pay the shuffle
-          pinnedCache.put(ckey, ds)
-          ds
+          val rdd = partitionByPid().persist(
+            org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+          rdd.count() // materialize: later batches must not re-pay the shuffle
+          pinnedCache.put(ckey, rdd)
+          rdd
         }
       }
-      case None => typed
+      case None => partitionByPid()
     }
     val ck = cacheKey
 
     val partial = pinned
       .mapPartitions { it =>
         def buildAll: Array[(Int, HnswGraphCache.Entry)] = {
+          // one pid per partition by construction; stay robust to several
           val byPid = it.toArray.groupBy(_._1)
           byPid.toArray.sortBy(_._1).map { case (pid, rows0) =>
             val rows = rows0.sortBy(_._2)

@@ -96,13 +96,32 @@ object Pq {
             if (n <= k) sliced
             else graft.index.LocalKMeans.fit(sliced, k, dist, maxIter, tol, seed + gi)
           }
-        } else groups.zipWithIndex.map { case ((start, len), gi) =>
-          val sliceCol = slice(col("vec"), start + 1, len)
-          new KMeans()
-            .setK(k).setMaxIter(maxIter).setTol(tol).setSeed(seed + gi)
-            .setFeaturesCol("features")
-            .fit(trainDf.select(array_to_vector(sliceCol).as("features")))
-            .clusterCenters.map(_.toArray.map(_.toFloat))
+        } else {
+          // m independent sub-space fits submitted CONCURRENTLY from a
+          // bounded pool (Spark job submission is thread-safe; the fair
+          // scheduler interleaves the stages) — the reference trains its
+          // groups in parallel too (rayon, `pq_table.rs:173-184`), and
+          // sequential submission here would serialize m cluster-wide
+          // KMeans jobs (m=320 at the baseline d960 config)
+          val pool = java.util.concurrent.Executors.newFixedThreadPool(
+            math.min(groups.length, 8))
+          try {
+            val tasks: Seq[java.util.concurrent.Callable[Array[Array[Float]]]] =
+              groups.zipWithIndex.toSeq.map { case ((start, len), gi) =>
+                new java.util.concurrent.Callable[Array[Array[Float]]] {
+                  override def call(): Array[Array[Float]] = {
+                    val sliceCol = slice(col("vec"), start + 1, len)
+                    new KMeans()
+                      .setK(k).setMaxIter(maxIter).setTol(tol).setSeed(seed + gi)
+                      .setFeaturesCol("features")
+                      .fit(trainDf.select(array_to_vector(sliceCol).as("features")))
+                      .clusterCenters.map(_.toArray.map(_.toFloat))
+                  }
+                }
+              }
+            import scala.jdk.CollectionConverters._
+            pool.invokeAll(tasks.asJava).asScala.map(_.get()).toArray
+          } finally pool.shutdown()
         }
       PqModel(dim, nBits, dist, centroids)
     } finally trainDf.unpersist()

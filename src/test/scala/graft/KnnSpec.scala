@@ -62,6 +62,55 @@ class KnnSpec extends SparkTestBase {
     assert(topk == full)
   }
 
+  test("near-tie boundary: dense ties at the k-th distance resolve identically on both paths") {
+    // Constructed tie groups: 16 one-hot ±1 points all at L2²=1 from the
+    // origin query, 28 two-hot points all at L2²=2 — k cuts INSIDE a tie
+    // group, so the (distance, id) tie-break and the broadcast path's float
+    // prefilter envelope (Knn.scala) are both load-bearing. Ids are
+    // scrambled so insertion order can't mask a wrong tie-break.
+    val dim = 8
+    val q = Seq((0L, Array.fill(dim)(0f))).toDF("query_id", "query_vec")
+    val oneHot = (0 until dim).flatMap(i => Seq(1f, -1f).map { s =>
+      val v = Array.fill(dim)(0f); v(i) = s; v
+    })
+    val twoHot = (0 until dim).flatMap(i => (i + 1 until dim).map { j =>
+      val v = Array.fill(dim)(0f); v(i) = 1f; v(j) = 1f; v
+    })
+    val tied = (oneHot ++ twoHot).zipWithIndex
+      .map { case (v, i) => ((i * 37 % 101).toLong * 1000 + i, v) }
+      .toDF("id", "vec").repartition(5).cache()
+    for (k <- Seq(10, 16, 20, 30)) {
+      val a = Knn.exactDeclarative(tied, q, k = k).orderBy("distance", "id")
+        .collect().map(r => (r.getAs[Long]("id"), r.getAs[Double]("distance"))).toSeq
+      val b = Knn.exactBroadcast(tied, q, k = k).orderBy("distance", "id")
+        .collect().map(r => (r.getAs[Long]("id"), r.getAs[Double]("distance"))).toSeq
+      assert(a == b, s"k=$k tie boundary differs between paths")
+      assert(a.length == k)
+    }
+  }
+
+  test("high-cancellation cosine: near-parallel vectors rank identically on both paths") {
+    val dim = 8
+    val rnd = new scala.util.Random(99)
+    val baseDir = Array.fill(dim)(rnd.nextFloat() + 0.5f)
+    // 50 directions differing from the query by one component nudged by
+    // ~1e-6: cosine distances cluster within ~1e-9 of zero, where float
+    // arithmetic cancels — the double-kernel contract must hold on both
+    // physical paths
+    val nearly = (0 until 50).map { i =>
+      val v = baseDir.clone(); v(i % dim) = v(i % dim) + (i - 25) * 1e-6f
+      (i.toLong, v)
+    }.toDF("id", "vec").repartition(4).cache()
+    val qc = Seq((0L, baseDir)).toDF("query_id", "query_vec")
+    val a = Knn.exactDeclarative(nearly, qc, k = 9, dist = "cosine")
+      .orderBy("distance", "id")
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Double]("distance"))).toSeq
+    val b = Knn.exactBroadcast(nearly, qc, k = 9, dist = "cosine")
+      .orderBy("distance", "id")
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Double]("distance"))).toSeq
+    assert(a == b, "cosine cancellation case differs between paths")
+  }
+
   test("upper_bound filters hits") {
     val q = base.filter($"id" === 7)
       .select($"id".as("query_id"), $"vec".as("query_vec"))
