@@ -8,7 +8,7 @@ import org.apache.spark.sql.types._
 import org.json4s.{DefaultFormats, Formats}
 import org.json4s.jackson.Serialization
 
-import graft.operators.{Hnsw, Ivf, Knn, Pq, PqModel, Search, TopK}
+import graft.operators.{Hnsw, Ivf, IvfHnsw, Knn, Pq, PqModel, Search, TopK}
 import graft.functions.VectorFunctions
 
 /** PQ sidecar parameters recorded in the catalog. */
@@ -34,7 +34,15 @@ case class TableEntry(
     hasHnsw: Boolean,
     efConstruction: Int,
     pq: Option[PqInfo],
-    ivf: Option[IvfInfo] = None)
+    ivf: Option[IvfInfo] = None,
+    // HNSW subgraphs are k-means clusters with a centroid sidecar
+    // ([[VecDB.buildIvfHnswIndex]]): beyond-broadcast searches route each
+    // query to its routeProbes nearest clusters instead of walking every
+    // subgraph. Pids ≥ the cluster count (append deltas, compaction merges)
+    // are always walked, so the flag never affects correctness — a missing
+    // route sidecar just degrades to the unrouted union.
+    hnswRouted: Boolean = false,
+    routeProbes: Int = 4)
 
 /** The database catalog — the reference's `VecDBManager` + Python `VecDB`
   * surface (`/root/reference/src/database/mod.rs:291-521`,
@@ -185,6 +193,10 @@ class VecDB(spark: SparkSession, root: String) {
     rootPath.resolve(e.filename).resolve("hnsw")
   private def ivfDir(e: TableEntry): Path =
     rootPath.resolve(e.filename).resolve("ivf")
+  /** Routing-centroid sidecar of a routed HNSW index (holds `centroids`,
+    * the [[graft.operators.Ivf.readModel]] layout). */
+  private def routeDir(e: TableEntry): Path =
+    rootPath.resolve(e.filename).resolve("hnsw_route")
 
   private def dataSchema(dim: Int): StructType = StructType(Seq(
     StructField("id", LongType, nullable = false),
@@ -563,6 +575,7 @@ class VecDB(spark: SparkSession, root: String) {
   /** All-sidecars-present fast check for the lock-free search path. */
   private def sidecarsIntact(e: TableEntry): Boolean =
     (!e.hasHnsw || Files.exists(hnswDir(e))) &&
+      (!e.hnswRouted || Files.exists(routeDir(e))) &&
       (e.pq.isEmpty || Files.exists(pqDir(e))) &&
       (e.ivf.isEmpty || Files.exists(ivfDir(e)))
 
@@ -581,7 +594,14 @@ class VecDB(spark: SparkSession, root: String) {
       s"healMissingSidecars($key) requires tableLock+catalogLock held")
     var e = entry(key)
     if (e.hasHnsw && !restoreHnswOld(key, e)) {
-      e = e.copy(hasHnsw = false)
+      e = e.copy(hasHnsw = false, hnswRouted = false)
+      tables += key -> e
+      saveBrief()
+    }
+    if (e.hnswRouted && !Files.exists(routeDir(e))) {
+      // routing is an optimization over the same subgraphs: losing the
+      // centroid sidecar degrades to the unrouted union, never to Flat
+      e = e.copy(hnswRouted = false)
       tables += key -> e
       saveBrief()
     }
@@ -651,16 +671,50 @@ class VecDB(spark: SparkSession, root: String) {
       }
     }
 
+  /** Build the IVF-ROUTED HNSW sidecar (our scale extension —
+    * [[graft.operators.IvfHnsw]]): subgraphs are k-means clusters, a
+    * centroid sidecar routes each beyond-broadcast query to its
+    * `defaultNProbes` nearest clusters instead of walking every subgraph.
+    * Serves through the same dispatch as a plain HNSW index (the routed
+    * arm engages past the broadcast gate); within the gate the broadcast
+    * walk is used unchanged. Idempotent skip when any HNSW sidecar exists.
+    * Size `kClusters` for ≲500k rows per cluster at the target scale. */
+  def buildIvfHnswIndex(key: String, kClusters: Int = 256,
+      defaultNProbes: Int = 4, efConstruction: Option[Int] = None,
+      trainProportion: Option[Double] = None): Unit =
+    tableLock(key).synchronized {
+      val e = entry(key)
+      if (!e.hasHnsw) {
+        val efc = efConstruction.getOrElse(200)
+        val (model, idx) = graft.operators.IvfHnsw.buildIndex(
+          table(key).select(col("id"), col("vec")), kClusters, e.dist,
+          efConstruction = efc, trainFraction = trainProportion,
+          defaultNProbes = defaultNProbes)
+        idx.write.mode("overwrite").parquet(hnswDir(e).toString)
+        Ivf.centroidsDf(spark, model).write.mode("overwrite")
+          .parquet(routeDir(e).resolve("centroids").toString)
+        catalogLock.synchronized {
+          tables += key -> entry(key).copy(hasHnsw = true,
+            efConstruction = efc, hnswRouted = true,
+            routeProbes = defaultNProbes)
+          saveBrief()
+        }
+      }
+    }
+
   def clearHnswIndex(key: String): Unit = tableLock(key).synchronized {
     val cleared = catalogLock.synchronized {
       val e = entry(key)
       if (e.hasHnsw) {
-        tables += key -> e.copy(hasHnsw = false)
+        tables += key -> e.copy(hasHnsw = false, hnswRouted = false)
         saveBrief()
         Some(e)
       } else None
     }
-    cleared.foreach(e => deleteRecursively(hnswDir(e)))
+    cleared.foreach { e =>
+      deleteRecursively(hnswDir(e))
+      deleteRecursively(routeDir(e))
+    }
   }
 
   def hasHnswIndex(key: String): Boolean = entry(key).hasHnsw
@@ -752,6 +806,10 @@ class VecDB(spark: SparkSession, root: String) {
 
   def hasPqTable(key: String): Boolean = entry(key).pq.isDefined
 
+  /** Routing model of a routed HNSW sidecar ([[buildIvfHnswIndex]]). */
+  private def loadRouteModel(e: TableEntry): graft.operators.IvfModel =
+    Ivf.readModel(spark, routeDir(e).toString, e.dist, e.routeProbes)
+
   private def loadPqModel(key: String): PqModel = {
     val e = entry(key)
     val info = e.pq.get
@@ -791,15 +849,23 @@ class VecDB(spark: SparkSession, root: String) {
     val hits = (ef, e.pq) match {
       case (Some(efv), Some(info)) =>
         val model = loadPqModel(key)
-        if (e.hasHnsw && pattern.isEmpty &&
-            VecDB.hnswBroadcastEligible(e.nextId, e.dim)) {
+        if (e.hasHnsw && pattern.isEmpty) {
           // combined traversal (knn_pq, hnsw_index.rs:672-697): ADC-scored
           // graph walk + exact re-rank — sub-linear over the codes, vs the
-          // flat arms' O(N) ADC scan per batch
+          // flat arms' O(N) ADC scan per batch. Broadcast the index while
+          // it fits; pin it across the cluster beyond the gate.
           val idx = spark.read.parquet(hnswDir(e).toString)
           val ck = Some(s"${hnswDir(e)}@v${e.version}n${e.nextId}")
-          Hnsw.searchBroadcastPq(idx, queries, model, k, Some(efv),
-            efConstruction = e.efConstruction, upperBound = ub, cacheKey = ck)
+          if (VecDB.hnswBroadcastEligible(e.nextId, e.dim))
+            Hnsw.searchBroadcastPq(idx, queries, model, k, Some(efv),
+              efConstruction = e.efConstruction, upperBound = ub, cacheKey = ck)
+          else if (e.hnswRouted)
+            IvfHnsw.searchPinnedPq(idx, loadRouteModel(e), model, queries,
+              k, Some(efv), efConstruction = e.efConstruction,
+              upperBound = ub, cacheKey = ck)
+          else
+            Hnsw.searchPinnedPq(idx, queries, model, k, Some(efv),
+              efConstruction = e.efConstruction, upperBound = ub, cacheKey = ck)
         } else {
           val codes = spark.read.parquet(pqDir(e).resolve("codes").toString)
           val encoded = filtered.join(codes, "id")
@@ -857,6 +923,11 @@ class VecDB(spark: SparkSession, root: String) {
       if (VecDB.hnswBroadcastEligible(e.nextId, e.dim))
         Hnsw.searchBroadcast(idx, queries, k, ef, e.dist,
           efConstruction = e.efConstruction, upperBound = ub, cacheKey = ck)
+      else if (e.hnswRouted)
+        // beyond-broadcast + routed: walk only each query's routeProbes
+        // nearest clusters (delta subgraphs always walked)
+        IvfHnsw.searchPinned(idx, loadRouteModel(e), queries, k, ef,
+          efConstruction = e.efConstruction, upperBound = ub, cacheKey = ck)
       else
         // beyond-broadcast: pin the index across the cluster (resident,
         // partitioned) instead of re-shuffling it per batch
@@ -898,8 +969,11 @@ object VecDB {
   /** Byte budget for serving paths that materialize the whole table on the
     * driver and every executor (HNSW index broadcast, PQ decoded-codes +
     * vectors broadcast). A row-count gate let a 1M × d960 index (~4 GB of
-    * vectors alone) through; the gates are BYTE-based estimates. */
-  private[catalog] val BroadcastMaxBytes: Long = 1L << 30
+    * vectors alone) through; the gates are BYTE-based estimates.
+    * Overridable per deployment (and per test, to force the pinned arms on
+    * small fixtures) via `-Dgraft.broadcast.max.bytes=N`. */
+  private[catalog] def BroadcastMaxBytes: Long =
+    sys.props.get("graft.broadcast.max.bytes").map(_.toLong).getOrElse(1L << 30)
 
   /** Estimated broadcast footprint of an HNSW sidecar: packed f32 vectors
     * plus adjacency (m=16 ints at level 0, geometric upper levels) plus

@@ -214,6 +214,19 @@ object Hnsw {
     override def getPartition(key: Any): Int = key.asInstanceOf[Int]
   }
 
+  /** Executor-local cache of per-PARTITION PQ code matrices for the pinned
+    * PQ walk (aligned 1:1 with the partition's [[HnswGraphCache.getGroup]]
+    * entries — both sorted by pid): (cacheKey+"#pq", spid) → per-pid
+    * (codes n×m, cosine centroid self-dot per node — null for L2). */
+  private val pinnedCodesCache =
+    new java.util.LinkedHashMap[(String, Int), Array[(Array[Byte], Array[Double])]](
+      16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Int), Array[(Array[Byte], Array[Double])]])
+        : Boolean =
+        size() > 64
+    }
+
   /** Serving-shape search for indexes too big to broadcast: PIN the stored
     * index across the cluster (repartitioned by subgraph, persisted) and
     * broadcast the QUERIES — the memory inverse of [[searchBroadcast]] and
@@ -256,7 +269,15 @@ object Hnsw {
     * list — null = search every subgraph) broadcast against the pinned
     * index. Used by [[searchPinned]] (unrouted) and
     * [[IvfHnsw.searchPinned]] (pid = cluster, probes from the centroid
-    * sidecar). */
+    * sidecar).
+    *
+    * With `pq` set, the walk scores nodes by ADC code lookup and exact
+    * re-ranks the survivors ([[HnswGraph.searchFnInto]] — the reference's
+    * `knn_pq` over the pinned shape): at d960/m=320 the codes are 12× less
+    * memory traffic per visit than the packed vectors, which is what the
+    * walk is bound by once a subgraph outgrows L2. Code matrices build once
+    * per partition from the cached graphs and pin per executor alongside
+    * them. */
   private[operators] def pinnedSearchCore(
       index: DataFrame,
       qs: Array[(Long, Array[Float], Array[Int])],
@@ -266,15 +287,20 @@ object Hnsw {
       m: Int,
       efConstruction: Int,
       upperBound: Double,
-      cacheKey: Option[String]): DataFrame = {
+      cacheKey: Option[String],
+      pq: Option[PqModel] = None,
+      routeFloor: Int = Int.MaxValue): DataFrame = {
     val spark = index.sparkSession
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(qs)
 
     def partitionByPid(): org.apache.spark.rdd.RDD[IndexRow] = {
       // exact pid ⇔ partition mapping: with P subgraphs the walk
-      // parallelism is exactly P tasks, each owning one whole graph
-      val nPids = index.agg(max(col("pid")).cast("int")).head().getInt(0) + 1
+      // parallelism is exactly P tasks, each owning one whole graph (an
+      // empty sidecar degrades to one empty partition → zero hits). Runs
+      // only when actually pinning — cached batches skip the agg job.
+      val maxPidRow = index.agg(max(col("pid")).cast("int")).head()
+      val nPids = (if (maxPidRow.isNullAt(0)) 0 else maxPidRow.getInt(0)) + 1
       index
         .select(col("pid").cast("int"), col("local_id").cast("int"),
           col("id").cast("long"), col("vec"), col("level").cast("int"),
@@ -298,6 +324,24 @@ object Hnsw {
       case None => partitionByPid()
     }
     val ck = cacheKey
+    // PQ model unpacked into plain locals so the task closure ships only
+    // what the kernel needs
+    val hasPq = pq.isDefined
+    val pqCentroids = pq.map(_.centroids).orNull
+    val pqCentDot = pq.map(_.centroidDotCache).orNull
+    val pqGroups = pq.map(p => PqKernel.pqGroups(p.dim, p.m)).orNull
+    val pqM = pq.map(_.m).getOrElse(0)
+    val pqK = pq.map(_.k).getOrElse(0)
+    val pqNBits = pq.map(_.nBits).getOrElse(0)
+    // model identity folded into the codes-cache key: a PQ sidecar rebuilt
+    // with a different quantizer must not serve stale code matrices
+    val pqId =
+      if (hasPq)
+        java.util.Arrays.deepHashCode(
+          pqCentroids.asInstanceOf[Array[AnyRef]])
+      else 0
+    val cosine = dist == "cosine"
+    val floor = routeFloor
 
     val partial = pinned
       .mapPartitions { it =>
@@ -312,36 +356,135 @@ object Hnsw {
               rows.map(_._3))
           }
         }
+        val spid = TaskContext.getPartitionId()
         val entries = ck match {
-          case Some(key) =>
-            HnswGraphCache.getGroup(key, TaskContext.getPartitionId())(buildAll)
+          case Some(key) => HnswGraphCache.getGroup(key, spid)(buildAll)
           case None => buildAll
         }
         if (entries.isEmpty) Iterator.empty
         else {
+          // per-pid code matrices for the ADC walk, aligned with `entries`
+          // (both sorted by pid); encoded from the cached graphs' vectors,
+          // so a codes-cache fill never re-reads the partition rows
+          val codes: Array[(Array[Byte], Array[Double])] =
+            if (!hasPq) null
+            else {
+              def buildCodes: Array[(Array[Byte], Array[Double])] =
+                entries.map { case (_, e) =>
+                  val nn = e.ids.length
+                  val cm = new Array[Byte](nn * pqM)
+                  val cd = if (cosine) new Array[Double](nn) else null
+                  var r = 0
+                  while (r < nn) {
+                    PqKernel.encodeDecodedInto(e.graph.exportNode(r)._1,
+                      pqCentroids, pqGroups, cosine, cm, r * pqM)
+                    if (cosine) {
+                      var acc = 0.0
+                      var g = 0; var gk = 0; val base = r * pqM
+                      while (g < pqM) {
+                        acc += pqCentDot(gk + (cm(base + g) & 0xff))
+                        g += 1; gk += pqK
+                      }
+                      cd(r) = acc
+                    }
+                    r += 1
+                  }
+                  (cm, cd)
+                }
+              ck match {
+                case Some(key) =>
+                  val kk = (key + "#pq" + pqId, spid)
+                  val hit = pinnedCodesCache.synchronized(
+                    Option(pinnedCodesCache.get(kk)))
+                  hit.getOrElse {
+                    val c = buildCodes
+                    pinnedCodesCache.synchronized(pinnedCodesCache.put(kk, c))
+                    c
+                  }
+                case None => buildCodes
+              }
+            }
           val hitIds = new Array[Int](k)
           val hitDs = new Array[Double](k)
+          val sel = new Array[Int](entries.length)
           bc.value.iterator.flatMap { case (qid, qv, probes) =>
-            entries.iterator
-              .filter { case (pid, _) =>
-                probes == null || {
-                  var i = 0; var hit = false
-                  while (i < probes.length && !hit) {
-                    hit = probes(i) == pid; i += 1
+            // select this partition's subgraphs the query walks: its probe
+            // list, plus every pid ≥ routeFloor (post-build delta subgraphs
+            // from catalog appends / compaction merges are not
+            // cluster-partitioned, so routing must always walk them)
+            var selCount = 0
+            var ei = 0
+            while (ei < entries.length) {
+              val pid = entries(ei)._1
+              val hit = probes == null || pid >= floor || {
+                var i = 0; var h = false
+                while (i < probes.length && !h) { h = probes(i) == pid; i += 1 }
+                h
+              }
+              if (hit) { sel(selCount) = ei; selCount += 1 }
+              ei += 1
+            }
+            if (selCount == 0) Iterator.empty
+            else {
+              // the per-query ADC lookup builds ONLY when the query walks
+              // something here — a routed batch must not pay Q luts in
+              // every partition it never probes
+              val lut =
+                if (hasPq) PqKernel.buildLookup(qv, pqCentroids, pqNBits, dist)
+                  .map(_.toFloat)
+                else null
+              val qn = if (hasPq && cosine) {
+                var acc = 0.0; var i = 0
+                while (i < qv.length) { acc += qv(i).toDouble * qv(i); i += 1 }
+                math.sqrt(acc)
+              } else 0.0
+              Iterator.range(0, selCount).flatMap { si =>
+                val e2 = entries(sel(si))._2
+                val cnt =
+                  if (!hasPq) e2.graph.searchInto(qv, k, efq, hitIds, hitDs)
+                  else {
+                    val (cm, cd) = codes(sel(si))
+                    val distFn: Int => Double = { idx =>
+                      val s = PqKernel.adcOne(cm, idx * pqM, pqM, pqK, lut)
+                      if (cosine)
+                        1.0 - s / math.max(math.sqrt(cd(idx)) * qn, 1e-10)
+                      else s
+                    }
+                    e2.graph.searchFnInto(distFn, qv, k, efq, hitIds, hitDs)
                   }
-                  hit
-                }
+                Iterator.range(0, cnt).map(i => (qid, e2.ids(hitIds(i)), hitDs(i)))
               }
-              .flatMap { case (_, e) =>
-                val cnt = e.graph.searchInto(qv, k, efq, hitIds, hitDs)
-                Iterator.range(0, cnt).map(i => (qid, e.ids(hitIds(i)), hitDs(i)))
-              }
+            }
           }
         }
       }
       .toDF("query_id", "id", "distance")
 
     merge(bounded(partial, upperBound), k)
+  }
+
+  /** [[searchPinned]] with the ADC-scored walk + exact re-rank — `knn_pq`
+    * (`/root/reference/src/index_algorithm/hnsw_index.rs:672-697`) for
+    * indexes past the broadcast gate. */
+  def searchPinnedPq(
+      index: DataFrame,
+      queries: DataFrame,
+      model: PqModel,
+      k: Int,
+      ef: Option[Int] = None,
+      m: Int = 16,
+      efConstruction: Int = 200,
+      upperBound: Double = Double.PositiveInfinity,
+      cacheKey: Option[String] = None): DataFrame = {
+    val spark = index.sparkSession
+    import spark.implicits._
+    val qs = queries
+      .select(col("query_id").cast("long"), col("query_vec"))
+      .as[(Long, Array[Float])].collect()
+      .map { case (qid, qv) => (qid, qv, null: Array[Int]) }
+    pinnedSearchCore(index, qs, k,
+      ef.getOrElse(math.max(efConstruction, 2 * m) / 2),
+      model.dist, m, efConstruction, upperBound, cacheKey, Some(model))
   }
 
   /** Serving-shape search: broadcast the stored index, partition the

@@ -100,6 +100,38 @@ object IvfHnsw {
       .map { case (qid, qv) => (qid, qv, Ivf.probeList(qv, model, np)) }
     Hnsw.pinnedSearchCore(index, qs, k,
       ef.getOrElse(math.max(efConstruction, 2 * m) / 2),
-      model.dist, m, efConstruction, upperBound, cacheKey)
+      model.dist, m, efConstruction, upperBound, cacheKey,
+      routeFloor = model.centroids.length)
+  }
+
+  /** [[searchPinned]] with the ADC-scored walk + exact re-rank (`knn_pq`)
+    * inside each probed cluster — routing bounds the number of walks,
+    * codes bound the bytes each walk touches: the composition matching the
+    * reference's fastest published configuration (HNSW+PQ,
+    * `/root/reference/data/t_bench.toml:29-55`) past one machine's memory.
+    * `pqModel` must be trained on the same table the index was built on. */
+  def searchPinnedPq(
+      index: DataFrame,
+      model: IvfModel,
+      pqModel: PqModel,
+      queries: DataFrame,
+      k: Int,
+      ef: Option[Int] = None,
+      nProbes: Option[Int] = None,
+      m: Int = 16,
+      efConstruction: Int = 200,
+      upperBound: Double = Double.PositiveInfinity,
+      cacheKey: Option[String] = None): DataFrame = {
+    val spark = index.sparkSession
+    import spark.implicits._
+    val np = math.max(1, nProbes.getOrElse(model.defaultNProbes))
+    val qs = queries
+      .select(col("query_id").cast("long"), col("query_vec"))
+      .as[(Long, Array[Float])].collect()
+      .map { case (qid, qv) => (qid, qv, Ivf.probeList(qv, model, np)) }
+    Hnsw.pinnedSearchCore(index, qs, k,
+      ef.getOrElse(math.max(efConstruction, 2 * m) / 2),
+      pqModel.dist, m, efConstruction, upperBound, cacheKey, Some(pqModel),
+      routeFloor = model.centroids.length)
   }
 }

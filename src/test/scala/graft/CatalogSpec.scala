@@ -263,6 +263,63 @@ class CatalogSpec extends SparkTestBase {
       Files.walk(p).sorted(java.util.Comparator.reverseOrder())
         .forEach(f => Files.delete(f))
 
+  test("routed HNSW sidecar: beyond-gate routing is exact at full probes, degrades to union, append stays visible") {
+    val root = Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "vecdb_test").toString
+    val db = new VecDB(spark, root)
+    db.createTableIfNotExists("t", 8, "l2sqr")
+    val rnd = new scala.util.Random(23)
+    val centers = Array.fill(4)(Array.fill(8)(rnd.nextFloat() * 10f))
+    val vecs = (0 until 120).map(i =>
+      centers(i % 4).map(x => x + rnd.nextFloat() * 0.1f))
+    db.batchAdd("t", vecs, vecs.indices.map(i => Map("i" -> i.toString)))
+    val flat = db.search("t", vecs(7), 5, ef = Some(200)) // Flat (no index)
+    db.buildIvfHnswIndex("t", kClusters = 4, defaultNProbes = 4,
+      trainProportion = Some(0.5))
+    assert(db.hasHnswIndex("t"))
+    // shrink the broadcast gate so dispatch takes the pinned routed arm
+    sys.props("graft.broadcast.max.bytes") = "1"
+    try {
+      // full probes (routeProbes = kClusters) + generous ef ⇒ exact
+      assert(db.search("t", vecs(7), 5, ef = Some(200)) == flat)
+      // append after build: the delta subgraph's pid ≥ kClusters is outside
+      // the routing partition, so the routed walk must always include it
+      db.add("t", Array.fill(8)(99f), Map("i" -> "new"))
+      val hit = db.search("t", Array.fill(8)(99f), 1, ef = Some(200))
+      assert(hit.head._1("i") == "new" && hit.head._2 < 1e-6)
+      // losing the route sidecar degrades to the unrouted union, not Flat
+      deleteDir(java.nio.file.Paths.get(root, "t", "hnsw_route"))
+      assert(db.search("t", vecs(7), 5, ef = Some(200)) == flat)
+      assert(db.hasHnswIndex("t"))
+    } finally sys.props -= "graft.broadcast.max.bytes"
+    // back under the default gate: broadcast arm, same results
+    assert(db.search("t", vecs(7), 5, ef = Some(200)) == flat)
+    // clear removes the sidecars and the flag
+    db.clearHnswIndex("t")
+    assert(!db.hasHnswIndex("t"))
+    assert(!Files.exists(java.nio.file.Paths.get(root, "t", "hnsw")))
+  }
+
+  test("routed HNSW + PQ: beyond-gate knn_pq dispatch stays exact with exhaustive ef") {
+    val root = Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "vecdb_test").toString
+    val db = new VecDB(spark, root)
+    db.createTableIfNotExists("t", 8, "l2sqr")
+    val rnd = new scala.util.Random(29)
+    val vecs = (0 until 60).map(_ => Array.fill(8)(rnd.nextFloat()))
+    db.batchAdd("t", vecs, vecs.indices.map(i => Map("i" -> i.toString)))
+    val flat = db.search("t", vecs(9), 5, ef = Some(200))
+    db.buildIvfHnswIndex("t", kClusters = 3, defaultNProbes = 3,
+      trainProportion = Some(0.5))
+    db.buildPqTable("t", trainProportion = Some(0.5), m = Some(4))
+    sys.props("graft.broadcast.max.bytes") = "1"
+    try {
+      // (ef, pq) beyond the gate + routed ⇒ IvfHnsw.searchPinnedPq:
+      // exhaustive ef + full probes + exact re-rank ⇒ equals Flat
+      assert(db.search("t", vecs(9), 5, ef = Some(200)) == flat)
+    } finally sys.props -= "graft.broadcast.max.bytes"
+  }
+
   test("concurrent creates with colliding sanitized names never cross-delete data") {
     // "c 1", "c.1", "c,1" all sanitize to base "c_1": without the two-phase
     // filename reservation, racing creates could pick the same directory and

@@ -167,6 +167,28 @@ class HnswSpec extends SparkTestBase {
     }
   }
 
+  test("pinned PQ walk equals exact with generous ef; cached second batch identical (L2 and cosine)") {
+    // the beyond-broadcast knn_pq shape: same contract as the broadcast
+    // traversal — ADC-scored walk, exact re-rank — over the pinned index
+    val idx = Hnsw.buildIndex(base.repartition(4)).cache()
+    for (dist <- Seq("l2sqr", "cosine")) {
+      val model = graft.operators.Pq.train(base, m = 8, nBits = 4, dist = dist)
+      val flat = Knn.exact(base, queries, k = 10, dist = dist)
+        .select("query_id", "id", "distance")
+        .as[(Long, Long, Double)].collect().toSet
+      val pq = Hnsw.searchPinnedPq(idx, queries, model, k = 10,
+          ef = Some(600), cacheKey = Some(s"spec_ppq_$dist"))
+        .select("query_id", "id", "distance")
+        .as[(Long, Long, Double)].collect().toSet
+      assert(pq == flat, s"dist=$dist")
+      val second = Hnsw.searchPinnedPq(idx, queries, model, k = 10,
+          ef = Some(600), cacheKey = Some(s"spec_ppq_$dist"))
+        .select("query_id", "id", "distance")
+        .as[(Long, Long, Double)].collect().toSet
+      assert(second == flat, s"dist=$dist cached")
+    }
+  }
+
   test("HNSW+PQ traversal at modest ef reaches high recall") {
     val idx = Hnsw.buildIndex(base.repartition(4)).cache()
     val model = graft.operators.Pq.train(base, m = 8, nBits = 4)

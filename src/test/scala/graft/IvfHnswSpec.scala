@@ -68,6 +68,20 @@ class IvfHnswSpec extends SparkTestBase {
     assert(first == second)
   }
 
+  test("routed PQ walk: full probes + generous ef equal exact; distances exact") {
+    val (model, idx) = IvfHnsw.buildIndex(base, kClusters = 5,
+      trainFraction = Some(0.5))
+    val pqModel = graft.operators.Pq.train(base, m = 8, nBits = 4)
+    val routed = IvfHnsw.searchPinnedPq(idx, model, pqModel, queries, k = 10,
+        ef = Some(600), nProbes = Some(5))
+      .select("query_id", "id", "distance")
+      .as[(Long, Long, Double)].collect().toSet
+    val flat = Knn.exact(base, queries, k = 10)
+      .select("query_id", "id", "distance")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(routed == flat)
+  }
+
   test("index schema matches the Hnsw sidecar contract; pid = cluster") {
     val (model, idx) = IvfHnsw.buildIndex(base, kClusters = 3,
       trainFraction = Some(0.5))
