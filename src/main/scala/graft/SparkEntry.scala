@@ -288,6 +288,26 @@ object SparkEntry {
           (round(col("distance"), 6) + lit(0.0)).as("distance"))
         .orderBy("query_id", "distance", "id")
     }),
+    // §2.11 dispatch + T9: the catalog serving path through the ROUTED
+    // HNSW arm — create/addDataFrame/buildIvfHnswIndex, then searchBatch
+    // with the broadcast gate forced shut so the dispatch takes the
+    // pinned routed walk (the 100 TB arm). defaultNProbes = kClusters ⇒
+    // full probes, exhaustive ef ⇒ equals exact ⇒ plain top-k SQL oracle.
+    "q_ivf_hnsw_catalog" -> ((s, dir) => {
+      val db = catalogIngest(s, dir, "vecdb_qrouted")
+      val n = db.getLen("emb").toInt
+      db.buildIvfHnswIndex("emb", kClusters = 8, defaultNProbes = 8,
+        trainProportion = Some(0.5))
+      // the serving arm is chosen (and the index pinned) while searchBatch
+      // constructs the plan, so the gate override only needs to span it
+      sys.props("graft.broadcast.max.bytes") = "1"
+      try
+        db.searchBatch("emb", queryVectors(s, dir), k = 5, ef = Some(2 * n))
+          .select(col("query_id"), col("id"),
+            (round(col("distance"), 6) + lit(0.0)).as("distance"))
+          .orderBy("query_id", "distance", "id")
+      finally sys.props -= "graft.broadcast.max.bytes"
+    }),
     // IVF-routed HNSW (IvfHnsw): coarse k-means routing + one HNSW graph
     // per cluster, searched through the pinned serving core (the
     // beyond-one-machine ANN shape). Probing every cluster with exhaustive
@@ -442,6 +462,7 @@ object SparkEntry {
     "q_ivf_probe" -> topKSql(l2Expr, 5),
     "q_ivf_catalog" -> topKSql(l2Expr, 5),
     "q_ivf_hnsw_routed" -> topKSql(l2Expr, 5),
+    "q_ivf_hnsw_catalog" -> topKSql(l2Expr, 5),
     "q_vecdb_search" -> searchSql(l2Expr, 5),
     "q_knn_u8" ->
       """WITH u AS (

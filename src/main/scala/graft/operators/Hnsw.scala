@@ -205,7 +205,7 @@ object Hnsw {
       override def removeEldestEntry(
           e: java.util.Map.Entry[String, org.apache.spark.rdd.RDD[IndexRow]])
         : Boolean =
-        if (size() > 4) { e.getValue.unpersist(blocking = false); true } else false
+        if (size() > 16) { e.getValue.unpersist(blocking = false); true } else false
     }
 
   /** partition i ⇔ subgraph pid i. */
@@ -513,7 +513,7 @@ object Hnsw {
       override def removeEldestEntry(
           e: java.util.Map.Entry[String, org.apache.spark.broadcast.Broadcast[GroupedIndex]])
         : Boolean =
-        if (size() > 8) { e.getValue.unpersist(blocking = false); true } else false
+        if (size() > 16) { e.getValue.unpersist(blocking = false); true } else false
     }
 
   def searchBroadcast(

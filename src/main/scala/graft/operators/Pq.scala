@@ -317,7 +317,7 @@ object Pq {
       override def removeEldestEntry(
           e: java.util.Map.Entry[String, org.apache.spark.broadcast.Broadcast[ServeIndex]])
         : Boolean =
-        if (size() > 8) { e.getValue.unpersist(blocking = false); true } else false
+        if (size() > 16) { e.getValue.unpersist(blocking = false); true } else false
     }
 
   /** T7, query-partitioned serving shape (the inverse of
