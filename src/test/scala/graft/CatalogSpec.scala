@@ -385,6 +385,40 @@ class CatalogSpec extends SparkTestBase {
     assert(ids.sameElements(0L until 2L), s"ids not contiguous: ${ids.mkString(",")}")
   }
 
+  test("concurrent searchBatch on one catalog: parallel reads equal the sequential result") {
+    // The serving read path is documented lock-free on the healthy snapshot
+    // (VecDB doc: searches must not block behind builds), and the
+    // executor-side graph/broadcast caches claim thread safety — this
+    // drives 8 threads through searchBatch (HNSW and knn_pq arms) against
+    // one db and asserts every result equals the single-threaded answer.
+    import spark.implicits._
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val db = freshDb()
+    db.createTableIfNotExists("t", 16, "l2sqr")
+    val rnd = new scala.util.Random(7)
+    val vecs = (0 until 300).map(_ => Array.fill(16)(rnd.nextFloat()))
+    db.batchAdd("t", vecs, vecs.indices.map(i => Map("i" -> i.toString)))
+    db.buildHnswIndex("t")
+    db.buildPqTable("t", trainProportion = Some(0.5), m = Some(4))
+    val queries = vecs.take(5).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("query_id", "query_vec")
+    def run(ef: Int): Seq[(Long, Long, Double)] =
+      db.searchBatch("t", queries, k = 3, ef = Some(ef))
+        .select("query_id", "id", "distance")
+        .as[(Long, Long, Double)].collect().sorted.toSeq
+    // ef given + PQ sidecar present → the knn_pq combined-walk arm;
+    // exhaustive ef makes the expected answer deterministic (== exact)
+    val expectHnsw = run(600)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val results = Await.result(
+        Future.sequence((0 until 8).map(_ => Future(run(600)))), Duration.Inf)
+      results.foreach(r => assert(r == expectHnsw, "concurrent read diverged"))
+    } finally pool.shutdown()
+  }
+
   test("catalog persists across reopen") {
     val root = Files.createTempDirectory(
       java.nio.file.Paths.get("target"), "vecdb_test").toString
