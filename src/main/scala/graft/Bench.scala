@@ -427,7 +427,9 @@ object Bench {
     var results1m = Seq.empty[(String, Double)]
     if (n1m > 0) try {
       val kc = 32 // ~n/32 rows per cluster ⇒ 32-task walk parallelism
-      val cacheDir = java.nio.file.Paths.get("target", s"bench1m_${n1m}_$kc")
+      // repo-root cache dir (gitignored), NOT target/: an `sbt clean` must
+      // not force the ~18 min 1M index rebuild into a later bench run
+      val cacheDir = java.nio.file.Paths.get("bench_cache", s"bench1m_${n1m}_$kc")
       val donePath = cacheDir.resolve("_done")
       val idxPath = cacheDir.resolve("idx").toString
       val vec1m = synthClusteredVectors(spark, n1m, 960, 1000, 0.3)

@@ -298,15 +298,13 @@ object SparkEntry {
       val n = db.getLen("emb").toInt
       db.buildIvfHnswIndex("emb", kClusters = 8, defaultNProbes = 8,
         trainProportion = Some(0.5))
-      // the serving arm is chosen (and the index pinned) while searchBatch
-      // constructs the plan, so the gate override only needs to span it
-      sys.props("graft.broadcast.max.bytes") = "1"
-      try
-        db.searchBatch("emb", queryVectors(s, dir), k = 5, ef = Some(2 * n))
-          .select(col("query_id"), col("id"),
-            (round(col("distance"), 6) + lit(0.0)).as("distance"))
-          .orderBy("query_id", "distance", "id")
-      finally sys.props -= "graft.broadcast.max.bytes"
+      // force the dispatch past the broadcast gate for THIS catalog only
+      // (instance-level override — no global state)
+      db.broadcastGateBytes = Some(1L)
+      db.searchBatch("emb", queryVectors(s, dir), k = 5, ef = Some(2 * n))
+        .select(col("query_id"), col("id"),
+          (round(col("distance"), 6) + lit(0.0)).as("distance"))
+        .orderBy("query_id", "distance", "id")
     }),
     // IVF-routed HNSW (IvfHnsw): coarse k-means routing + one HNSW graph
     // per cluster, searched through the pinned serving core (the

@@ -80,6 +80,18 @@ case class TableEntry(
 class VecDB(spark: SparkSession, root: String) {
   private implicit val formats: Formats = DefaultFormats
 
+  /** Per-instance broadcast-gate override for the serving dispatch; `None`
+    * falls back to the JVM-wide `-Dgraft.broadcast.max.bytes` (default
+    * 1 GiB). Lets a caller force the pinned/routed beyond-broadcast arms
+    * (tests, mixed-tenancy deployments) without mutating global state. */
+  @volatile var broadcastGateBytes: Option[Long] = None
+  private def gateBytes: Long =
+    broadcastGateBytes.getOrElse(VecDB.BroadcastMaxBytes)
+  private def hnswEligible(rows: Long, dim: Int): Boolean =
+    VecDB.hnswBroadcastBytes(rows, dim) <= gateBytes
+  private def pqEligible(rows: Long, dim: Int, m: Int): Boolean =
+    VecDB.pqServeBytes(rows, dim, m) <= gateBytes
+
   private val rootPath: Path = Paths.get(root)
   Files.createDirectories(rootPath)
   private def briefPath: Path = rootPath.resolve("brief.json")
@@ -856,7 +868,7 @@ class VecDB(spark: SparkSession, root: String) {
           // it fits; pin it across the cluster beyond the gate.
           val idx = spark.read.parquet(hnswDir(e).toString)
           val ck = Some(s"${hnswDir(e)}@v${e.version}n${e.nextId}")
-          if (VecDB.hnswBroadcastEligible(e.nextId, e.dim))
+          if (hnswEligible(e.nextId, e.dim))
             Hnsw.searchBroadcastPq(idx, queries, model, k, Some(efv),
               efConstruction = e.efConstruction, upperBound = ub, cacheKey = ck)
           else if (e.hnswRouted)
@@ -870,7 +882,7 @@ class VecDB(spark: SparkSession, root: String) {
           val codes = spark.read.parquet(pqDir(e).resolve("codes").toString)
           val encoded = filtered.join(codes, "id")
           if (pattern.isEmpty &&
-              VecDB.pqServeEligible(e.nextId, e.dim, info.m)) {
+              pqEligible(e.nextId, e.dim, info.m)) {
             val ck = Some(s"${pqDir(e)}@v${e.version}n${e.nextId}")
             Pq.searchFlatServe(encoded, model, queries, k, efv, ub, ck)
           } else if (small) Pq.searchFlatBroadcast(encoded, model, queries, k, efv, ub)
@@ -920,7 +932,7 @@ class VecDB(spark: SparkSession, root: String) {
       val idx = spark.read.parquet(hnswDir(e).toString)
       // rotate on any content change: version bumps on delete, nextId on add
       val ck = Some(s"${hnswDir(e)}@v${e.version}n${e.nextId}")
-      if (VecDB.hnswBroadcastEligible(e.nextId, e.dim))
+      if (hnswEligible(e.nextId, e.dim))
         Hnsw.searchBroadcast(idx, queries, k, ef, e.dist,
           efConstruction = e.efConstruction, upperBound = ub, cacheKey = ck)
       else if (e.hnswRouted)
@@ -972,7 +984,7 @@ object VecDB {
     * vectors alone) through; the gates are BYTE-based estimates.
     * Overridable per deployment (and per test, to force the pinned arms on
     * small fixtures) via `-Dgraft.broadcast.max.bytes=N`. */
-  private[catalog] def BroadcastMaxBytes: Long =
+  private[graft] def BroadcastMaxBytes: Long =
     sys.props.get("graft.broadcast.max.bytes").map(_.toLong).getOrElse(1L << 30)
 
   /** Estimated broadcast footprint of an HNSW sidecar: packed f32 vectors

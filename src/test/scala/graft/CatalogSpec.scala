@@ -278,7 +278,8 @@ class CatalogSpec extends SparkTestBase {
       trainProportion = Some(0.5))
     assert(db.hasHnswIndex("t"))
     // shrink the broadcast gate so dispatch takes the pinned routed arm
-    sys.props("graft.broadcast.max.bytes") = "1"
+    // (instance-level override — the JVM-wide sys-prop stays untouched)
+    db.broadcastGateBytes = Some(1L)
     try {
       // full probes (routeProbes = kClusters) + generous ef ⇒ exact
       assert(db.search("t", vecs(7), 5, ef = Some(200)) == flat)
@@ -291,7 +292,7 @@ class CatalogSpec extends SparkTestBase {
       deleteDir(java.nio.file.Paths.get(root, "t", "hnsw_route"))
       assert(db.search("t", vecs(7), 5, ef = Some(200)) == flat)
       assert(db.hasHnswIndex("t"))
-    } finally sys.props -= "graft.broadcast.max.bytes"
+    } finally db.broadcastGateBytes = None
     // back under the default gate: broadcast arm, same results
     assert(db.search("t", vecs(7), 5, ef = Some(200)) == flat)
     // clear removes the sidecars and the flag
@@ -312,12 +313,12 @@ class CatalogSpec extends SparkTestBase {
     db.buildIvfHnswIndex("t", kClusters = 3, defaultNProbes = 3,
       trainProportion = Some(0.5))
     db.buildPqTable("t", trainProportion = Some(0.5), m = Some(4))
-    sys.props("graft.broadcast.max.bytes") = "1"
+    db.broadcastGateBytes = Some(1L)
     try {
       // (ef, pq) beyond the gate + routed ⇒ IvfHnsw.searchPinnedPq:
       // exhaustive ef + full probes + exact re-rank ⇒ equals Flat
       assert(db.search("t", vecs(9), 5, ef = Some(200)) == flat)
-    } finally sys.props -= "graft.broadcast.max.bytes"
+    } finally db.broadcastGateBytes = None
   }
 
   test("concurrent creates with colliding sanitized names never cross-delete data") {
