@@ -478,12 +478,18 @@ object Bench {
         p.count()
         p
       }
-      val routedPqPlans = withAqeOff(Seq(1, 2).map { np =>
-        val p = IvfHnsw.searchPinnedPq(idx1m, model1m, pqModel1m, q1m, k = 10,
-          ef = Some(360), nProbes = Some(np), cacheKey = ck1m)
-        p.count()
-        np -> p
-      })
+      // (np, ef) grid: np trades probes for speed at fixed ef; the ef=600/
+      // 1000 points document the recall curve rising with beam width — the
+      // ~0.81@ef=360 recall on this fixture is ADC quantization error
+      // (plain HNSW reaches 0.999 on the same graph), mirroring the
+      // baseline's own ef-for-recall PQ sweep shape (t_bench.toml:29-55)
+      val routedPqPlans = withAqeOff(
+        Seq((1, 360), (2, 360), (1, 600), (1, 1000)).map { case (np, ef) =>
+          val p = IvfHnsw.searchPinnedPq(idx1m, model1m, pqModel1m, q1m,
+            k = 10, ef = Some(ef), nProbes = Some(np), cacheKey = ck1m)
+          p.count()
+          (np, ef, p)
+        })
       // recall vs exact ground truth; the recall pass doubles as the warm
       // run (pin shuffle + stored-adjacency graph decode + code encode)
       val truth1m = truthSets(vec1m, q1m, 10)
@@ -492,8 +498,11 @@ object Bench {
         recalls1m += s"ivf_hnsw_1m_d960_np${np}_batch" -> recallOf(p, truth1m)
       }
       recalls1m += "hnsw_pq_1m_d960_batch" -> recallOf(pinnedPqPlan, truth1m)
-      routedPqPlans.foreach { case (np, p) =>
-        recalls1m += s"ivf_hnsw_pq_1m_d960_np${np}_batch" -> recallOf(p, truth1m)
+      def pqRowName(np: Int, ef: Int): String =
+        if (ef == 360) s"ivf_hnsw_pq_1m_d960_np${np}_batch"
+        else s"ivf_hnsw_pq_1m_d960_np${np}_ef${ef}_batch"
+      routedPqPlans.foreach { case (np, ef, p) =>
+        recalls1m += pqRowName(np, ef) -> recallOf(p, truth1m)
       }
       results1m = timeAll(Seq[(String, () => Long)](
         ("hnsw_1m_d960_batch", () => pinnedPlan.count()),
@@ -501,8 +510,8 @@ object Bench {
         routedPlans.map { case (np, p) =>
           (s"ivf_hnsw_1m_d960_np${np}_batch", () => p.count())
         } ++
-        routedPqPlans.map { case (np, p) =>
-          (s"ivf_hnsw_pq_1m_d960_np${np}_batch", () => p.count())
+        routedPqPlans.map { case (np, ef, p) =>
+          (pqRowName(np, ef), () => p.count())
         })
     } catch { case e: Throwable =>
       errors += "bench_1m" ->
