@@ -399,7 +399,12 @@ object Bench {
     // headline q/s numbers should not inherit it
     def timeAll(ws: Seq[(String, () => Long)]): Seq[(String, Double)] =
       ws.map { case (name, fn) =>
-        val reps = if (name.endsWith("_batch")) 3 else 1
+        // 5 reps for the floor-amortized headline rows (observed ~2×
+        // median swing across runs at 3), 3 for other batches
+        val reps =
+          if (name.contains("_nq10k_")) 5
+          else if (name.endsWith("_batch")) 3
+          else 1
         // shed the previous workload's GC debt before timing this one
         System.gc()
         val times = (0 until reps).map { _ =>
