@@ -125,6 +125,12 @@ object Bench {
       try f finally spark.conf.set("spark.sql.adaptive.enabled", prev)
     }
 
+    /** Timed serving action: collect(), not count() — a count over these
+      * plans adds a partial-agg + single-partition exchange (a second
+      * stage + shuffle, measured ~2x the whole serving batch), and a
+      * serving deployment materializes the hits anyway. */
+    def serve(p: DataFrame): Long = p.collect().length.toLong
+
     // ---- fixtures (prep, untimed): cache + materialize ---------------------
     val dim = 64
     val vecBig = synthVectors(spark, nVec, dim).repartition(nCores).cache()
@@ -256,7 +262,7 @@ object Bench {
         val runs = (0 until 3).map { _ =>
           val t0 = System.nanoTime()
           Await.result(
-            Future.sequence((0 until batches).map(_ => Future(plan.count()))),
+            Future.sequence((0 until batches).map(_ => Future(serve(plan)))),
             Duration.Inf)
           (System.nanoTime() - t0) / 1e9
         }.sorted
@@ -284,7 +290,7 @@ object Bench {
       val plan = Hnsw.searchBroadcast(hnswIdx960, queries960, k = 10,
         ef = Some(ef), cacheKey = Some("bench960"))
       val r = recallOf(plan, truth960)
-      (ef, r, nq / median3(() => plan.count()))
+      (ef, r, nq / median3(() => serve(plan)))
     })
     // PQ sweeps at the same d960 config, mirroring the baseline's PQ rows
     // (`/root/reference/data/t_bench_1e4.toml:29-58`): flat ADC serve and
@@ -293,13 +299,13 @@ object Bench {
       val plan = Pq.searchFlatServe(pqEncoded960, pqModel960, queries960,
         k = 10, ef = ef, cacheKey = Some("benchpq960"))
       val r = recallOf(plan, truth960)
-      (ef, r, nq / median3(() => plan.count()))
+      (ef, r, nq / median3(() => serve(plan)))
     })
     val hnswPqSweep = withAqeOff(Seq(20, 40, 80, 120, 160).map { ef =>
       val plan = Hnsw.searchBroadcastPq(hnswIdx960, queries960, pqModel960,
         k = 10, ef = Some(ef), cacheKey = Some("bench960"))
       val r = recallOf(plan, truth960)
-      (ef, r, nq / median3(() => plan.count()))
+      (ef, r, nq / median3(() => serve(plan)))
     })
 
     // ---- 1M×960 beyond-broadcast serving (BASELINE.md primary scale) -------
@@ -330,21 +336,21 @@ object Bench {
       // fixed per-job scheduling floor: an empty-plan count on the same
       // cluster — any 1000-query batch pays at least this much wall clock
       ("spark_job_floor", () => queries960.count()),
-      ("hnsw_10k_batch", () => hnsw10kPlan.count()),
-      ("hnsw_200k_batch", () => hnsw200kPlan.count()),
+      ("hnsw_10k_batch", () => serve(hnsw10kPlan)),
+      ("hnsw_200k_batch", () => serve(hnsw200kPlan)),
       // directly comparable to BASELINE.md:24 (HNSW @10k×960, ef=120, k=10)
-      ("hnsw_10k_d960_batch", () => hnsw960Plan.count()),
+      ("hnsw_10k_d960_batch", () => serve(hnsw960Plan)),
       // knn_pq combined traversal over the same graph — sub-linear over
       // codes, must beat the flat ADC scans below
-      ("hnsw_pq_10k_d960_batch", () => hnswPq960Plan.count()),
+      ("hnsw_pq_10k_d960_batch", () => serve(hnswPq960Plan)),
       // floor-amortized operating point: same index/config, 10k queries
-      ("hnsw_10k_d960_nq10k_batch", () => hnsw960PlanBig.count()),
-      ("hnsw_pq_10k_d960_nq10k_batch", () => hnswPq960PlanBig.count()),
-      ("pq_serve_10k_d960_nq10k_batch", () => pqServe960PlanBig.count()),
+      ("hnsw_10k_d960_nq10k_batch", () => serve(hnsw960PlanBig)),
+      ("hnsw_pq_10k_d960_nq10k_batch", () => serve(hnswPq960PlanBig)),
+      ("pq_serve_10k_d960_nq10k_batch", () => serve(pqServe960PlanBig)),
       // query-partitioned serving shape (broadcast decoded codes+vectors,
       // zero shuffle) — directly comparable to BASELINE.md:28
-      ("pq_serve_10k_d960_batch", () => pqServe960Plan.count()),
-      ("ivf_probe_batch", () => ivfProbePlan.count()),
+      ("pq_serve_10k_d960_batch", () => serve(pqServe960Plan)),
+      ("ivf_probe_batch", () => serve(ivfProbePlan)),
       // Knn.exact is physically served by the broadcast scan (primitive
       // float[] reads); the declarative cross-join shape is kept visible
       // as knn_l2_xjoin_batch — its per-pair ArrayData accessor cost
@@ -360,7 +366,7 @@ object Bench {
       // serving-shape ADC scan (broadcast lookups, mapPartitions buffers)
       ("pq_bcast_batch", () => Pq.searchFlatBroadcast(pqEncoded, pqModel, queries,
         k = 10, ef = 100).count()),
-      ("pq_bcast_10k_d960_batch", () => pqBcast960Plan.count()),
+      ("pq_bcast_10k_d960_batch", () => serve(pqBcast960Plan)),
       // declarative (non-serving) ADC scan at the baseline config — kept to
       // show the cost of the shuffle-per-batch shape vs the serving shape
       ("pq_adc_10k_d960_batch", () => Pq.searchFlat(pqEncoded960, pqModel960,
@@ -510,13 +516,13 @@ object Bench {
         recalls1m += pqRowName(np, ef) -> recallOf(p, truth1m)
       }
       results1m = timeAll(Seq[(String, () => Long)](
-        ("hnsw_1m_d960_batch", () => pinnedPlan.count()),
-        ("hnsw_pq_1m_d960_batch", () => pinnedPqPlan.count())) ++
+        ("hnsw_1m_d960_batch", () => serve(pinnedPlan)),
+        ("hnsw_pq_1m_d960_batch", () => serve(pinnedPqPlan))) ++
         routedPlans.map { case (np, p) =>
-          (s"ivf_hnsw_1m_d960_np${np}_batch", () => p.count())
+          (s"ivf_hnsw_1m_d960_np${np}_batch", () => serve(p))
         } ++
         routedPqPlans.map { case (np, ef, p) =>
-          (pqRowName(np, ef), () => p.count())
+          (pqRowName(np, ef), () => serve(p))
         })
     } catch { case e: Throwable =>
       errors += "bench_1m" ->
