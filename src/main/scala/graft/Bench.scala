@@ -20,11 +20,14 @@ import graft.operators.{Dedup, Hnsw, Ivf, IvfHnsw, Knn, Pq, TextAnalysis}
   *    are therefore clustered (100 centers, ±0.3 noise — recall ≈ 1.0 at
   *    ef=120, matching the baseline's quality), and the recall column
   *    proves the speed and the quality together;
-  *  - serving workloads (`hnsw_*`, `pq_serve_*`, `*_bcast_*`) time a
-  *    prepared plan (built once, executed per rep) — plan preparation is
-  *    amortized in any serving deployment; the `spark_job_floor` entry
-  *    reports the fixed per-job cost of an empty count on the same
-  *    cluster so walk cost vs scheduling floor is visible;
+  *  - serving workloads (`hnsw_*`, `pq_serve_*`, `*_bcast_*`) collect a
+  *    FRESH plan per rep over resident index state (broadcast / pinned RDD
+  *    / executor graph caches) — index prep is amortized like any serving
+  *    deployment, while per-batch query work genuinely re-executes
+  *    (re-collecting one DataFrame would reuse its shuffle-map outputs and
+  *    skip the walk); the `spark_job_floor` entry reports the fixed
+  *    per-job cost of an empty count on the same cluster so walk cost vs
+  *    scheduling floor is visible;
   *  - `System.gc()` between workloads: single-JVM timings otherwise
   *    inherit the previous workload's GC debt (measured >2× distortion).
   *
@@ -180,28 +183,36 @@ object Bench {
     val pqModel960 = Pq.train(vec960, m = 320, nBits = 4, trainFraction = Some(0.1))
     val pqEncoded960 = Pq.encode(vec960, pqModel960).cache(); pqEncoded960.count()
 
-    // ---- prepared serving plans (built once; reps re-execute the job) ------
-    // constructed AND warmed under AQE-off: see [[withAqeOff]]
-    val (hnsw10kPlan, hnsw200kPlan, hnsw960Plan, pqServe960Plan,
-         hnswPq960Plan, pqBcast960Plan, ivfProbePlan) = withAqeOff {
-      val a = Hnsw.searchBroadcast(hnswIdx10k, queries, k = 10,
-        ef = Some(120), cacheKey = Some("bench10k"))
-      val b = Hnsw.searchBroadcast(hnswIdxBig, queries, k = 10,
-        ef = Some(120), cacheKey = Some("bench200k"))
-      val c = Hnsw.searchBroadcast(hnswIdx960, queries960, k = 10,
-        ef = Some(120), cacheKey = Some("bench960"))
-      val d = Pq.searchFlatServe(pqEncoded960, pqModel960, queries960,
-        k = 10, ef = 100, cacheKey = Some("benchpq960"))
-      // combined traversal (knn_pq): ADC-scored walk of the same stored graph
-      val e = Hnsw.searchBroadcastPq(hnswIdx960, queries960,
-        pqModel960, k = 10, ef = Some(120), cacheKey = Some("bench960"))
-      val f = Pq.searchFlatBroadcast(pqEncoded960, pqModel960,
-        queries960, k = 10, ef = 100)
-      val g = Ivf.search(ivfAssignedC, ivfModelC, queriesC,
-        k = 10, nProbes = Some(8))
-      Seq(a, b, c, d, e, f, g).foreach(_.count()) // bind non-AQE plans
-      (a, b, c, d, e, f, g)
-    }
+    // ---- serving plan FACTORIES --------------------------------------------
+    // Every timed rep constructs a FRESH DataFrame and collects it under
+    // AQE-off. Re-collecting one DataFrame object would reuse its completed
+    // shuffle-map outputs across jobs (Spark keeps map outputs registered
+    // for the lifetime of the RDD DAG), silently skipping the graph/scan
+    // stage of any plan with a top-k merge exchange — measured as a bogus
+    // 100× "speedup" on the pinned 1M rows. A fresh plan re-executes the
+    // per-batch query work while the resident index state (broadcast /
+    // pinned RDD / executor graph caches, keyed by cacheKey) is reused —
+    // exactly a serving deployment's amortization.
+    def mkHnsw10k() = Hnsw.searchBroadcast(hnswIdx10k, queries, k = 10,
+      ef = Some(120), cacheKey = Some("bench10k"))
+    def mkHnsw200k() = Hnsw.searchBroadcast(hnswIdxBig, queries, k = 10,
+      ef = Some(120), cacheKey = Some("bench200k"))
+    def mkHnsw960() = Hnsw.searchBroadcast(hnswIdx960, queries960, k = 10,
+      ef = Some(120), cacheKey = Some("bench960"))
+    def mkPqServe960() = Pq.searchFlatServe(pqEncoded960, pqModel960,
+      queries960, k = 10, ef = 100, cacheKey = Some("benchpq960"))
+    // combined traversal (knn_pq): ADC-scored walk of the same stored graph
+    def mkHnswPq960() = Hnsw.searchBroadcastPq(hnswIdx960, queries960,
+      pqModel960, k = 10, ef = Some(120), cacheKey = Some("bench960"))
+    def mkPqBcast960() = Pq.searchFlatBroadcast(pqEncoded960, pqModel960,
+      queries960, k = 10, ef = 100)
+    def mkIvfProbe() = Ivf.search(ivfAssignedC, ivfModelC, queriesC,
+      k = 10, nProbes = Some(8))
+    /** One timed serving rep: fresh plan, bound AQE-off, full collect. */
+    def serveFresh(mk: () => DataFrame): Long = withAqeOff(serve(mk()))
+    // warm the resident index state (broadcast ship, graph rebuild caches)
+    Seq(mkHnsw10k _, mkHnsw200k _, mkHnsw960 _, mkPqServe960 _,
+      mkHnswPq960 _, mkPqBcast960 _, mkIvfProbe _).foreach(serveFresh)
     // full-table query batch at d960 (all 10k vectors as queries): the
     // serving rows above pay a measured ~100 ms fixed per-job scheduler
     // floor that dominates a 1000-query batch (the walk itself is ~20 ms);
@@ -211,16 +222,13 @@ object Bench {
     val queries960All = vec960
       .select(col("id").as("query_id"), col("vec").as("query_vec")).cache()
     queries960All.count()
-    val (hnsw960PlanBig, hnswPq960PlanBig, pqServe960PlanBig) = withAqeOff {
-      val a = Hnsw.searchBroadcast(hnswIdx960, queries960All, k = 10,
-        ef = Some(120), cacheKey = Some("bench960"))
-      val b = Hnsw.searchBroadcastPq(hnswIdx960, queries960All, pqModel960,
-        k = 10, ef = Some(120), cacheKey = Some("bench960"))
-      val c = Pq.searchFlatServe(pqEncoded960, pqModel960, queries960All,
-        k = 10, ef = 100, cacheKey = Some("benchpq960"))
-      Seq(a, b, c).foreach(_.count())
-      (a, b, c)
-    }
+    def mkHnsw960Big() = Hnsw.searchBroadcast(hnswIdx960, queries960All,
+      k = 10, ef = Some(120), cacheKey = Some("bench960"))
+    def mkHnswPq960Big() = Hnsw.searchBroadcastPq(hnswIdx960, queries960All,
+      pqModel960, k = 10, ef = Some(120), cacheKey = Some("bench960"))
+    def mkPqServe960Big() = Pq.searchFlatServe(pqEncoded960, pqModel960,
+      queries960All, k = 10, ef = 100, cacheKey = Some("benchpq960"))
+    Seq(mkHnsw960Big _, mkHnswPq960Big _, mkPqServe960Big _).foreach(serveFresh)
 
     // ---- recall@10 vs exact ground truth (untimed) -------------------------
     val truth960 = truthSets(vec960, queries960, 10)
@@ -229,16 +237,16 @@ object Bench {
     val truth10k = truthSets(vec10k, queries, 10)
     val truthC = truthSets(clustered, queriesC, 10)
     val recalls = Map(
-      "hnsw_10k_d960_batch" -> recallOf(hnsw960Plan, truth960),
-      "pq_serve_10k_d960_batch" -> recallOf(pqServe960Plan, truth960),
-      "pq_bcast_10k_d960_batch" -> recallOf(pqBcast960Plan, truth960),
-      "hnsw_pq_10k_d960_batch" -> recallOf(hnswPq960Plan, truth960),
-      "hnsw_10k_d960_nq10k_batch" -> recallOf(hnsw960PlanBig, truth960All),
-      "hnsw_pq_10k_d960_nq10k_batch" -> recallOf(hnswPq960PlanBig, truth960All),
-      "pq_serve_10k_d960_nq10k_batch" -> recallOf(pqServe960PlanBig, truth960All),
-      "hnsw_10k_batch" -> recallOf(hnsw10kPlan, truth10k),
-      "hnsw_200k_batch" -> recallOf(hnsw200kPlan, truthBig),
-      "ivf_probe_batch" -> recallOf(ivfProbePlan, truthC))
+      "hnsw_10k_d960_batch" -> recallOf(mkHnsw960(), truth960),
+      "pq_serve_10k_d960_batch" -> recallOf(mkPqServe960(), truth960),
+      "pq_bcast_10k_d960_batch" -> recallOf(mkPqBcast960(), truth960),
+      "hnsw_pq_10k_d960_batch" -> recallOf(mkHnswPq960(), truth960),
+      "hnsw_10k_d960_nq10k_batch" -> recallOf(mkHnsw960Big(), truth960All),
+      "hnsw_pq_10k_d960_nq10k_batch" -> recallOf(mkHnswPq960Big(), truth960All),
+      "pq_serve_10k_d960_nq10k_batch" -> recallOf(mkPqServe960Big(), truth960All),
+      "hnsw_10k_batch" -> recallOf(mkHnsw10k(), truth10k),
+      "hnsw_200k_batch" -> recallOf(mkHnsw200k(), truthBig),
+      "ivf_probe_batch" -> recallOf(mkIvfProbe(), truthC))
 
     // ---- sustained serving throughput (pipelined batches) ------------------
     // The per-batch serving rows include the whole ~100 ms scheduler floor
@@ -251,27 +259,30 @@ object Bench {
     // pipelined shape is allocation-rate-sensitive, and running it after
     // the heavy analytics workloads (tens of GB of GC debt) was measured
     // to collapse it ~5×.
-    val sustained: Map[String, Double] = {
+    val sustained: Map[String, Double] = withAqeOff {
       import scala.concurrent.{Await, ExecutionContext, Future}
       import scala.concurrent.duration.Duration
       val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
       implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
-      def measure(plan: DataFrame, nqPlan: Int): Double = {
+      // each in-flight batch is a FRESH plan (see the factory scaladoc);
+      // the whole section runs under one AQE-off span because the toggle
+      // is session state and the submitters race
+      def measure(mk: () => DataFrame, nqPlan: Int): Double = {
         val batches = 16
         System.gc()
         val runs = (0 until 3).map { _ =>
           val t0 = System.nanoTime()
           Await.result(
-            Future.sequence((0 until batches).map(_ => Future(serve(plan)))),
+            Future.sequence((0 until batches).map(_ => Future(serve(mk())))),
             Duration.Inf)
           (System.nanoTime() - t0) / 1e9
         }.sorted
         batches.toLong * nqPlan / runs(1)
       }
       val out = Map(
-        "hnsw_10k_d960_sustained" -> measure(hnsw960Plan, nq),
-        "hnsw_pq_10k_d960_sustained" -> measure(hnswPq960Plan, nq),
-        "pq_serve_10k_d960_sustained" -> measure(pqServe960Plan, nq))
+        "hnsw_10k_d960_sustained" -> measure(mkHnsw960 _, nq),
+        "hnsw_pq_10k_d960_sustained" -> measure(mkHnswPq960 _, nq),
+        "pq_serve_10k_d960_sustained" -> measure(mkPqServe960 _, nq))
       pool.shutdown()
       out
     }
@@ -287,25 +298,25 @@ object Bench {
       ts(1)
     }
     val sweep = withAqeOff(Seq(10, 20, 40, 80, 120).map { ef =>
-      val plan = Hnsw.searchBroadcast(hnswIdx960, queries960, k = 10,
+      def mk() = Hnsw.searchBroadcast(hnswIdx960, queries960, k = 10,
         ef = Some(ef), cacheKey = Some("bench960"))
-      val r = recallOf(plan, truth960)
-      (ef, r, nq / median3(() => serve(plan)))
+      val r = recallOf(mk(), truth960)
+      (ef, r, nq / median3(() => serve(mk())))
     })
     // PQ sweeps at the same d960 config, mirroring the baseline's PQ rows
     // (`/root/reference/data/t_bench_1e4.toml:29-58`): flat ADC serve and
     // the HNSW+PQ combined traversal
     val pqSweep = withAqeOff(Seq(40, 80, 100, 160, 200).map { ef =>
-      val plan = Pq.searchFlatServe(pqEncoded960, pqModel960, queries960,
+      def mk() = Pq.searchFlatServe(pqEncoded960, pqModel960, queries960,
         k = 10, ef = ef, cacheKey = Some("benchpq960"))
-      val r = recallOf(plan, truth960)
-      (ef, r, nq / median3(() => serve(plan)))
+      val r = recallOf(mk(), truth960)
+      (ef, r, nq / median3(() => serve(mk())))
     })
     val hnswPqSweep = withAqeOff(Seq(20, 40, 80, 120, 160).map { ef =>
-      val plan = Hnsw.searchBroadcastPq(hnswIdx960, queries960, pqModel960,
+      def mk() = Hnsw.searchBroadcastPq(hnswIdx960, queries960, pqModel960,
         k = 10, ef = Some(ef), cacheKey = Some("bench960"))
-      val r = recallOf(plan, truth960)
-      (ef, r, nq / median3(() => serve(plan)))
+      val r = recallOf(mk(), truth960)
+      (ef, r, nq / median3(() => serve(mk())))
     })
 
     // ---- 1M×960 beyond-broadcast serving (BASELINE.md primary scale) -------
@@ -336,21 +347,21 @@ object Bench {
       // fixed per-job scheduling floor: an empty-plan count on the same
       // cluster — any 1000-query batch pays at least this much wall clock
       ("spark_job_floor", () => queries960.count()),
-      ("hnsw_10k_batch", () => serve(hnsw10kPlan)),
-      ("hnsw_200k_batch", () => serve(hnsw200kPlan)),
+      ("hnsw_10k_batch", () => serveFresh(mkHnsw10k _)),
+      ("hnsw_200k_batch", () => serveFresh(mkHnsw200k _)),
       // directly comparable to BASELINE.md:24 (HNSW @10k×960, ef=120, k=10)
-      ("hnsw_10k_d960_batch", () => serve(hnsw960Plan)),
+      ("hnsw_10k_d960_batch", () => serveFresh(mkHnsw960 _)),
       // knn_pq combined traversal over the same graph — sub-linear over
       // codes, must beat the flat ADC scans below
-      ("hnsw_pq_10k_d960_batch", () => serve(hnswPq960Plan)),
+      ("hnsw_pq_10k_d960_batch", () => serveFresh(mkHnswPq960 _)),
       // floor-amortized operating point: same index/config, 10k queries
-      ("hnsw_10k_d960_nq10k_batch", () => serve(hnsw960PlanBig)),
-      ("hnsw_pq_10k_d960_nq10k_batch", () => serve(hnswPq960PlanBig)),
-      ("pq_serve_10k_d960_nq10k_batch", () => serve(pqServe960PlanBig)),
+      ("hnsw_10k_d960_nq10k_batch", () => serveFresh(mkHnsw960Big _)),
+      ("hnsw_pq_10k_d960_nq10k_batch", () => serveFresh(mkHnswPq960Big _)),
+      ("pq_serve_10k_d960_nq10k_batch", () => serveFresh(mkPqServe960Big _)),
       // query-partitioned serving shape (broadcast decoded codes+vectors,
       // zero shuffle) — directly comparable to BASELINE.md:28
-      ("pq_serve_10k_d960_batch", () => serve(pqServe960Plan)),
-      ("ivf_probe_batch", () => serve(ivfProbePlan)),
+      ("pq_serve_10k_d960_batch", () => serveFresh(mkPqServe960 _)),
+      ("ivf_probe_batch", () => serveFresh(mkIvfProbe _)),
       // Knn.exact is physically served by the broadcast scan (primitive
       // float[] reads); the declarative cross-join shape is kept visible
       // as knn_l2_xjoin_batch — its per-pair ArrayData accessor cost
@@ -366,7 +377,7 @@ object Bench {
       // serving-shape ADC scan (broadcast lookups, mapPartitions buffers)
       ("pq_bcast_batch", () => Pq.searchFlatBroadcast(pqEncoded, pqModel, queries,
         k = 10, ef = 100).count()),
-      ("pq_bcast_10k_d960_batch", () => serve(pqBcast960Plan)),
+      ("pq_bcast_10k_d960_batch", () => serveFresh(mkPqBcast960 _)),
       // declarative (non-serving) ADC scan at the baseline config — kept to
       // show the cost of the shuffle-per-batch shape vs the serving shape
       ("pq_adc_10k_d960_batch", () => Pq.searchFlat(pqEncoded960, pqModel960,
@@ -464,18 +475,17 @@ object Bench {
       val model1m = Ivf.readModel(spark, cacheDir.toString, "l2sqr")
       val idx1m = spark.read.parquet(idxPath)
       val ck1m = Some(s"bench1m_${n1m}_$kc")
-      val pinnedPlan = withAqeOff {
-        val p = Hnsw.searchPinned(idx1m, q1m, k = 10, ef = Some(120),
-          cacheKey = ck1m)
-        p.count() // bind non-AQE plan + pay the one-time pin shuffle
-        p
+      // fresh plan per rep (see the serving-factory scaladoc: reusing one
+      // DataFrame reuses its shuffle-map outputs and skips the walk); the
+      // pinned RDD + executor graph caches persist across plans via ck1m
+      def mkPinned() = Hnsw.searchPinned(idx1m, q1m, k = 10, ef = Some(120),
+        cacheKey = ck1m)
+      withAqeOff(serve(mkPinned())) // one-time pin shuffle + graph decode
+      val routedMk = Seq(1, 2, 4, 8).map { np =>
+        np -> (() => IvfHnsw.searchPinned(idx1m, model1m, q1m, k = 10,
+          ef = Some(120), nProbes = Some(np), cacheKey = ck1m))
       }
-      val routedPlans = withAqeOff(Seq(1, 2, 4, 8).map { np =>
-        val p = IvfHnsw.searchPinned(idx1m, model1m, q1m, k = 10, ef = Some(120),
-          nProbes = Some(np), cacheKey = ck1m)
-        p.count()
-        np -> p
-      })
+      routedMk.foreach { case (_, mk) => withAqeOff(serve(mk())) }
       // knn_pq beyond the gate: baseline's fastest 1M config (m=320,
       // n_bits=4, 10k train — t_bench.toml:29-55); the code matrices build
       // from the pinned graphs, no stored code sidecar needed. ef=360
@@ -483,46 +493,43 @@ object Bench {
       // walk needs the wider beam to overcome quantization error at 1M
       val pqModel1m = Pq.train(vec1m, m = 320, nBits = 4,
         trainFraction = Some(math.min(0.5, 10000.0 / n1m)))
-      val pinnedPqPlan = withAqeOff {
-        val p = Hnsw.searchPinnedPq(idx1m, q1m, pqModel1m, k = 10,
-          ef = Some(360), cacheKey = ck1m)
-        p.count()
-        p
-      }
+      def mkPinnedPq() = Hnsw.searchPinnedPq(idx1m, q1m, pqModel1m, k = 10,
+        ef = Some(360), cacheKey = ck1m)
+      withAqeOff(serve(mkPinnedPq())) // one-time code-matrix encode
       // (np, ef) grid: np trades probes for speed at fixed ef; the ef=600/
       // 1000 points document the recall curve rising with beam width — the
       // ~0.81@ef=360 recall on this fixture is ADC quantization error
       // (plain HNSW reaches 0.999 on the same graph), mirroring the
       // baseline's own ef-for-recall PQ sweep shape (t_bench.toml:29-55)
-      val routedPqPlans = withAqeOff(
-        Seq((1, 360), (2, 360), (1, 600), (1, 1000)).map { case (np, ef) =>
-          val p = IvfHnsw.searchPinnedPq(idx1m, model1m, pqModel1m, q1m,
-            k = 10, ef = Some(ef), nProbes = Some(np), cacheKey = ck1m)
-          p.count()
-          (np, ef, p)
-        })
+      val routedPqMk = Seq((1, 360), (2, 360), (1, 600), (1, 1000))
+        .map { case (np, ef) =>
+          (np, ef, () => IvfHnsw.searchPinnedPq(idx1m, model1m, pqModel1m,
+            q1m, k = 10, ef = Some(ef), nProbes = Some(np), cacheKey = ck1m))
+        }
+      routedPqMk.foreach { case (_, _, mk) => withAqeOff(serve(mk())) }
       // recall vs exact ground truth; the recall pass doubles as the warm
       // run (pin shuffle + stored-adjacency graph decode + code encode)
       val truth1m = truthSets(vec1m, q1m, 10)
-      recalls1m += "hnsw_1m_d960_batch" -> recallOf(pinnedPlan, truth1m)
-      routedPlans.foreach { case (np, p) =>
-        recalls1m += s"ivf_hnsw_1m_d960_np${np}_batch" -> recallOf(p, truth1m)
+      recalls1m += "hnsw_1m_d960_batch" -> recallOf(mkPinned(), truth1m)
+      routedMk.foreach { case (np, mk) =>
+        recalls1m += s"ivf_hnsw_1m_d960_np${np}_batch" -> recallOf(mk(), truth1m)
       }
-      recalls1m += "hnsw_pq_1m_d960_batch" -> recallOf(pinnedPqPlan, truth1m)
+      recalls1m += "hnsw_pq_1m_d960_batch" -> recallOf(mkPinnedPq(), truth1m)
       def pqRowName(np: Int, ef: Int): String =
         if (ef == 360) s"ivf_hnsw_pq_1m_d960_np${np}_batch"
         else s"ivf_hnsw_pq_1m_d960_np${np}_ef${ef}_batch"
-      routedPqPlans.foreach { case (np, ef, p) =>
-        recalls1m += pqRowName(np, ef) -> recallOf(p, truth1m)
+      routedPqMk.foreach { case (np, ef, mk) =>
+        recalls1m += pqRowName(np, ef) -> recallOf(mk(), truth1m)
       }
       results1m = timeAll(Seq[(String, () => Long)](
-        ("hnsw_1m_d960_batch", () => serve(pinnedPlan)),
-        ("hnsw_pq_1m_d960_batch", () => serve(pinnedPqPlan))) ++
-        routedPlans.map { case (np, p) =>
-          (s"ivf_hnsw_1m_d960_np${np}_batch", () => serve(p))
+        ("hnsw_1m_d960_batch", () => withAqeOff(serve(mkPinned()))),
+        ("hnsw_pq_1m_d960_batch", () => withAqeOff(serve(mkPinnedPq())))) ++
+        routedMk.map { case (np, mk) =>
+          (s"ivf_hnsw_1m_d960_np${np}_batch",
+            () => withAqeOff(serve(mk())): Long)
         } ++
-        routedPqPlans.map { case (np, ef, p) =>
-          (pqRowName(np, ef), () => serve(p))
+        routedPqMk.map { case (np, ef, mk) =>
+          (pqRowName(np, ef), () => withAqeOff(serve(mk())): Long)
         })
     } catch { case e: Throwable =>
       errors += "bench_1m" ->
