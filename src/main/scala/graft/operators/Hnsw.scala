@@ -555,12 +555,9 @@ object Hnsw {
     val qds = queries
       .select(col("query_id").cast("long"), col("query_vec"))
       .as[(Long, Array[Float])]
-    // spread the batch across cores, but don't pay a shuffle if the query
-    // side is already partitioned wide enough
-    val spread =
-      if (qds.rdd.getNumPartitions * 2 >= spark.sparkContext.defaultParallelism) qds
-      else qds.repartition(spark.sparkContext.defaultParallelism)
-    val out = spread
+    // spread the batch across cores, clamped by the per-task scheduling
+    // floor when the batch size is known: see [[QuerySpread]]
+    val out = QuerySpread(qds)
       .mapPartitions { qit =>
         if (qit.isEmpty) Iterator.empty
         else {
@@ -702,10 +699,7 @@ object Hnsw {
     val qds = queries
       .select(col("query_id").cast("long"), col("query_vec"))
       .as[(Long, Array[Float])]
-    val spread =
-      if (qds.rdd.getNumPartitions * 2 >= spark.sparkContext.defaultParallelism) qds
-      else qds.repartition(spark.sparkContext.defaultParallelism)
-    spread
+    QuerySpread(qds)
       .mapPartitions { qit =>
         if (qit.isEmpty) Iterator.empty
         else {

@@ -392,10 +392,7 @@ object Pq {
     val qds = queries
       .select(col("query_id").cast("long"), col("query_vec"))
       .as[(Long, Array[Float])]
-    val spread =
-      if (qds.rdd.getNumPartitions * 2 >= spark.sparkContext.defaultParallelism) qds
-      else qds.repartition(spark.sparkContext.defaultParallelism)
-    spread
+    QuerySpread(qds)
       .mapPartitions { qit =>
         if (qit.isEmpty) Iterator.empty
         else {
