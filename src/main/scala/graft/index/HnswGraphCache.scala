@@ -60,4 +60,13 @@ object HnswGraphCache {
       e
     }
   }
+
+  /** Drop every entry whose key starts with `prefix` — called when a table
+    * or sidecar is deleted so rebuilt multi-GB graphs don't outlive their
+    * data. Effective for this JVM (driver == executor in local mode);
+    * remote executors rely on LRU aging + content-versioned key rotation. */
+  def invalidate(prefix: String): Unit = {
+    cache.synchronized(cache.keySet().removeIf(k => k._1.startsWith(prefix)))
+    groupCache.synchronized(groupCache.keySet().removeIf(k => k._1.startsWith(prefix)))
+  }
 }

@@ -208,6 +208,77 @@ object Hnsw {
         if (size() > 16) { e.getValue.unpersist(blocking = false); true } else false
     }
 
+  /** In-flight pinned builds, one latch per cacheKey: the pin itself is a
+    * full shuffle + materialization (seconds), so it must NOT run under the
+    * [[pinnedCache]] monitor — that would block every concurrent pinned
+    * search, including cache HITS for unrelated keys. Same-key callers wait
+    * on the builder's latch; different keys proceed independently. A failed
+    * build counts the latch down without publishing, so a waiter retries
+    * (and becomes the builder). */
+  private val pinnedBuilding =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.CountDownLatch]
+
+  private def pinnedGetOrBuild(ckey: String)(
+      build: => org.apache.spark.rdd.RDD[IndexRow]): org.apache.spark.rdd.RDD[IndexRow] = {
+    while (true) {
+      pinnedCache.synchronized(Option(pinnedCache.get(ckey))) match {
+        case Some(rdd) => return rdd
+        case None =>
+          val latch = new java.util.concurrent.CountDownLatch(1)
+          val prev = pinnedBuilding.putIfAbsent(ckey, latch)
+          if (prev == null) {
+            try {
+              val rdd = build.persist(
+                org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+              rdd.count() // materialize: later batches must not re-pay the shuffle
+              pinnedCache.synchronized(pinnedCache.put(ckey, rdd))
+              return rdd
+            } finally {
+              pinnedBuilding.remove(ckey, latch)
+              latch.countDown()
+            }
+          } else prev.await() // builder finished (or failed) → re-check
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Evict every DRIVER-side cached serving structure whose cacheKey starts
+    * with `prefix` — pinned RDDs (unpersisted), index broadcasts
+    * (unpersisted), and the executor-local graph/code caches reachable from
+    * this JVM (effective in local mode; on a cluster, remote executors'
+    * entries age out of their LRUs and are additionally fenced by the
+    * content-versioned cacheKey rotation). Called by the catalog when a
+    * table or its HNSW sidecar is deleted, so multi-GB pinned state never
+    * outlives the data it serves. */
+  private[graft] def invalidateCaches(prefix: String): Unit = {
+    pinnedCache.synchronized {
+      val it = pinnedCache.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getKey.startsWith(prefix)) {
+          e.getValue.unpersist(blocking = false); it.remove()
+        }
+      }
+    }
+    bcCache.synchronized {
+      val it = bcCache.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getKey.startsWith(prefix)) {
+          e.getValue.unpersist(blocking = false); it.remove()
+        }
+      }
+    }
+    pinnedCodesCache.synchronized {
+      pinnedCodesCache.keySet().removeIf(k => k._1.startsWith(prefix))
+    }
+    pqCodesCache.synchronized {
+      pqCodesCache.keySet().removeIf(k => k._1.startsWith(prefix))
+    }
+    graft.index.HnswGraphCache.invalidate(prefix)
+  }
+
   /** partition i ⇔ subgraph pid i. */
   private final class PidPartitioner(n: Int) extends org.apache.spark.Partitioner {
     override def numPartitions: Int = n
@@ -312,15 +383,7 @@ object Hnsw {
         .values
     }
     val pinned = cacheKey match {
-      case Some(ckey) => pinnedCache.synchronized {
-        Option(pinnedCache.get(ckey)).getOrElse {
-          val rdd = partitionByPid().persist(
-            org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-          rdd.count() // materialize: later batches must not re-pay the shuffle
-          pinnedCache.put(ckey, rdd)
-          rdd
-        }
-      }
+      case Some(ckey) => pinnedGetOrBuild(ckey)(partitionByPid())
       case None => partitionByPid()
     }
     val ck = cacheKey
@@ -671,6 +734,11 @@ object Hnsw {
     val centroids = model.centroids
     val centDot = model.centroidDotCache
     val groups = PqKernel.pqGroups(model.dim, pm)
+    // quantizer identity folded into the codes-cache key (same scheme as the
+    // pinned codes cache): clearPqTable+buildPqTable leaves the index
+    // cacheKey unchanged, so a retrained quantizer must not be served stale
+    // code matrices for beam selection
+    val pqId = java.util.Arrays.deepHashCode(centroids.asInstanceOf[Array[AnyRef]])
 
     def collectAndShip(): org.apache.spark.broadcast.Broadcast[GroupedIndex] = {
       val grouped: GroupedIndex = index
@@ -740,7 +808,7 @@ object Hnsw {
             }
             ck match {
               case Some(key) =>
-                val kk = (key + "#pq", bcIdx.value(i)._1)
+                val kk = (key + "#pq" + pqId, bcIdx.value(i)._1)
                 val hit = pqCodesCache.synchronized(Option(pqCodesCache.get(kk)))
                 hit.getOrElse {
                   val e = build

@@ -320,6 +320,19 @@ object Pq {
         if (size() > 16) { e.getValue.unpersist(blocking = false); true } else false
     }
 
+  /** Evict cached serve-index broadcasts whose cacheKey starts with
+    * `prefix` (catalog delete/clear hook — see `Hnsw.invalidateCaches`). */
+  private[graft] def invalidateCaches(prefix: String): Unit =
+    serveCache.synchronized {
+      val it = serveCache.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getKey.startsWith(prefix)) {
+          e.getValue.unpersist(blocking = false); it.remove()
+        }
+      }
+    }
+
   /** T7, query-partitioned serving shape (the inverse of
     * [[searchFlatBroadcast]], mirroring `Hnsw.searchBroadcast`): broadcast
     * the DECODED code matrix + packed vectors, partition the queries, and

@@ -1,6 +1,7 @@
 package graft
 
 import java.nio.file.Files
+import org.apache.spark.sql.functions.col
 import graft.catalog.VecDB
 
 /** Catalog/CRUD lifecycle — ports `/root/reference/examples/test_pyo3.py`
@@ -301,6 +302,56 @@ class CatalogSpec extends SparkTestBase {
     assert(!Files.exists(java.nio.file.Paths.get(root, "t", "hnsw")))
   }
 
+  test("routed append with empty high clusters: delta pids land above the routing floor") {
+    val root = Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "vecdb_test").toString
+    val db = new VecDB(spark, root)
+    db.createTableIfNotExists("t", 4, "l2sqr")
+    // 3 distinct well-separated vectors, each EXACTLY twice: the train set
+    // is n ≤ kClusters rows, so the degenerate k-means path makes every
+    // row a centroid — duplicate centroids tie-break assignment to the
+    // lowest id, so high cluster ids are EMPTY and max(pid)+1 < kClusters.
+    // A delta subgraph keyed max(pid)+1 would collide with an empty
+    // CLUSTER id and be walked only when that cluster happened to be
+    // probed — the appended row silently missing at partial probes.
+    val distinct = Seq(Array(0f, 0f, 0f, 0f), Array(10f, 10f, 10f, 10f),
+      Array(-10f, 5f, 0f, 3f))
+    val vecs = distinct.flatMap(v => Seq(v, v.clone()))
+    db.batchAdd("t", vecs, vecs.indices.map(i => Map("i" -> i.toString)))
+    db.buildIvfHnswIndex("t", kClusters = 6, defaultNProbes = 1)
+    db.broadcastGateBytes = Some(1L)
+    try {
+      db.add("t", Array(99f, 99f, 99f, 99f), Map("i" -> "new"))
+      // delta subgraphs are always walked: the appended row must be found
+      // even though 1-probe routing never probes an empty cluster
+      val hit = db.search("t", Array(99f, 99f, 99f, 99f), 1, ef = Some(200))
+      assert(hit.head._1("i") == "new" && hit.head._2 < 1e-6,
+        "appended row lost below the routing floor")
+      // pre-existing rows still route to their own cluster at 1 probe
+      distinct.foreach { v =>
+        assert(db.search("t", v, 1, ef = Some(200)).head._2 < 1e-6)
+      }
+      // 20 more single-row adds cross the delta-compaction ceiling: the
+      // CLUSTER subgraphs must survive compaction untouched (they are the
+      // routed layout), deltas merge to pids ≥ the floor, and every row
+      // stays reachable
+      (0 until 20).foreach { j =>
+        db.add("t", Array(50f + j, -j.toFloat, j.toFloat, 0f), Map("i" -> s"d$j"))
+      }
+      val pids = spark.read.parquet(java.nio.file.Paths.get(root, "t", "hnsw").toString)
+        .select("pid").distinct().collect().map(_.getInt(0)).sorted
+      val (clusterPids, deltaPids) = pids.partition(_ < 6)
+      assert(clusterPids.nonEmpty && clusterPids.forall(_ < 6))
+      assert(deltaPids.nonEmpty && deltaPids.forall(_ >= 6),
+        s"delta pids below the routing floor: ${pids.mkString(",")}")
+      (0 until 20).foreach { j =>
+        val h = db.search("t", Array(50f + j, -j.toFloat, j.toFloat, 0f), 1, ef = Some(200))
+        assert(h.head._1("i") == s"d$j" && h.head._2 < 1e-6,
+          s"appended row d$j lost after delta compaction")
+      }
+    } finally db.broadcastGateBytes = None
+  }
+
   test("routed HNSW + PQ: beyond-gate knn_pq dispatch stays exact with exhaustive ef") {
     val root = Files.createTempDirectory(
       java.nio.file.Paths.get("target"), "vecdb_test").toString
@@ -314,11 +365,100 @@ class CatalogSpec extends SparkTestBase {
       trainProportion = Some(0.5))
     db.buildPqTable("t", trainProportion = Some(0.5), m = Some(4))
     db.broadcastGateBytes = Some(1L)
+    // m=4 at dim=8 is far above the ADC cost gate; force the combined
+    // traversal eligible so this test keeps exercising the routed PQ arm
+    sys.props("graft.adc.walk.ratio") = "1"
     try {
       // (ef, pq) beyond the gate + routed ⇒ IvfHnsw.searchPinnedPq:
       // exhaustive ef + full probes + exact re-rank ⇒ equals Flat
       assert(db.search("t", vecs(9), 5, ef = Some(200)) == flat)
-    } finally db.broadcastGateBytes = None
+      assert(db.lastServedArm == "knn_pq_routed")
+    } finally {
+      db.broadcastGateBytes = None
+      sys.props.remove("graft.adc.walk.ratio")
+    }
+  }
+
+  test("knn_pq cost gate: wide-code quantizers dispatch to the plain HNSW walk") {
+    // the gate itself (measured crossover — see VecDB.adcWalkEligible):
+    // the reference default m = dim/3 is far above it at any dim
+    assert(!VecDB.adcWalkEligible(960, 320))
+    assert(VecDB.adcWalkEligible(960, 120))
+    assert(VecDB.adcWalkEligible(64, 8))
+    val db = freshDb()
+    db.createTableIfNotExists("t", 12, "l2sqr")
+    val rnd = new scala.util.Random(31)
+    val vecs = (0 until 40).map(_ => Array.fill(12)(rnd.nextFloat()))
+    db.batchAdd("t", vecs, vecs.indices.map(i => Map("i" -> i.toString)))
+    db.buildHnswIndex("t")
+    db.buildPqTable("t", trainProportion = Some(0.5), m = Some(4)) // 4·8 > 12
+    val gated = db.search("t", vecs(5), 3, ef = Some(100))
+    assert(db.lastServedArm == "knn_pq_gated_plain_hnsw",
+      s"dispatch picked '${db.lastServedArm}' for a gated (dim=12, m=4) quantizer")
+    assert(gated.head._1("i") == "5" && gated.head._2 < 1e-9)
+    // narrow codes (ratio forced) keep the combined traversal, same result
+    sys.props("graft.adc.walk.ratio") = "1"
+    try {
+      val combined = db.search("t", vecs(5), 3, ef = Some(100))
+      assert(db.lastServedArm == "knn_pq_broadcast")
+      assert(combined == gated)
+    } finally sys.props.remove("graft.adc.walk.ratio")
+  }
+
+  test("oversized query batches serve through the declarative driver-unbounded shapes") {
+    import spark.implicits._
+    val db = freshDb()
+    db.createTableIfNotExists("t", 8, "l2sqr")
+    val rnd = new scala.util.Random(37)
+    val vecs = (0 until 60).map(_ => Array.fill(8)(rnd.nextFloat()))
+    db.batchAdd("t", vecs, vecs.indices.map(i => Map("i" -> i.toString)))
+    db.buildHnswIndex("t")
+    // limit(6) exposes an exact Catalyst row count to the serve gate
+    val queries = vecs.take(6).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("query_id", "query_vec").limit(6)
+    def res(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Double)] =
+      df.select(col("query_id").cast("long"), col("id").cast("long"),
+        col("distance").cast("double"))
+        .as[(Long, Long, Double)].collect().sorted.toSeq
+    val expect = res(db.searchBatch("t", queries, k = 3, ef = Some(200)))
+    assert(db.lastServedArm == "hnsw")
+    db.serveMaxQueriesOverride = Some(3)
+    try {
+      // past the gate no serving arm may collect the batch to the driver
+      val viaExact = res(db.searchBatch("t", queries, k = 3, ef = Some(200)))
+      assert(db.lastServedArm == "declarative_exact",
+        s"oversized batch served by '${db.lastServedArm}'")
+      assert(viaExact == expect)
+      db.buildPqTable("t", trainProportion = Some(0.5), m = Some(4))
+      val viaPq = res(db.searchBatch("t", queries, k = 3, ef = Some(200)))
+      assert(db.lastServedArm == "declarative_pq")
+      assert(viaPq == expect) // ef ≥ n ⇒ ADC + exact re-rank is exact
+    } finally db.serveMaxQueriesOverride = None
+  }
+
+  test("serving metadata attach is a pushed id point-lookup, not a full scan") {
+    import spark.implicits._
+    val db = freshDb()
+    db.createTableIfNotExists("t", 4, "l2sqr")
+    val rnd = new scala.util.Random(41)
+    val vecs = (0 until 50).map(_ => Array.fill(4)(rnd.nextFloat()))
+    db.batchAdd("t", vecs, vecs.indices.map(i => Map("i" -> i.toString)))
+    db.buildHnswIndex("t")
+    val queries = vecs.take(3).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("query_id", "query_vec")
+    val out = db.searchBatch("t", queries, k = 4, ef = Some(200))
+    // correctness: every hit carries its row's metadata
+    val got = out.select(col("query_id"), col("id"),
+        col("meta")("i").as("i")).collect()
+    assert(got.length == 12)
+    got.foreach(r => assert(r.getString(2) == r.getLong(1).toString))
+    // plan: the meta scan must carry a pushed id filter (row-group pruned
+    // point lookup), not a full-table scan per serving batch (the plan is
+    // AQE-wrapped, so assert on the final physical plan's scan description)
+    val planStr = out.queryExecution.executedPlan.toString
+    assert(planStr.contains("PushedFilters: [In(id") ||
+      planStr.contains("PushedFilters: [IsNotNull(id), In(id"),
+      s"meta scan has no pushed id filter:\n$planStr")
   }
 
   test("concurrent creates with colliding sanitized names never cross-delete data") {
