@@ -30,8 +30,19 @@ object IvfHnsw {
   /** Build: k-means route ([[Ivf.train]]) + one HNSW subgraph per cluster.
     * One shuffle of the base by cluster; each cluster's graph builds inside
     * a single task (clusters are the serving unit, sized by `kClusters` —
-    * aim for ≲500k rows per cluster; a heavily skewed cluster makes a
-    * straggler task, the classic IVF imbalance).
+    * aim for ≲500k rows per cluster).
+    *
+    * Skew cap: a heavily skewed cluster would make its graph build a
+    * single straggler task (the classic IVF imbalance — at 100 TB one hot
+    * cluster could hold hours of single-threaded insert work). Clusters
+    * past `maxGraphRows` are therefore SPLIT hierarchically before the
+    * build: a local k-means over a bounded sample of the hot cluster
+    * yields ceil(rows/cap) sub-centroids, which REPLACE the oversized
+    * centroid in the routing model (the final model is a plain IVF model
+    * with more, better-balanced cells — routing, probing, and the
+    * pid-=-cluster sidecar contract are unchanged). Pathological input
+    * (one exact duplicate repeated past the cap) still degenerates to one
+    * cell — sub-centroids coincide and ties go to the lowest id.
     *
     * @return (routing model, index rows (pid=cluster, local_id, id, vec,
     *         level, links))
@@ -44,12 +55,38 @@ object IvfHnsw {
       efConstruction: Int = 200,
       seed: Long = 42L,
       trainFraction: Option[Double] = None,
-      defaultNProbes: Int = 4): (IvfModel, DataFrame) = {
+      defaultNProbes: Int = 4,
+      maxGraphRows: Long = 500000L): (IvfModel, DataFrame) = {
     val spark = base.sparkSession
     import spark.implicits._
-    val (model0, assigned) = Ivf.build(base.select(col("id"), col("vec")),
-      kClusters, dist, seed = seed, trainFraction = trainFraction)
-    val model = model0.copy(defaultNProbes = defaultNProbes)
+    val src = base.select(col("id"), col("vec"))
+    val (model0, assigned0) = Ivf.build(src, kClusters, dist, seed = seed,
+      trainFraction = trainFraction)
+    val counts = assigned0.groupBy("cluster").count().collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+    val over = counts.filter(_._2 > maxGraphRows)
+    val (model, assigned) =
+      if (over.isEmpty) (model0.copy(defaultNProbes = defaultNProbes), assigned0)
+      else {
+        val subCents: Map[Int, Array[Array[Float]]] = over.map { case (c, n) =>
+          val shards = ((n + maxGraphRows - 1) / maxGraphRows).toInt
+          // bounded deterministic sample of the hot cell (same spirit as
+          // Ivf.train's k_means_size sampling)
+          val sample = assigned0.filter(col("cluster") === c)
+            .select("vec").limit(20000).collect()
+            .map(_.getSeq[Float](0).toArray)
+          val cents =
+            if (sample.length <= shards) sample
+            else graft.index.LocalKMeans.fit(sample, shards, dist,
+              maxIter = 10, tol = 1e-4, seed = seed + c)
+          c -> cents
+        }.toMap
+        val cents = model0.centroids.indices.flatMap { i =>
+          subCents.getOrElse(i, Array(model0.centroids(i))).toSeq
+        }.toArray
+        val m2 = IvfModel(cents, dist, defaultNProbes)
+        (m2, Ivf.assign(src, m2))
+      }
     val idx = assigned
       .select(col("cluster").cast("int"), col("id").cast("long"), col("vec"))
       .as[(Int, Long, Array[Float])]

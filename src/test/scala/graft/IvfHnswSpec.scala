@@ -82,6 +82,47 @@ class IvfHnswSpec extends SparkTestBase {
     assert(routed == flat)
   }
 
+  test("skewed hot cluster splits into bounded sub-cells; results unchanged") {
+    // planted 10× skew: blob A (400 rows) vs blob B (40 rows), kClusters=2
+    // — without the cap, blob A's graph builds as ONE straggler task
+    val rnd = new scala.util.Random(19)
+    val cA = Array.fill(8)(rnd.nextFloat() * 10f)
+    val cB = Array.fill(8)(rnd.nextFloat() * 10f + 40f)
+    val rows = (0 until 440).map { i =>
+      val c = if (i < 400) cA else cB
+      (i.toLong, c.map(x => x + rnd.nextFloat() * 2f))
+    }
+    val skewed = rows.toDF("id", "vec").repartition(4).cache()
+    val (model, idx) = IvfHnsw.buildIndex(skewed, kClusters = 2,
+      trainFraction = Some(0.5), maxGraphRows = 100L)
+    // the hot cell split into ceil(400/100)=4 sub-cells → ≥5 centroids,
+    // and no per-cluster graph build task holds the whole hot blob
+    assert(model.centroids.length >= 5,
+      s"hot cluster not split: ${model.centroids.length} centroids")
+    val perPid = idx.groupBy("pid").count().as[(Int, Long)].collect()
+    assert(perPid.length == model.centroids.length ||
+      perPid.length >= 5) // empty sub-cells permissible
+    assert(perPid.map(_._2).max < 400,
+      s"a single build task still owns the hot blob: ${perPid.mkString(",")}")
+    // routing still exact at full probes + generous ef
+    val qs = skewed.filter($"id".isin(0L, 5L, 399L, 400L, 439L))
+      .select($"id".as("query_id"), $"vec".as("query_vec"))
+    val np = model.centroids.length
+    val routed = IvfHnsw.searchPinned(idx, model, qs, k = 10,
+      ef = Some(600), nProbes = Some(np))
+      .select("query_id", "id").as[(Long, Long)].collect().toSet
+    val flat = Knn.exact(skewed, qs, k = 10)
+      .select("query_id", "id").as[(Long, Long)].collect().toSet
+    assert(routed == flat)
+    // partial probes still route self-queries to their own sub-cell
+    val one = IvfHnsw.searchPinned(idx, model, qs, k = 1,
+      ef = Some(200), nProbes = Some(1)).collect()
+    one.foreach { r =>
+      assert(r.getLong(1) == r.getLong(0) && r.getDouble(2) < 1e-6,
+        s"self-hit lost at np=1 for query ${r.getLong(0)}")
+    }
+  }
+
   test("index schema matches the Hnsw sidecar contract; pid = cluster") {
     val (model, idx) = IvfHnsw.buildIndex(base, kClusters = 3,
       trainFraction = Some(0.5))
