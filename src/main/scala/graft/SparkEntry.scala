@@ -201,6 +201,21 @@ object SparkEntry {
           (round(col("distance"), 6) + lit(0.0)).as("distance"))
         .orderBy("query_id", "distance", "id")
     }),
+    // T7 exhaustive: the same PQ ADC scan with ef ≥ table size — the
+    // re-rank set covers every row, so the exact re-rank makes the result
+    // exact KNN and the plain top-k SQL oracle applies regardless of the
+    // seeded quantizer (the modest-ef approximation above stays rows-only;
+    // PqSpec carries its recall/error-bound oracles).
+    "q_pq_exact" -> ((s, dir) => {
+      val b = base(s, dir)
+      val n = b.count().toInt
+      val model = Pq.train(b, m = 8, nBits = 4)
+      Pq.searchFlat(Pq.encode(b, model), model, queryVectors(s, dir),
+          k = 5, ef = 2 * n)
+        .select(col("query_id"), col("id"),
+          (round(col("distance"), 6) + lit(0.0)).as("distance"))
+        .orderBy("query_id", "distance", "id")
+    }),
     // LLM-pipeline: multimodal binary-column feature extraction (decode is
     // a deterministic stub; length+digest verified end-to-end by oracle)
     "q_multimodal_features" -> ((s, dir) => {
@@ -457,6 +472,7 @@ object SparkEntry {
     "q_hnsw_search" -> topKSql(l2Expr, 5),
     "q_hnsw_indexed" -> topKSql(l2Expr, 5),
     "q_hnsw_pq_search" -> topKSql(l2Expr, 5),
+    "q_pq_exact" -> topKSql(l2Expr, 5),
     "q_ivf_probe" -> topKSql(l2Expr, 5),
     "q_ivf_catalog" -> topKSql(l2Expr, 5),
     "q_ivf_hnsw_routed" -> topKSql(l2Expr, 5),
