@@ -201,9 +201,19 @@ object Bench {
       ef = Some(120), cacheKey = Some("bench960"))
     def mkPqServe960() = Pq.searchFlatServe(pqEncoded960, pqModel960,
       queries960, k = 10, ef = 100, cacheKey = Some("benchpq960"))
-    // combined traversal (knn_pq): ADC-scored walk of the same stored graph
-    def mkHnswPq960() = Hnsw.searchBroadcastPq(hnswIdx960, queries960,
+    // raw combined traversal (knn_pq): ADC-scored walk of the same stored
+    // graph — kept as a *_walk_* diagnostic row. At m = dim/3 it measures
+    // SLOWER than the plain SIMD walk at both scales (r6-r9), so the
+    // catalog dispatch cost-gates it (VecDB.adcWalkEligible) ...
+    def mkHnswPq960Walk() = Hnsw.searchBroadcastPq(hnswIdx960, queries960,
       pqModel960, k = 10, ef = Some(120), cacheKey = Some("bench960"))
+    // ... and the hnsw_pq_* rows now measure what a (ef, pq) search is
+    // actually SERVED by the dispatch at this (dim=960, m=320): the plain
+    // HNSW walk (exact distances subsume the re-rank) — never the slower arm
+    def mkHnswPq960() =
+      if (graft.catalog.VecDB.adcWalkEligible(960, 320)) mkHnswPq960Walk()
+      else Hnsw.searchBroadcast(hnswIdx960, queries960, k = 10,
+        ef = Some(120), cacheKey = Some("bench960"))
     def mkPqBcast960() = Pq.searchFlatBroadcast(pqEncoded960, pqModel960,
       queries960, k = 10, ef = 100)
     def mkIvfProbe() = Ivf.search(ivfAssignedC, ivfModelC, queriesC,
@@ -224,11 +234,14 @@ object Bench {
     queries960All.count()
     def mkHnsw960Big() = Hnsw.searchBroadcast(hnswIdx960, queries960All,
       k = 10, ef = Some(120), cacheKey = Some("bench960"))
-    def mkHnswPq960Big() = Hnsw.searchBroadcastPq(hnswIdx960, queries960All,
+    def mkHnswPq960BigWalk() = Hnsw.searchBroadcastPq(hnswIdx960, queries960All,
       pqModel960, k = 10, ef = Some(120), cacheKey = Some("bench960"))
+    def mkHnswPq960Big() =
+      if (graft.catalog.VecDB.adcWalkEligible(960, 320)) mkHnswPq960BigWalk()
+      else mkHnsw960Big()
     def mkPqServe960Big() = Pq.searchFlatServe(pqEncoded960, pqModel960,
       queries960All, k = 10, ef = 100, cacheKey = Some("benchpq960"))
-    Seq(mkHnsw960Big _, mkHnswPq960Big _, mkPqServe960Big _).foreach(serveFresh)
+    Seq(mkHnsw960Big _, mkHnswPq960BigWalk _, mkPqServe960Big _).foreach(serveFresh)
 
     // ---- recall@10 vs exact ground truth (untimed) -------------------------
     val truth960 = truthSets(vec960, queries960, 10)
@@ -241,8 +254,10 @@ object Bench {
       "pq_serve_10k_d960_batch" -> recallOf(mkPqServe960(), truth960),
       "pq_bcast_10k_d960_batch" -> recallOf(mkPqBcast960(), truth960),
       "hnsw_pq_10k_d960_batch" -> recallOf(mkHnswPq960(), truth960),
+      "hnsw_pq_walk_10k_d960_batch" -> recallOf(mkHnswPq960Walk(), truth960),
       "hnsw_10k_d960_nq10k_batch" -> recallOf(mkHnsw960Big(), truth960All),
       "hnsw_pq_10k_d960_nq10k_batch" -> recallOf(mkHnswPq960Big(), truth960All),
+      "hnsw_pq_walk_10k_d960_nq10k_batch" -> recallOf(mkHnswPq960BigWalk(), truth960All),
       "pq_serve_10k_d960_nq10k_batch" -> recallOf(mkPqServe960Big(), truth960All),
       "hnsw_10k_batch" -> recallOf(mkHnsw10k(), truth10k),
       "hnsw_200k_batch" -> recallOf(mkHnsw200k(), truthBig),
@@ -259,15 +274,15 @@ object Bench {
     // pipelined shape is allocation-rate-sensitive, and running it after
     // the heavy analytics workloads (tens of GB of GC debt) was measured
     // to collapse it ~5×.
-    val sustained: Map[String, Double] = withAqeOff {
+    // each in-flight batch is a FRESH plan (see the factory scaladoc); a
+    // whole measurement runs under one AQE-off span because the toggle is
+    // session state and the submitters race
+    def sustainedMeasure(mk: () => DataFrame, nqPlan: Int): Double = withAqeOff {
       import scala.concurrent.{Await, ExecutionContext, Future}
       import scala.concurrent.duration.Duration
       val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
       implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
-      // each in-flight batch is a FRESH plan (see the factory scaladoc);
-      // the whole section runs under one AQE-off span because the toggle
-      // is session state and the submitters race
-      def measure(mk: () => DataFrame, nqPlan: Int): Double = {
+      try {
         val batches = 16
         System.gc()
         val runs = (0 until 3).map { _ =>
@@ -278,14 +293,15 @@ object Bench {
           (System.nanoTime() - t0) / 1e9
         }.sorted
         batches.toLong * nqPlan / runs(1)
-      }
-      val out = Map(
-        "hnsw_10k_d960_sustained" -> measure(mkHnsw960 _, nq),
-        "hnsw_pq_10k_d960_sustained" -> measure(mkHnswPq960 _, nq),
-        "pq_serve_10k_d960_sustained" -> measure(mkPqServe960 _, nq))
-      pool.shutdown()
-      out
+      } finally pool.shutdown()
     }
+    val sustained: Map[String, Double] = Map(
+      "hnsw_10k_d960_sustained" -> sustainedMeasure(mkHnsw960 _, nq),
+      // the dispatch-served (ef, pq) arm; the raw ADC walk is the
+      // *_walk_* row below
+      "hnsw_pq_10k_d960_sustained" -> sustainedMeasure(mkHnswPq960 _, nq),
+      "hnsw_pq_walk_10k_d960_sustained" -> sustainedMeasure(mkHnswPq960Walk _, nq),
+      "pq_serve_10k_d960_sustained" -> sustainedMeasure(mkPqServe960 _, nq))
 
     // ef sweep on the baseline-comparable HNSW config: proves the
     // recall×latency tradeoff like examples/bench.rs. Median-of-3 per
@@ -312,6 +328,7 @@ object Bench {
       val r = recallOf(mk(), truth960)
       (ef, r, nq / median3(() => serve(mk())))
     })
+    // raw-walk sweep (diagnostic: the dispatch cost-gates this arm at m=320)
     val hnswPqSweep = withAqeOff(Seq(20, 40, 80, 120, 160).map { ef =>
       def mk() = Hnsw.searchBroadcastPq(hnswIdx960, queries960, pqModel960,
         k = 10, ef = Some(ef), cacheKey = Some("bench960"))
@@ -351,12 +368,14 @@ object Bench {
       ("hnsw_200k_batch", () => serveFresh(mkHnsw200k _)),
       // directly comparable to BASELINE.md:24 (HNSW @10k×960, ef=120, k=10)
       ("hnsw_10k_d960_batch", () => serveFresh(mkHnsw960 _)),
-      // knn_pq combined traversal over the same graph — sub-linear over
-      // codes, must beat the flat ADC scans below
+      // the (ef, pq) search as the dispatch actually serves it (cost-gated
+      // at m=320 → plain walk); hnsw_pq_walk_* is the raw combined traversal
       ("hnsw_pq_10k_d960_batch", () => serveFresh(mkHnswPq960 _)),
+      ("hnsw_pq_walk_10k_d960_batch", () => serveFresh(mkHnswPq960Walk _)),
       // floor-amortized operating point: same index/config, 10k queries
       ("hnsw_10k_d960_nq10k_batch", () => serveFresh(mkHnsw960Big _)),
       ("hnsw_pq_10k_d960_nq10k_batch", () => serveFresh(mkHnswPq960Big _)),
+      ("hnsw_pq_walk_10k_d960_nq10k_batch", () => serveFresh(mkHnswPq960BigWalk _)),
       ("pq_serve_10k_d960_nq10k_batch", () => serveFresh(mkPqServe960Big _)),
       // query-partitioned serving shape (broadcast decoded codes+vectors,
       // zero shuffle) — directly comparable to BASELINE.md:28
@@ -411,15 +430,20 @@ object Bench {
     }
 
     var errors = Map.empty[String, String]
+    // per-rep times of the 1M rows, reported as `rep_spread` — the r9 np
+    // grid was non-monotonic (np2 slower than np4) and median-of-3 on
+    // multi-second jobs cannot separate noise from signal without the
+    // spread visible
+    var repSpread = Map.empty[String, Seq[Double]]
     // *_batch workloads: median of 3 runs — single-JVM timings at this
     // scale have >2× run-to-run GC/scheduling variance (measured), and the
     // headline q/s numbers should not inherit it
     def timeAll(ws: Seq[(String, () => Long)]): Seq[(String, Double)] =
       ws.map { case (name, fn) =>
         // 5 reps for the floor-amortized headline rows (observed ~2×
-        // median swing across runs at 3), 3 for other batches
+        // median swing across runs at 3) and the 1M grid, 3 elsewhere
         val reps =
-          if (name.contains("_nq10k_")) 5
+          if (name.contains("_nq10k_") || name.contains("_1m_")) 5
           else if (name.endsWith("_batch")) 3
           else 1
         // shed the previous workload's GC debt before timing this one
@@ -432,6 +456,7 @@ object Bench {
           }
           (System.nanoTime() - t0) / 1e9
         }.sorted
+        if (name.contains("_1m_")) repSpread += name -> times
         name -> times(times.length / 2)
       }
     val resultsStd = timeAll(workloads)
@@ -451,6 +476,7 @@ object Bench {
     var recalls1m = Map.empty[String, Double]
     var build1m = Option.empty[Double]
     var results1m = Seq.empty[(String, Double)]
+    var sustained1m = Map.empty[String, Double]
     if (n1m > 0) try {
       val kc = 32 // ~n/32 rows per cluster ⇒ 32-task walk parallelism
       // repo-root cache dir (gitignored), NOT target/: an `sbt clean` must
@@ -493,9 +519,14 @@ object Bench {
       // walk needs the wider beam to overcome quantization error at 1M
       val pqModel1m = Pq.train(vec1m, m = 320, nBits = 4,
         trainFraction = Some(math.min(0.5, 10000.0 / n1m)))
-      def mkPinnedPq() = Hnsw.searchPinnedPq(idx1m, q1m, pqModel1m, k = 10,
+      def mkPinnedPqWalk() = Hnsw.searchPinnedPq(idx1m, q1m, pqModel1m, k = 10,
         ef = Some(360), cacheKey = ck1m)
-      withAqeOff(serve(mkPinnedPq())) // one-time code-matrix encode
+      // what the dispatch actually serves a beyond-gate (ef, pq) search at
+      // m=320: the cost gate routes to the plain walk (see mkHnswPq960)
+      def mkPinnedPq() =
+        if (graft.catalog.VecDB.adcWalkEligible(960, 320)) mkPinnedPqWalk()
+        else mkPinned()
+      withAqeOff(serve(mkPinnedPqWalk())) // one-time code-matrix encode
       // (np, ef) grid: np trades probes for speed at fixed ef; the ef=600/
       // 1000 points document the recall curve rising with beam width — the
       // ~0.81@ef=360 recall on this fixture is ADC quantization error
@@ -506,6 +537,10 @@ object Bench {
           (np, ef, () => IvfHnsw.searchPinnedPq(idx1m, model1m, pqModel1m,
             q1m, k = 10, ef = Some(ef), nProbes = Some(np), cacheKey = ck1m))
         }
+      // dispatch-served routed (ef, pq): cost-gated to the plain routed walk
+      def mkRoutedPq() =
+        if (graft.catalog.VecDB.adcWalkEligible(960, 320)) routedPqMk.head._3()
+        else routedMk.head._2()
       routedPqMk.foreach { case (_, _, mk) => withAqeOff(serve(mk())) }
       // recall vs exact ground truth; the recall pass doubles as the warm
       // run (pin shuffle + stored-adjacency graph decode + code encode)
@@ -515,15 +550,19 @@ object Bench {
         recalls1m += s"ivf_hnsw_1m_d960_np${np}_batch" -> recallOf(mk(), truth1m)
       }
       recalls1m += "hnsw_pq_1m_d960_batch" -> recallOf(mkPinnedPq(), truth1m)
+      recalls1m += "hnsw_pq_walk_1m_d960_batch" -> recallOf(mkPinnedPqWalk(), truth1m)
+      recalls1m += "ivf_hnsw_pq_1m_d960_np1_batch" -> recallOf(mkRoutedPq(), truth1m)
       def pqRowName(np: Int, ef: Int): String =
-        if (ef == 360) s"ivf_hnsw_pq_1m_d960_np${np}_batch"
-        else s"ivf_hnsw_pq_1m_d960_np${np}_ef${ef}_batch"
+        if (ef == 360) s"ivf_hnsw_pq_walk_1m_d960_np${np}_batch"
+        else s"ivf_hnsw_pq_walk_1m_d960_np${np}_ef${ef}_batch"
       routedPqMk.foreach { case (np, ef, mk) =>
         recalls1m += pqRowName(np, ef) -> recallOf(mk(), truth1m)
       }
       results1m = timeAll(Seq[(String, () => Long)](
         ("hnsw_1m_d960_batch", () => withAqeOff(serve(mkPinned()))),
-        ("hnsw_pq_1m_d960_batch", () => withAqeOff(serve(mkPinnedPq())))) ++
+        ("hnsw_pq_1m_d960_batch", () => withAqeOff(serve(mkPinnedPq()))),
+        ("hnsw_pq_walk_1m_d960_batch", () => withAqeOff(serve(mkPinnedPqWalk()))),
+        ("ivf_hnsw_pq_1m_d960_np1_batch", () => withAqeOff(serve(mkRoutedPq())))) ++
         routedMk.map { case (np, mk) =>
           (s"ivf_hnsw_1m_d960_np${np}_batch",
             () => withAqeOff(serve(mk())): Long)
@@ -531,6 +570,13 @@ object Bench {
         routedPqMk.map { case (np, ef, mk) =>
           (pqRowName(np, ef), () => withAqeOff(serve(mk())): Long)
         })
+      // steady-state pipelined rows at the 1M scale (missing through r9:
+      // the single-batch rows carry the whole per-job floor): routed np1 is
+      // the serving operating point, the walk row shows the gated arm
+      sustained1m += "ivf_hnsw_1m_d960_np1_sustained" ->
+        sustainedMeasure(routedMk.head._2, nq)
+      sustained1m += "ivf_hnsw_pq_walk_1m_d960_np1_sustained" ->
+        sustainedMeasure(routedPqMk.head._3, nq)
     } catch { case e: Throwable =>
       errors += "bench_1m" ->
         Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
@@ -551,10 +597,16 @@ object Bench {
         jstr(k) + ":" + (if (v > 0) rowNq / v else 0.0)
       }
       .mkString("{", ",", "}")
-    val sustainedJson = sustained
+    val sustainedJson = (sustained ++ sustained1m)
       .map { case (k, v) => jstr(k) + ":" + f"$v%.1f" }
       .mkString("{", ",", "}")
-    val recallJson = (recalls ++ recalls1m).map { case (k, v) => jstr(k) + ":" + f"$v%.4f" }
+    val allRecalls = recalls ++ recalls1m
+    val recallJson = allRecalls.map { case (k, v) => jstr(k) + ":" + f"$v%.4f" }
+      .mkString("{", ",", "}")
+    val spreadJson = repSpread
+      .map { case (k, ts) =>
+        jstr(k) + ":" + ts.map(t => f"$t%.3f").mkString("[", ",", "]")
+      }
       .mkString("{", ",", "}")
     def sweepArr(s: Seq[(Int, Double, Double)]): String =
       s.map { case (ef, r, q) =>
@@ -563,7 +615,29 @@ object Bench {
     val sweepJson = sweepArr(sweep)
     val total = results.map(_._2).sum
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"qps":$qps,"recall":$recallJson,"sustained_qps":$sustainedJson,"hnsw_d960_ef_sweep":$sweepJson,"pq_d960_ef_sweep":${sweepArr(pqSweep)},"hnsw_pq_d960_ef_sweep":${sweepArr(hnswPqSweep)},"errors":$errJson,"nq":$nq,"n_vec":$nVec,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"qps":$qps,"recall":$recallJson,"sustained_qps":$sustainedJson,"rep_spread":$spreadJson,"hnsw_d960_ef_sweep":$sweepJson,"pq_d960_ef_sweep":${sweepArr(pqSweep)},"hnsw_pq_walk_d960_ef_sweep":${sweepArr(hnswPqSweep)},"errors":$errJson,"nq":$nq,"n_vec":$nVec,"sf":"$sfDir"}""")
+    // compact HEADLINE line, printed LAST: the driver captures the TAIL of
+    // stdout, and r9's full line was long enough to lose its front half —
+    // this line alone carries the baseline-comparable rows
+    val headlineKeys = Seq(
+      "hnsw_10k_d960_batch", "hnsw_10k_d960_nq10k_batch",
+      "hnsw_pq_10k_d960_batch", "hnsw_pq_walk_10k_d960_nq10k_batch",
+      "pq_serve_10k_d960_batch", "pq_serve_10k_d960_nq10k_batch",
+      "hnsw_1m_d960_batch", "ivf_hnsw_1m_d960_np1_batch",
+      "hnsw_pq_1m_d960_batch", "hnsw_pq_walk_1m_d960_batch",
+      "ivf_hnsw_pq_1m_d960_np1_batch", "ivf_hnsw_pq_walk_1m_d960_np1_batch")
+    val resMap = results.toMap
+    val headQps = headlineKeys.flatMap { k =>
+      resMap.get(k).filter(_ > 0).map { sec =>
+        val rowNq = if (k.contains("_nq10k_")) 10000 else nq
+        jstr(k) + ":" + f"${rowNq / sec}%.1f"
+      }
+    }.mkString("{", ",", "}")
+    val headRecall = headlineKeys.flatMap { k =>
+      allRecalls.get(k).map(r => jstr(k) + ":" + f"$r%.4f")
+    }.mkString("{", ",", "}")
+    println(
+      s"""{"metric":"headline","qps":$headQps,"recall":$headRecall,"sustained_qps":$sustainedJson,"nq":$nq}""")
     spark.stop()
   }
 }
