@@ -274,34 +274,70 @@ object Bench {
     // pipelined shape is allocation-rate-sensitive, and running it after
     // the heavy analytics workloads (tens of GB of GC debt) was measured
     // to collapse it ~5×.
+    // Reps are INTERLEAVED across workloads (A,B,C,A,B,C… — r10 verdict
+    // item 2): same-JVM drift (GC debt, JIT recompiles) then lands on every
+    // workload's rep set instead of accumulating into whichever ran last —
+    // r10 measured two IDENTICAL physical plans 47% apart under the
+    // per-workload-sequential ordering. Per-rep q/s is reported as
+    // `sustained_spread`; the row value is the median rep.
     // each in-flight batch is a FRESH plan (see the factory scaladoc); a
     // whole measurement runs under one AQE-off span because the toggle is
     // session state and the submitters race
-    def sustainedMeasure(mk: () => DataFrame, nqPlan: Int): Double = withAqeOff {
+    def sustainedGrid(ws: Seq[(String, () => DataFrame, Int)], rounds: Int = 3)
+        : (Map[String, Double], Map[String, Seq[Double]]) = withAqeOff {
       import scala.concurrent.{Await, ExecutionContext, Future}
       import scala.concurrent.duration.Duration
       val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
       implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
       try {
         val batches = 16
-        System.gc()
-        val runs = (0 until 3).map { _ =>
-          val t0 = System.nanoTime()
-          Await.result(
-            Future.sequence((0 until batches).map(_ => Future(serve(mk())))),
-            Duration.Inf)
-          (System.nanoTime() - t0) / 1e9
-        }.sorted
-        batches.toLong * nqPlan / runs(1)
+        val perRep = Array.fill(ws.length)(Vector.empty[Double])
+        (0 until rounds).foreach { _ =>
+          ws.zipWithIndex.foreach { case ((_, mk, nqPlan), i) =>
+            System.gc()
+            val t0 = System.nanoTime()
+            Await.result(
+              Future.sequence((0 until batches).map(_ => Future(serve(mk())))),
+              Duration.Inf)
+            val sec = (System.nanoTime() - t0) / 1e9
+            perRep(i) :+= batches.toLong * nqPlan / sec
+          }
+        }
+        val med = ws.zipWithIndex.map { case ((name, _, _), i) =>
+          val sorted = perRep(i).sorted
+          name -> sorted(sorted.length / 2)
+        }.toMap
+        val spread = ws.zipWithIndex.map { case ((name, _, _), i) =>
+          name -> (perRep(i): Seq[Double])
+        }.toMap
+        (med, spread)
       } finally pool.shutdown()
     }
-    val sustained: Map[String, Double] = Map(
-      "hnsw_10k_d960_sustained" -> sustainedMeasure(mkHnsw960 _, nq),
+    val (sustained, sustainedSpread) = sustainedGrid(Seq(
+      ("hnsw_10k_d960_sustained", mkHnsw960 _, nq),
       // the dispatch-served (ef, pq) arm; the raw ADC walk is the
       // *_walk_* row below
-      "hnsw_pq_10k_d960_sustained" -> sustainedMeasure(mkHnswPq960 _, nq),
-      "hnsw_pq_walk_10k_d960_sustained" -> sustainedMeasure(mkHnswPq960Walk _, nq),
-      "pq_serve_10k_d960_sustained" -> sustainedMeasure(mkPqServe960 _, nq))
+      ("hnsw_pq_10k_d960_sustained", mkHnswPq960 _, nq),
+      ("hnsw_pq_walk_10k_d960_sustained", mkHnswPq960Walk _, nq),
+      ("pq_serve_10k_d960_sustained", mkPqServe960 _, nq)))
+    // same-plan sanity (r10 verdict item 2): when the dispatch gate maps
+    // (ef, pq) onto the plain walk, the hnsw and hnsw_pq sustained rows are
+    // the SAME physical plan — their measured ratio is pure measurement
+    // noise, and the bench flags (not hides) a drift past 15%
+    val samePlanSanity: Option[(Double, Boolean)] =
+      if (!graft.catalog.VecDB.adcWalkEligible(960, 320))
+        for {
+          a <- sustained.get("hnsw_10k_d960_sustained")
+          b <- sustained.get("hnsw_pq_10k_d960_sustained")
+        } yield {
+          val ratio = math.max(a, b) / math.min(a, b)
+          (ratio, ratio <= 1.15)
+        }
+      else None
+    samePlanSanity.foreach { case (r, ok) =>
+      if (!ok) System.err.println(
+        f"[bench] WARNING same-plan sustained rows differ by ${(r - 1) * 100}%.0f%% (>15%%) — treat sustained deltas below this as noise")
+    }
 
     // ef sweep on the baseline-comparable HNSW config: proves the
     // recall×latency tradeoff like examples/bench.rs. Median-of-3 per
@@ -477,6 +513,7 @@ object Bench {
     var build1m = Option.empty[Double]
     var results1m = Seq.empty[(String, Double)]
     var sustained1m = Map.empty[String, Double]
+    var sustainedSpread1m = Map.empty[String, Seq[Double]]
     if (n1m > 0) try {
       val kc = 32 // ~n/32 rows per cluster ⇒ 32-task walk parallelism
       // repo-root cache dir (gitignored), NOT target/: an `sbt clean` must
@@ -572,11 +609,13 @@ object Bench {
         })
       // steady-state pipelined rows at the 1M scale (missing through r9:
       // the single-batch rows carry the whole per-job floor): routed np1 is
-      // the serving operating point, the walk row shows the gated arm
-      sustained1m += "ivf_hnsw_1m_d960_np1_sustained" ->
-        sustainedMeasure(routedMk.head._2, nq)
-      sustained1m += "ivf_hnsw_pq_walk_1m_d960_np1_sustained" ->
-        sustainedMeasure(routedPqMk.head._3, nq)
+      // the serving operating point, the walk row shows the gated arm.
+      // Interleaved reps + spread, same protocol as the 10k grid.
+      val (s1m, sp1m) = sustainedGrid(Seq(
+        ("ivf_hnsw_1m_d960_np1_sustained", routedMk.head._2, nq),
+        ("ivf_hnsw_pq_walk_1m_d960_np1_sustained", routedPqMk.head._3, nq)))
+      sustained1m ++= s1m
+      sustainedSpread1m ++= sp1m
     } catch { case e: Throwable =>
       errors += "bench_1m" ->
         Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
@@ -600,6 +639,17 @@ object Bench {
     val sustainedJson = (sustained ++ sustained1m)
       .map { case (k, v) => jstr(k) + ":" + f"$v%.1f" }
       .mkString("{", ",", "}")
+    // per-rep q/s of every sustained row (r10 verdict item 2): regressions
+    // on these rows are only adjudicable with the run-to-run spread visible
+    val sustainedSpreadJson = (sustainedSpread ++ sustainedSpread1m)
+      .map { case (k, ts) =>
+        jstr(k) + ":" + ts.map(t => f"$t%.1f").mkString("[", ",", "]")
+      }
+      .mkString("{", ",", "}")
+    val sanityJson = samePlanSanity match {
+      case Some((r, ok)) => f""","sustained_sameplan_ratio":$r%.3f,"sustained_sameplan_ok":$ok"""
+      case None => ""
+    }
     val allRecalls = recalls ++ recalls1m
     val recallJson = allRecalls.map { case (k, v) => jstr(k) + ":" + f"$v%.4f" }
       .mkString("{", ",", "}")
@@ -614,16 +664,29 @@ object Bench {
       }.mkString("[", ",", "]")
     val sweepJson = sweepArr(sweep)
     val total = results.map(_._2).sum
-    println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"qps":$qps,"recall":$recallJson,"sustained_qps":$sustainedJson,"rep_spread":$spreadJson,"hnsw_d960_ef_sweep":$sweepJson,"pq_d960_ef_sweep":${sweepArr(pqSweep)},"hnsw_pq_walk_d960_ef_sweep":${sweepArr(hnswPqSweep)},"errors":$errJson,"nq":$nq,"n_vec":$nVec,"sf":"$sfDir"}""")
-    // compact HEADLINE line, printed LAST: the driver captures the TAIL of
-    // stdout, and r9's full line was long enough to lose its front half —
-    // this line alone carries the baseline-comparable rows
+    val fullLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"qps":$qps,"recall":$recallJson,"sustained_qps":$sustainedJson,"sustained_spread":$sustainedSpreadJson$sanityJson,"rep_spread":$spreadJson,"hnsw_d960_ef_sweep":$sweepJson,"pq_d960_ef_sweep":${sweepArr(pqSweep)},"hnsw_pq_walk_d960_ef_sweep":${sweepArr(hnswPqSweep)},"errors":$errJson,"nq":$nq,"n_vec":$nVec,"sf":"$sfDir"}"""
+    // DURABLE artifact (r10 verdict item 1): the driver captures only the
+    // TAIL of stdout, and the full line above has been truncated two rounds
+    // running — losing the np grid and the rep spread it carried. The file
+    // is the artifact of record; stdout stays for the driver's capture.
+    val outPath = try {
+      val dir = java.nio.file.Paths.get("bench_out")
+      java.nio.file.Files.createDirectories(dir)
+      val p = dir.resolve("bench_full.json")
+      java.nio.file.Files.write(p, (fullLine + "\n").getBytes("UTF-8"))
+      p.toAbsolutePath.toString
+    } catch { case e: Throwable => s"unwritable: ${e.getMessage}" }
+    println(fullLine)
+    // compact HEADLINE line, printed LAST: this line alone carries the
+    // baseline-comparable rows plus the path of the full artifact
     val headlineKeys = Seq(
       "hnsw_10k_d960_batch", "hnsw_10k_d960_nq10k_batch",
       "hnsw_pq_10k_d960_batch", "hnsw_pq_walk_10k_d960_nq10k_batch",
       "pq_serve_10k_d960_batch", "pq_serve_10k_d960_nq10k_batch",
       "hnsw_1m_d960_batch", "ivf_hnsw_1m_d960_np1_batch",
+      "ivf_hnsw_1m_d960_np2_batch", "ivf_hnsw_1m_d960_np4_batch",
+      "ivf_hnsw_1m_d960_np8_batch",
       "hnsw_pq_1m_d960_batch", "hnsw_pq_walk_1m_d960_batch",
       "ivf_hnsw_pq_1m_d960_np1_batch", "ivf_hnsw_pq_walk_1m_d960_np1_batch")
     val resMap = results.toMap
@@ -636,8 +699,15 @@ object Bench {
     val headRecall = headlineKeys.flatMap { k =>
       allRecalls.get(k).map(r => jstr(k) + ":" + f"$r%.4f")
     }.mkString("{", ",", "}")
+    // np-grid rep spread rides the headline too: it is the one piece of
+    // data two rounds of truncation lost, and it is small
+    val headSpread = repSpread.filter(_._1.contains("ivf_hnsw_1m"))
+      .map { case (k, ts) =>
+        jstr(k) + ":" + ts.map(t => f"$t%.3f").mkString("[", ",", "]")
+      }
+      .mkString("{", ",", "}")
     println(
-      s"""{"metric":"headline","qps":$headQps,"recall":$headRecall,"sustained_qps":$sustainedJson,"nq":$nq}""")
+      s"""{"metric":"headline","qps":$headQps,"recall":$headRecall,"sustained_qps":$sustainedJson,"sustained_spread":$sustainedSpreadJson$sanityJson,"np_rep_spread":$headSpread,"full_json":${jstr(outPath)},"nq":$nq}""")
     spark.stop()
   }
 }
