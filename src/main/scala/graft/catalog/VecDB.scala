@@ -276,13 +276,32 @@ class VecDB(spark: SparkSession, root: String) {
     removed.foreach { e =>
       // drop cached serving state (pinned RDDs, index broadcasts, rebuilt
       // graphs) BEFORE the files go: multi-GB pinned storage must not
-      // outlive the table, and a recreated namesake must never hit it
+      // outlive the table, and a recreated namesake must never hit it.
+      // This evicts THIS JVM's caches (complete in local mode); remote
+      // executors' entries are fenced by the `created`-stamped cacheKey
+      // rotation and age out of their LRUs — CatalogSpec's "eviction
+      // stubbed" case proves correctness on the fence alone via this hook.
       val prefix = rootPath.resolve(e.filename).toString
-      Hnsw.invalidateCaches(prefix)
-      Pq.invalidateCaches(prefix)
+      cacheEvictionHook(prefix)
       try deleteRecursively(rootPath.resolve(e.filename))
       finally catalogLock.synchronized { reservedFilenames -= e.filename }
     }
+  }
+
+  /** (version, nextId, created) of a table — fixture observability for the
+    * cacheKey-rotation fence spec. */
+  private[graft] def entrySnapshotForTest(key: String): (Int, Long, Long) = {
+    val e = entry(key)
+    (e.version, e.nextId, e.created)
+  }
+
+  /** Delete-time cache eviction, indirected for the cluster-fence spec:
+    * tests replace it with a no-op to prove stale remote-executor caches
+    * (which local-mode eviction can't represent) are already fenced by
+    * cacheKey rotation. Production binding is the real eviction. */
+  private[graft] var cacheEvictionHook: String => Unit = { prefix =>
+    Hnsw.invalidateCaches(prefix)
+    Pq.invalidateCaches(prefix)
   }
 
   def getAllKeys: Seq[String] = tables.keys.toSeq.sorted
@@ -894,21 +913,47 @@ class VecDB(spark: SparkSession, root: String) {
   private def serveMaxQueries: Long =
     serveMaxQueriesOverride.getOrElse(VecDB.ServeMaxQueries)
 
+  /** How the last [[queryBatchServeable]] call decided — observability for
+    * the byte-estimate fallback (a silent de-optimization foot-gun
+    * otherwise): "rowcount:N", "bytes:EST", or "probe:N" when the bounded
+    * count probe adjudicated a borderline estimate. */
+  @volatile private[graft] var lastGateDecision: String = ""
+
   /** Is the query batch small enough for the serving arms, every one of
     * which starts by collecting the batch to the driver? Decided from
-    * Catalyst statistics — zero extra jobs on the hot path: an exact
+    * Catalyst statistics — zero extra jobs on the common path: an exact
     * row count (local batch, cached+materialized DF, limit plan) gates on
     * [[serveMaxQueries]]; an unknown count gates on the plan's byte
     * estimate vs the broadcast byte budget (a batch too big to sit on the
-    * driver reports a correspondingly large sizeInBytes). Oversized
-    * batches serve through the declarative, driver-unbounded shapes —
-    * the batch-similarity-JOIN regime, where per-query serving latency no
-    * longer matters but driver memory does. */
+    * driver reports a correspondingly large sizeInBytes). Catalyst's
+    * default size-only estimator never shrinks a Filter, so a small-but-
+    * wide or estimate-inflated batch can overshoot: when the estimate is
+    * within [[VecDB.GateProbeSlack]]× of the budget, one bounded
+    * `limit(gate+1).count()` probe (cost capped at gate+1 rows) decides on
+    * the REAL row count instead of silently de-optimizing to the
+    * declarative arms. Oversized batches serve through the declarative,
+    * driver-unbounded shapes — the batch-similarity-JOIN regime, where
+    * per-query serving latency no longer matters but driver memory does. */
   private def queryBatchServeable(queries: DataFrame): Boolean = {
     val stats = queries.queryExecution.optimizedPlan.stats
     stats.rowCount match {
-      case Some(n) => n.toLong <= serveMaxQueries
-      case None => stats.sizeInBytes <= BigInt(gateBytes)
+      case Some(n) =>
+        lastGateDecision = s"rowcount:$n"
+        n.toLong <= serveMaxQueries
+      case None =>
+        val est = stats.sizeInBytes
+        if (est <= BigInt(gateBytes)) {
+          lastGateDecision = s"bytes:$est"
+          true
+        } else if (est <= BigInt(gateBytes) * VecDB.GateProbeSlack) {
+          val gate = math.min(serveMaxQueries, Int.MaxValue - 1L)
+          val n = queries.limit(gate.toInt + 1).count()
+          lastGateDecision = s"probe:$n"
+          n <= serveMaxQueries
+        } else {
+          lastGateDecision = s"bytes:$est"
+          false
+        }
     }
   }
 
@@ -942,8 +987,32 @@ class VecDB(spark: SparkSession, root: String) {
     // plans beyond (same results; specs assert equality)
     val small = e.nextId <= FlatBroadcastMaxRows
     val hits = if (!serveable) (ef, e.pq) match {
-      // oversized query batch: declarative shapes only — no serving arm
-      // may collect this batch to the driver
+      // oversized query batch: driver-unbounded shapes only — no serving
+      // arm may collect this batch to the driver
+      case (efOpt, pqInfo) if e.hasHnsw && pattern.isEmpty =>
+        // INDEXED oversized-batch arm: the HNSW sidecar keeps pruning the
+        // scan exactly when the workload is largest. Queries stay a
+        // distributed Dataset end to end ([[Hnsw.searchPinnedStream]] —
+        // probe-pid explode + pid-exact shuffle + zip against the pinned
+        // index); same ADC cost gate as the serving arms.
+        val idx = spark.read.parquet(hnswDir(e).toString)
+        val ck = Some(s"${hnswDir(e)}@c${e.created}v${e.version}n${e.nextId}")
+        val usePq = efOpt.isDefined && pqInfo.isDefined &&
+          VecDB.adcWalkEligible(e.dim, pqInfo.get.m)
+        val route =
+          if (e.hnswRouted) {
+            val rm = loadRouteModel(e)
+            Some((rm, rm.defaultNProbes))
+          } else None
+        lastServedArm =
+          if (usePq) "knn_pq_stream"
+          else if (efOpt.isDefined && pqInfo.isDefined)
+            "knn_pq_stream_gated_plain_hnsw"
+          else "hnsw_stream"
+        Hnsw.searchPinnedStream(idx, queries, k, efOpt,
+          e.dist, efConstruction = e.efConstruction, upperBound = ub,
+          cacheKey = ck, pq = if (usePq) Some(loadPqModel(key)) else None,
+          route = route)
       case (Some(efv), Some(info)) =>
         lastServedArm = "declarative_pq"
         val codes = spark.read.parquet(pqDir(e).resolve("codes").toString)
@@ -1202,4 +1271,11 @@ object VecDB {
 
   private[graft] def adcWalkEligible(dim: Int, m: Int): Boolean =
     m.toLong * AdcWalkRatio <= dim
+
+  /** Slack factor for the serve-gate byte estimate: an estimate past the
+    * budget but within this factor triggers one bounded count probe
+    * instead of silently routing a possibly-small batch to the
+    * declarative arms. `-Dgraft.serve.gate.probe.slack`. */
+  private[graft] def GateProbeSlack: Int =
+    sys.props.get("graft.serve.gate.probe.slack").map(_.toInt).getOrElse(10)
 }

@@ -285,6 +285,103 @@ object Hnsw {
     override def getPartition(key: Any): Int = key.asInstanceOf[Int]
   }
 
+  /** Exact pid ⇔ partition mapping of a stored sidecar: with P subgraphs
+    * the walk parallelism is exactly P tasks, each owning one whole graph
+    * (a hash repartition would starve cores by folding several subgraphs
+    * into one partition and leaving others empty; an empty sidecar
+    * degrades to one empty partition → zero hits). Runs only when actually
+    * pinning — cached batches skip the agg job. */
+  private def pidPartitioned(index: DataFrame): org.apache.spark.rdd.RDD[IndexRow] = {
+    val spark = index.sparkSession
+    import spark.implicits._
+    val maxPidRow = index.agg(max(col("pid")).cast("int")).head()
+    val nPids = (if (maxPidRow.isNullAt(0)) 0 else maxPidRow.getInt(0)) + 1
+    index
+      .select(col("pid").cast("int"), col("local_id").cast("int"),
+        col("id").cast("long"), col("vec"), col("level").cast("int"),
+        col("links"))
+      .as[IndexRow]
+      .rdd
+      .keyBy(_._1)
+      .partitionBy(new PidPartitioner(nPids))
+      .values
+  }
+
+  /** Build (or fetch from the executor-local cache) a partition's sorted
+    * (pid, rebuilt graph) entries from its sidecar rows. Runs inside a
+    * task; `spid` must be the Spark partition id the rows arrived under —
+    * it is the cache coordinate shared by every pinned arm. */
+  private def entriesFor(
+      it: Iterator[IndexRow], ck: Option[String], spid: Int,
+      dist: String, m: Int, efConstruction: Int)
+    : Array[(Int, HnswGraphCache.Entry)] = {
+    def buildAll: Array[(Int, HnswGraphCache.Entry)] = {
+      // one pid per partition by construction; stay robust to several
+      val byPid = it.toArray.groupBy(_._1)
+      byPid.toArray.sortBy(_._1).map { case (pid, rows0) =>
+        val rows = rows0.sortBy(_._2)
+        pid -> HnswGraphCache.Entry(
+          HnswGraph.fromNodes(rows(0)._4.length, dist, m, efConstruction,
+            rows.iterator.map(r => (r._4, r._5, r._6))),
+          rows.map(_._3))
+      }
+    }
+    ck match {
+      case Some(key) => HnswGraphCache.getGroup(key, spid)(buildAll)
+      case None => buildAll
+    }
+  }
+
+  /** Per-pid PQ code matrices for an ADC-scored walk, aligned with
+    * [[entriesFor]]'s output (both sorted by pid) and encoded from the
+    * cached graphs' vectors — a codes-cache fill never re-reads the
+    * partition rows. Cached per executor under (cacheKey#pq<modelId>,
+    * spid). Returns (codes n×m, cosine centroid self-dot per node — null
+    * for L2) per entry. */
+  private def codeMatricesFor(
+      entries: Array[(Int, HnswGraphCache.Entry)],
+      ck: Option[String], spid: Int, pqId: Int,
+      pqCentroids: Array[Array[Array[Float]]],
+      pqGroups: Array[(Int, Int)],
+      pqCentDot: Array[Double],
+      pqM: Int, pqK: Int, cosine: Boolean)
+    : Array[(Array[Byte], Array[Double])] = {
+    def buildCodes: Array[(Array[Byte], Array[Double])] =
+      entries.map { case (_, e) =>
+        val nn = e.ids.length
+        val cm = new Array[Byte](nn * pqM)
+        val cd = if (cosine) new Array[Double](nn) else null
+        var r = 0
+        while (r < nn) {
+          PqKernel.encodeDecodedInto(e.graph.exportNode(r)._1,
+            pqCentroids, pqGroups, cosine, cm, r * pqM)
+          if (cosine) {
+            var acc = 0.0
+            var g = 0; var gk = 0; val base = r * pqM
+            while (g < pqM) {
+              acc += pqCentDot(gk + (cm(base + g) & 0xff))
+              g += 1; gk += pqK
+            }
+            cd(r) = acc
+          }
+          r += 1
+        }
+        (cm, cd)
+      }
+    ck match {
+      case Some(key) =>
+        val kk = (key + "#pq" + pqId, spid)
+        val hit = pinnedCodesCache.synchronized(
+          Option(pinnedCodesCache.get(kk)))
+        hit.getOrElse {
+          val c = buildCodes
+          pinnedCodesCache.synchronized(pinnedCodesCache.put(kk, c))
+          c
+        }
+      case None => buildCodes
+    }
+  }
+
   /** Executor-local cache of per-PARTITION PQ code matrices for the pinned
     * PQ walk (aligned 1:1 with the partition's [[HnswGraphCache.getGroup]]
     * entries — both sorted by pid): (cacheKey+"#pq", spid) → per-pid
@@ -365,26 +462,9 @@ object Hnsw {
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(qs)
 
-    def partitionByPid(): org.apache.spark.rdd.RDD[IndexRow] = {
-      // exact pid ⇔ partition mapping: with P subgraphs the walk
-      // parallelism is exactly P tasks, each owning one whole graph (an
-      // empty sidecar degrades to one empty partition → zero hits). Runs
-      // only when actually pinning — cached batches skip the agg job.
-      val maxPidRow = index.agg(max(col("pid")).cast("int")).head()
-      val nPids = (if (maxPidRow.isNullAt(0)) 0 else maxPidRow.getInt(0)) + 1
-      index
-        .select(col("pid").cast("int"), col("local_id").cast("int"),
-          col("id").cast("long"), col("vec"), col("level").cast("int"),
-          col("links"))
-        .as[IndexRow]
-        .rdd
-        .keyBy(_._1)
-        .partitionBy(new PidPartitioner(nPids))
-        .values
-    }
     val pinned = cacheKey match {
-      case Some(ckey) => pinnedGetOrBuild(ckey)(partitionByPid())
-      case None => partitionByPid()
+      case Some(ckey) => pinnedGetOrBuild(ckey)(pidPartitioned(index))
+      case None => pidPartitioned(index)
     }
     val ck = cacheKey
     // PQ model unpacked into plain locals so the task closure ships only
@@ -408,65 +488,14 @@ object Hnsw {
 
     val partial = pinned
       .mapPartitions { it =>
-        def buildAll: Array[(Int, HnswGraphCache.Entry)] = {
-          // one pid per partition by construction; stay robust to several
-          val byPid = it.toArray.groupBy(_._1)
-          byPid.toArray.sortBy(_._1).map { case (pid, rows0) =>
-            val rows = rows0.sortBy(_._2)
-            pid -> HnswGraphCache.Entry(
-              HnswGraph.fromNodes(rows(0)._4.length, dist, m, efConstruction,
-                rows.iterator.map(r => (r._4, r._5, r._6))),
-              rows.map(_._3))
-          }
-        }
         val spid = TaskContext.getPartitionId()
-        val entries = ck match {
-          case Some(key) => HnswGraphCache.getGroup(key, spid)(buildAll)
-          case None => buildAll
-        }
+        val entries = entriesFor(it, ck, spid, dist, m, efConstruction)
         if (entries.isEmpty) Iterator.empty
         else {
-          // per-pid code matrices for the ADC walk, aligned with `entries`
-          // (both sorted by pid); encoded from the cached graphs' vectors,
-          // so a codes-cache fill never re-reads the partition rows
           val codes: Array[(Array[Byte], Array[Double])] =
             if (!hasPq) null
-            else {
-              def buildCodes: Array[(Array[Byte], Array[Double])] =
-                entries.map { case (_, e) =>
-                  val nn = e.ids.length
-                  val cm = new Array[Byte](nn * pqM)
-                  val cd = if (cosine) new Array[Double](nn) else null
-                  var r = 0
-                  while (r < nn) {
-                    PqKernel.encodeDecodedInto(e.graph.exportNode(r)._1,
-                      pqCentroids, pqGroups, cosine, cm, r * pqM)
-                    if (cosine) {
-                      var acc = 0.0
-                      var g = 0; var gk = 0; val base = r * pqM
-                      while (g < pqM) {
-                        acc += pqCentDot(gk + (cm(base + g) & 0xff))
-                        g += 1; gk += pqK
-                      }
-                      cd(r) = acc
-                    }
-                    r += 1
-                  }
-                  (cm, cd)
-                }
-              ck match {
-                case Some(key) =>
-                  val kk = (key + "#pq" + pqId, spid)
-                  val hit = pinnedCodesCache.synchronized(
-                    Option(pinnedCodesCache.get(kk)))
-                  hit.getOrElse {
-                    val c = buildCodes
-                    pinnedCodesCache.synchronized(pinnedCodesCache.put(kk, c))
-                    c
-                  }
-                case None => buildCodes
-              }
-            }
+            else codeMatricesFor(entries, ck, spid, pqId, pqCentroids,
+              pqGroups, pqCentDot, pqM, pqK, cosine)
           val hitIds = new Array[Int](k)
           val hitDs = new Array[Double](k)
           val sel = new Array[Int](entries.length)
@@ -548,6 +577,134 @@ object Hnsw {
     pinnedSearchCore(index, qs, k,
       ef.getOrElse(math.max(efConstruction, 2 * m) / 2),
       model.dist, m, efConstruction, upperBound, cacheKey, Some(model))
+  }
+
+  /** Driver-UNBOUNDED indexed search — the oversized-batch arm. Every
+    * other pinned/broadcast arm starts by collecting the query batch to
+    * the driver; past the serving gate that collect is the scaling bug, so
+    * here queries stay a distributed Dataset end to end: each query's
+    * probe pids (routed — its `np` nearest centroids against the broadcast
+    * centroid matrix, plus every delta pid ≥ the model's cell count;
+    * unrouted — every pid) are computed executor-side, exploded to
+    * (pid, query) rows, shuffled with the same exact [[PidPartitioner]]
+    * the pinned index uses, and zipped partition-for-partition with the
+    * pinned RDD — cohort partition i meets index partition i, which holds
+    * exactly subgraph i and its executor-cached graph ([[entriesFor]]
+    * under the same (cacheKey, spid) coordinates as the collected arms, so
+    * the two arms share resident graphs). Per-query work stays n_probes
+    * graph walks; driver memory stays O(1); the only data moved per batch
+    * is the query set itself (np rows per query) plus Q·k·np hit rows into
+    * the top-k merge — the batch-similarity-JOIN regime with the index
+    * still pruning the scan.
+    *
+    * With `pq`, nodes are ADC-scored from per-partition code matrices and
+    * exact re-ranked ([[HnswGraph.searchFnInto]]), as the collected arms.
+    */
+  private[graft] def searchPinnedStream(
+      index: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      ef: Option[Int] = None,
+      dist: String = "l2sqr",
+      m: Int = 16,
+      efConstruction: Int = 200,
+      upperBound: Double = Double.PositiveInfinity,
+      cacheKey: Option[String] = None,
+      pq: Option[PqModel] = None,
+      route: Option[(IvfModel, Int)] = None): DataFrame = {
+    val spark = index.sparkSession
+    import spark.implicits._
+    val efq = ef.getOrElse(math.max(efConstruction, 2 * m) / 2)
+    val pinned = cacheKey match {
+      case Some(ckey) => pinnedGetOrBuild(ckey)(pidPartitioned(index))
+      case None => pidPartitioned(index)
+    }
+    val nPids = pinned.getNumPartitions
+    val ck = cacheKey
+    val hasPq = pq.isDefined
+    val pqCentroids = pq.map(_.centroids).orNull
+    val pqCentDot = pq.map(_.centroidDotCache).orNull
+    val pqGroupsArr = pq.map(p => PqKernel.pqGroups(p.dim, p.m)).orNull
+    val pqM = pq.map(_.m).getOrElse(0)
+    val pqK = pq.map(_.k).getOrElse(0)
+    val pqNBits = pq.map(_.nBits).getOrElse(0)
+    val pqId =
+      if (hasPq)
+        java.util.Arrays.deepHashCode(pqCentroids.asInstanceOf[Array[AnyRef]])
+      else 0
+    val cosine = dist == "cosine"
+
+    val qRdd = queries
+      .select(col("query_id").cast("long"), col("query_vec"))
+      .as[(Long, Array[Float])].rdd
+    val exploded = route match {
+      case Some((model, np0)) =>
+        val np = math.max(1, np0)
+        val bcModel = spark.sparkContext.broadcast(model)
+        val floor = model.centroids.length
+        qRdd.flatMap { case (qid, qv) =>
+          // probe list + every post-build delta pid (delta subgraphs are
+          // not cluster-partitioned, so routing must always walk them);
+          // probeList ids are < floor, so the union is duplicate-free
+          (Ivf.probeList(qv, bcModel.value, np).iterator ++
+            Iterator.range(floor, nPids)).map(pid => (pid, (qid, qv)))
+        }
+      case None =>
+        qRdd.flatMap { case (qid, qv) =>
+          Iterator.range(0, nPids).map(pid => (pid, (qid, qv)))
+        }
+    }
+    val cohorts = exploded.partitionBy(new PidPartitioner(nPids)).values
+
+    val partial = cohorts.zipPartitions(pinned) { (qit, idxIt) =>
+      if (!qit.hasNext) Iterator.empty
+      else {
+        val spid = TaskContext.getPartitionId()
+        val entries = entriesFor(idxIt, ck, spid, dist, m, efConstruction)
+        if (entries.isEmpty) Iterator.empty
+        else {
+          val codes: Array[(Array[Byte], Array[Double])] =
+            if (!hasPq) null
+            else codeMatricesFor(entries, ck, spid, pqId, pqCentroids,
+              pqGroupsArr, pqCentDot, pqM, pqK, cosine)
+          val hitIds = new Array[Int](k)
+          val hitDs = new Array[Double](k)
+          qit.flatMap { case (qid, qv) =>
+            // a query arrives here because a pid of this partition is on
+            // its probe list; partitions hold exactly one pid by
+            // construction, so every resident graph is walked
+            val lut =
+              if (hasPq)
+                PqKernel.buildLookup(qv, pqCentroids, pqNBits, dist)
+                  .map(_.toFloat)
+              else null
+            val qn = if (hasPq && cosine) {
+              var acc = 0.0; var i = 0
+              while (i < qv.length) { acc += qv(i).toDouble * qv(i); i += 1 }
+              math.sqrt(acc)
+            } else 0.0
+            Iterator.range(0, entries.length).flatMap { ei =>
+              val e2 = entries(ei)._2
+              val cnt =
+                if (!hasPq) e2.graph.searchInto(qv, k, efq, hitIds, hitDs)
+                else {
+                  val (cm, cd) = codes(ei)
+                  val distFn: Int => Double = { idx =>
+                    val s = PqKernel.adcOne(cm, idx * pqM, pqM, pqK, lut)
+                    if (cosine)
+                      1.0 - s / math.max(math.sqrt(cd(idx)) * qn, 1e-10)
+                    else s
+                  }
+                  e2.graph.searchFnInto(distFn, qv, k, efq, hitIds, hitDs)
+                }
+              Iterator.range(0, cnt).map(i => (qid, e2.ids(hitIds(i)), hitDs(i)))
+            }
+          }
+        }
+      }
+    }.toDF("query_id", "id", "distance")
+
+    merge(bounded(partial, upperBound), k)
   }
 
   /** Serving-shape search: broadcast the stored index, partition the

@@ -405,7 +405,14 @@ class CatalogSpec extends SparkTestBase {
     } finally sys.props.remove("graft.adc.walk.ratio")
   }
 
-  test("oversized query batches serve through the declarative driver-unbounded shapes") {
+  private def resTriples(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Double)] = {
+    import spark.implicits._
+    df.select(col("query_id").cast("long"), col("id").cast("long"),
+      col("distance").cast("double"))
+      .as[(Long, Long, Double)].collect().sorted.toSeq
+  }
+
+  test("oversized query batches serve through driver-unbounded shapes") {
     import spark.implicits._
     val db = freshDb()
     db.createTableIfNotExists("t", 8, "l2sqr")
@@ -416,24 +423,141 @@ class CatalogSpec extends SparkTestBase {
     // limit(6) exposes an exact Catalyst row count to the serve gate
     val queries = vecs.take(6).zipWithIndex
       .map { case (v, i) => (i.toLong, v) }.toDF("query_id", "query_vec").limit(6)
-    def res(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Double)] =
-      df.select(col("query_id").cast("long"), col("id").cast("long"),
-        col("distance").cast("double"))
-        .as[(Long, Long, Double)].collect().sorted.toSeq
-    val expect = res(db.searchBatch("t", queries, k = 3, ef = Some(200)))
+    val expect = resTriples(db.searchBatch("t", queries, k = 3, ef = Some(200)))
     assert(db.lastServedArm == "hnsw")
     db.serveMaxQueriesOverride = Some(3)
     try {
-      // past the gate no serving arm may collect the batch to the driver
-      val viaExact = res(db.searchBatch("t", queries, k = 3, ef = Some(200)))
-      assert(db.lastServedArm == "declarative_exact",
+      // past the gate no arm may collect the batch to the driver — but the
+      // HNSW sidecar keeps serving, through the queries-distributed stream
+      // walk (r10 verdict item 5: the index must not be ignored exactly
+      // when the workload is largest)
+      val viaStream = resTriples(db.searchBatch("t", queries, k = 3, ef = Some(200)))
+      assert(db.lastServedArm == "hnsw_stream",
         s"oversized batch served by '${db.lastServedArm}'")
-      assert(viaExact == expect)
+      assert(viaStream == expect)
       db.buildPqTable("t", trainProportion = Some(0.5), m = Some(4))
-      val viaPq = res(db.searchBatch("t", queries, k = 3, ef = Some(200)))
-      assert(db.lastServedArm == "declarative_pq")
-      assert(viaPq == expect) // ef ≥ n ⇒ ADC + exact re-rank is exact
+      // (ef, pq) wide-code: same cost gate as the serving arms → plain walk
+      val viaGated = resTriples(db.searchBatch("t", queries, k = 3, ef = Some(200)))
+      assert(db.lastServedArm == "knn_pq_stream_gated_plain_hnsw")
+      assert(viaGated == expect)
     } finally db.serveMaxQueriesOverride = None
+    // without an index the declarative shapes serve: exact KNN join, and
+    // the flat ADC scan once a quantizer exists
+    val db2 = freshDb()
+    db2.createTableIfNotExists("t", 8, "l2sqr")
+    db2.batchAdd("t", vecs, vecs.indices.map(i => Map("i" -> i.toString)))
+    db2.serveMaxQueriesOverride = Some(3)
+    try {
+      val viaExact = resTriples(db2.searchBatch("t", queries, k = 3, ef = Some(200)))
+      assert(db2.lastServedArm == "declarative_exact")
+      assert(viaExact == expect)
+      db2.buildPqTable("t", trainProportion = Some(0.5), m = Some(4))
+      val viaPq = resTriples(db2.searchBatch("t", queries, k = 3, ef = Some(200)))
+      assert(db2.lastServedArm == "declarative_pq")
+      assert(viaPq == expect) // ef ≥ n ⇒ ADC + exact re-rank is exact
+    } finally db2.serveMaxQueriesOverride = None
+  }
+
+  test("oversized batch on a routed table serves via the indexed stream arm") {
+    import spark.implicits._
+    val db = freshDb()
+    db.createTableIfNotExists("t", 8, "l2sqr")
+    val rnd = new scala.util.Random(43)
+    val vecs = (0 until 80).map(_ => Array.fill(8)(rnd.nextFloat()))
+    db.batchAdd("t", vecs, vecs.indices.map(i => Map("i" -> i.toString)))
+    // full probes (np = kClusters) ⇒ the routed union is exhaustive and
+    // gradable against the declarative exact join
+    db.buildIvfHnswIndex("t", kClusters = 3, defaultNProbes = 3,
+      trainProportion = Some(0.5))
+    val queries = vecs.take(7).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("query_id", "query_vec").limit(7)
+    val exact = resTriples(
+      graft.operators.Knn.exactDeclarative(db.table("t"), queries, 3))
+    db.serveMaxQueriesOverride = Some(3)
+    try {
+      val viaStream = resTriples(db.searchBatch("t", queries, k = 3, ef = Some(200)))
+      assert(db.lastServedArm == "hnsw_stream",
+        s"oversized routed batch served by '${db.lastServedArm}'")
+      assert(viaStream == exact)
+      // narrow-code (ratio forced) (ef, pq): ADC-scored stream walk + exact
+      // re-rank, still exact at exhaustive ef
+      db.buildPqTable("t", trainProportion = Some(0.5), m = Some(4))
+      sys.props("graft.adc.walk.ratio") = "1"
+      try {
+        val viaPqStream = resTriples(db.searchBatch("t", queries, k = 3, ef = Some(200)))
+        assert(db.lastServedArm == "knn_pq_stream",
+          s"oversized routed (ef, pq) batch served by '${db.lastServedArm}'")
+        assert(viaPqStream == exact)
+      } finally sys.props.remove("graft.adc.walk.ratio")
+    } finally db.serveMaxQueriesOverride = None
+  }
+
+  test("serve gate probes borderline byte estimates instead of de-optimizing") {
+    import spark.implicits._
+    val db = freshDb()
+    db.createTableIfNotExists("t", 8, "l2sqr")
+    val rnd = new scala.util.Random(47)
+    val vecs = (0 until 40).map(_ => Array.fill(8)(rnd.nextFloat()))
+    db.batchAdd("t", vecs, vecs.indices.map(i => Map("i" -> i.toString)))
+    db.buildHnswIndex("t")
+    // a parquet scan has NO Catalyst rowCount (without ANALYZE) — only a
+    // byte estimate. With the byte budget forced under that estimate (but
+    // within the 10× probe slack), only the bounded count probe can see
+    // the batch is actually 4 queries small.
+    val qdir = Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "qbatch").toString
+    vecs.take(4).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("query_id", "query_vec")
+      .write.mode("overwrite").parquet(qdir)
+    val queries = spark.read.parquet(qdir)
+    val stats = queries.queryExecution.optimizedPlan.stats
+    assert(stats.rowCount.isEmpty, "fixture must exercise the byte fallback")
+    db.broadcastGateBytes = Some(stats.sizeInBytes.toLong / 2 + 1)
+    try {
+      val out = resTriples(db.searchBatch("t", queries, k = 3, ef = Some(200)))
+      assert(db.lastGateDecision == "probe:4",
+        s"gate decided via '${db.lastGateDecision}'")
+      assert(db.lastServedArm == "hnsw",
+        s"estimate-inflated small batch served by '${db.lastServedArm}'")
+      assert(out.nonEmpty && out.map(_._1).distinct.size == 4)
+    } finally db.broadcastGateBytes = None
+  }
+
+  test("delete+recreate correctness rests on cacheKey rotation, not eviction") {
+    // The cluster story: remote executors never see invalidateCaches —
+    // their stale graphs are fenced ONLY by the `created`-stamped cacheKey
+    // (VecDB.TableEntry.created). Stub the eviction to a no-op (the remote
+    // executor's view) and prove a recreated namesake table with IDENTICAL
+    // (version, nextId) never serves the old table's graphs.
+    val root = Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "vecdb_test").toString
+    val db = new VecDB(spark, root)
+    db.cacheEvictionHook = _ => () // remote executors' view of a delete
+    def load(vs: Seq[Array[Float]]): Unit = {
+      db.createTableIfNotExists("t", 4, "l2sqr")
+      db.batchAdd("t", vs, vs.indices.map(i => Map("i" -> i.toString)))
+      db.buildHnswIndex("t")
+    }
+    val rnd = new scala.util.Random(53)
+    val a = (0 until 30).map(_ => Array.fill(4)(rnd.nextFloat()))
+    load(a)
+    val beforeIds = db.search("t", a(7), 3, ef = Some(100)).map(_._1("i"))
+    assert(beforeIds.head == "7")
+    val vBefore = db.entrySnapshotForTest("t")
+    db.deleteTable("t")
+    // same row count, same build sequence ⇒ identical (version, nextId) —
+    // only the created stamp differs
+    val b = (0 until 30).map(_ => Array.fill(4)(rnd.nextFloat()))
+    load(b)
+    val vAfter = db.entrySnapshotForTest("t")
+    assert(vBefore._1 == vAfter._1 && vBefore._2 == vAfter._2,
+      s"fixture broke: (version, nextId) $vBefore vs $vAfter must collide")
+    assert(vBefore._3 != vAfter._3, "created stamp must rotate")
+    // nearest neighbor of b(7) in table B must come from B's data — a
+    // stale cached graph for A would answer with A's geometry
+    val afterHits = db.search("t", b(7), 3, ef = Some(100))
+    assert(afterHits.head._1("i") == "7" && afterHits.head._2 < 1e-9,
+      s"recreated table served stale results: $afterHits")
   }
 
   test("serving metadata attach is a pushed id point-lookup, not a full scan") {
