@@ -58,6 +58,48 @@ object Bench {
           ((pmod(xxhash64(col("id"), j + dim), lit(20000L)) - 10000L) / 10000.0) * noise)
           .cast("float")).as("vec"))
 
+  /** Rank-R manifold variant: x = W·z with z clustered in R dims — the
+    * intrinsic-dimension structure real descriptor corpora actually have
+    * (GIST-960, the baseline's data, has intrinsic dimension ≈ 20-40). The
+    * iid per-dim noise of [[synthClusteredVectors]] is PQ-ADVERSARIAL —
+    * independent uniform noise gives a product quantizer nothing to
+    * exploit, so ADC-scored walks need 3-4× the beam for equal recall on
+    * it (WalkProbe, r11) while on GIST the reference's HNSW+PQ beats its
+    * plain HNSW. This fixture represents the quantizable regime: per-group
+    * marginals concentrate near rank-R projections, so a 4-bit quantizer
+    * resolves neighbor gaps. Deterministic per id, partitioning-independent
+    * (per-row PRNG seeded from id; W and z-centers from fixed seeds). */
+  def synthLowRankVectors(
+      s: SparkSession, n: Long, dim: Int, rank: Int, centers: Int,
+      noise: Double): DataFrame = {
+    import s.implicits._
+    val noiseF = noise.toFloat
+    s.range(n).mapPartitions { it =>
+      val wr = new java.util.Random(1806L)
+      val scale = (1.0 / math.sqrt(rank / 3.0)).toFloat
+      val w = Array.fill(dim * rank)((wr.nextFloat() * 2f - 1f) * scale)
+      val cr = new java.util.Random(42L)
+      val zc = Array.fill(centers, rank)(cr.nextFloat() * 2f - 1f)
+      val z = new Array[Float](rank)
+      it.map { id =>
+        val rnd = new java.util.Random(id * 0x9E3779B97F4A7C15L ^ 0x1806L)
+        rnd.nextFloat() // churn the seed scramble
+        val c = zc((id % centers).toInt)
+        var r = 0
+        while (r < rank) { z(r) = c(r) + (rnd.nextFloat() * 2f - 1f) * noiseF; r += 1 }
+        val x = new Array[Float](dim)
+        var j = 0
+        while (j < dim) {
+          var acc = 0f; var rr = 0; val base = j * rank
+          while (rr < rank) { acc += w(base + rr) * z(rr); rr += 1 }
+          x(j) = acc
+          j += 1
+        }
+        (id.toLong, x)
+      }
+    }.toDF("id", "vec")
+  }
+
   /** Deterministic word-soup documents with a planted duplicate structure:
     * content derives from `id % (n/2)` (every text appears exactly twice),
     * and the second copy mutates one word → exact-dup groups for the
@@ -292,7 +334,11 @@ object Bench {
       try {
         val batches = 16
         val perRep = Array.fill(ws.length)(Vector.empty[Double])
-        (0 until rounds).foreach { _ =>
+        // one untimed warm round first: the first pipelined pass per
+        // workload is 2-6× cold (JIT of the submit path, pool spin-up, GC
+        // ramp — visible in the r11 shakedown's rep spread) and would
+        // otherwise burn one of the timed reps per workload
+        (0 to rounds).foreach { round =>
           ws.zipWithIndex.foreach { case ((_, mk, nqPlan), i) =>
             System.gc()
             val t0 = System.nanoTime()
@@ -300,7 +346,7 @@ object Bench {
               Future.sequence((0 until batches).map(_ => Future(serve(mk())))),
               Duration.Inf)
             val sec = (System.nanoTime() - t0) / 1e9
-            perRep(i) :+= batches.toLong * nqPlan / sec
+            if (round > 0) perRep(i) :+= batches.toLong * nqPlan / sec
           }
         }
         val med = ws.zipWithIndex.map { case ((name, _, _), i) =>
@@ -479,7 +525,7 @@ object Bench {
         // 5 reps for the floor-amortized headline rows (observed ~2×
         // median swing across runs at 3) and the 1M grid, 3 elsewhere
         val reps =
-          if (name.contains("_nq10k_") || name.contains("_1m_")) 5
+          if (name.contains("_nq10k_") || name.contains("_1m")) 5
           else if (name.endsWith("_batch")) 3
           else 1
         // shed the previous workload's GC debt before timing this one
@@ -492,7 +538,7 @@ object Bench {
           }
           (System.nanoTime() - t0) / 1e9
         }.sorted
-        if (name.contains("_1m_")) repSpread += name -> times
+        if (name.contains("_1m")) repSpread += name -> times
         name -> times(times.length / 2)
       }
     val resultsStd = timeAll(workloads)
@@ -561,7 +607,7 @@ object Bench {
       // what the dispatch actually serves a beyond-gate (ef, pq) search at
       // m=320: the cost gate routes to the plain walk (see mkHnswPq960)
       def mkPinnedPq() =
-        if (graft.catalog.VecDB.adcWalkEligible(960, 320)) mkPinnedPqWalk()
+        if (graft.catalog.VecDB.adcWalkEligible(960, 320, pinned = true)) mkPinnedPqWalk()
         else mkPinned()
       withAqeOff(serve(mkPinnedPqWalk())) // one-time code-matrix encode
       // (np, ef) grid: np trades probes for speed at fixed ef; the ef=600/
@@ -576,7 +622,7 @@ object Bench {
         }
       // dispatch-served routed (ef, pq): cost-gated to the plain routed walk
       def mkRoutedPq() =
-        if (graft.catalog.VecDB.adcWalkEligible(960, 320)) routedPqMk.head._3()
+        if (graft.catalog.VecDB.adcWalkEligible(960, 320, pinned = true)) routedPqMk.head._3()
         else routedMk.head._2()
       routedPqMk.foreach { case (_, _, mk) => withAqeOff(serve(mk())) }
       // recall vs exact ground truth; the recall pass doubles as the warm
@@ -620,14 +666,93 @@ object Bench {
       errors += "bench_1m" ->
         Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
     }
-    val results = resultsStd ++ results1m
+
+    // ---- 1M×960 LOW-RANK fixture: the quantizable (GIST-like) regime ------
+    // The clustered fixture above carries iid per-dim noise — PQ-adversarial
+    // by construction (nothing for a product quantizer to exploit; the ADC
+    // walk needs 3-4× the beam for equal recall there — WalkProbe r11). The
+    // baseline's actual corpus (GIST-960) has intrinsic dimension ≈ 20-40,
+    // the regime PQ was designed for. These rows measure BOTH walks on a
+    // rank-48 manifold fixture ([[synthLowRankVectors]]) so the reference's
+    // published HNSW+PQ > HNSW ordering (t_bench.toml:29-55 vs :3-27) is
+    // adjudicable on this engine: routed np1 plain walk vs the routed ADC
+    // walk at narrow m (the kernel-measured win region — AdcBench r11) over
+    // an (m, ef) grid, recall attached to every row.
+    var results1mLr = Seq.empty[(String, Double)]
+    var recalls1mLr = Map.empty[String, Double]
+    var build1mLr = Option.empty[Double]
+    var sustained1mLr = Map.empty[String, Double]
+    var sustainedSpread1mLr = Map.empty[String, Seq[Double]]
+    val n1mLr = sys.env.getOrElse("SPARK_GRAFT_BENCH_N1MLR", n1m.toString).toLong
+    if (n1mLr > 0) try {
+      val kc = 32
+      val cacheDir = java.nio.file.Paths.get("bench_cache", s"bench1mlr_${n1mLr}_$kc")
+      val donePath = cacheDir.resolve("_done")
+      val idxPath = cacheDir.resolve("idx").toString
+      val vecLr = synthLowRankVectors(spark, n1mLr, 960, 48, 1000, 0.5)
+      val qLr = vecLr.filter(col("id") < nq)
+        .select(col("id").as("query_id"), col("vec").as("query_vec")).cache()
+      qLr.count()
+      if (!java.nio.file.Files.exists(donePath)) {
+        val t0 = System.nanoTime()
+        val (model, idx) = IvfHnsw.buildIndex(vecLr, kc,
+          trainFraction = Some(math.min(0.5, 20000.0 / n1mLr)))
+        idx.write.mode("overwrite").parquet(idxPath)
+        Ivf.centroidsDf(spark, model).write.mode("overwrite")
+          .parquet(cacheDir.resolve("centroids").toString)
+        build1mLr = Some((System.nanoTime() - t0) / 1e9)
+        java.nio.file.Files.createFile(donePath)
+      }
+      val modelLr = Ivf.readModel(spark, cacheDir.toString, "l2sqr")
+      val idxLr = spark.read.parquet(idxPath)
+      val ckLr = Some(s"bench1mlr_${n1mLr}_$kc")
+      def mkLrPlain() = IvfHnsw.searchPinned(idxLr, modelLr, qLr, k = 10,
+        ef = Some(120), nProbes = Some(1), cacheKey = ckLr)
+      withAqeOff(serve(mkLrPlain()))
+      // narrow-m 4-bit quantizers for the ADC walk: m=160/m=120 are the
+      // kernel win region at the RAM-bound scale (419/304 ns per eval vs
+      // the float walk's ~700 — AdcBench r11); m=320 (the reference
+      // default) is kernel-parity and stays a diagnostic point
+      val pqWalkModels = Seq(160, 120).map { m =>
+        m -> Pq.train(vecLr, m = m, nBits = 4,
+          trainFraction = Some(math.min(0.5, 10000.0 / n1mLr)))
+      }
+      val walkGrid = for {
+        (m, model) <- pqWalkModels
+        ef <- Seq(120, 180, 240)
+      } yield (s"ivf_hnsw_pq_walk_1mlr_d960_m${m}_ef${ef}_batch",
+        () => IvfHnsw.searchPinnedPq(idxLr, modelLr, model, qLr, k = 10,
+          ef = Some(ef), nProbes = Some(1), cacheKey = ckLr))
+      walkGrid.foreach { case (_, mk) => withAqeOff(serve(mk())) } // code build
+      val truthLr = truthSets(vecLr, qLr, 10)
+      recalls1mLr += "ivf_hnsw_1mlr_d960_np1_batch" -> recallOf(mkLrPlain(), truthLr)
+      walkGrid.foreach { case (name, mk) =>
+        recalls1mLr += name -> recallOf(mk(), truthLr)
+      }
+      results1mLr = timeAll(
+        ("ivf_hnsw_1mlr_d960_np1_batch", () => withAqeOff(serve(mkLrPlain())): Long) +:
+        walkGrid.map { case (name, mk) =>
+          (name, () => withAqeOff(serve(mk())): Long)
+        })
+      val (sLr, spLr) = sustainedGrid(Seq(
+        ("ivf_hnsw_1mlr_d960_np1_sustained", mkLrPlain _, nq),
+        ("ivf_hnsw_pq_walk_1mlr_d960_m160_ef180_sustained",
+          walkGrid.collectFirst { case (n2, mk) if n2.contains("m160_ef180") => mk }.get, nq)))
+      sustained1mLr ++= sLr
+      sustainedSpread1mLr ++= spLr
+    } catch { case e: Throwable =>
+      errors += "bench_1mlr" ->
+        Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+    }
+    val results = resultsStd ++ results1m ++ results1mLr
 
     def jstr(s: String): String =
       "\"" + s.flatMap {
         case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
         case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
       } + "\""
-    val resultsAll = results ++ build1m.map(b => ("hnsw_1m_d960_build", b)).toSeq
+    val resultsAll = results ++ build1m.map(b => ("hnsw_1m_d960_build", b)).toSeq ++
+      build1mLr.map(b => ("ivf_hnsw_1mlr_d960_build", b)).toSeq
     val qs = resultsAll.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
     val qps = results.filter(_._1.endsWith("_batch"))
@@ -636,21 +761,22 @@ object Bench {
         jstr(k) + ":" + (if (v > 0) rowNq / v else 0.0)
       }
       .mkString("{", ",", "}")
-    val sustainedJson = (sustained ++ sustained1m)
+    val sustainedJson = (sustained ++ sustained1m ++ sustained1mLr)
       .map { case (k, v) => jstr(k) + ":" + f"$v%.1f" }
       .mkString("{", ",", "}")
     // per-rep q/s of every sustained row (r10 verdict item 2): regressions
     // on these rows are only adjudicable with the run-to-run spread visible
-    val sustainedSpreadJson = (sustainedSpread ++ sustainedSpread1m)
-      .map { case (k, ts) =>
-        jstr(k) + ":" + ts.map(t => f"$t%.1f").mkString("[", ",", "]")
-      }
-      .mkString("{", ",", "}")
+    val sustainedSpreadJson =
+      (sustainedSpread ++ sustainedSpread1m ++ sustainedSpread1mLr)
+        .map { case (k, ts) =>
+          jstr(k) + ":" + ts.map(t => f"$t%.1f").mkString("[", ",", "]")
+        }
+        .mkString("{", ",", "}")
     val sanityJson = samePlanSanity match {
       case Some((r, ok)) => f""","sustained_sameplan_ratio":$r%.3f,"sustained_sameplan_ok":$ok"""
       case None => ""
     }
-    val allRecalls = recalls ++ recalls1m
+    val allRecalls = recalls ++ recalls1m ++ recalls1mLr
     val recallJson = allRecalls.map { case (k, v) => jstr(k) + ":" + f"$v%.4f" }
       .mkString("{", ",", "}")
     val spreadJson = repSpread
@@ -688,7 +814,11 @@ object Bench {
       "ivf_hnsw_1m_d960_np2_batch", "ivf_hnsw_1m_d960_np4_batch",
       "ivf_hnsw_1m_d960_np8_batch",
       "hnsw_pq_1m_d960_batch", "hnsw_pq_walk_1m_d960_batch",
-      "ivf_hnsw_pq_1m_d960_np1_batch", "ivf_hnsw_pq_walk_1m_d960_np1_batch")
+      "ivf_hnsw_pq_1m_d960_np1_batch", "ivf_hnsw_pq_walk_1m_d960_np1_batch",
+      "ivf_hnsw_1mlr_d960_np1_batch",
+      "ivf_hnsw_pq_walk_1mlr_d960_m160_ef120_batch",
+      "ivf_hnsw_pq_walk_1mlr_d960_m160_ef180_batch",
+      "ivf_hnsw_pq_walk_1mlr_d960_m120_ef180_batch")
     val resMap = results.toMap
     val headQps = headlineKeys.flatMap { k =>
       resMap.get(k).filter(_ > 0).map { sec =>

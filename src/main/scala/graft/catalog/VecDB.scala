@@ -998,7 +998,7 @@ class VecDB(spark: SparkSession, root: String) {
         val idx = spark.read.parquet(hnswDir(e).toString)
         val ck = Some(s"${hnswDir(e)}@c${e.created}v${e.version}n${e.nextId}")
         val usePq = efOpt.isDefined && pqInfo.isDefined &&
-          VecDB.adcWalkEligible(e.dim, pqInfo.get.m)
+          VecDB.adcWalkEligible(e.dim, pqInfo.get.m, pinned = true)
         val route =
           if (e.hnswRouted) {
             val rm = loadRouteModel(e)
@@ -1026,10 +1026,12 @@ class VecDB(spark: SparkSession, root: String) {
     } else (ef, e.pq) match {
       case (Some(efv), Some(info))
           if e.hasHnsw && pattern.isEmpty &&
-            !VecDB.adcWalkEligible(e.dim, info.m) =>
-        // cost-gated knn_pq: at this (dim, m) the ADC-scored walk is
-        // SLOWER than the plain SIMD walk of the same graph (see
-        // [[VecDB.adcWalkEligible]]) — serve the plain HNSW walk, whose
+            !VecDB.adcWalkEligible(e.dim, info.m,
+              pinned = !hnswEligible(e.nextId, e.dim)) =>
+        // cost-gated knn_pq: at this (dim, m) in this serving regime the
+        // ADC-scored walk is SLOWER than the plain SIMD walk of the same
+        // graph (see [[VecDB.adcWalkEligible]] — the crossover is wider in
+        // the RAM-bound pinned regime) — serve the plain HNSW walk, whose
         // exact distances subsume the combined traversal's re-rank. Same
         // output contract, strictly better selection quality.
         lastServedArm = "knn_pq_gated_plain_hnsw"
@@ -1256,21 +1258,42 @@ object VecDB {
   /** Cost gate for the HNSW+PQ combined traversal (`knn_pq`): the ADC walk
     * scores a node with m DEPENDENT lookup-adds into the per-query LUT,
     * while the plain walk scores it with one pipelined SIMD pass over dim
-    * floats that stays cache-resident per serving task (each task re-walks
-    * its own subgraphs for the whole batch, unlike the reference's single
-    * RAM-resident graph, which is bandwidth-bound and so profits from the
-    * 12× smaller codes). Measured on this engine at the reference default
-    * m = dim/3 (d960/m320, BENCH_r9): the float walk is 1.5–2.3× faster at
-    * BOTH 10k and 1M scales, at higher recall. The combined traversal
-    * therefore only engages when codes are much narrower than the vector:
-    * m · ratio ≤ dim, ratio default 8 (`-Dgraft.adc.walk.ratio`); at or
-    * above the gate the dispatch serves the plain HNSW walk, whose exact
-    * distances subsume the re-rank — never the slower arm. */
+    * floats. Measured on this engine at the reference default m = dim/3
+    * (d960/m320, BENCH_r9 + AdcBench r11): the float walk is faster in the
+    * cache-resident broadcast regime (388 vs 559 ns/eval at 10k×960) and
+    * at kernel parity in the RAM-bound pinned regime (700 vs 668) — at
+    * higher recall, so the wide-code traversal never wins. The combined
+    * traversal therefore only engages when codes are enough narrower than
+    * the vector, and the crossover is REGIME-DEPENDENT (AdcBench r11,
+    * random-access evals):
+    *
+    *  - broadcast (cache-resident) regime: float 388 ns/eval; ADC wins
+    *    from m ≤ dim/8 (m=120: 199 ns) — ratio 8,
+    *    `-Dgraft.adc.walk.ratio`;
+    *  - pinned/routed (RAM-bound) regime: float 700 ns/eval (random
+    *    3.8 KB rows from a working set past LLC); ADC wins already from
+    *    m ≤ dim/6 (m=160: 419 ns, 1.7×) — ratio 6,
+    *    `-Dgraft.adc.walk.ratio.pinned`. End-to-end (BENCH_r11, 1M×960
+    *    rank-48 fixture, routed np1): the m=160 ADC walk serves 3334 q/s
+    *    at recall 0.769 vs the plain walk's 2553 q/s at 0.773 — the
+    *    reference's own HNSW+PQ > HNSW ordering, reproduced. (Quality at
+    *    a given (m, ef) remains data-dependent: iid-noise corpora are
+    *    quantization-hostile and favor wider beams — the quantizer choice
+    *    is the caller's, as in the reference.)
+    *
+    * At or above the gate the dispatch serves the plain HNSW walk, whose
+    * exact distances subsume the re-rank — never a slower arm. */
   private[graft] def AdcWalkRatio: Int =
     sys.props.get("graft.adc.walk.ratio").map(_.toInt).getOrElse(8)
 
-  private[graft] def adcWalkEligible(dim: Int, m: Int): Boolean =
-    m.toLong * AdcWalkRatio <= dim
+  private[graft] def AdcWalkRatioPinned: Int =
+    sys.props.get("graft.adc.walk.ratio.pinned").map(_.toInt)
+      .orElse(sys.props.get("graft.adc.walk.ratio").map(_.toInt))
+      .getOrElse(6)
+
+  private[graft] def adcWalkEligible(dim: Int, m: Int,
+      pinned: Boolean = false): Boolean =
+    m.toLong * (if (pinned) AdcWalkRatioPinned else AdcWalkRatio) <= dim
 
   /** Slack factor for the serve-gate byte estimate: an estimate past the
     * budget but within this factor triggers one bounded count probe
