@@ -712,15 +712,22 @@ object Bench {
       // narrow-m 4-bit quantizers for the ADC walk: m=160/m=120 are the
       // kernel win region at the RAM-bound scale (419/304 ns per eval vs
       // the float walk's ~700 — AdcBench r11); m=320 (the reference
-      // default) is kernel-parity and stays a diagnostic point
-      val pqWalkModels = Seq(160, 120).map { m =>
-        m -> Pq.train(vecLr, m = m, nBits = 4,
-          trainFraction = Some(math.min(0.5, 10000.0 / n1mLr)))
-      }
+      // default) is kernel-parity and stays a diagnostic point. The `res`
+      // variants train on IVF residuals (FAISS IVFPQ —
+      // IvfHnsw.trainResidualPq): same walk cost, strictly better codes,
+      // which buys either recall at fixed ef or a narrower m at fixed
+      // recall (m=96: 224 ns/eval)
+      val tf = Some(math.min(0.5, 10000.0 / n1mLr))
+      val pqWalkModels: Seq[(String, graft.operators.PqModel)] = Seq(
+        "m160" -> Pq.train(vecLr, m = 160, nBits = 4, trainFraction = tf),
+        "m160res" -> IvfHnsw.trainResidualPq(vecLr, modelLr, m = 160,
+          trainFraction = tf),
+        "m96res" -> IvfHnsw.trainResidualPq(vecLr, modelLr, m = 96,
+          trainFraction = tf))
       val walkGrid = for {
-        (m, model) <- pqWalkModels
+        (tag, model) <- pqWalkModels
         ef <- Seq(120, 180, 240)
-      } yield (s"ivf_hnsw_pq_walk_1mlr_d960_m${m}_ef${ef}_batch",
+      } yield (s"ivf_hnsw_pq_walk_1mlr_d960_${tag}_ef${ef}_batch",
         () => IvfHnsw.searchPinnedPq(idxLr, modelLr, model, qLr, k = 10,
           ef = Some(ef), nProbes = Some(1), cacheKey = ckLr))
       walkGrid.foreach { case (_, mk) => withAqeOff(serve(mk())) } // code build
@@ -737,7 +744,9 @@ object Bench {
       val (sLr, spLr) = sustainedGrid(Seq(
         ("ivf_hnsw_1mlr_d960_np1_sustained", mkLrPlain _, nq),
         ("ivf_hnsw_pq_walk_1mlr_d960_m160_ef180_sustained",
-          walkGrid.collectFirst { case (n2, mk) if n2.contains("m160_ef180") => mk }.get, nq)))
+          walkGrid.collectFirst { case (n2, mk) if n2.contains("m160_ef180") => mk }.get, nq),
+        ("ivf_hnsw_pq_walk_1mlr_d960_m160res_ef180_sustained",
+          walkGrid.collectFirst { case (n2, mk) if n2.contains("m160res_ef180") => mk }.get, nq)))
       sustained1mLr ++= sLr
       sustainedSpread1mLr ++= spLr
     } catch { case e: Throwable =>
@@ -818,7 +827,10 @@ object Bench {
       "ivf_hnsw_1mlr_d960_np1_batch",
       "ivf_hnsw_pq_walk_1mlr_d960_m160_ef120_batch",
       "ivf_hnsw_pq_walk_1mlr_d960_m160_ef180_batch",
-      "ivf_hnsw_pq_walk_1mlr_d960_m120_ef180_batch")
+      "ivf_hnsw_pq_walk_1mlr_d960_m160res_ef120_batch",
+      "ivf_hnsw_pq_walk_1mlr_d960_m160res_ef180_batch",
+      "ivf_hnsw_pq_walk_1mlr_d960_m96res_ef120_batch",
+      "ivf_hnsw_pq_walk_1mlr_d960_m96res_ef180_batch")
     val resMap = results.toMap
     val headQps = headlineKeys.flatMap { k =>
       resMap.get(k).filter(_ > 0).map { sec =>

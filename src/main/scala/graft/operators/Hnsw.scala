@@ -337,24 +337,42 @@ object Hnsw {
     * cached graphs' vectors — a codes-cache fill never re-reads the
     * partition rows. Cached per executor under (cacheKey#pq<modelId>,
     * spid). Returns (codes n×m, cosine centroid self-dot per node — null
-    * for L2) per entry. */
+    * for L2) per entry.
+    *
+    * With `residCents` (routed L2 tables), a node in cluster pid encodes
+    * its RESIDUAL x − centroid(pid) — FAISS's IVFPQ/IVFADC design: the
+    * quantizer spends its resolution on the within-cell spread instead of
+    * re-describing the cell location, and L2 distances are exact under the
+    * shared shift (|(q−c)−(x−c)| = |q−x|), so the walk's LUT just builds
+    * from the shifted query. Delta pids ≥ residCents.length (post-build
+    * appends, not cluster-partitioned) encode plain. */
   private def codeMatricesFor(
       entries: Array[(Int, HnswGraphCache.Entry)],
       ck: Option[String], spid: Int, pqId: Int,
       pqCentroids: Array[Array[Array[Float]]],
       pqGroups: Array[(Int, Int)],
       pqCentDot: Array[Double],
-      pqM: Int, pqK: Int, cosine: Boolean)
+      pqM: Int, pqK: Int, cosine: Boolean,
+      residCents: Array[Array[Float]] = null)
     : Array[(Array[Byte], Array[Double])] = {
     def buildCodes: Array[(Array[Byte], Array[Double])] =
-      entries.map { case (_, e) =>
+      entries.map { case (pid, e) =>
+        val cent =
+          if (residCents != null && pid < residCents.length) residCents(pid)
+          else null
         val nn = e.ids.length
         val cm = new Array[Byte](nn * pqM)
         val cd = if (cosine) new Array[Double](nn) else null
         var r = 0
         while (r < nn) {
-          PqKernel.encodeDecodedInto(e.graph.exportNode(r)._1,
-            pqCentroids, pqGroups, cosine, cm, r * pqM)
+          val v0 = e.graph.exportNode(r)._1
+          val v = if (cent == null) v0 else {
+            var j = 0
+            while (j < v0.length) { v0(j) -= cent(j); j += 1 }
+            v0 // exportNode returns a fresh copy — safe to shift in place
+          }
+          PqKernel.encodeDecodedInto(v, pqCentroids, pqGroups, cosine,
+            cm, r * pqM)
           if (cosine) {
             var acc = 0.0
             var g = 0; var gk = 0; val base = r * pqM
@@ -370,7 +388,8 @@ object Hnsw {
       }
     ck match {
       case Some(key) =>
-        val kk = (key + "#pq" + pqId, spid)
+        val marker = if (residCents != null) "#pqR" else "#pq"
+        val kk = (key + marker + pqId, spid)
         val hit = pinnedCodesCache.synchronized(
           Option(pinnedCodesCache.get(kk)))
         hit.getOrElse {
@@ -380,6 +399,24 @@ object Hnsw {
         }
       case None => buildCodes
     }
+  }
+
+  /** The walk LUT for one (query, cluster) pair under optional residual
+    * encoding: shifts the query by the cluster centroid when that cluster
+    * encodes residuals ([[codeMatricesFor]]), else plain. */
+  private def walkLut(
+      qv: Array[Float], pid: Int, residCents: Array[Array[Float]],
+      pqCentroids: Array[Array[Array[Float]]], pqNBits: Int, dist: String)
+    : Array[Float] = {
+    val q =
+      if (residCents != null && pid < residCents.length) {
+        val c = residCents(pid)
+        val out = new Array[Float](qv.length)
+        var j = 0
+        while (j < qv.length) { out(j) = qv(j) - c(j); j += 1 }
+        out
+      } else qv
+    PqKernel.buildLookup(q, pqCentroids, pqNBits, dist).map(_.toFloat)
   }
 
   /** Executor-local cache of per-PARTITION PQ code matrices for the pinned
@@ -457,7 +494,14 @@ object Hnsw {
       upperBound: Double,
       cacheKey: Option[String],
       pq: Option[PqModel] = None,
-      routeFloor: Int = Int.MaxValue): DataFrame = {
+      routeFloor: Int = Int.MaxValue,
+      residCents: Array[Array[Float]] = null): DataFrame = {
+    require(residCents == null || dist != "cosine",
+      "residual PQ encoding is an L2 shift identity; cosine encodes plain")
+    // encode and train must agree: residual-trained quantizer ⇔ residual
+    // codes + shifted LUTs; any mix scores garbage silently
+    require(pq.forall(_.residual == (residCents != null)),
+      "PqModel.residual must match the centroid context of the walk")
     val spark = index.sparkSession
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(qs)
@@ -495,7 +539,7 @@ object Hnsw {
           val codes: Array[(Array[Byte], Array[Double])] =
             if (!hasPq) null
             else codeMatricesFor(entries, ck, spid, pqId, pqCentroids,
-              pqGroups, pqCentDot, pqM, pqK, cosine)
+              pqGroups, pqCentDot, pqM, pqK, cosine, residCents)
           val hitIds = new Array[Int](k)
           val hitDs = new Array[Double](k)
           val sel = new Array[Int](entries.length)
@@ -520,10 +564,15 @@ object Hnsw {
             else {
               // the per-query ADC lookup builds ONLY when the query walks
               // something here — a routed batch must not pay Q luts in
-              // every partition it never probes
-              val lut =
-                if (hasPq) PqKernel.buildLookup(qv, pqCentroids, pqNBits, dist)
-                  .map(_.toFloat)
+              // every partition it never probes. Plain encoding shares one
+              // LUT across the partition's entries; residual encoding
+              // shifts the query per cluster ([[walkLut]] — partitions
+              // hold one pid by construction, so this is still one LUT
+              // per (query, partition) at steady state).
+              val sharedLut =
+                if (hasPq && residCents == null)
+                  PqKernel.buildLookup(qv, pqCentroids, pqNBits, dist)
+                    .map(_.toFloat)
                 else null
               val qn = if (hasPq && cosine) {
                 var acc = 0.0; var i = 0
@@ -535,6 +584,10 @@ object Hnsw {
                 val cnt =
                   if (!hasPq) e2.graph.searchInto(qv, k, efq, hitIds, hitDs)
                   else {
+                    val lut =
+                      if (sharedLut != null) sharedLut
+                      else walkLut(qv, entries(sel(si))._1, residCents,
+                        pqCentroids, pqNBits, dist)
                     val (cm, cd) = codes(sel(si))
                     val distFn: Int => Double = { idx =>
                       val s = PqKernel.adcOne(cm, idx * pqM, pqM, pqK, lut)
@@ -568,6 +621,8 @@ object Hnsw {
       efConstruction: Int = 200,
       upperBound: Double = Double.PositiveInfinity,
       cacheKey: Option[String] = None): DataFrame = {
+    require(!model.residual,
+      "residual-trained PqModel requires the routed walk (IvfHnsw.searchPinnedPq)")
     val spark = index.sparkSession
     import spark.implicits._
     val qs = queries
@@ -615,6 +670,14 @@ object Hnsw {
     val spark = index.sparkSession
     import spark.implicits._
     val efq = ef.getOrElse(math.max(efConstruction, 2 * m) / 2)
+    // routed L2 (ef, pq) with a residual-trained quantizer: residual
+    // encoding, as the collected arm; plain-trained models encode plain
+    val residCents: Array[Array[Float]] =
+      if (pq.exists(_.residual) && dist != "cosine")
+        route.map(_._1.centroids).orNull
+      else null
+    require(pq.forall(_.residual == (residCents != null)),
+      "residual-trained PqModel requires a routed stream walk")
     val pinned = cacheKey match {
       case Some(ckey) => pinnedGetOrBuild(ckey)(pidPartitioned(index))
       case None => pidPartitioned(index)
@@ -666,15 +729,15 @@ object Hnsw {
           val codes: Array[(Array[Byte], Array[Double])] =
             if (!hasPq) null
             else codeMatricesFor(entries, ck, spid, pqId, pqCentroids,
-              pqGroupsArr, pqCentDot, pqM, pqK, cosine)
+              pqGroupsArr, pqCentDot, pqM, pqK, cosine, residCents)
           val hitIds = new Array[Int](k)
           val hitDs = new Array[Double](k)
           qit.flatMap { case (qid, qv) =>
             // a query arrives here because a pid of this partition is on
             // its probe list; partitions hold exactly one pid by
             // construction, so every resident graph is walked
-            val lut =
-              if (hasPq)
+            val sharedLut =
+              if (hasPq && residCents == null)
                 PqKernel.buildLookup(qv, pqCentroids, pqNBits, dist)
                   .map(_.toFloat)
               else null
@@ -688,6 +751,10 @@ object Hnsw {
               val cnt =
                 if (!hasPq) e2.graph.searchInto(qv, k, efq, hitIds, hitDs)
                 else {
+                  val lut =
+                    if (sharedLut != null) sharedLut
+                    else walkLut(qv, entries(ei)._1, residCents,
+                      pqCentroids, pqNBits, dist)
                   val (cm, cd) = codes(ei)
                   val distFn: Int => Double = { idx =>
                     val s = PqKernel.adcOne(cm, idx * pqM, pqM, pqK, lut)
@@ -881,6 +948,8 @@ object Hnsw {
       efConstruction: Int = 200,
       upperBound: Double = Double.PositiveInfinity,
       cacheKey: Option[String] = None): DataFrame = {
+    require(!model.residual,
+      "residual-trained PqModel requires the routed walk (IvfHnsw.searchPinnedPq)")
     val spark = index.sparkSession
     import spark.implicits._
     val dist = model.dist

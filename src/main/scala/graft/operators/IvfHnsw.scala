@@ -146,7 +146,13 @@ object IvfHnsw {
     * codes bound the bytes each walk touches: the composition matching the
     * reference's fastest published configuration (HNSW+PQ,
     * `/root/reference/data/t_bench.toml:29-55`) past one machine's memory.
-    * `pqModel` must be trained on the same table the index was built on. */
+    * `pqModel` must be trained on the same table the index was built on.
+    *
+    * L2 tables encode RESIDUALS x − centroid(cluster) (FAISS's IVFPQ
+    * design — `Hnsw.codeMatricesFor`): the shift is exact for L2, the
+    * quantizer's resolution all goes to within-cell spread, and measured
+    * walk recall at fixed (m, ef) rises accordingly (IvfHnswSpec). Cosine
+    * encodes plain (a shift changes cosine distances). */
   def searchPinnedPq(
       index: DataFrame,
       model: IvfModel,
@@ -169,6 +175,45 @@ object IvfHnsw {
     Hnsw.pinnedSearchCore(index, qs, k,
       ef.getOrElse(math.max(efConstruction, 2 * m) / 2),
       pqModel.dist, m, efConstruction, upperBound, cacheKey, Some(pqModel),
-      routeFloor = model.centroids.length)
+      routeFloor = model.centroids.length,
+      residCents = if (pqModel.residual) model.centroids else null)
+  }
+
+  /** Train a product quantizer on IVF RESIDUALS x − centroid(cluster(x)) —
+    * FAISS's IVFPQ/IVFADC design, the quality complement of the routed ADC
+    * walk: a plain-trained quantizer spends its per-group resolution
+    * re-describing which cell a vector sits in (information routing
+    * already paid for), while the residual-trained one spends all of it on
+    * the within-cell spread that actually ranks neighbors. L2 only — the
+    * per-cluster shift is a distance identity for L2 and meaningless for
+    * cosine. The returned model is flagged `residual`; cluster-blind arms
+    * reject it, [[searchPinnedPq]] encodes and shifts per probed cluster. */
+  def trainResidualPq(
+      base: DataFrame,
+      model: IvfModel,
+      m: Int,
+      nBits: Int = 4,
+      maxIter: Int = 20,
+      tol: Double = 1e-6,
+      seed: Long = 42L,
+      trainFraction: Option[Double] = None): PqModel = {
+    require(model.dist != "cosine",
+      "residual PQ is an L2 shift identity; train a plain model for cosine")
+    val spark = base.sparkSession
+    import spark.implicits._
+    val sampled = trainFraction.map(f => base.sample(f, seed)).getOrElse(base)
+    val cents = spark.sparkContext.broadcast(model.centroids)
+    val resid = Ivf.assign(sampled.select(col("vec")), model)
+      .select(col("vec"), col("cluster").cast("int"))
+      .as[(Array[Float], Int)]
+      .map { case (v, c) =>
+        val cent = cents.value(c)
+        var j = 0
+        while (j < v.length) { v(j) -= cent(j); j += 1 }
+        v // Dataset decode hands each row a fresh array
+      }
+      .toDF("vec")
+    Pq.train(resid, m, nBits, model.dist, maxIter, tol, seed)
+      .copy(residual = true)
   }
 }

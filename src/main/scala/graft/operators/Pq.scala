@@ -16,7 +16,12 @@ final case class PqModel(
     dim: Int,
     nBits: Int,
     dist: String,
-    centroids: Array[Array[Array[Float]]]) {
+    centroids: Array[Array[Array[Float]]],
+    // trained on IVF residuals x − centroid(cluster) (FAISS's IVFPQ —
+    // [[IvfHnsw.trainResidualPq]]): only the routed walk, which knows each
+    // node's cluster, may encode/score with such a model; cluster-blind
+    // arms must reject it rather than silently mis-encode
+    residual: Boolean = false) {
   require(nBits == 4 || nBits == 8, "n_bits must be 4 or 8 in PQ")
   def m: Int = centroids.length
   def k: Int = 1 << nBits
@@ -129,9 +134,19 @@ object Pq {
 
   /** F8 — the code column (assigns by the model's metric, matching
     * `KMeans::find_nearest` / `k_means.rs:166-170`). */
-  def encodeCol(vec: Column, model: PqModel): Column =
+  /** Guard for cluster-blind arms: a residual-trained quantizer
+    * ([[IvfHnsw.trainResidualPq]]) encodes x − centroid(cluster) and is
+    * only meaningful inside the routed walk, which knows each node's
+    * cluster. Scoring raw vectors with it would be silently wrong. */
+  private def requirePlain(model: PqModel): Unit =
+    require(!model.residual,
+      "residual-trained PqModel requires the routed walk (IvfHnsw.searchPinnedPq)")
+
+  def encodeCol(vec: Column, model: PqModel): Column = {
+    requirePlain(model)
     ColumnShim.column(PqEncode(ColumnShim.expression(vec), model.centroids,
       model.nBits, model.dim, model.dist))
+  }
 
   /** Encode pass: adds a `code` binary column. */
   def encode(base: DataFrame, model: PqModel, vecCol: String = "vec"): DataFrame =
@@ -163,6 +178,7 @@ object Pq {
       k: Int,
       ef: Int,
       upperBound: Double = Double.PositiveInfinity): DataFrame = {
+    requirePlain(model)
     val efK = math.max(ef, k)
     val q = queries.select(
       col("query_id").cast("long").as("query_id"),
@@ -220,6 +236,7 @@ object Pq {
       k: Int,
       ef: Int,
       upperBound: Double = Double.PositiveInfinity): DataFrame = {
+    requirePlain(model)
     val spark = encoded.sparkSession
     import spark.implicits._
     val efK = math.max(ef, k)
@@ -356,6 +373,7 @@ object Pq {
       ef: Int,
       upperBound: Double = Double.PositiveInfinity,
       cacheKey: Option[String] = None): DataFrame = {
+    requirePlain(model)
     val spark = encoded.sparkSession
     import spark.implicits._
     val efK = math.max(ef, k)

@@ -82,6 +82,52 @@ class IvfHnswSpec extends SparkTestBase {
     assert(routed == flat)
   }
 
+  test("residual (IVFPQ) encoding beats plain codes at fixed (m, ef)") {
+    // widely-spread clusters + coarse quantizer: a PLAIN 4-bit code must
+    // spend its 16 cells per group describing the inter-cluster spread,
+    // while the RESIDUAL code (x − centroid, FAISS IVFPQ) only describes
+    // within-cell noise. Routed full probes vs the unrouted plain walk
+    // visit the same subgraphs with the same beam — only the encoding
+    // differs, so the recall gap isolates the residual win.
+    val rnd = new scala.util.Random(23)
+    val centers = Array.fill(4)(Array.fill(16)(rnd.nextFloat() * 40f))
+    val rows = (0 until 400).map { i =>
+      val c = centers(i % 4)
+      (i.toLong, c.map(x => x + rnd.nextFloat() * 1f))
+    }
+    val clustered = rows.toDF("id", "vec").repartition(4).cache()
+    val qs = clustered.filter($"id" < 16)
+      .select($"id".as("query_id"), $"vec".as("query_vec")).cache()
+    val (model, idx) = IvfHnsw.buildIndex(clustered, kClusters = 4,
+      trainFraction = Some(0.5))
+    val plainModel = graft.operators.Pq.train(clustered, m = 8, nBits = 4)
+    val residModel = IvfHnsw.trainResidualPq(clustered, model, m = 8)
+    assert(residModel.residual && !plainModel.residual)
+    val exact = Knn.exact(clustered, qs, k = 5)
+      .select("query_id", "id").as[(Long, Long)].collect().toSet
+    def recall(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.select("query_id", "id").as[(Long, Long)].collect().toSet
+      got.intersect(exact).size.toDouble / exact.size
+    }
+    val resid = recall(IvfHnsw.searchPinnedPq(idx, model, residModel, qs,
+      k = 5, ef = Some(10), nProbes = Some(4)))
+    val plain = recall(IvfHnsw.searchPinnedPq(idx, model, plainModel, qs,
+      k = 5, ef = Some(10), nProbes = Some(4)))
+    assert(resid >= plain,
+      s"residual recall $resid below plain-encoded recall $plain")
+    assert(resid >= 0.9, s"residual walk recall $resid < 0.9 at ef=10")
+    // cluster-blind arms must reject the residual model outright
+    intercept[IllegalArgumentException] {
+      graft.operators.Pq.searchFlat(
+        graft.operators.Pq.encode(clustered, plainModel), residModel, qs,
+        k = 5, ef = 10)
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.Hnsw.searchPinnedPq(idx, qs, residModel, k = 5,
+        ef = Some(10))
+    }
+  }
+
   test("skewed hot cluster splits into bounded sub-cells; results unchanged") {
     // planted 10× skew: blob A (400 rows) vs blob B (40 rows), kClusters=2
     // — without the cap, blob A's graph builds as ONE straggler task
