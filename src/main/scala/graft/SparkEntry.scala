@@ -321,6 +321,24 @@ object SparkEntry {
           (round(col("distance"), 6) + lit(0.0)).as("distance"))
         .orderBy("query_id", "distance", "id")
     }),
+    // §2.11 dispatch + T7 residual variant: the catalog serving path with
+    // a RESIDUAL-trained PQ sidecar (FAISS IVFPQ — IvfHnsw.trainResidualPq)
+    // over a routed index. The dispatch must pin such tables to the routed
+    // walk (cluster-blind arms can't score per-cluster shifted codes).
+    // Full probes + exhaustive ef ⇒ ADC walk + exact re-rank covers the
+    // table ⇒ equals exact KNN ⇒ plain top-k SQL oracle.
+    "q_pq_residual" -> ((s, dir) => {
+      val db = catalogIngest(s, dir, "vecdb_qresid")
+      val n = db.getLen("emb").toInt
+      db.buildIvfHnswIndex("emb", kClusters = 8, defaultNProbes = 8,
+        trainProportion = Some(0.5))
+      db.buildPqTable("emb", trainProportion = Some(0.5), m = Some(8),
+        residual = true)
+      db.searchBatch("emb", queryVectors(s, dir), k = 5, ef = Some(2 * n))
+        .select(col("query_id"), col("id"),
+          (round(col("distance"), 6) + lit(0.0)).as("distance"))
+        .orderBy("query_id", "distance", "id")
+    }),
     // IVF-routed HNSW (IvfHnsw): coarse k-means routing + one HNSW graph
     // per cluster, searched through the pinned serving core (the
     // beyond-one-machine ANN shape). Probing every cluster with exhaustive
@@ -477,6 +495,7 @@ object SparkEntry {
     "q_ivf_catalog" -> topKSql(l2Expr, 5),
     "q_ivf_hnsw_routed" -> topKSql(l2Expr, 5),
     "q_ivf_hnsw_catalog" -> topKSql(l2Expr, 5),
+    "q_pq_residual" -> topKSql(l2Expr, 5),
     "q_vecdb_search" -> searchSql(l2Expr, 5),
     "q_knn_u8" ->
       """WITH u AS (

@@ -11,8 +11,13 @@ import org.json4s.jackson.Serialization
 import graft.operators.{Hnsw, Ivf, IvfHnsw, Knn, Pq, PqModel, Search, TopK}
 import graft.functions.VectorFunctions
 
-/** PQ sidecar parameters recorded in the catalog. */
-case class PqInfo(m: Int, nBits: Int)
+/** PQ sidecar parameters recorded in the catalog. `residual` marks a
+  * quantizer trained on IVF residuals ([[graft.operators.IvfHnsw
+  * .trainResidualPq]] — FAISS's IVFPQ design): only the routed walk can
+  * score with it, so the dispatch pins such tables to the routed arms and
+  * pattern-filtered searches fall back to the plain HNSW walk. Defaulted
+  * so briefs written before the field existed read as plain. */
+case class PqInfo(m: Int, nBits: Int, residual: Boolean = false)
 
 /** IVF sidecar parameters recorded in the catalog (our extension — the
   * reference's DB layer is Flat/HNSW only, `dynamic_index.rs:10-14`; at
@@ -802,12 +807,17 @@ class VecDB(spark: SparkSession, root: String) {
     * holds only codes + centroids and is joined back to the table's
     * vectors at re-rank time. */
   def buildPqTable(key: String, trainProportion: Option[Double] = None,
-      nBits: Option[Int] = None, m: Option[Int] = None): Unit = tableLock(key).synchronized {
+      nBits: Option[Int] = None, m: Option[Int] = None,
+      residual: Boolean = false): Unit = tableLock(key).synchronized {
     val e = entry(key)
     if (e.pq.isDefined) return
     val df = table(key)
     if (df.isEmpty) throw new IllegalArgumentException(
       "Cannot build PQ table for an empty table")
+    if (residual && !e.hnswRouted) throw new IllegalArgumentException(
+      "residual PQ requires a routed index sidecar (buildIvfHnswIndex)")
+    if (residual && e.dist == "cosine") throw new IllegalArgumentException(
+      "residual PQ is an L2 shift identity; cosine tables train plain")
     val proportion = trainProportion.getOrElse(0.1)
     if (proportion <= 0.0 || proportion >= 1.0)
       throw new IllegalArgumentException("Train proportion must be in (0, 1)")
@@ -817,17 +827,25 @@ class VecDB(spark: SparkSession, root: String) {
     val mm = m.getOrElse((e.dim + 2) / 3)
     if (mm == 0 || mm > e.dim)
       throw new IllegalArgumentException("m must be in 1..=dim")
-    val model = Pq.train(df, mm, nb, e.dist, trainFraction = Some(proportion))
-    // sidecars: codes (id, code) + centroids (grp, cid, centroid)
-    Pq.encode(df, model).select("id", "code")
-      .write.mode("overwrite").parquet(pqDir(e).resolve("codes").toString)
+    val model =
+      if (residual) IvfHnsw.trainResidualPq(df, loadRouteModel(e), mm, nb,
+        trainFraction = Some(proportion))
+      else Pq.train(df, mm, nb, e.dist, trainFraction = Some(proportion))
+    // sidecars: codes (id, code) + centroids (grp, cid, centroid). A
+    // residual model writes NO codes sidecar: flat codes are scored
+    // cluster-blind, which a residual encoding can never be — the routed
+    // walk builds its per-cluster codes from the pinned graphs instead
+    // (Hnsw.codeMatricesFor).
+    if (!residual)
+      Pq.encode(df, model).select("id", "code")
+        .write.mode("overwrite").parquet(pqDir(e).resolve("codes").toString)
     import spark.implicits._
     model.centroids.zipWithIndex.flatMap { case (cs, g) =>
       cs.zipWithIndex.map { case (c, ci) => (g, ci, c.toSeq) }
     }.toSeq.toDF("grp", "cid", "centroid")
       .write.mode("overwrite").parquet(pqDir(e).resolve("centroids").toString)
     catalogLock.synchronized {
-      tables += key -> entry(key).copy(pq = Some(PqInfo(mm, nb)))
+      tables += key -> entry(key).copy(pq = Some(PqInfo(mm, nb, residual)))
       saveBrief()
     }
   }
@@ -897,7 +915,7 @@ class VecDB(spark: SparkSession, root: String) {
     val centroids = rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (_, cs) =>
       cs.sortBy(_._2).map(_._3)
     }.toArray
-    PqModel(e.dim, info.nBits, e.dist, centroids)
+    PqModel(e.dim, info.nBits, e.dist, centroids, residual = info.residual)
   }
 
   // ---------------------------------------------------------------- search
@@ -1013,7 +1031,7 @@ class VecDB(spark: SparkSession, root: String) {
           e.dist, efConstruction = e.efConstruction, upperBound = ub,
           cacheKey = ck, pq = if (usePq) Some(loadPqModel(key)) else None,
           route = route)
-      case (Some(efv), Some(info)) =>
+      case (Some(efv), Some(info)) if !info.residual =>
         lastServedArm = "declarative_pq"
         val codes = spark.read.parquet(pqDir(e).resolve("codes").toString)
         Pq.searchFlat(filtered.join(codes, "id"), loadPqModel(key), queries,
@@ -1045,7 +1063,9 @@ class VecDB(spark: SparkSession, root: String) {
           // it fits; pin it across the cluster beyond the gate.
           val idx = spark.read.parquet(hnswDir(e).toString)
           val ck = Some(s"${hnswDir(e)}@c${e.created}v${e.version}n${e.nextId}")
-          if (hnswEligible(e.nextId, e.dim)) {
+          // a residual model only scores inside the routed walk (codes are
+          // per-cluster shifts) — never the cluster-blind broadcast arm
+          if (hnswEligible(e.nextId, e.dim) && !model.residual) {
             lastServedArm = "knn_pq_broadcast"
             Hnsw.searchBroadcastPq(idx, queries, model, k, Some(efv),
               efConstruction = e.efConstruction, upperBound = ub, cacheKey = ck)
@@ -1059,6 +1079,12 @@ class VecDB(spark: SparkSession, root: String) {
             Hnsw.searchPinnedPq(idx, queries, model, k, Some(efv),
               efConstruction = e.efConstruction, upperBound = ub, cacheKey = ck)
           }
+        } else if (model.residual) {
+          // pattern-filtered search on a residual-PQ table: the flat arms
+          // score codes cluster-blind, which residual encoding can never
+          // be — serve the plain HNSW walk (exact distances) instead
+          lastServedArm = "pq_residual_fallback_hnsw"
+          hnswSearch(e, filtered, queries, k, Some(efv), ub, pattern.isEmpty)
         } else {
           val codes = spark.read.parquet(pqDir(e).resolve("codes").toString)
           val encoded = filtered.join(codes, "id")

@@ -379,6 +379,64 @@ class CatalogSpec extends SparkTestBase {
     }
   }
 
+  test("residual PQ sidecar: routed-only dispatch, HNSW fallback on patterns, flag survives reopen") {
+    val root = Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "vecdb_test").toString
+    val db = new VecDB(spark, root)
+    db.createTableIfNotExists("t", 8, "l2sqr")
+    val rnd = new scala.util.Random(37)
+    val vecs = (0 until 60).map(_ => Array.fill(8)(rnd.nextFloat()))
+    db.batchAdd("t", vecs, vecs.indices.map(i => Map("i" -> i.toString)))
+    // residual requires a routed sidecar — reject before one exists
+    intercept[IllegalArgumentException] {
+      db.buildPqTable("t", trainProportion = Some(0.5), m = Some(4),
+        residual = true)
+    }
+    val odd = Map("i" -> "^(1|3|5|7|9|11|13|15)$")
+    def patHits(d: VecDB, pat: Map[String, String]): Seq[(Long, Long)] = {
+      import spark.implicits._
+      val q1 = Seq((0L, vecs(9))).toDF("query_id", "query_vec")
+      d.searchBatch("t", q1, 5, Some(200), pattern = pat)
+        .orderBy("distance", "id").select("id", "distance").collect()
+        .map(r => (r.getLong(0), math.round(r.getDouble(1) * 1e9))).toSeq
+    }
+    val flat = db.search("t", vecs(9), 5, ef = Some(200))
+    val flatOdd = patHits(db, odd)
+    db.buildIvfHnswIndex("t", kClusters = 3, defaultNProbes = 3,
+      trainProportion = Some(0.5))
+    db.buildPqTable("t", trainProportion = Some(0.5), m = Some(4),
+      residual = true)
+    sys.props("graft.adc.walk.ratio") = "1" // m=4 at dim=8: force eligible
+    try {
+      // small table, broadcast-eligible — but residual codes are
+      // per-cluster shifts, so the dispatch MUST pin to the routed walk
+      assert(db.search("t", vecs(9), 5, ef = Some(200)) == flat)
+      assert(db.lastServedArm == "knn_pq_routed",
+        s"residual table served by '${db.lastServedArm}'")
+      // pattern search: flat ADC arms can't score residual codes — plain
+      // HNSW walk fallback, exact distances, same results
+      assert(patHits(db, odd) == flatOdd)
+      assert(db.lastServedArm == "pq_residual_fallback_hnsw",
+        s"residual + pattern served by '${db.lastServedArm}'")
+      // the flag must survive the brief round-trip: a reopened catalog
+      // that lost it would serve the broadcast arm and mis-score silently
+      db.close()
+      val db2 = new VecDB(spark, root)
+      try {
+        assert(db2.search("t", vecs(9), 5, ef = Some(200)) == flat)
+        assert(db2.lastServedArm == "knn_pq_routed",
+          s"reopened residual table served by '${db2.lastServedArm}'")
+      } finally db2.close()
+    } finally sys.props.remove("graft.adc.walk.ratio")
+  }
+
+  test("PqInfo briefs written before the residual field read as plain") {
+    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+    val old = org.json4s.jackson.Serialization
+      .read[graft.catalog.PqInfo]("""{"m":4,"nBits":8}""")
+    assert(old == graft.catalog.PqInfo(4, 8, residual = false))
+  }
+
   test("knn_pq cost gate: wide-code quantizers dispatch to the plain HNSW walk") {
     // the gate itself (measured crossover — see VecDB.adcWalkEligible):
     // the reference default m = dim/3 is far above it at any dim
