@@ -1228,6 +1228,45 @@ class VecDB(spark: SparkSession, root: String) {
       .toSeq
   }
 
+  // ------------------------------------------------------ streaming ingest
+
+  private def streamEpochPath(e: TableEntry): Path =
+    rootPath.resolve(e.filename).resolve("stream_epoch")
+
+  /** Last applied streaming micro-batch epoch for `key` (−1 before any).
+    * Persisted in the table directory so a restarted stream's checkpoint
+    * replay of an already-committed batch is detected and skipped
+    * ([[graft.streaming.StreamIngest]]); delete+recreate of the table
+    * resets it with the directory. */
+  def streamEpoch(key: String): Long = tableLock(key).synchronized {
+    val p = streamEpochPath(entry(key))
+    if (Files.exists(p)) new String(Files.readAllBytes(p), "UTF-8").trim.toLong
+    else -1L
+  }
+
+  /** Append one streaming micro-batch exactly once per epoch: a batchId at
+    * or below the recorded epoch is a checkpoint replay (Spark re-runs the
+    * last micro-batch when a query restarts before its checkpoint commit)
+    * and is skipped without reading the batch. The epoch record commits
+    * AFTER the data append, so the crash window between the two degrades
+    * to at-least-once for that one batch — same §2.13 class as the
+    * reference's auto-save window, and exactly the idempotence contract
+    * Spark documents for `foreachBatch` sinks. Returns rows appended
+    * (0 on a replay skip). */
+  def applyStreamBatch(key: String, batch: DataFrame, batchId: Long): Long =
+    tableLock(key).synchronized {
+      if (batchId <= streamEpoch(key)) 0L
+      else {
+        val n = addDataFrame(key, batch)
+        val e = entry(key)
+        val tmp = rootPath.resolve(e.filename).resolve("stream_epoch.tmp")
+        Files.write(tmp, batchId.toString.getBytes("UTF-8"))
+        Files.move(tmp, streamEpochPath(e), StandardCopyOption.REPLACE_EXISTING,
+          StandardCopyOption.ATOMIC_MOVE)
+        n
+      }
+    }
+
   /** S8 — full extract (`metadata_vec_table.rs:215-222`). */
   def extractData(key: String): DataFrame = table(key).select("vec", "meta")
 
