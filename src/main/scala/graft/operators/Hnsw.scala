@@ -529,6 +529,7 @@ object Hnsw {
       else 0
     val cosine = dist == "cosine"
     val floor = routeFloor
+    val ub = upperBound
 
     val partial = pinned
       .mapPartitions { it =>
@@ -543,6 +544,11 @@ object Hnsw {
           val hitIds = new Array[Int](k)
           val hitDs = new Array[Double](k)
           val sel = new Array[Int](entries.length)
+          // partition-local per-query top-k across the subgraphs this
+          // query walks HERE: the partition emits at most k rows per
+          // query, which is what makes the driver-side merge's row bound
+          // (Q·P·k) exact rather than Q·subgraphs·k
+          val st = new TopKState(k, withPayload = false)
           bc.value.iterator.flatMap { case (qid, qv, probes) =>
             // select this partition's subgraphs the query walks: its probe
             // list, plus every pid ≥ routeFloor (post-build delta subgraphs
@@ -579,7 +585,9 @@ object Hnsw {
                 while (i < qv.length) { acc += qv(i).toDouble * qv(i); i += 1 }
                 math.sqrt(acc)
               } else 0.0
-              Iterator.range(0, selCount).flatMap { si =>
+              st.size = 0 // reuse: insert only reads [0, size)
+              var si = 0
+              while (si < selCount) {
                 val e2 = entries(sel(si))._2
                 val cnt =
                   if (!hasPq) e2.graph.searchInto(qv, k, efq, hitIds, hitDs)
@@ -597,16 +605,58 @@ object Hnsw {
                     }
                     e2.graph.searchFnInto(distFn, qv, k, efq, hitIds, hitDs)
                   }
-                Iterator.range(0, cnt).map(i => (qid, e2.ids(hitIds(i)), hitDs(i)))
+                var i = 0
+                while (i < cnt) {
+                  if (hitDs(i) <= ub) st.insert(e2.ids(hitIds(i)), hitDs(i), null)
+                  i += 1
+                }
+                si += 1
               }
+              val out = new Array[(Long, Long, Double)](st.size)
+              var i = 0
+              while (i < st.size) { out(i) = (qid, st.ids(i), st.dists(i)); i += 1 }
+              out.iterator
             }
           }
         }
       }
-      .toDF("query_id", "id", "distance")
 
-    merge(bounded(partial, upperBound), k)
+    // The queries were already collected to the driver at entry, so the
+    // result is driver-bounded by construction: ≤ k rows per (query,
+    // partition). Below the row gate, merging those partials ON THE DRIVER
+    // removes the whole shuffle stage (a second task wave + shuffle files)
+    // from every serving batch — at 1M×960/np1 that stage was ~40% of
+    // batch wall. Past the gate (huge Q or thousands of partitions — the
+    // regime where driver-collected serving is wrong anyway and
+    // [[searchPinnedStream]] is the right arm), fall back to the
+    // declarative shuffle merge.
+    if (qs.length.toLong * math.max(pinned.getNumPartitions, 1).toLong * k
+        <= DriverMergeMaxRows) {
+      val byQ = new java.util.HashMap[Long, TopKState]()
+      partial.collect().foreach { case (qid, id, d) =>
+        var s = byQ.get(qid)
+        if (s == null) { s = new TopKState(k, withPayload = false); byQ.put(qid, s) }
+        s.insert(id, d, null)
+      }
+      val qids = new Array[Long](byQ.size)
+      val it = byQ.keySet().iterator()
+      var i = 0
+      while (it.hasNext) { qids(i) = it.next(); i += 1 }
+      java.util.Arrays.sort(qids)
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+      qids.foreach { q =>
+        val s = byQ.get(q)
+        var j = 0
+        while (j < s.size) { out += ((q, s.ids(j), s.dists(j))); j += 1 }
+      }
+      out.toSeq.toDF("query_id", "id", "distance")
+    } else merge(partial.toDF("query_id", "id", "distance"), k)
   }
+
+  /** Driver-merge gate for [[pinnedSearchCore]]: max partial rows (Q·P·k)
+    * the driver will collect and heap-merge itself; ~100 MB of tuples at
+    * the bound. */
+  private val DriverMergeMaxRows = 4L << 20
 
   /** [[searchPinned]] with the ADC-scored walk + exact re-rank — `knn_pq`
     * (`/root/reference/src/index_algorithm/hnsw_index.rs:672-697`) for
