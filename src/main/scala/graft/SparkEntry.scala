@@ -371,6 +371,37 @@ object SparkEntry {
           (round(element_at(col("vec"), dim).cast("double"), 6) + lit(0.0)).as("c_last"))
         .orderBy("id")
     }),
+    // §2.9 extension: continuous ingest through Structured Streaming — the
+    // embeddings table re-written as a 4-file parquet directory, streamed
+    // one file per micro-batch through [[graft.streaming.StreamIngest]]
+    // into a scratch catalog table (reserved-id distributed appends,
+    // epoch-skip replay protection), then extracted back out. Original ids
+    // ride the meta map, so the extract is oracled cell-for-cell against
+    // the source table. StreamIngestSpec carries the restart/replay cases.
+    "q_stream_ingest" -> ((s, dir) => {
+      val src = Tables.vectors(s, dir)
+      val dim = src.head().getAs[Seq[Float]]("vec").length
+      val tmp = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get("target"), "stream_q")
+      val srcDir = tmp.resolve("src").toString
+      src.repartition(4).write.parquet(srcDir)
+      val db = new graft.catalog.VecDB(s, tmp.resolve("db").toString)
+      db.createTableIfNotExists("t", dim, "l2sqr")
+      val stream = s.readStream
+        .schema(s.read.parquet(srcDir).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(srcDir)
+        .select(col("vec"),
+          map(lit("orig"), col("id").cast("string")).as("meta"))
+      val q = graft.streaming.StreamIngest.start(db, "t", stream,
+        tmp.resolve("ckpt").toString)
+      try q.processAllAvailable() finally q.stop()
+      db.extractData("t")
+        .select(element_at(col("meta"), "orig").cast("long").as("id"),
+          (round(element_at(col("vec"), 1).cast("double"), 6) + lit(0.0)).as("c_first"),
+          (round(element_at(col("vec"), dim).cast("double"), 6) + lit(0.0)).as("c_last"))
+        .orderBy("id")
+    }),
   )
 
   /** Shared catalog-query fixture: scratch-dir VecDB + distributed
@@ -514,6 +545,13 @@ object SparkEntry {
         |WHERE rn <= 5
         |ORDER BY query_id, distance, id""".stripMargin,
     "q_ingest_roundtrip" ->
+      """SELECT vec_id AS id,
+        |       round(CAST(embedding[1] AS DOUBLE), 6) + 0.0 AS c_first,
+        |       round(CAST(embedding[len(embedding)] AS DOUBLE), 6) + 0.0 AS c_last
+        |FROM embeddings ORDER BY id""".stripMargin,
+    // streamed micro-batch ingest lands every source row exactly once, so
+    // the extract equals the source table cell-for-cell
+    "q_stream_ingest" ->
       """SELECT vec_id AS id,
         |       round(CAST(embedding[1] AS DOUBLE), 6) + 0.0 AS c_first,
         |       round(CAST(embedding[len(embedding)] AS DOUBLE), 6) + 0.0 AS c_last
