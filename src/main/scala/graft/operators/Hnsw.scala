@@ -655,8 +655,12 @@ object Hnsw {
 
   /** Driver-merge gate for [[pinnedSearchCore]]: max partial rows (Q·P·k)
     * the driver will collect and heap-merge itself; ~100 MB of tuples at
-    * the bound. */
-  private val DriverMergeMaxRows = 4L << 20
+    * the default bound. Overridable (`graft.serve.driverMergeMaxRows`) so
+    * deployments with thin driver links — and the A/B probe — can tune or
+    * disable it without a rebuild. */
+  private def DriverMergeMaxRows: Long =
+    sys.props.get("graft.serve.driverMergeMaxRows").map(_.toLong)
+      .getOrElse(4L << 20)
 
   /** [[searchPinned]] with the ADC-scored walk + exact re-rank — `knn_pq`
     * (`/root/reference/src/index_algorithm/hnsw_index.rs:672-697`) for

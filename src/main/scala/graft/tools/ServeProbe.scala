@@ -50,20 +50,33 @@ object ServeProbe {
     val idx1m = spark.read.parquet(idxPath)
     val ck = Some(s"bench1m_${n}_$kc")
 
+    // A/B the pinnedSearchCore merge modes IN THE SAME JVM with interleaved
+    // reps (A,B,A,B…), so JIT state, GC debt, and cache residency are shared
+    // — the only variable is the merge path the gate picks.
     def timeArm(name: String, mk: () => org.apache.spark.sql.DataFrame): Unit = {
       mk().collect() // warm: pin shuffle + graph decode + JIT
-      val reps = 5
-      val times = (0 until reps).map { _ =>
-        System.gc()
-        val t0 = System.nanoTime()
-        val cnt = mk().collect().length
-        val s = (System.nanoTime() - t0) / 1e9
-        require(cnt > 0)
-        s
-      }.sorted
-      val med = times(reps / 2)
-      println(f"[serveprobe] $name%-28s median=${med}%.3f s  qps=${nq / med}%8.1f  " +
-        s"spread=${times.map(t => f"$t%.3f").mkString("[", ",", "]")}")
+      val reps = 7
+      val modes = Seq("driver" -> (4L << 20).toString, "shuffle" -> "0")
+      val times = scala.collection.mutable.Map(
+        modes.map { case (m, _) => m -> List.empty[Double] }: _*)
+      (0 until reps).foreach { _ =>
+        modes.foreach { case (mode, gate) =>
+          System.setProperty("graft.serve.driverMergeMaxRows", gate)
+          System.gc()
+          val t0 = System.nanoTime()
+          val cnt = mk().collect().length
+          val s = (System.nanoTime() - t0) / 1e9
+          require(cnt > 0)
+          times(mode) ::= s
+        }
+      }
+      System.clearProperty("graft.serve.driverMergeMaxRows")
+      modes.foreach { case (mode, _) =>
+        val ts = times(mode).sorted
+        val med = ts(reps / 2)
+        println(f"[serveprobe] $name%-22s $mode%-8s median=${med}%.3f s  min=${ts.head}%.3f  " +
+          f"qps=${nq / med}%8.1f  spread=${ts.map(t => f"$t%.3f").mkString("[", ",", "]")}")
+      }
     }
 
     timeArm("routed np1 ef120", () => IvfHnsw.searchPinned(idx1m, model1m, q1m,
