@@ -15,6 +15,14 @@ import graft.operators.{Hnsw, Ivf, IvfHnsw}
   * between kernel-bound walk cost (~tens of ms per 1000-query batch at
   * np=1) and the measured batch seconds — i.e. how much of a serving batch
   * is Spark job machinery rather than graph walk.
+  *
+  * Measured verdict (1M×960, interleaved A/B in one JVM, 7 reps): the
+  * driver-side heap merge beats the declarative shuffle merge 1.37× on the
+  * headline routed-np1 arm (median 0.415 s vs 0.568 s per 1000-query
+  * batch) and ties within noise on np2 and the unrouted pinned arm — so
+  * the Q·P·k row gate in `pinnedSearchCore` is a pure win below the bound
+  * and semantics-neutral above it (HnswSpec "shuffle-merge arm equals
+  * driver merge").
   */
 object ServeProbe {
   def main(args: Array[String]): Unit = {

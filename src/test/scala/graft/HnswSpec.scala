@@ -123,6 +123,35 @@ class HnswSpec extends SparkTestBase {
     assert(bounded.filter($"distance" > cut).count() == 0)
   }
 
+  test("pinned shuffle-merge arm (past the driver-merge gate) equals driver merge") {
+    // pinnedSearchCore picks its merge by the Q·P·k row gate: below it the
+    // driver heap-merges the collected partials, above it the declarative
+    // groupBy top-k shuffle runs. Force the shuffle arm via the gate
+    // override and assert both arms return identical (id, distance) sets —
+    // the gate must be a pure performance choice, never a semantic one.
+    val idx = Hnsw.buildIndex(base.repartition(4)).cache()
+    val prop = "graft.serve.driverMergeMaxRows"
+    val driver = Hnsw.searchPinned(idx, queries, k = 10, ef = Some(600))
+      .select("query_id", "id", "distance")
+      .as[(Long, Long, Double)].collect().toSet
+    System.setProperty(prop, "0")
+    try {
+      val shuffled = Hnsw.searchPinned(idx, queries, k = 10, ef = Some(600))
+        .select("query_id", "id", "distance")
+        .as[(Long, Long, Double)].collect().toSet
+      assert(shuffled == driver)
+      // and both agree with exact
+      val flat = Knn.exact(base, queries, k = 10)
+        .select("query_id", "id").as[(Long, Long)].collect().toSet
+      assert(shuffled.map { case (q, id, _) => (q, id) } == flat)
+      // upper bound still respected through the shuffle merge
+      val cut = 1.0
+      val bounded = Hnsw.searchPinned(idx, queries, k = 10, ef = Some(600),
+        upperBound = cut)
+      assert(bounded.filter($"distance" > cut).count() == 0)
+    } finally System.clearProperty(prop)
+  }
+
   test("broadcast serving search equals exact; cached second batch identical") {
     val idx = Hnsw.buildIndex(base.repartition(4)).cache()
     val flat = Knn.exact(base, queries, k = 10)
