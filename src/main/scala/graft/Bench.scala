@@ -595,6 +595,22 @@ object Bench {
           ef = Some(120), nProbes = Some(np), cacheKey = ck1m))
       }
       routedMk.foreach { case (_, mk) => withAqeOff(serve(mk())) }
+      // oversized-batch pair: the same routed np1 walk with a 10k-query
+      // batch, collected (driver round-trip, heap merge below the Q·P·k
+      // gate) vs streamed (queries stay a distributed Dataset end to end —
+      // the arm the catalog dispatch picks past the serving gate). The
+      // pair prices the streamed arm's routing exchange against the
+      // collected arm's driver hop at the batch size where the gate
+      // decision starts to matter; recall is np1's (same walk, same
+      // graphs), asserted equal by CatalogSpec's oversized-batch case.
+      val q1m10k = vec1m.filter(col("id") < 10000)
+        .select(col("id").as("query_id"), col("vec").as("query_vec")).cache()
+      q1m10k.count()
+      def mkRouted10k() = IvfHnsw.searchPinned(idx1m, model1m, q1m10k,
+        k = 10, ef = Some(120), nProbes = Some(1), cacheKey = ck1m)
+      def mkStream10k() = Hnsw.searchPinnedStream(idx1m, q1m10k, k = 10,
+        ef = Some(120), cacheKey = ck1m, route = Some((model1m, 1)))
+      withAqeOff(serve(mkRouted10k())); withAqeOff(serve(mkStream10k()))
       // knn_pq beyond the gate: baseline's fastest 1M config (m=320,
       // n_bits=4, 10k train — t_bench.toml:29-55); the code matrices build
       // from the pinned graphs, no stored code sidecar needed. ef=360
@@ -642,6 +658,10 @@ object Bench {
         recalls1m += pqRowName(np, ef) -> recallOf(mk(), truth1m)
       }
       results1m = timeAll(Seq[(String, () => Long)](
+        ("ivf_hnsw_1m_d960_np1_nq10k_batch",
+          () => withAqeOff(serve(mkRouted10k()))),
+        ("ivf_hnsw_1m_d960_np1_nq10k_stream_batch",
+          () => withAqeOff(serve(mkStream10k()))),
         ("hnsw_1m_d960_batch", () => withAqeOff(serve(mkPinned()))),
         ("hnsw_pq_1m_d960_batch", () => withAqeOff(serve(mkPinnedPq()))),
         ("hnsw_pq_walk_1m_d960_batch", () => withAqeOff(serve(mkPinnedPqWalk()))),
