@@ -201,6 +201,109 @@ object PqKernel {
     }
   }
 
+  /** Whether [[adcScanChunkFast]] applies: 4-bit codes (16 centroids per
+    * group — the LUT-in-one-register condition) on 512-bit-preferred
+    * hardware. */
+  def fastScanEligible(k: Int): Boolean = k == 16 && graft.index.Simd.fastScan16
+
+  /** Transpose a decoded row-major code matrix (nRows × m) into 16-row
+    * blocks, group-major within each block:
+    * `out(block*m*16 + g*16 + lane) = codes((block*16+lane)*m + g)`.
+    * Lanes past nRows in the last block stay 0 (callers skip them by row
+    * bound, and code 0 is a valid index so the permute never faults). */
+  def transposeCodes16(codes: Array[Byte], nRows: Int, m: Int): Array[Byte] = {
+    val nBlocks = (nRows + 15) >> 4
+    val out = new Array[Byte](nBlocks * m * 16)
+    var r = 0
+    while (r < nRows) {
+      val dst = ((r >> 4) * m << 4) + (r & 15)
+      val src = r * m
+      var g = 0
+      while (g < m) { out(dst + (g << 4)) = codes(src + g); g += 1 }
+      r += 1
+    }
+    out
+  }
+
+  /** [[adcScanChunk]] over the 16-row-blocked transposed layout
+    * ([[transposeCodes16]]), k = 16 only: the inner loop is
+    * `Simd.adcBlock4`'s in-register permute — one instruction per
+    * (group, 16 rows) instead of one subscripted load per (group, row).
+    * Same contract and same top-ef maintenance as the scalar chunk scan;
+    * sums accumulate in float vector lanes (selection-grade — the exact
+    * re-rank downstream is unchanged). */
+  def adcScanChunkFast(
+      codesT: Array[Byte], nRows: Int, m: Int,
+      luts: Array[Array[Float]], q0: Int, qn: Int,
+      cosine: Boolean, cdRow: Array[Double], qNorms: Array[Double],
+      ids: Array[Long],
+      bufD: Array[Array[Double]], bufI: Array[Array[Long]], sz: Array[Int],
+      efK: Int): Unit = {
+    val nBlocks = (nRows + 15) >> 4
+    val blockStride = m << 4
+    val sums = new Array[Float](64)
+    // group-major float bits per query: IntVector loads want Array[Int]
+    def bits(lut: Array[Float]): Array[Int] = {
+      val out = new Array[Int](lut.length)
+      var i = 0
+      while (i < lut.length) { out(i) = java.lang.Float.floatToRawIntBits(lut(i)); i += 1 }
+      out
+    }
+    var qb = q0
+    val qEnd = q0 + qn
+    while (qb + 4 <= qEnd) {
+      val l0 = bits(luts(qb)); val l1 = bits(luts(qb + 1))
+      val l2 = bits(luts(qb + 2)); val l3 = bits(luts(qb + 3))
+      var b = 0
+      while (b < nBlocks) {
+        graft.index.Simd.adcBlock4(codesT, b * blockStride, m, l0, l1, l2, l3, sums)
+        val r0 = b << 4
+        val lanes = math.min(16, nRows - r0)
+        var lane = 0
+        while (lane < lanes) {
+          val r = r0 + lane
+          val id = ids(r)
+          var s0 = sums(lane).toDouble; var s1 = sums(16 + lane).toDouble
+          var s2 = sums(32 + lane).toDouble; var s3 = sums(48 + lane).toDouble
+          if (cosine) {
+            val cn = math.sqrt(cdRow(r))
+            s0 = 1.0 - s0 / math.max(cn * qNorms(qb), 1e-10)
+            s1 = 1.0 - s1 / math.max(cn * qNorms(qb + 1), 1e-10)
+            s2 = 1.0 - s2 / math.max(cn * qNorms(qb + 2), 1e-10)
+            s3 = 1.0 - s3 / math.max(cn * qNorms(qb + 3), 1e-10)
+          }
+          insertTopEf(bufD(qb), bufI(qb), sz, qb, id, s0, efK)
+          insertTopEf(bufD(qb + 1), bufI(qb + 1), sz, qb + 1, id, s1, efK)
+          insertTopEf(bufD(qb + 2), bufI(qb + 2), sz, qb + 2, id, s2, efK)
+          insertTopEf(bufD(qb + 3), bufI(qb + 3), sz, qb + 3, id, s3, efK)
+          lane += 1
+        }
+        b += 1
+      }
+      qb += 4
+    }
+    while (qb < qEnd) {
+      val l0 = bits(luts(qb))
+      var b = 0
+      while (b < nBlocks) {
+        graft.index.Simd.adcBlock1(codesT, b * blockStride, m, l0, sums)
+        val r0 = b << 4
+        val lanes = math.min(16, nRows - r0)
+        var lane = 0
+        while (lane < lanes) {
+          val r = r0 + lane
+          var s = sums(lane).toDouble
+          if (cosine)
+            s = 1.0 - s / math.max(math.sqrt(cdRow(r)) * qNorms(qb), 1e-10)
+          insertTopEf(bufD(qb), bufI(qb), sz, qb, ids(r), s, efK)
+          lane += 1
+        }
+        b += 1
+      }
+      qb += 1
+    }
+  }
+
   /** Single-row ADC lookup sum over a decoded code-matrix row (row starts
     * at `base`, one byte per group, lut laid out group-major `g*k + c`).
     * Four independent accumulators: a single dependent-add chain is

@@ -316,13 +316,17 @@ object Pq {
   }
 
   /** In-memory serving unit for [[searchFlatServe]]: decoded codes, packed
-    * vectors, ids, and (cosine) per-row centroid self-dot sums. */
+    * vectors, ids, and (cosine) per-row centroid self-dot sums. `codesT`
+    * is the 16-row-blocked transposed layout for the SIMD fast scan
+    * (`PqKernel.transposeCodes16`; null when the model/hardware is
+    * ineligible — see `PqKernel.fastScanEligible`). */
   private final case class ServeIndex(
       ids: Array[Long],
       codes: Array[Byte], // nRows × m, decoded
       nRows: Int,
       vecs: Array[Float], // nRows × dim, packed
-      cdRow: Array[Double]) // nRows (cosine) or null
+      cdRow: Array[Double], // nRows (cosine) or null
+      codesT: Array[Byte])
 
   /** Driver-side LRU of serve-index broadcasts, keyed by cacheKey — same
     * role as the HNSW broadcast cache: a serving workload hits this per
@@ -409,7 +413,13 @@ object Pq {
         }
         r += 1
       }
-      spark.sparkContext.broadcast(ServeIndex(ids, codes, n, vecs, cdRow))
+      // `graft.pq.fastScan=off` forces the scalar chunk scan (spec A/B)
+      val codesT =
+        if (PqKernel.fastScanEligible(kCent) &&
+            !sys.props.get("graft.pq.fastScan").contains("off"))
+          PqKernel.transposeCodes16(codes, n, m)
+        else null
+      spark.sparkContext.broadcast(ServeIndex(ids, codes, n, vecs, cdRow, codesT))
     }
     val bcIdx = cacheKey match {
       case Some(ck) => serveCache.synchronized {
@@ -453,8 +463,12 @@ object Pq {
               }
               bi += 1
             }
-            PqKernel.adcScanChunk(si.codes, si.nRows, m, kCent, luts, 0, bn,
-              cosine, si.cdRow, qns, rowIdx, bufD, bufI, sz, efK)
+            if (si.codesT != null)
+              PqKernel.adcScanChunkFast(si.codesT, si.nRows, m, luts, 0, bn,
+                cosine, si.cdRow, qns, rowIdx, bufD, bufI, sz, efK)
+            else
+              PqKernel.adcScanChunk(si.codes, si.nRows, m, kCent, luts, 0, bn,
+                cosine, si.cdRow, qns, rowIdx, bufD, bufI, sz, efK)
             Iterator.range(0, bn).flatMap { qi =>
               // exact in-task re-rank of the ef winners (`pq_resort`)
               val qv = block(qi)._2

@@ -125,4 +125,61 @@ class PqSpec extends SparkTestBase {
       }
     }
   }
+
+  test("transposeCodes16: blocked layout round-trips the row-major matrix") {
+    val rnd = new scala.util.Random(11)
+    val nRows = 37 // exercises a partial tail block
+    val m = 5
+    val codes = Array.fill(nRows * m)((rnd.nextInt(16)).toByte)
+    val t = PqKernel.transposeCodes16(codes, nRows, m)
+    assert(t.length == ((nRows + 15) / 16) * m * 16)
+    for (r <- 0 until nRows; g <- 0 until m)
+      assert(t((r >> 4) * m * 16 + g * 16 + (r & 15)) == codes(r * m + g),
+        s"row $r group $g")
+  }
+
+  test("SIMD fast scan serves identically to the scalar chunk scan (L2 and cosine)") {
+    // same searchFlatServe call, fast path vs forced-scalar path: with ef
+    // covering the whole table both select everything and exact re-rank,
+    // so results must be identical rows regardless of float summation order
+    assume(PqKernel.fastScanEligible(16), "needs 512-bit preferred species")
+    val base = Tables.vectors(spark, sf0001).select("id", "vec").cache()
+    val n = base.count().toInt
+    val q = base.filter($"id" < 7)
+      .select($"id".as("query_id"), $"vec".as("query_vec"))
+    for (dist <- Seq("l2sqr", "cosine")) {
+      val model = Pq.train(base, m = 16, nBits = 4, dist = dist)
+      val encoded = Pq.encode(base, model).cache()
+      encoded.count()
+      val fast = Pq.searchFlatServe(encoded, model, q, k = 8, ef = n)
+        .orderBy("query_id", "distance", "id").collect()
+      sys.props("graft.pq.fastScan") = "off"
+      val scalar =
+        try Pq.searchFlatServe(encoded, model, q, k = 8, ef = n)
+          .orderBy("query_id", "distance", "id").collect()
+        finally sys.props.remove("graft.pq.fastScan")
+      assert(fast.length == scalar.length, s"$dist row count")
+      fast.zip(scalar).foreach { case (x, y) =>
+        assert(x.getAs[Long]("query_id") == y.getAs[Long]("query_id"), s"$dist qid")
+        assert(x.getAs[Long]("id") == y.getAs[Long]("id"), s"$dist id")
+        assert(x.getAs[Double]("distance") == y.getAs[Double]("distance"), s"$dist distance")
+      }
+      // and the selection tier itself agrees at serving-sized ef: apart
+      // from fp-order boundary ties the two scans keep the same top-ef
+      // candidate sets, so their hit sets vs exact must agree closely
+      // (the absolute recall at ef=32 is ADC quantization, not the scan)
+      val exact = Knn.exact(base, q, k = 8, dist = dist)
+        .select("query_id", "id").as[(Long, Long)].collect().toSet
+      def hits(df: org.apache.spark.sql.DataFrame): Int =
+        df.select("query_id", "id").as[(Long, Long)].collect()
+          .toSet.intersect(exact).size
+      val fastSmall = hits(Pq.searchFlatServe(encoded, model, q, k = 8, ef = 32))
+      sys.props("graft.pq.fastScan") = "off"
+      val scalarSmall =
+        try hits(Pq.searchFlatServe(encoded, model, q, k = 8, ef = 32))
+        finally sys.props.remove("graft.pq.fastScan")
+      assert(math.abs(fastSmall - scalarSmall) <= 4,
+        s"$dist fast $fastSmall vs scalar $scalarSmall hits of ${exact.size}")
+    }
+  }
 }
