@@ -206,6 +206,15 @@ object PqKernel {
     * hardware. */
   def fastScanEligible(k: Int): Boolean = k == 16 && graft.index.Simd.fastScan16
 
+  /** A group-major float LUT as raw bits (`IntVector` loads want
+    * `Array[Int]`) — the query-side half of the fast-scan contract. */
+  def lutBits(lut: Array[Float]): Array[Int] = {
+    val out = new Array[Int](lut.length)
+    var i = 0
+    while (i < lut.length) { out(i) = java.lang.Float.floatToRawIntBits(lut(i)); i += 1 }
+    out
+  }
+
   /** Transpose a decoded row-major code matrix (nRows × m) into 16-row
     * blocks, group-major within each block:
     * `out(block*m*16 + g*16 + lane) = codes((block*16+lane)*m + g)`.
@@ -242,13 +251,7 @@ object PqKernel {
     val nBlocks = (nRows + 15) >> 4
     val blockStride = m << 4
     val sums = new Array[Float](64)
-    // group-major float bits per query: IntVector loads want Array[Int]
-    def bits(lut: Array[Float]): Array[Int] = {
-      val out = new Array[Int](lut.length)
-      var i = 0
-      while (i < lut.length) { out(i) = java.lang.Float.floatToRawIntBits(lut(i)); i += 1 }
-      out
-    }
+    def bits(lut: Array[Float]): Array[Int] = lutBits(lut)
     var qb = q0
     val qEnd = q0 + qn
     while (qb + 4 <= qEnd) {

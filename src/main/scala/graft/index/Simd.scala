@@ -290,9 +290,11 @@ object Simd {
     a2.intoArray(sums, 32); a3.intoArray(sums, 48)
   }
 
-  /** One 16-row block × 1 query (tail of a query batch). */
+  /** One 16-row block × 1 query (tail of a query batch; also the per-node
+    * sub-block scorer of the neighbor-blocked graph walk — `outOff` places
+    * the 16 sums for sub-block lanes 16s..16s+15). */
   def adcBlock1(codesT: Array[Byte], off0: Int, m: Int,
-      lut0: Array[Int], sums: Array[Float]): Unit = {
+      lut0: Array[Int], sums: Array[Float], outOff: Int = 0): Unit = {
     var a0 = FloatVector.zero(FS512)
     var off = off0
     var g16 = 0
@@ -303,6 +305,6 @@ object Simd {
       a0 = a0.add(idx.selectFrom(IntVector.fromArray(IS512, lut0, g16)).reinterpretAsFloats())
       g16 += 16; off += 16
     }
-    a0.intoArray(sums, 0)
+    a0.intoArray(sums, outOff)
   }
 }

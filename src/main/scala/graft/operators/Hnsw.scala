@@ -339,6 +339,19 @@ object Hnsw {
     * spid). Returns (codes n×m, cosine centroid self-dot per node — null
     * for L2) per entry.
     *
+    * Measured negative result (r13, WalkProbe rank-48 d960 @50k): a
+    * DiskANN-style inline-neighbor-blocks layout (each node's level-0
+    * neighbors' codes transposed 16-lane group-major, scored with the
+    * serve path's `Simd.adcBlock1` permute kernel) reproduced the scalar
+    * walk's recall exactly but measured 10–40% SLOWER at every (m, ef) —
+    * parity only at m=64 where blocks still fit cache. The walk is not
+    * lookup-arithmetic-bound: `adcOne`'s 4-chain loop already runs near
+    * the codes-row memory floor, and the n·m·2maxM0 block blow-up turns
+    * each (random-node) expansion into a ~10 KB cold read vs ~3 KB of
+    * row-major codes. The fast-scan kernel pays only where blocks stream
+    * sequentially and stay cache-resident — the flat serve scan
+    * (`Pq.searchFlatServe`) — so this walk keeps the row-major codes.
+    *
     * With `residCents` (routed L2 tables), a node in cluster pid encodes
     * its RESIDUAL x − centroid(pid) — FAISS's IVFPQ/IVFADC design: the
     * quantizer spends its resolution on the within-cell spread instead of
