@@ -378,6 +378,59 @@ object SparkEntry {
     // epoch-skip replay protection), then extracted back out. Original ids
     // ride the meta map, so the extract is oracled cell-for-cell against
     // the source table. StreamIngestSpec carries the restart/replay cases.
+    // F6: the `calc_dist` SQL surface — the registered vec_dot/vec_l2sq/
+    // vec_cosine functions (`/root/reference/src/distance/mod.rs:40-56`'s
+    // string-dispatched calc_dist) evaluated from plain Spark SQL, oracled
+    // against DuckDB list arithmetic (incl. the 1e-10 cosine clamp)
+    "q_calc_dist" -> ((s, dir) => {
+      graft.functions.VectorFunctions.register(s)
+      base(s, dir).createOrReplaceTempView("calc_dist_emb")
+      s.sql(
+        """SELECT q.id AS query_id, b.id AS id,
+          |  round(vec_dot(q.vec, b.vec), 6) + 0.0 AS dot,
+          |  round(vec_l2sq(q.vec, b.vec), 6) + 0.0 AS l2sq,
+          |  round(vec_cosine(q.vec, b.vec), 6) + 0.0 AS cos_d
+          |FROM calc_dist_emb q CROSS JOIN calc_dist_emb b
+          |WHERE q.id < 4""".stripMargin)
+        .orderBy("query_id", "id")
+    }),
+    // P4: dim-slice projection — the front-loaded div_ceil group split
+    // (`pq_table.rs:38-53`) applied as slice()+aggregate per group; the
+    // oracle recomputes the same split with independent SQL arithmetic
+    "q_dim_slice" -> ((s, dir) => {
+      val b = base(s, dir)
+      val dim = b.head().getAs[Seq[Float]]("vec").length
+      val groups = graft.functions.PqKernel.pqGroups(dim, 4)
+      val cols = groups.zipWithIndex.map { case ((st, len), gi) =>
+        (round(aggregate(slice(col("vec"), st + 1, len), lit(0.0),
+          (acc, x) => acc + x.cast("double") * x.cast("double")), 6) + lit(0.0))
+          .as(s"g$gi")
+      }
+      b.select(col("id") +: cols.toSeq: _*).orderBy("id")
+    }),
+    // S4: fvecs converter round-trip — the table serialized to one fvecs
+    // file (LE u32 dim + dim LE f32 per record), read back through
+    // Ingest.readFvecs (offset-ordered ids), same cell oracle as the raw
+    // binary round-trip
+    "q_fvecs_roundtrip" -> ((s, dir) => {
+      val b = base(s, dir)
+      val dim = b.head().getAs[Seq[Float]]("vec").length
+      val tmp = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get("target"), "fvecs_q")
+      val f = tmp.resolve("emb.fvecs").toString
+      val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
+        new java.io.FileOutputStream(f)))
+      try b.orderBy("id").select("vec").collect().foreach { r =>
+        out.writeInt(java.lang.Integer.reverseBytes(dim))
+        r.getSeq[Float](0).foreach(x => out.writeInt(java.lang.Integer.reverseBytes(
+          java.lang.Float.floatToRawIntBits(x))))
+      } finally out.close()
+      graft.sources.Ingest.readFvecs(s, f)
+        .select(col("id"),
+          (round(element_at(col("vec"), 1).cast("double"), 6) + lit(0.0)).as("c_first"),
+          (round(element_at(col("vec"), dim).cast("double"), 6) + lit(0.0)).as("c_last"))
+        .orderBy("id")
+    }),
     "q_stream_ingest" -> ((s, dir) => {
       val src = Tables.vectors(s, dir)
       val dim = src.head().getAs[Seq[Float]]("vec").length
@@ -545,6 +598,37 @@ object SparkEntry {
         |WHERE rn <= 5
         |ORDER BY query_id, distance, id""".stripMargin,
     "q_ingest_roundtrip" ->
+      """SELECT vec_id AS id,
+        |       round(CAST(embedding[1] AS DOUBLE), 6) + 0.0 AS c_first,
+        |       round(CAST(embedding[len(embedding)] AS DOUBLE), 6) + 0.0 AS c_last
+        |FROM embeddings ORDER BY id""".stripMargin,
+    "q_calc_dist" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 4)
+         |SELECT q.query_id, b.vec_id AS id,
+         |  round(list_sum(list_transform(range(1, len(b.embedding) + 1),
+         |    i -> CAST(q.qv[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))), 6) + 0.0 AS dot,
+         |  round($l2Expr, 6) + 0.0 AS l2sq,
+         |  round($cosExpr, 6) + 0.0 AS cos_d
+         |FROM q CROSS JOIN embeddings b
+         |ORDER BY query_id, id""".stripMargin,
+    // same front-loaded div_ceil split as PqKernel.pqGroups, derived with
+    // independent arithmetic: l_g = ceil(remaining / groups_left)
+    "q_dim_slice" ->
+      """WITH d AS (SELECT vec_id, embedding, len(embedding) AS n FROM embeddings),
+        |c0 AS (SELECT *, CAST(ceil(n / 4.0) AS INT) AS l0 FROM d),
+        |c1 AS (SELECT *, CAST(ceil((n - l0) / 3.0) AS INT) AS l1 FROM c0),
+        |c2 AS (SELECT *, CAST(ceil((n - l0 - l1) / 2.0) AS INT) AS l2 FROM c1)
+        |SELECT vec_id AS id,
+        |  round(list_sum(list_transform(list_slice(embedding, 1, l0),
+        |    x -> CAST(x AS DOUBLE) ^ 2)), 6) + 0.0 AS g0,
+        |  round(list_sum(list_transform(list_slice(embedding, l0 + 1, l0 + l1),
+        |    x -> CAST(x AS DOUBLE) ^ 2)), 6) + 0.0 AS g1,
+        |  round(list_sum(list_transform(list_slice(embedding, l0 + l1 + 1, l0 + l1 + l2),
+        |    x -> CAST(x AS DOUBLE) ^ 2)), 6) + 0.0 AS g2,
+        |  round(list_sum(list_transform(list_slice(embedding, l0 + l1 + l2 + 1, n),
+        |    x -> CAST(x AS DOUBLE) ^ 2)), 6) + 0.0 AS g3
+        |FROM c2 ORDER BY id""".stripMargin,
+    "q_fvecs_roundtrip" ->
       """SELECT vec_id AS id,
         |       round(CAST(embedding[1] AS DOUBLE), 6) + 0.0 AS c_first,
         |       round(CAST(embedding[len(embedding)] AS DOUBLE), 6) + 0.0 AS c_last

@@ -195,7 +195,9 @@ object VectorFunctions {
               s"vec_$k requires exactly 2 arguments (got ${exprs.length})")
           VecDistance(exprs(0), exprs(1), k)
         },
-        "builtin")
+        // Spark 4 validates the source tag against a fixed list —
+        // "builtin" (no hyphen) throws at resolution time
+        "built-in")
     }
   }
 }

@@ -41,4 +41,19 @@ class DistanceSpec extends SparkTestBase {
   test("dimension mismatch raises") {
     intercept[Exception] { one(Seq(1f, 2f), Seq(1f, 2f, 3f), "l2") }
   }
+
+  test("F6: registered SQL functions evaluate from spark.sql") {
+    // the calc_dist SQL surface: register() must produce resolvable
+    // functions (Spark 4 validates the registration source tag — a bad
+    // tag only throws at RESOLUTION time, which column-API tests never hit)
+    graft.functions.VectorFunctions.register(spark)
+    Seq((Seq(1f, 2f, 3f), Seq(4f, 5f, 6f))).toDF("a", "b")
+      .createOrReplaceTempView("distance_spec_pairs")
+    val r = spark.sql(
+      """SELECT vec_dot(a, b) AS d, vec_l2sq(a, b) AS l, vec_cosine(a, b) AS c
+        |FROM distance_spec_pairs""".stripMargin).head()
+    assert(math.abs(r.getDouble(0) - 32.0) < 1e-6)
+    assert(math.abs(r.getDouble(1) - 27.0) < 1e-6)
+    assert(r.getDouble(2) >= 0.0 && r.getDouble(2) < 0.03)
+  }
 }
