@@ -221,8 +221,16 @@ object PqKernel {
     * Lanes past nRows in the last block stay 0 (callers skip them by row
     * bound, and code 0 is a valid index so the permute never faults). */
   def transposeCodes16(codes: Array[Byte], nRows: Int, m: Int): Array[Byte] = {
-    val nBlocks = (nRows + 15) >> 4
-    val out = new Array[Byte](nBlocks * m * 16)
+    val out = new Array[Byte](((nRows + 15) >> 4) * m * 16)
+    transposeCodes16Into(codes, nRows, m, out)
+    out
+  }
+
+  /** [[transposeCodes16]] into a caller-owned buffer (chunked scans reuse
+    * one buffer across chunks; stale lanes past nRows are never read — and
+    * are old 0–15 codes, so the permute stays in-range regardless). */
+  def transposeCodes16Into(
+      codes: Array[Byte], nRows: Int, m: Int, out: Array[Byte]): Unit = {
     var r = 0
     while (r < nRows) {
       val dst = ((r >> 4) * m << 4) + (r & 15)
@@ -231,7 +239,6 @@ object PqKernel {
       while (g < m) { out(dst + (g << 4)) = codes(src + g); g += 1 }
       r += 1
     }
-    out
   }
 
   /** [[adcScanChunk]] over the 16-row-blocked transposed layout

@@ -277,6 +277,13 @@ object Pq {
           val ids = new Array[Long](chunk)
           val codes = new Array[Byte](chunk * m)
           val cdRow = if (cosine) new Array[Double](chunk) else null
+          // fast-scan layout, reused across chunks (stale tail lanes are
+          // never read): one transpose pass per chunk vs nq/4 scan passes
+          val codesT =
+            if (PqKernel.fastScanEligible(kCent) &&
+                !sys.props.get("graft.pq.fastScan").contains("off"))
+              new Array[Byte](((chunk + 15) >> 4) * m * 16)
+            else null
           while (it.hasNext) {
             var nRows = 0
             while (nRows < chunk && it.hasNext) {
@@ -297,8 +304,13 @@ object Pq {
                 r += 1
               }
             }
-            PqKernel.adcScanChunk(codes, nRows, m, kCent, lks, 0, nq,
-              cosine, cdRow, qns, ids, bufD, bufI, sz, efK)
+            if (codesT != null) {
+              PqKernel.transposeCodes16Into(codes, nRows, m, codesT)
+              PqKernel.adcScanChunkFast(codesT, nRows, m, lks, 0, nq,
+                cosine, cdRow, qns, ids, bufD, bufI, sz, efK)
+            } else
+              PqKernel.adcScanChunk(codes, nRows, m, kCent, lks, 0, nq,
+                cosine, cdRow, qns, ids, bufD, bufI, sz, efK)
           }
           Iterator.range(0, nq).flatMap { qi =>
             Iterator.range(0, sz(qi)).map(p => (qids(qi), bufI(qi)(p), bufD(qi)(p)))

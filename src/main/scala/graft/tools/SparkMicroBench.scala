@@ -51,11 +51,16 @@ object SparkMicroBench {
       trainFraction = Some(0.1))
     val pqEncoded960 = graft.operators.Pq.encode(vec960, pqModel960).cache()
     pqEncoded960.count()
-    for (r <- 1 to 4) {
+    // fast-scan vs scalar chunk scan, interleaved in this JVM (shared JIT,
+    // GC debt, page cache — the only variable is the kernel the gate picks)
+    for (r <- 1 to 5; mode <- Seq("fast", "scalar")) {
+      if (mode == "scalar") System.setProperty("graft.pq.fastScan", "off")
+      else System.clearProperty("graft.pq.fastScan")
       t0 = System.nanoTime()
       val c = graft.operators.Pq.searchFlatBroadcast(pqEncoded960, pqModel960,
         queries960, k = 10, ef = 100).count()
-      println(f"pq bcast run $r: ${(System.nanoTime() - t0) / 1e9}%.3f s (rows=$c)")
+      println(f"pq bcast $mode%-6s run $r: ${(System.nanoTime() - t0) / 1e9}%.3f s (rows=$c)")
+      System.clearProperty("graft.pq.fastScan")
     }
     val pqPlan = graft.operators.Pq.searchFlatBroadcast(pqEncoded960, pqModel960,
       queries960, k = 10, ef = 100)
