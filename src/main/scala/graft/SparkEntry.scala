@@ -378,6 +378,14 @@ object SparkEntry {
     // epoch-skip replay protection), then extracted back out. Original ids
     // ride the meta map, so the extract is oracled cell-for-cell against
     // the source table. StreamIngestSpec carries the restart/replay cases.
+    // Document fingerprinting: MOSS winnowing over Rabin–Karp k-gram
+    // hashes (TextAnalysis.winnowFingerprints) — the oracle refolds the
+    // identical base-257 mod-1e9+7 arithmetic with DuckDB list_reduce
+    "q_doc_fingerprint" -> ((s, dir) => {
+      graft.operators.TextAnalysis
+        .winnowFingerprints(Tables.docs(s, dir), k = 8, w = 4)
+        .orderBy("doc_id", "fp")
+    }),
     // F6: the `calc_dist` SQL surface — the registered vec_dot/vec_l2sq/
     // vec_cosine functions (`/root/reference/src/distance/mod.rs:40-56`'s
     // string-dispatched calc_dist) evaluated from plain Spark SQL, oracled
@@ -602,6 +610,25 @@ object SparkEntry {
         |       round(CAST(embedding[1] AS DOUBLE), 6) + 0.0 AS c_first,
         |       round(CAST(embedding[len(embedding)] AS DOUBLE), 6) + 0.0 AS c_last
         |FROM embeddings ORDER BY id""".stripMargin,
+    // same winnowing arithmetic: k=8, w=4, base 257, mod 1e9+7; DuckDB's
+    // list_reduce folds from the first element == our 0-seeded fold
+    // (0·b + c0 = c0); list_slice/list_min give the per-window minimum
+    "q_doc_fingerprint" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents
+        |           WHERE length(text) >= 8 + 4 - 1),
+        |h AS (SELECT doc_id,
+        |  list_transform(range(1, n - 8 + 2),
+        |    i -> list_reduce(
+        |      list_transform(range(0, 8), j -> CAST(ascii(substr(text, CAST(i + j AS INT), 1)) AS BIGINT)),
+        |      (acc, c) -> (acc * 257 + c) % 1000000007)) AS hs,
+        |  n - 8 + 1 AS ng
+        |  FROM d)
+        |SELECT doc_id, fp FROM (
+        |  SELECT doc_id,
+        |    unnest(list_distinct(list_transform(range(1, ng - 4 + 2),
+        |      p -> list_min(list_slice(hs, CAST(p AS INT), CAST(p + 3 AS INT)))))) AS fp
+        |  FROM h)
+        |ORDER BY doc_id, fp""".stripMargin,
     "q_calc_dist" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 4)
          |SELECT q.query_id, b.vec_id AS id,

@@ -157,10 +157,87 @@ case class MinHashSignature(
   override def prettyName: String = "minhash_signature"
 }
 
+/** Winnowed document fingerprints (MOSS — Schleimer, Wilkerson, Aiken,
+  * SIGMOD 2003) in one pass per row: Rabin–Karp polynomial hashes over
+  * Unicode-codepoint k-grams (base 257, mod 1e9+7, mod per step), then the
+  * minimum of every window of w consecutive gram hashes, deduplicated.
+  * Returns the distinct selected hashes as `array<bigint>` (empty when the
+  * string has fewer than k + w − 1 codepoints — no full window exists).
+  *
+  * Codepoint semantics (not UTF-16 units, not bytes) match both Spark's
+  * `length()` and DuckDB's `substr`/`ascii`, so the q_doc_fingerprint
+  * oracle refolds the identical arithmetic. A tight per-row loop as a
+  * native expression: the nested higher-order-function formulation runs
+  * interpreted with per-element subtree re-evaluation (measured: minutes
+  * over 500 short docs vs milliseconds here). Interpreted eval only
+  * (CodegenFallback) — the row cost is the O(L·k) fold itself, not
+  * expression dispatch. */
+case class WinnowFingerprints(child: Expression, k: Int, w: Int)
+  extends UnaryExpression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  require(k >= 1 && w >= 1, "winnow_fingerprints: k and w must be >= 1")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"winnow_fingerprints requires string, got ${other.catalogString}")
+  }
+
+  private val B = 257L
+  private val M = 1000000007L
+
+  override def nullSafeEval(input: Any): Any = {
+    val cps = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+      .toString.codePoints().toArray
+    val L = cps.length
+    val nGrams = L - k + 1
+    val nWins = nGrams - w + 1
+    if (nWins <= 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.empty[Long])
+    val hs = new Array[Long](nGrams)
+    var i = 0
+    while (i < nGrams) {
+      var acc = 0L
+      var j = 0
+      while (j < k) { acc = (acc * B + cps(i + j)) % M; j += 1 }
+      hs(i) = acc
+      i += 1
+    }
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    var p = 0
+    while (p < nWins) {
+      var mn = hs(p)
+      var q = p + 1
+      while (q < p + w) { if (hs(q) < mn) mn = hs(q); q += 1 }
+      seen.add(mn)
+      p += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var o = 0
+    while (it.hasNext) { out(o) = it.next(); o += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "winnow_fingerprints"
+}
+
 object TextFunctions {
   /** Single-pass 64-bit SimHash over an `array<bigint>` of token hashes. */
   def simhash64(tokenHashes: Column): Column =
     ColumnShim.column(SimHash64(ColumnShim.expression(tokenHashes)))
+
+  /** Winnowed rolling-hash fingerprint set of a string column
+    * ([[WinnowFingerprints]]). */
+  def winnowFingerprints(text: Column, k: Int, w: Int): Column =
+    ColumnShim.column(WinnowFingerprints(ColumnShim.expression(text), k, w))
 
   /** Single-pass MinHash signature over an `array<bigint>` of base hashes. */
   def minhashSignature(

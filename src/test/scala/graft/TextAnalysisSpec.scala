@@ -45,6 +45,37 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(r.getAs[String]("predicted_lang") == "es")
   }
 
+  test("winnowFingerprints matches a plain-Scala winnowing reference") {
+    val k = 8; val w = 4
+    def ref(text: String): Set[Long] = {
+      if (text.length < k + w - 1) Set.empty
+      else {
+        val hs = (0 to text.length - k).map { i =>
+          text.substring(i, i + k).foldLeft(0L)((acc, c) =>
+            (acc * 257L + c.toLong) % 1000000007L)
+        }
+        (0 to hs.length - w).map(p => hs.slice(p, p + w).min).toSet
+      }
+    }
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"), // identical to 1
+      (3L, "a different document that shares the quick brown fox phrase"),
+      (4L, "short")) // below k + w - 1: no fingerprints
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.winnowFingerprints(docs, k, w).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+      .view.mapValues(_.map(_.getAs[Long]("fp")).toSet).toMap
+    val texts = Map(1L -> "the quick brown fox jumps over the lazy dog",
+      3L -> "a different document that shares the quick brown fox phrase")
+    assert(got(1L) == ref(texts(1L)))
+    assert(got(3L) == ref(texts(3L)))
+    assert(got(1L) == got(2L), "identical docs must fingerprint identically")
+    assert(got(1L).intersect(got(3L)).nonEmpty,
+      "shared phrase must produce shared fingerprints")
+    assert(!got.contains(4L), "sub-window doc must be omitted")
+  }
+
   test("qualityScore: components bounded, repetitive text scores lower") {
     val rep = ("spam " * 200).trim
     val good = (0 until 150).map(i => if (i % 7 == 0) "the" else s"w$i").mkString(" ")
