@@ -378,6 +378,36 @@ object SparkEntry {
     // epoch-skip replay protection), then extracted back out. Original ids
     // ride the meta map, so the extract is oracled cell-for-cell against
     // the source table. StreamIngestSpec carries the restart/replay cases.
+    // §2.9 extension: event-time windowed streaming aggregation — the
+    // documents table streamed through MemoryStream micro-batches with
+    // ts = doc_id minutes, windowed 10 min by StreamAnalytics
+    // .windowedLangStats (watermark + window + agg), complete-mode memory
+    // sink snapshot. Window starts emitted as epoch seconds so the oracle
+    // is pure integer arithmetic: (doc_id/10)*600.
+    "q_stream_window_stats" -> ((s, dir) => {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val rows = Tables.docs(s, dir)
+        .select(col("doc_id").cast("long"), col("lang"), col("text"))
+        .as[(Long, String, String)].collect()
+      val ms = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String, String)]
+      val st = ms.toDF().toDF("doc_id", "lang", "text")
+        .withColumn("ts", timestamp_seconds(col("doc_id") * 60))
+      val agg = graft.streaming.StreamAnalytics.windowedLangStats(st)
+      val q = agg.writeStream.format("memory")
+        .queryName("q_stream_window_stats_sink").outputMode("complete").start()
+      try {
+        val (h1, h2) = rows.splitAt(rows.length / 2)
+        ms.addData(h1.toSeq); q.processAllAvailable()
+        ms.addData(h2.toSeq); q.processAllAvailable()
+      } finally q.stop()
+      s.table("q_stream_window_stats_sink")
+        .select(col("window_start").cast("long").as("win_start"), col("lang"),
+          col("n_docs"),
+          (round(col("avg_tokens"), 6) + lit(0.0)).as("avg_tokens"))
+        .orderBy("win_start", "lang")
+    }),
     // Document fingerprinting: MOSS winnowing over Rabin–Karp k-gram
     // hashes (TextAnalysis.winnowFingerprints) — the oracle refolds the
     // identical base-257 mod-1e9+7 arithmetic with DuckDB list_reduce
@@ -610,6 +640,15 @@ object SparkEntry {
         |       round(CAST(embedding[1] AS DOUBLE), 6) + 0.0 AS c_first,
         |       round(CAST(embedding[len(embedding)] AS DOUBLE), 6) + 0.0 AS c_last
         |FROM embeddings ORDER BY id""".stripMargin,
+    // windowed streaming agg: ts = doc_id minutes, 10-minute tumbling
+    // windows ⇒ window start epoch = (doc_id // 10) · 600
+    "q_stream_window_stats" ->
+      """SELECT (doc_id // 10) * 600 AS win_start, lang,
+        |       count(*) AS n_docs,
+        |       round(avg(len(string_split(text, ' '))), 6) + 0.0 AS avg_tokens
+        |FROM documents
+        |GROUP BY 1, 2
+        |ORDER BY win_start, lang""".stripMargin,
     // same winnowing arithmetic: k=8, w=4, base 257, mod 1e9+7; DuckDB's
     // list_reduce folds from the first element == our 0-seeded fold
     // (0·b + c0 = c0); list_slice/list_min give the per-window minimum
