@@ -550,9 +550,7 @@ class VecDB(spark: SparkSession, root: String) {
         val newRows = newStats.getLong(1)
         // same size-scaled ceiling as compactHnsw's own guard, so appends
         // to a large table don't pay a no-op compaction scan every time
-        val floorSubs =
-          ((preRows + newRows + CompactRowsPerTask - 1) / CompactRowsPerTask).toInt
-        if (prePids + newPids > math.max(MaxSubgraphs, floorSubs + TargetSubgraphs))
+        if (prePids + newPids > deltaPidCeiling(floor, preRows + newRows))
           compactHnsw(key)
       } finally idx.unpersist()
     }
@@ -578,6 +576,25 @@ class VecDB(spark: SparkSession, root: String) {
   private val MaxSubgraphs = 16
   private val TargetSubgraphs = 8
 
+  /** Delta-subgraph count that triggers [[compactHnsw]] (shared by the
+    * append path's pre-check and compactHnsw's own guard so they can never
+    * disagree into a scan-but-never-compact loop). ROUTED tables get the
+    * tight ceiling ([[TargetSubgraphs]]): every routed query walks every
+    * delta pid regardless of its probe list, so a table taking many small
+    * appends between compactions would degrade toward the union walk —
+    * compacting at > 8 deltas bounds that fan-out at roughly one extra
+    * subgraph walk per probe list. UNROUTED tables keep the looser
+    * [[MaxSubgraphs]]: their subgraphs are all walked anyway, so
+    * fragmentation only adds per-subgraph fixed costs. Both scale with
+    * ceil(deltaRows / [[CompactRowsPerTask]]) — the rebuild granularity
+    * makes fewer subgraphs than that impossible, and a fixed ceiling would
+    * re-trigger a near-full rebuild on every append past that size. */
+  private def deltaPidCeiling(floor: Int, deltaRows: Long): Int = {
+    val floorSubs = ((deltaRows + CompactRowsPerTask - 1) / CompactRowsPerTask).toInt
+    if (floor > 0) math.max(TargetSubgraphs, floorSubs + TargetSubgraphs - 1)
+    else math.max(MaxSubgraphs, floorSubs + TargetSubgraphs)
+  }
+
   /** Merge the smallest HNSW DELTA subgraphs into one freshly built graph
     * so repeated small adds cannot degrade serving toward a flat scan. Ids
     * are preserved; only the (pid, local graph) packaging changes —
@@ -601,14 +618,8 @@ class VecDB(spark: SparkSession, root: String) {
     val allCounts = sidecar.groupBy("pid").count().collect()
       .map(r => (r.getInt(0), r.getLong(1)))
     val counts = allCounts.filter(_._1 >= floor) // delta subgraphs only
-    // a delta set of N rows needs at least ceil(N / CompactRowsPerTask)
-    // subgraphs (that's the rebuild granularity), so the trigger ceiling
-    // scales with table size — a fixed MaxSubgraphs would re-trigger after
-    // EVERY append once the deltas outgrow MaxSubgraphs·rowsPerTask,
-    // rebuilding most of the table each time without ever converging
     val totalRows = counts.map(_._2).sum
-    val floorSubs = ((totalRows + CompactRowsPerTask - 1) / CompactRowsPerTask).toInt
-    if (counts.length <= math.max(MaxSubgraphs, floorSubs + TargetSubgraphs)) return
+    if (counts.length <= deltaPidCeiling(floor, totalRows)) return
     val nMerge = counts.length - TargetSubgraphs + 1
     val picked = counts.sortBy { case (p, c) => (c, p) }.take(nMerge)
     val mergePids = picked.map(_._1).toSet

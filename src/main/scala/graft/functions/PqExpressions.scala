@@ -247,10 +247,13 @@ object PqKernel {
     * (group, 16 rows) instead of one subscripted load per (group, row).
     * Same contract and same top-ef maintenance as the scalar chunk scan;
     * sums accumulate in float vector lanes (selection-grade — the exact
-    * re-rank downstream is unchanged). */
+    * re-rank downstream is unchanged). `lutsBits` are the queries' LUTs
+    * pre-converted with [[lutBits]] ONCE per batch — chunked callers invoke
+    * this per chunk, and re-deriving m·16 ints per (query, chunk) was
+    * measurable allocation churn. */
   def adcScanChunkFast(
       codesT: Array[Byte], nRows: Int, m: Int,
-      luts: Array[Array[Float]], q0: Int, qn: Int,
+      lutsBits: Array[Array[Int]], q0: Int, qn: Int,
       cosine: Boolean, cdRow: Array[Double], qNorms: Array[Double],
       ids: Array[Long],
       bufD: Array[Array[Double]], bufI: Array[Array[Long]], sz: Array[Int],
@@ -258,12 +261,11 @@ object PqKernel {
     val nBlocks = (nRows + 15) >> 4
     val blockStride = m << 4
     val sums = new Array[Float](64)
-    def bits(lut: Array[Float]): Array[Int] = lutBits(lut)
     var qb = q0
     val qEnd = q0 + qn
     while (qb + 4 <= qEnd) {
-      val l0 = bits(luts(qb)); val l1 = bits(luts(qb + 1))
-      val l2 = bits(luts(qb + 2)); val l3 = bits(luts(qb + 3))
+      val l0 = lutsBits(qb); val l1 = lutsBits(qb + 1)
+      val l2 = lutsBits(qb + 2); val l3 = lutsBits(qb + 3)
       var b = 0
       while (b < nBlocks) {
         graft.index.Simd.adcBlock4(codesT, b * blockStride, m, l0, l1, l2, l3, sums)
@@ -293,7 +295,7 @@ object PqKernel {
       qb += 4
     }
     while (qb < qEnd) {
-      val l0 = bits(luts(qb))
+      val l0 = lutsBits(qb)
       var b = 0
       while (b < nBlocks) {
         graft.index.Simd.adcBlock1(codesT, b * blockStride, m, l0, sums)

@@ -263,7 +263,10 @@ object Simd {
 
   /** Hardware gate: the 512-bit species must be the platform's preferred
     * width, else the Vector API emulates the permutes lane-by-lane (slower
-    * than the scalar loop). */
+    * than the scalar loop). Evaluated per-JVM; serve-index broadcasts bake
+    * the DRIVER's answer in at build time, so a heterogeneous cluster with
+    * narrower executors would run emulated permutes there — correct but
+    * slow (homogeneous clusters assumed; see `Pq.ServeIndex`). */
   val fastScan16: Boolean = FS.length() == 16
 
   /** One 16-row block × 4 queries. `lutN` are the queries' group-major ADC

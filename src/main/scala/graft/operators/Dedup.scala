@@ -270,6 +270,12 @@ object Dedup {
     * and thresholds/reports cosine distance.
     *
     * @param threshold l2sqr: squared-L2 cutoff; cosine: cosine-distance cutoff
+    * @param maxDegeneratePairs bound on the cosine threshold ≥ 1 degenerate
+    *   path, where every zero-norm vector pairs with EVERY other row at clamp
+    *   distance exactly 1 — the output itself is |zeros|·(n−1) pairs, so the
+    *   cost is inherent to the request, not the plan. The guard pre-counts
+    *   and fails fast with the measured bound instead of launching a job
+    *   whose output would be all-pairs-sized.
     * @return (a_id, b_id, distance) with a_id < b_id
     */
   def semanticPairs(
@@ -279,7 +285,8 @@ object Dedup {
       numBlocks: Int = 16,
       seed: Long = 42L,
       idCol: String = "id",
-      vecCol: String = "vec"): DataFrame = {
+      vecCol: String = "vec",
+      maxDegeneratePairs: Long = 100000000L): DataFrame = {
     val raw = vecs.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
     val n2 = aggregate(col("vec"), lit(0.0d),
       (acc, v) => acc + v.cast("double") * v.cast("double"))
@@ -325,16 +332,30 @@ object Dedup {
       .distinct()
     if (dist == "cosine" && threshold >= 1.0) {
       // degenerate cutoff: zero vectors sit at clamp distance exactly 1 to
-      // every other row, so every pair touching one qualifies
+      // every other row, so every pair touching one qualifies. Pre-count and
+      // bound the blow-up (see maxDegeneratePairs), and broadcast the small
+      // zero side so the pairing is a shuffle-free nested-loop join.
       val zeros = raw.filter(n2 === 0.0).select(col("id").as("z_id"))
-      val zpairs = zeros
-        .crossJoin(raw.select(col("id").as("o_id")))
-        .filter(col("z_id") =!= col("o_id"))
-        .select(least(col("z_id"), col("o_id")).as("a_id"),
-          greatest(col("z_id"), col("o_id")).as("b_id"),
-          lit(1.0).as("distance"))
-        .distinct()
-      pairs.unionByName(zpairs)
+      val nZeros = zeros.count()
+      if (nZeros == 0L) pairs
+      else {
+        val nTotal = raw.count()
+        val degen = nZeros * (nTotal - 1)
+        require(degen <= maxDegeneratePairs,
+          s"semanticPairs degenerate path (cosine threshold >= 1.0): $nZeros " +
+            s"zero-norm vectors x ${nTotal - 1} rows = $degen pairs exceeds " +
+            s"maxDegeneratePairs=$maxDegeneratePairs; every such pair is a " +
+            "result row at clamp distance 1 — raise the cap only if that " +
+            "output size is intended")
+        val zpairs = raw.select(col("id").as("o_id"))
+          .crossJoin(broadcast(zeros))
+          .filter(col("z_id") =!= col("o_id"))
+          .select(least(col("z_id"), col("o_id")).as("a_id"),
+            greatest(col("z_id"), col("o_id")).as("b_id"),
+            lit(1.0).as("distance"))
+          .distinct()
+        pairs.unionByName(zpairs)
+      }
     } else pairs
   }
 }

@@ -256,6 +256,11 @@ object Pq {
     val nBits = model.nBits
     val m = model.m
     val kCent = model.k
+    // resolve the fast-scan toggle ONCE on the driver: a sys-prop set here
+    // never reaches executor JVMs on a real cluster, so reading it inside
+    // the task closure would silently ignore the A/B switch
+    val useFastScan = PqKernel.fastScanEligible(kCent) &&
+      !sys.props.get("graft.pq.fastScan").contains("off")
     val bc = spark.sparkContext.broadcast((qs.map(_._1), lookups, norms))
 
     val partial = encoded
@@ -280,10 +285,10 @@ object Pq {
           // fast-scan layout, reused across chunks (stale tail lanes are
           // never read): one transpose pass per chunk vs nq/4 scan passes
           val codesT =
-            if (PqKernel.fastScanEligible(kCent) &&
-                !sys.props.get("graft.pq.fastScan").contains("off"))
-              new Array[Byte](((chunk + 15) >> 4) * m * 16)
+            if (useFastScan) new Array[Byte](((chunk + 15) >> 4) * m * 16)
             else null
+          // raw-bits LUTs built once per task, not once per chunk
+          val lksBits = if (useFastScan) lks.map(PqKernel.lutBits) else null
           while (it.hasNext) {
             var nRows = 0
             while (nRows < chunk && it.hasNext) {
@@ -306,7 +311,7 @@ object Pq {
             }
             if (codesT != null) {
               PqKernel.transposeCodes16Into(codes, nRows, m, codesT)
-              PqKernel.adcScanChunkFast(codesT, nRows, m, lks, 0, nq,
+              PqKernel.adcScanChunkFast(codesT, nRows, m, lksBits, 0, nq,
                 cosine, cdRow, qns, ids, bufD, bufI, sz, efK)
             } else
               PqKernel.adcScanChunk(codes, nRows, m, kCent, lks, 0, nq,
@@ -331,7 +336,13 @@ object Pq {
     * vectors, ids, and (cosine) per-row centroid self-dot sums. `codesT`
     * is the 16-row-blocked transposed layout for the SIMD fast scan
     * (`PqKernel.transposeCodes16`; null when the model/hardware is
-    * ineligible — see `PqKernel.fastScanEligible`). */
+    * ineligible — see `PqKernel.fastScanEligible`). The fast-scan choice is
+    * resolved on the DRIVER at build time and baked into the broadcast:
+    * cacheKey'd serve indexes pin the kernel choice until the key rotates
+    * (toggling `graft.pq.fastScan` later does not affect cached entries),
+    * and a heterogeneous cluster where some executors prefer a narrower
+    * vector species would run the 512-bit permutes emulated there —
+    * correct, just not faster (homogeneous clusters assumed). */
   private final case class ServeIndex(
       ids: Array[Long],
       codes: Array[Byte], // nRows × m, decoded
@@ -476,8 +487,9 @@ object Pq {
               bi += 1
             }
             if (si.codesT != null)
-              PqKernel.adcScanChunkFast(si.codesT, si.nRows, m, luts, 0, bn,
-                cosine, si.cdRow, qns, rowIdx, bufD, bufI, sz, efK)
+              PqKernel.adcScanChunkFast(si.codesT, si.nRows, m,
+                luts.map(l => if (l == null) null else PqKernel.lutBits(l)),
+                0, bn, cosine, si.cdRow, qns, rowIdx, bufD, bufI, sz, efK)
             else
               PqKernel.adcScanChunk(si.codes, si.nRows, m, kCent, luts, 0, bn,
                 cosine, si.cdRow, qns, rowIdx, bufD, bufI, sz, efK)

@@ -344,6 +344,11 @@ class CatalogSpec extends SparkTestBase {
       assert(clusterPids.nonEmpty && clusterPids.forall(_ < 6))
       assert(deltaPids.nonEmpty && deltaPids.forall(_ >= 6),
         s"delta pids below the routing floor: ${pids.mkString(",")}")
+      // routed tables compact at the TIGHT ceiling: every routed query
+      // walks every delta pid, so 20+ small appends must not fan the walk
+      // out past TargetSubgraphs delta subgraphs
+      assert(deltaPids.length <= 8,
+        s"routed delta fan-out not compacted: ${deltaPids.length} delta pids")
       (0 until 20).foreach { j =>
         val h = db.search("t", Array(50f + j, -j.toFloat, j.toFloat, 0f), 1, ef = Some(200))
         assert(h.head._1("i") == s"d$j" && h.head._2 < 1e-6,

@@ -112,4 +112,31 @@ class DedupSpec extends SparkTestBase {
       Set((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L)))
     assert(zeroPairs.forall(_._3 == 1.0))
   }
+
+  test("semanticPairs degenerate path: many zeros stay bounded + guarded") {
+    // 50 zero vectors among 100 rows at threshold >= 1: the degenerate
+    // append is |zeros|·(n−1) pairs by construction. Under the cap the
+    // result is complete (every zero pairs with every other row, broadcast
+    // nested-loop — no shuffle, no unbounded crossJoin); over the cap the
+    // pre-count guard fails fast instead of launching the job.
+    val rows = (0L until 100L).map { i =>
+      if (i < 50) (i, Array(0f, 0f, 0f, 0f))
+      else (i, Array(math.cos(i.toDouble).toFloat, math.sin(i.toDouble).toFloat, 1f, 0f))
+    }
+    val df = rows.toDF("id", "vec")
+    val got = Dedup.semanticPairs(df, threshold = 1.0, dist = "cosine",
+      numBlocks = 4)
+    val zeroTouching = got.filter($"a_id" < 50 || $"b_id" < 50)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val expected = (for {
+      z <- 0L until 50L; o <- 0L until 100L if z != o
+    } yield (math.min(z, o), math.max(z, o))).toSet
+    assert(zeroTouching == expected,
+      s"degenerate pairs incomplete: ${expected.size} expected, ${zeroTouching.size} got")
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.semanticPairs(df, threshold = 1.0, dist = "cosine",
+        numBlocks = 4, maxDegeneratePairs = 10L)
+    }
+    assert(ex.getMessage.contains("maxDegeneratePairs"))
+  }
 }
