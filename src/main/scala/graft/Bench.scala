@@ -541,6 +541,34 @@ object Bench {
         if (name.contains("_1m")) repSpread += name -> times
         name -> times(times.length / 2)
       }
+
+    // [[timeAll]] with reps INTERLEAVED across the grid (A,B,C,A,B,C…, one
+    // untimed warm pass first) — the r11 verdict's item 2: np2's five
+    // SEQUENTIAL reps spanned 0.825–3.047 s (3.7×) because same-JVM drift
+    // (GC debt, JIT recompiles) accumulates into whichever row runs last,
+    // so batch-grid comparisons were dominated by protocol noise, not
+    // engine signal. Interleaving lands the drift on every row's rep set —
+    // the same protocol the sustained rows adopted in r11.
+    def timeInterleaved(ws: Seq[(String, () => Long)], reps: Int = 5)
+        : Seq[(String, Double)] = {
+      val perRep = Array.fill(ws.length)(Vector.empty[Double])
+      (0 to reps).foreach { round =>
+        ws.zipWithIndex.foreach { case ((name, fn), i) =>
+          System.gc()
+          val t0 = System.nanoTime()
+          try fn()
+          catch { case e: Throwable =>
+            errors += name -> Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+          }
+          if (round > 0) perRep(i) :+= (System.nanoTime() - t0) / 1e9
+        }
+      }
+      ws.zipWithIndex.map { case ((name, _), i) =>
+        val sorted = perRep(i).sorted
+        repSpread += name -> sorted
+        name -> sorted(sorted.length / 2)
+      }
+    }
     val resultsStd = timeAll(workloads)
 
     // ---- 1M×960 beyond-broadcast serving (BASELINE.md primary scale) -------
@@ -657,7 +685,7 @@ object Bench {
       routedPqMk.foreach { case (np, ef, mk) =>
         recalls1m += pqRowName(np, ef) -> recallOf(mk(), truth1m)
       }
-      results1m = timeAll(Seq[(String, () => Long)](
+      results1m = timeInterleaved(Seq[(String, () => Long)](
         ("ivf_hnsw_1m_d960_np1_nq10k_batch",
           () => withAqeOff(serve(mkRouted10k()))),
         ("ivf_hnsw_1m_d960_np1_nq10k_stream_batch",
@@ -756,24 +784,86 @@ object Bench {
       walkGrid.foreach { case (name, mk) =>
         recalls1mLr += name -> recallOf(mk(), truthLr)
       }
-      results1mLr = timeAll(
+      results1mLr = timeInterleaved(
         ("ivf_hnsw_1mlr_d960_np1_batch", () => withAqeOff(serve(mkLrPlain())): Long) +:
         walkGrid.map { case (name, mk) =>
           (name, () => withAqeOff(serve(mk())): Long)
         })
+      // sustained walk rows cover the batch grid's WINNING points too
+      // (r12: m96res/ef180 and m160/ef120 beat the plain row on batch —
+      // the adjudication of verdict item 1 needs them in sustained form,
+      // interleaved against the plain row in the same JVM)
       val (sLr, spLr) = sustainedGrid(Seq(
         ("ivf_hnsw_1mlr_d960_np1_sustained", mkLrPlain _, nq),
+        ("ivf_hnsw_pq_walk_1mlr_d960_m160_ef120_sustained",
+          walkGrid.collectFirst { case (n2, mk) if n2.contains("m160_ef120") => mk }.get, nq),
         ("ivf_hnsw_pq_walk_1mlr_d960_m160_ef180_sustained",
           walkGrid.collectFirst { case (n2, mk) if n2.contains("m160_ef180") => mk }.get, nq),
         ("ivf_hnsw_pq_walk_1mlr_d960_m160res_ef180_sustained",
-          walkGrid.collectFirst { case (n2, mk) if n2.contains("m160res_ef180") => mk }.get, nq)))
+          walkGrid.collectFirst { case (n2, mk) if n2.contains("m160res_ef180") => mk }.get, nq),
+        ("ivf_hnsw_pq_walk_1mlr_d960_m96res_ef180_sustained",
+          walkGrid.collectFirst { case (n2, mk) if n2.contains("m96res_ef180") => mk }.get, nq)))
       sustained1mLr ++= sLr
       sustainedSpread1mLr ++= spLr
     } catch { case e: Throwable =>
       errors += "bench_1mlr" ->
         Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
     }
-    val results = resultsStd ++ results1m ++ results1mLr
+
+    // ---- 2M×960 scale-bump sanity row (r11 verdict item 7) -----------------
+    // One routed build+serve point at 2× the primary scale so build
+    // wall-time and recall TRENDS with n are visible, not just the
+    // 10k/200k/1M points: same fixture family, kc=64 (cluster size held
+    // ~n/kc ≈ 31k — the scale knob a deployment actually turns: more
+    // partitions, not bigger graphs). Minimal row set (build, np1 batch,
+    // floor-amortized nq10k batch, recall) — the full grid lives at 1M.
+    // SPARK_GRAFT_BENCH_N2M=0 skips.
+    var results2m = Seq.empty[(String, Double)]
+    var recalls2m = Map.empty[String, Double]
+    var build2m = Option.empty[Double]
+    val n2m = sys.env.getOrElse("SPARK_GRAFT_BENCH_N2M", "2000000").toLong
+    if (n2m > 0) try {
+      val kc = 64
+      val cacheDir = java.nio.file.Paths.get("bench_cache", s"bench2m_${n2m}_$kc")
+      val donePath = cacheDir.resolve("_done")
+      val idxPath = cacheDir.resolve("idx").toString
+      val vec2m = synthClusteredVectors(spark, n2m, 960, 1000, 0.3)
+      val q2m = vec2m.filter(col("id") < nq)
+        .select(col("id").as("query_id"), col("vec").as("query_vec")).cache()
+      q2m.count()
+      if (!java.nio.file.Files.exists(donePath)) {
+        val t0 = System.nanoTime()
+        val (model, idx) = IvfHnsw.buildIndex(vec2m, kc,
+          trainFraction = Some(math.min(0.5, 20000.0 / n2m)))
+        idx.write.mode("overwrite").parquet(idxPath)
+        Ivf.centroidsDf(spark, model).write.mode("overwrite")
+          .parquet(cacheDir.resolve("centroids").toString)
+        build2m = Some((System.nanoTime() - t0) / 1e9)
+        java.nio.file.Files.createFile(donePath)
+      }
+      val model2m = Ivf.readModel(spark, cacheDir.toString, "l2sqr")
+      val idx2m = spark.read.parquet(idxPath)
+      val ck2m = Some(s"bench2m_${n2m}_$kc")
+      def mk2m() = IvfHnsw.searchPinned(idx2m, model2m, q2m, k = 10,
+        ef = Some(120), nProbes = Some(1), cacheKey = ck2m)
+      withAqeOff(serve(mk2m())) // one-time pin shuffle + graph decode
+      val q2m10k = vec2m.filter(col("id") < 10000)
+        .select(col("id").as("query_id"), col("vec").as("query_vec")).cache()
+      q2m10k.count()
+      def mk2m10k() = IvfHnsw.searchPinned(idx2m, model2m, q2m10k,
+        k = 10, ef = Some(120), nProbes = Some(1), cacheKey = ck2m)
+      withAqeOff(serve(mk2m10k()))
+      val truth2m = truthSets(vec2m, q2m, 10)
+      recalls2m += "ivf_hnsw_2m_d960_np1_batch" -> recallOf(mk2m(), truth2m)
+      results2m = timeInterleaved(Seq[(String, () => Long)](
+        ("ivf_hnsw_2m_d960_np1_batch", () => withAqeOff(serve(mk2m()))),
+        ("ivf_hnsw_2m_d960_np1_nq10k_batch", () => withAqeOff(serve(mk2m10k())))))
+      q2m.unpersist(); q2m10k.unpersist()
+    } catch { case e: Throwable =>
+      errors += "bench_2m" ->
+        Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+    }
+    val results = resultsStd ++ results1m ++ results1mLr ++ results2m
 
     def jstr(s: String): String =
       "\"" + s.flatMap {
@@ -781,7 +871,8 @@ object Bench {
         case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
       } + "\""
     val resultsAll = results ++ build1m.map(b => ("hnsw_1m_d960_build", b)).toSeq ++
-      build1mLr.map(b => ("ivf_hnsw_1mlr_d960_build", b)).toSeq
+      build1mLr.map(b => ("ivf_hnsw_1mlr_d960_build", b)).toSeq ++
+      build2m.map(b => ("ivf_hnsw_2m_d960_build", b)).toSeq
     val qs = resultsAll.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
     val qps = results.filter(_._1.endsWith("_batch"))
@@ -805,7 +896,7 @@ object Bench {
       case Some((r, ok)) => f""","sustained_sameplan_ratio":$r%.3f,"sustained_sameplan_ok":$ok"""
       case None => ""
     }
-    val allRecalls = recalls ++ recalls1m ++ recalls1mLr
+    val allRecalls = recalls ++ recalls1m ++ recalls1mLr ++ recalls2m
     val recallJson = allRecalls.map { case (k, v) => jstr(k) + ":" + f"$v%.4f" }
       .mkString("{", ",", "}")
     val spreadJson = repSpread
@@ -835,10 +926,19 @@ object Bench {
     println(fullLine)
     // compact HEADLINE line, printed LAST: this line alone carries the
     // baseline-comparable rows plus the path of the full artifact
+    // AMORTIZED rows lead (r11 verdict item 3): the nq10k and sustained
+    // numbers are the engine's operating points; bare-nq1000 batch rows
+    // carry the whole per-job scheduler floor (reported separately as
+    // `job_floor_sec` below) and trail, floor-labelled, for completeness.
     val headlineKeys = Seq(
-      "hnsw_10k_d960_batch", "hnsw_10k_d960_nq10k_batch",
-      "hnsw_pq_10k_d960_batch", "hnsw_pq_walk_10k_d960_nq10k_batch",
-      "pq_serve_10k_d960_batch", "pq_serve_10k_d960_nq10k_batch",
+      "hnsw_10k_d960_nq10k_batch", "hnsw_pq_walk_10k_d960_nq10k_batch",
+      "pq_serve_10k_d960_nq10k_batch",
+      "ivf_hnsw_1m_d960_np1_nq10k_batch",
+      "ivf_hnsw_1m_d960_np1_nq10k_stream_batch",
+      "ivf_hnsw_2m_d960_np1_nq10k_batch",
+      // nq1000 rows (floor-dominated — read with job_floor_sec in mind)
+      "hnsw_10k_d960_batch", "hnsw_pq_10k_d960_batch",
+      "pq_serve_10k_d960_batch",
       "hnsw_1m_d960_batch", "ivf_hnsw_1m_d960_np1_batch",
       "ivf_hnsw_1m_d960_np2_batch", "ivf_hnsw_1m_d960_np4_batch",
       "ivf_hnsw_1m_d960_np8_batch",
@@ -850,7 +950,8 @@ object Bench {
       "ivf_hnsw_pq_walk_1mlr_d960_m160res_ef120_batch",
       "ivf_hnsw_pq_walk_1mlr_d960_m160res_ef180_batch",
       "ivf_hnsw_pq_walk_1mlr_d960_m96res_ef120_batch",
-      "ivf_hnsw_pq_walk_1mlr_d960_m96res_ef180_batch")
+      "ivf_hnsw_pq_walk_1mlr_d960_m96res_ef180_batch",
+      "ivf_hnsw_2m_d960_np1_batch")
     val resMap = results.toMap
     val headQps = headlineKeys.flatMap { k =>
       resMap.get(k).filter(_ > 0).map { sec =>
@@ -868,8 +969,12 @@ object Bench {
         jstr(k) + ":" + ts.map(t => f"$t%.3f").mkString("[", ",", "]")
       }
       .mkString("{", ",", "}")
+    // the measured fixed per-job scheduler cost every bare-nq1000 batch row
+    // pays in full — lead-position context for reading those rows
+    val floorJson = resMap.get("spark_job_floor")
+      .map(s => f""""job_floor_sec":$s%.3f,""").getOrElse("")
     println(
-      s"""{"metric":"headline","qps":$headQps,"recall":$headRecall,"sustained_qps":$sustainedJson,"sustained_spread":$sustainedSpreadJson$sanityJson,"np_rep_spread":$headSpread,"full_json":${jstr(outPath)},"nq":$nq}""")
+      s"""{"metric":"headline",${floorJson}"sustained_qps":$sustainedJson,"qps":$headQps,"recall":$headRecall,"sustained_spread":$sustainedSpreadJson$sanityJson,"np_rep_spread":$headSpread,"full_json":${jstr(outPath)},"nq":$nq}""")
     spark.stop()
   }
 }

@@ -1357,6 +1357,16 @@ object VecDB {
     *    quantization-hostile and favor wider beams — the quantizer choice
     *    is the caller's, as in the reference.)
     *
+    * Re-validated r12 (WalkProbe, rank-48 d960 @50k, single thread) after
+    * the envelope re-rank cut the ef-sized scalar-double resort from both
+    * arms: the crossover shape is unchanged — plain 1415 q/s at ef=120 vs
+    * ADC m=320 1203 (wide codes still lose), m=160 2100 and m=120 2597 at
+    * the same ef (narrow codes win ~1.5-1.8×). Both fast-scan walk
+    * layouts (inline blocks r11, shared transposed matrix ± block-sum
+    * cache r12) measured slower than the scalar `adcOne` gather at every
+    * (m, ef), so the ratios above still describe the best available
+    * kernels on each side.
+    *
     * At or above the gate the dispatch serves the plain HNSW walk, whose
     * exact distances subsume the re-rank — never a slower arm. */
   private[graft] def AdcWalkRatio: Int =

@@ -457,31 +457,57 @@ final class HnswGraph(
     val efq = math.max(ef, k)
     val enter = greedyUntilLevel(0, q)
     val result = searchOnLevel(enter, 0, efq, q)
-    // exact re-score + bounded (distance, index) top-k insert
+    // exact re-score + bounded (distance, index) top-k insert. The beam's
+    // distances are float-tier SIMD values within a conservative error
+    // envelope of the exact kernel (same envelope as Knn.exactBroadcast's
+    // prefilter), and the result set is ASCENDING in them — so once the
+    // k-th exact distance is more than one envelope below the next float
+    // distance, no later survivor can enter the top-k and the rescore
+    // stops. Exact rescores drop from ef to ~k with selection provably
+    // unchanged (HnswSpec A/Bs this against the full rescore).
+    val rel = HnswGraph.envRel(dim)
+    val abs = HnswGraph.envAbs(dim)
+    val full = HnswGraph.fullRerank
     var cnt = 0
     var p = 0
-    while (p < result.size) {
-      val idx = result.idxAt(p)
-      val d = exactDistTo(idx, q)
-      if (cnt < k || d < outDists(cnt - 1) ||
-          (d == outDists(cnt - 1) && idx < outIds(cnt - 1))) {
-        var lo = 0; var hi = cnt
-        while (lo < hi) {
-          val mid = (lo + hi) >>> 1
-          if (outDists(mid) < d || (outDists(mid) == d && outIds(mid) < idx)) lo = mid + 1
-          else hi = mid
-        }
-        val nShift = math.min(cnt, k - 1) - lo
-        if (nShift > 0) {
-          System.arraycopy(outIds, lo, outIds, lo + 1, nShift)
-          System.arraycopy(outDists, lo, outDists, lo + 1, nShift)
-        }
-        if (lo < k) {
-          outIds(lo) = idx; outDists(lo) = d
-          if (cnt < k) cnt += 1
-        }
+    var break = false
+    while (!break && p < result.size) {
+      if (!full && cnt == k &&
+          result.distAt(p) > outDists(cnt - 1) + math.abs(outDists(cnt - 1)) * rel + abs)
+        break = true
+      else {
+        val idx = result.idxAt(p)
+        val d = exactDistTo(idx, q)
+        cnt = topkInsert(outIds, outDists, cnt, k, idx, d)
+        p += 1
       }
-      p += 1
+    }
+    cnt
+  }
+
+  /** Bounded ascending (distance, index) insert into caller arrays; returns
+    * the new count. Replacement at the boundary needs strictly smaller
+    * (distance, index) — the shared tail of [[searchInto]]/[[searchFnInto]]. */
+  @inline private def topkInsert(
+      outIds: Array[Int], outDists: Array[Double], cnt: Int, k: Int,
+      idx: Int, d: Double): Int = {
+    if (cnt < k || d < outDists(cnt - 1) ||
+        (d == outDists(cnt - 1) && idx < outIds(cnt - 1))) {
+      var lo = 0; var hi = cnt
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (outDists(mid) < d || (outDists(mid) == d && outIds(mid) < idx)) lo = mid + 1
+        else hi = mid
+      }
+      val nShift = math.min(cnt, k - 1) - lo
+      if (nShift > 0) {
+        System.arraycopy(outIds, lo, outIds, lo + 1, nShift)
+        System.arraycopy(outDists, lo, outDists, lo + 1, nShift)
+      }
+      if (lo < k) {
+        outIds(lo) = idx; outDists(lo) = d
+        if (cnt < k) return math.min(cnt + 1, k)
+      }
     }
     cnt
   }
@@ -503,29 +529,32 @@ final class HnswGraph(
     val efq = math.max(ef, k)
     val enter = greedyUntilLevelFn(0, distFn)
     val result = searchOnLevelFn(enter, 0, efq, distFn)
-    // pq_resort: exact re-score + bounded (distance, index) top-k insert
+    // pq_resort: exact re-score + bounded (distance, index) top-k insert.
+    // The beam's ADC distances carry quantization error with no usable
+    // bound, so unlike [[searchInto]] every survivor must be re-scored
+    // against the stored vector — but with the FLOAT SIMD kernel first:
+    // only candidates whose float distance lands within the conservative
+    // error envelope of the current k-th exact distance pay the scalar
+    // double kernel (same envelope and argument as Knn.exactBroadcast's
+    // prefilter; selection provably unchanged — HnswSpec A/Bs it).
+    // Survivors scan in ascending ADC order, so the exact top-k tightens
+    // within the first ~k candidates and the envelope rejects most of the
+    // rest: the ef-sized scalar-double resort (~40% of walk time at
+    // d960/ef180) becomes ef SIMD evals + ~k scalar ones.
+    val rel = HnswGraph.envRel(dim)
+    val abs = HnswGraph.envAbs(dim)
+    val full = HnswGraph.fullRerank
     var cnt = 0
     var p = 0
     while (p < result.size) {
       val idx = result.idxAt(p)
-      val d = exactDistTo(idx, q)
-      if (cnt < k || d < outDists(cnt - 1) ||
-          (d == outDists(cnt - 1) && idx < outIds(cnt - 1))) {
-        var lo = 0; var hi = cnt
-        while (lo < hi) {
-          val mid = (lo + hi) >>> 1
-          if (outDists(mid) < d || (outDists(mid) == d && outIds(mid) < idx)) lo = mid + 1
-          else hi = mid
-        }
-        val nShift = math.min(cnt, k - 1) - lo
-        if (nShift > 0) {
-          System.arraycopy(outIds, lo, outIds, lo + 1, nShift)
-          System.arraycopy(outDists, lo, outDists, lo + 1, nShift)
-        }
-        if (lo < k) {
-          outIds(lo) = idx; outDists(lo) = d
-          if (cnt < k) cnt += 1
-        }
+      val skip = !full && cnt == k && {
+        val dF = distTo(idx, q)
+        dF > outDists(cnt - 1) + math.abs(outDists(cnt - 1)) * rel + abs
+      }
+      if (!skip) {
+        val d = exactDistTo(idx, q)
+        cnt = topkInsert(outIds, outDists, cnt, k, idx, d)
       }
       p += 1
     }
@@ -563,6 +592,19 @@ object HnswGraph {
     * pooled arrays never pin a graph instance after cache eviction. */
   private[index] val ctxTL: ThreadLocal[HnswSearchCtx] =
     ThreadLocal.withInitial(() => new HnswSearchCtx)
+
+  /** Float-kernel error envelope for the re-rank prefilter — the same
+    * constants as `Knn.exactBroadcast`'s SIMD prefilter (accumulation error
+    * grows ~dim·2⁻²⁴ relative; these carry a >20× margin; the absolute term
+    * guards near-zero distances). */
+  @inline private[index] def envRel(dim: Int): Double = 1e-3 + dim * 2.4e-7
+  @inline private[index] def envAbs(dim: Int): Double = 1e-6 + dim * 2.4e-7
+
+  /** Probe/spec switch: `true` restores the full ef-sized scalar-double
+    * re-rank in [[HnswGraph.searchInto]]/[[HnswGraph.searchFnInto]] (the
+    * pre-r12 tail) so the envelope path can be A/B-ed for selection
+    * equality and speed. Never set in production paths. */
+  @volatile private[graft] var fullRerank: Boolean = false
 
   /** Rebuild a graph from exported nodes without re-running insertion —
     * the load half of S5 (`IndexSerde::load`,

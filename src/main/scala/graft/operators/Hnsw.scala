@@ -339,7 +339,7 @@ object Hnsw {
     * spid). Returns (codes n×m, cosine centroid self-dot per node — null
     * for L2) per entry.
     *
-    * Measured negative result (r13, WalkProbe rank-48 d960 @50k): a
+    * Measured negative result (r11, WalkProbe rank-48 d960 @50k): a
     * DiskANN-style inline-neighbor-blocks layout (each node's level-0
     * neighbors' codes transposed 16-lane group-major, scored with the
     * serve path's `Simd.adcBlock1` permute kernel) reproduced the scalar
@@ -351,6 +351,18 @@ object Hnsw {
     * row-major codes. The fast-scan kernel pays only where blocks stream
     * sequentially and stay cache-resident — the flat serve scan
     * (`Pq.searchFlatServe`) — so this walk keeps the row-major codes.
+    *
+    * Second measured negative result (r12, same probe): the no-blow-up
+    * variant — ONE shared 16-row-block transposed matrix (the serve
+    * layout, same bytes as row-major) scored per node through
+    * `Simd.adcBlock1`, with and without a per-query block-sum epoch cache
+    * (each ~2k-block subgraph walk revisits a block ~1.8× on average) —
+    * also lost at every (m, ef): 5–25% behind the scalar gather (e.g.
+    * m=160/ef=240: 1134/1315 q/s vs 1637; m=120/ef=360: 1220/1229 vs
+    * 1413). Scoring one scattered neighbor still reads the whole m×16-byte
+    * block (16× the traffic of its m-byte row), and the ≤1.8× revisit
+    * amortization cannot pay that back. The walk regime keeps row-major
+    * codes + `adcOne`; fast-scan stays serve-only.
     *
     * With `residCents` (routed L2 tables), a node in cluster pid encodes
     * its RESIDUAL x − centroid(pid) — FAISS's IVFPQ/IVFADC design: the

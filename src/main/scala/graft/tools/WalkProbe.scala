@@ -82,8 +82,13 @@ object WalkProbe {
     }
 
     for (ef <- Seq(80, 120, 180, 240)) {
+      // r12 A/B: full ef-sized scalar-double re-rank (pre-r12) vs the
+      // envelope re-rank (float-tier prefilter + early stop)
+      HnswGraph.fullRerank = true
+      val (rF, qpsF) = recallAndQps(q => g.searchInto(q, k, ef, ids, ds))
+      HnswGraph.fullRerank = false
       val (r, qps) = recallAndQps(q => g.searchInto(q, k, ef, ids, ds))
-      println(f"[walkprobe] plain  ef=$ef%-4d recall=$r%.4f  ${qps}%8.0f q/s (1 thread)")
+      println(f"[walkprobe] plain  ef=$ef%-4d recall=$r%.4f  ${qps}%8.0f q/s (1 thread)  [full-rerank: recall=$rF%.4f ${qpsF}%8.0f q/s]")
     }
 
     for (m <- Seq(320, 160, 120, 96, 64)) {
@@ -100,13 +105,64 @@ object WalkProbe {
         PqKernel.encodeDecodedInto(vecs(i), cents, groups, cosine = false, codes, i * m)
         i += 1
       }
+      // walk-regime fast-scan arms (r12 verdict item 1): ONE shared
+      // 16-row-block transposed code matrix (the serve layout — no per-node
+      // blow-up, unlike the r11-rejected inline-neighbor-blocks design),
+      // scored per node through Simd.adcBlock1. `block` pays the whole
+      // m×16-byte block per scattered neighbor (wasted lanes); `blockc`
+      // memoizes block sums per query (an epoch cache), so a block walked
+      // twice is scored once and all 16 lanes amortize across revisits.
+      val codesT = PqKernel.transposeCodes16(codes, n, m)
+      val nBlocks = (n + 15) >> 4
+      val blockStride = m << 4
       for (ef <- Seq(120, 180, 240, 360, 480)) {
+        HnswGraph.fullRerank = true
+        val (rF, qpsF) = recallAndQps { q =>
+          val lut = PqKernel.buildLookup(q, cents, 4, "l2sqr").map(_.toFloat)
+          val distFn: Int => Double = idx => PqKernel.adcOne(codes, idx * m, m, 16, lut)
+          g.searchFnInto(distFn, q, k, ef, ids, ds)
+        }
+        HnswGraph.fullRerank = false
         val (r, qps) = recallAndQps { q =>
           val lut = PqKernel.buildLookup(q, cents, 4, "l2sqr").map(_.toFloat)
           val distFn: Int => Double = idx => PqKernel.adcOne(codes, idx * m, m, 16, lut)
           g.searchFnInto(distFn, q, k, ef, ids, ds)
         }
-        println(f"[walkprobe] adc m=$m%-3d ef=$ef%-4d recall=$r%.4f  ${qps}%8.0f q/s (1 thread)")
+        val (rB, qpsB) =
+          if (!PqKernel.fastScanEligible(16)) (0.0, 0.0)
+          else recallAndQps { q =>
+            val lb = PqKernel.lutBits(
+              PqKernel.buildLookup(q, cents, 4, "l2sqr").map(_.toFloat))
+            val sums = new Array[Float](16)
+            val distFn: Int => Double = idx => {
+              graft.index.Simd.adcBlock1(codesT, (idx >> 4) * blockStride, m, lb, sums, 0)
+              sums(idx & 15).toDouble
+            }
+            g.searchFnInto(distFn, q, k, ef, ids, ds)
+          }
+        val (rC, qpsC) =
+          if (!PqKernel.fastScanEligible(16)) (0.0, 0.0)
+          else {
+            val blockSums = new Array[Float](nBlocks << 4)
+            val blockEpoch = new Array[Int](nBlocks)
+            var epoch = 0
+            recallAndQps { q =>
+              val lb = PqKernel.lutBits(
+                PqKernel.buildLookup(q, cents, 4, "l2sqr").map(_.toFloat))
+              epoch += 1
+              val e = epoch
+              val distFn: Int => Double = idx => {
+                val b = idx >> 4
+                if (blockEpoch(b) != e) {
+                  graft.index.Simd.adcBlock1(codesT, b * blockStride, m, lb, blockSums, b << 4)
+                  blockEpoch(b) = e
+                }
+                blockSums((b << 4) + (idx & 15)).toDouble
+              }
+              g.searchFnInto(distFn, q, k, ef, ids, ds)
+            }
+          }
+        println(f"[walkprobe] adc m=$m%-3d ef=$ef%-4d recall=$r%.4f  ${qps}%8.0f q/s (1 thread)  [full-rerank ${qpsF}%8.0f | block r=$rB%.4f ${qpsB}%8.0f | blockcache r=$rC%.4f ${qpsC}%8.0f]")
       }
     }
   }

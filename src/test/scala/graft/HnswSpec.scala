@@ -229,6 +229,51 @@ class HnswSpec extends SparkTestBase {
     assert(recall >= 0.8, s"recall $recall < 0.8 at ef=100 over ADC walk")
   }
 
+  test("envelope re-rank selects identically to the full scalar-double re-rank") {
+    // r12: searchInto/searchFnInto prefilter the exact resort with the
+    // float-tier envelope (Knn.exactBroadcast's constants). Selection and
+    // reported distances must be BIT-identical to the pre-r12 full rescore
+    // — on both metrics, and under an ADC-noisy walk distFn whose ordering
+    // disagrees with the exact one.
+    val rnd = new scala.util.Random(1806)
+    val dim = 96
+    val vecs = Array.fill(4000)(Array.fill(dim)(rnd.nextFloat() * 2f - 1f))
+    // duplicate a handful of rows to force exact-distance ties at the
+    // boundary (the (distance, id) tiebreak path)
+    for (i <- 0 until 50) vecs(3000 + i) = vecs(i).clone()
+    for (metric <- Seq("l2sqr", "cosine")) {
+      val g = new HnswGraph(dim, metric, seed = 5L)
+      vecs.foreach(g.add)
+      val ids = new Array[Int](10); val ds = new Array[Double](10)
+      val idsF = new Array[Int](10); val dsF = new Array[Double](10)
+      val noise = new scala.util.Random(7)
+      for (qi <- 0 until 60) {
+        val q = Array.fill(dim)(noise.nextFloat() * 2f - 1f)
+        HnswGraph.fullRerank = true
+        val cF = g.searchInto(q, 10, 80, idsF, dsF)
+        HnswGraph.fullRerank = false
+        val c = g.searchInto(q, 10, 80, ids, ds)
+        assert(c == cF, s"$metric count $c != $cF")
+        assert(ids.take(c).toSeq == idsF.take(cF).toSeq, s"$metric ids")
+        assert(ds.take(c).toSeq == dsF.take(cF).toSeq, s"$metric dists")
+        // ADC-like walk: exact distance + bounded multiplicative noise —
+        // a distFn whose ranking disagrees with exact near the boundary
+        val distFn: Int => Double = { idx =>
+          val d = vecs(idx).zip(q).map { case (x, y) =>
+            (x.toDouble - y) * (x.toDouble - y) }.sum
+          d * (1.0 + 0.2 * math.sin(idx * 2654435761L).toFloat)
+        }
+        HnswGraph.fullRerank = true
+        val cF2 = g.searchFnInto(distFn, q, 10, 80, idsF, dsF)
+        HnswGraph.fullRerank = false
+        val c2 = g.searchFnInto(distFn, q, 10, 80, ids, ds)
+        assert(c2 == cF2 && ids.take(c2).toSeq == idsF.take(cF2).toSeq &&
+          ds.take(c2).toSeq == dsF.take(cF2).toSeq, s"$metric fn-walk")
+      }
+    }
+    HnswGraph.fullRerank = false
+  }
+
   test("upper bound filters hits") {
     val all = Hnsw.search(base.repartition(4), queries, k = 10, ef = Some(600))
     val cut = all.agg(avg($"distance")).head().getDouble(0)
