@@ -623,6 +623,17 @@ object Bench {
           ef = Some(120), nProbes = Some(np), cacheKey = ck1m))
       }
       routedMk.foreach { case (_, mk) => withAqeOff(serve(mk())) }
+      // low-ef routed points (r12): the reference's fastest published 1M
+      // row is HNSW+PQ ef=180 at 11,386 q/s, recall 0.858
+      // (t_bench.toml:29-55) — a THROUGHPUT-FIRST operating point. The
+      // routed plain walk reaches that recall band at a narrow beam, so
+      // these rows adjudicate the same trade on this engine: recall
+      // attached, ef20/ef40 batch + ef40 sustained below.
+      val routedLowEf = Seq(20, 40).map { ef =>
+        ef -> (() => IvfHnsw.searchPinned(idx1m, model1m, q1m, k = 10,
+          ef = Some(ef), nProbes = Some(1), cacheKey = ck1m))
+      }
+      routedLowEf.foreach { case (_, mk) => withAqeOff(serve(mk())) }
       // oversized-batch pair: the same routed np1 walk with a 10k-query
       // batch, collected (driver round-trip, heap merge below the Q·P·k
       // gate) vs streamed (queries stay a distributed Dataset end to end —
@@ -669,12 +680,26 @@ object Bench {
         if (graft.catalog.VecDB.adcWalkEligible(960, 320, pinned = true)) routedPqMk.head._3()
         else routedMk.head._2()
       routedPqMk.foreach { case (_, _, mk) => withAqeOff(serve(mk())) }
+      // residual-PQ point (r12): FAISS IVFPQ codes on the SAME iid-noise
+      // fixture — the centroid offset leaves the quantizer only the iid
+      // residual, so this row measures how much of the 1M walk's recall
+      // gap is cell-location error vs irreducible noise (the 1mlr grid
+      // answers the quantizable regime; this answers the hostile one)
+      val pqModel1mRes = IvfHnsw.trainResidualPq(vec1m, model1m, m = 320,
+        trainFraction = Some(math.min(0.5, 10000.0 / n1m)))
+      def mkRoutedPqRes() = IvfHnsw.searchPinnedPq(idx1m, model1m,
+        pqModel1mRes, q1m, k = 10, ef = Some(360), nProbes = Some(1),
+        cacheKey = ck1m)
+      withAqeOff(serve(mkRoutedPqRes())) // one-time residual code encode
       // recall vs exact ground truth; the recall pass doubles as the warm
       // run (pin shuffle + stored-adjacency graph decode + code encode)
       val truth1m = truthSets(vec1m, q1m, 10)
       recalls1m += "hnsw_1m_d960_batch" -> recallOf(mkPinned(), truth1m)
       routedMk.foreach { case (np, mk) =>
         recalls1m += s"ivf_hnsw_1m_d960_np${np}_batch" -> recallOf(mk(), truth1m)
+      }
+      routedLowEf.foreach { case (ef, mk) =>
+        recalls1m += s"ivf_hnsw_1m_d960_np1_ef${ef}_batch" -> recallOf(mk(), truth1m)
       }
       recalls1m += "hnsw_pq_1m_d960_batch" -> recallOf(mkPinnedPq(), truth1m)
       recalls1m += "hnsw_pq_walk_1m_d960_batch" -> recallOf(mkPinnedPqWalk(), truth1m)
@@ -685,6 +710,8 @@ object Bench {
       routedPqMk.foreach { case (np, ef, mk) =>
         recalls1m += pqRowName(np, ef) -> recallOf(mk(), truth1m)
       }
+      recalls1m += "ivf_hnsw_pq_walk_1m_d960_m320res_ef360_batch" ->
+        recallOf(mkRoutedPqRes(), truth1m)
       results1m = timeInterleaved(Seq[(String, () => Long)](
         ("ivf_hnsw_1m_d960_np1_nq10k_batch",
           () => withAqeOff(serve(mkRouted10k()))),
@@ -698,15 +725,22 @@ object Bench {
           (s"ivf_hnsw_1m_d960_np${np}_batch",
             () => withAqeOff(serve(mk())): Long)
         } ++
+        routedLowEf.map { case (ef, mk) =>
+          (s"ivf_hnsw_1m_d960_np1_ef${ef}_batch",
+            () => withAqeOff(serve(mk())): Long)
+        } ++
         routedPqMk.map { case (np, ef, mk) =>
           (pqRowName(np, ef), () => withAqeOff(serve(mk())): Long)
-        })
+        } ++
+        Seq(("ivf_hnsw_pq_walk_1m_d960_m320res_ef360_batch",
+          () => withAqeOff(serve(mkRoutedPqRes())): Long)))
       // steady-state pipelined rows at the 1M scale (missing through r9:
       // the single-batch rows carry the whole per-job floor): routed np1 is
       // the serving operating point, the walk row shows the gated arm.
       // Interleaved reps + spread, same protocol as the 10k grid.
       val (s1m, sp1m) = sustainedGrid(Seq(
         ("ivf_hnsw_1m_d960_np1_sustained", routedMk.head._2, nq),
+        ("ivf_hnsw_1m_d960_np1_ef40_sustained", routedLowEf.last._2, nq),
         ("ivf_hnsw_pq_walk_1m_d960_np1_sustained", routedPqMk.head._3, nq)))
       sustained1m ++= s1m
       sustainedSpread1m ++= sp1m
@@ -940,8 +974,10 @@ object Bench {
       "hnsw_10k_d960_batch", "hnsw_pq_10k_d960_batch",
       "pq_serve_10k_d960_batch",
       "hnsw_1m_d960_batch", "ivf_hnsw_1m_d960_np1_batch",
+      "ivf_hnsw_1m_d960_np1_ef20_batch", "ivf_hnsw_1m_d960_np1_ef40_batch",
       "ivf_hnsw_1m_d960_np2_batch", "ivf_hnsw_1m_d960_np4_batch",
       "ivf_hnsw_1m_d960_np8_batch",
+      "ivf_hnsw_pq_walk_1m_d960_m320res_ef360_batch",
       "hnsw_pq_1m_d960_batch", "hnsw_pq_walk_1m_d960_batch",
       "ivf_hnsw_pq_1m_d960_np1_batch", "ivf_hnsw_pq_walk_1m_d960_np1_batch",
       "ivf_hnsw_1mlr_d960_np1_batch",
