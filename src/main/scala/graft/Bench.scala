@@ -517,6 +517,16 @@ object Bench {
     // multi-second jobs cannot separate noise from signal without the
     // spread visible
     var repSpread = Map.empty[String, Seq[Double]]
+    // per-rep GC wall time (ms) aligned with repSpread's SORTED rep times —
+    // pairs are (rep_sec, gc_ms) sorted together by rep_sec, so an outlier
+    // rep like r12's hnsw_pq_walk 5.67 s is attributable to GC (or not)
+    // from the artifact alone (r12 verdict item 6)
+    var repGc = Map.empty[String, Seq[Double]]
+    def gcMillis(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
+    }
     // *_batch workloads: median of 3 runs — single-JVM timings at this
     // scale have >2× run-to-run GC/scheduling variance (measured), and the
     // headline q/s numbers should not inherit it
@@ -530,16 +540,25 @@ object Bench {
           else 1
         // shed the previous workload's GC debt before timing this one
         System.gc()
-        val times = (0 until reps).map { _ =>
-          val t0 = System.nanoTime()
-          try fn()
+        // reps whose fn threw are dropped (a timed throw is not a
+        // measurement); a row with zero clean reps reports NaN so it can't
+        // masquerade as a fast median next to its `errors` entry
+        val timesGc = (0 until reps).flatMap { _ =>
+          val t0 = System.nanoTime(); val g0 = gcMillis()
+          val ok = try { fn(); true }
           catch { case e: Throwable =>
             errors += name -> Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+            false
           }
-          (System.nanoTime() - t0) / 1e9
-        }.sorted
-        if (name.contains("_1m")) repSpread += name -> times
-        name -> times(times.length / 2)
+          if (ok) Some(((System.nanoTime() - t0) / 1e9, (gcMillis() - g0).toDouble))
+          else None
+        }.sortBy(_._1)
+        val times = timesGc.map(_._1)
+        if (name.contains("_1m")) {
+          repSpread += name -> times
+          repGc += name -> timesGc.map(_._2)
+        }
+        name -> (if (times.isEmpty) Double.NaN else times(times.length / 2))
       }
 
     // [[timeAll]] with reps INTERLEAVED across the grid (A,B,C,A,B,C…, one
@@ -551,22 +570,27 @@ object Bench {
     // the same protocol the sustained rows adopted in r11.
     def timeInterleaved(ws: Seq[(String, () => Long)], reps: Int = 5)
         : Seq[(String, Double)] = {
-      val perRep = Array.fill(ws.length)(Vector.empty[Double])
+      val perRep = Array.fill(ws.length)(Vector.empty[(Double, Double)])
       (0 to reps).foreach { round =>
         ws.zipWithIndex.foreach { case ((name, fn), i) =>
           System.gc()
-          val t0 = System.nanoTime()
-          try fn()
+          val t0 = System.nanoTime(); val g0 = gcMillis()
+          val ok = try { fn(); true }
           catch { case e: Throwable =>
             errors += name -> Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+            false
           }
-          if (round > 0) perRep(i) :+= (System.nanoTime() - t0) / 1e9
+          // failed reps are dropped, not timed — a throw's wall time says
+          // nothing about the workload
+          if (round > 0 && ok)
+            perRep(i) :+= (((System.nanoTime() - t0) / 1e9, (gcMillis() - g0).toDouble))
         }
       }
       ws.zipWithIndex.map { case ((name, _), i) =>
-        val sorted = perRep(i).sorted
-        repSpread += name -> sorted
-        name -> sorted(sorted.length / 2)
+        val sorted = perRep(i).sortBy(_._1)
+        repSpread += name -> sorted.map(_._1)
+        repGc += name -> sorted.map(_._2)
+        name -> (if (sorted.isEmpty) Double.NaN else sorted(sorted.length / 2)._1)
       }
     }
     val resultsStd = timeAll(workloads)
@@ -607,7 +631,14 @@ object Bench {
         Ivf.centroidsDf(spark, model).write.mode("overwrite")
           .parquet(cacheDir.resolve("centroids").toString)
         build1m = Some((System.nanoTime() - t0) / 1e9)
-        java.nio.file.Files.createFile(donePath)
+        // persist the measured build seconds in the marker so cache-hit
+        // runs still report the build-trend row (r12 ADVICE)
+        java.nio.file.Files.write(donePath,
+          build1m.get.toString.getBytes("UTF-8"))
+      } else {
+        build1m = scala.util.Try(
+          new String(java.nio.file.Files.readAllBytes(donePath),
+            "UTF-8").trim.toDouble).toOption
       }
       val model1m = Ivf.readModel(spark, cacheDir.toString, "l2sqr")
       val idx1m = spark.read.parquet(idxPath)
@@ -783,7 +814,14 @@ object Bench {
         Ivf.centroidsDf(spark, model).write.mode("overwrite")
           .parquet(cacheDir.resolve("centroids").toString)
         build1mLr = Some((System.nanoTime() - t0) / 1e9)
-        java.nio.file.Files.createFile(donePath)
+        // persist the measured build seconds in the marker so cache-hit
+        // runs still report the build-trend row (r12 ADVICE)
+        java.nio.file.Files.write(donePath,
+          build1mLr.get.toString.getBytes("UTF-8"))
+      } else {
+        build1mLr = scala.util.Try(
+          new String(java.nio.file.Files.readAllBytes(donePath),
+            "UTF-8").trim.toDouble).toOption
       }
       val modelLr = Ivf.readModel(spark, cacheDir.toString, "l2sqr")
       val idxLr = spark.read.parquet(idxPath)
@@ -873,7 +911,14 @@ object Bench {
         Ivf.centroidsDf(spark, model).write.mode("overwrite")
           .parquet(cacheDir.resolve("centroids").toString)
         build2m = Some((System.nanoTime() - t0) / 1e9)
-        java.nio.file.Files.createFile(donePath)
+        // persist the measured build seconds in the marker so cache-hit
+        // runs still report the build-trend row (r12 ADVICE)
+        java.nio.file.Files.write(donePath,
+          build2m.get.toString.getBytes("UTF-8"))
+      } else {
+        build2m = scala.util.Try(
+          new String(java.nio.file.Files.readAllBytes(donePath),
+            "UTF-8").trim.toDouble).toOption
       }
       val model2m = Ivf.readModel(spark, cacheDir.toString, "l2sqr")
       val idx2m = spark.read.parquet(idxPath)
@@ -938,6 +983,11 @@ object Bench {
         jstr(k) + ":" + ts.map(t => f"$t%.3f").mkString("[", ",", "]")
       }
       .mkString("{", ",", "}")
+    val gcJson = repGc
+      .map { case (k, ts) =>
+        jstr(k) + ":" + ts.map(t => f"$t%.0f").mkString("[", ",", "]")
+      }
+      .mkString("{", ",", "}")
     def sweepArr(s: Seq[(Int, Double, Double)]): String =
       s.map { case (ef, r, q) =>
         s"""{"ef":$ef,"recall":${f"$r%.4f"},"qps":${f"$q%.1f"}}"""
@@ -945,7 +995,7 @@ object Bench {
     val sweepJson = sweepArr(sweep)
     val total = results.map(_._2).sum
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"qps":$qps,"recall":$recallJson,"sustained_qps":$sustainedJson,"sustained_spread":$sustainedSpreadJson$sanityJson,"rep_spread":$spreadJson,"hnsw_d960_ef_sweep":$sweepJson,"pq_d960_ef_sweep":${sweepArr(pqSweep)},"hnsw_pq_walk_d960_ef_sweep":${sweepArr(hnswPqSweep)},"errors":$errJson,"nq":$nq,"n_vec":$nVec,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"qps":$qps,"recall":$recallJson,"sustained_qps":$sustainedJson,"sustained_spread":$sustainedSpreadJson$sanityJson,"rep_spread":$spreadJson,"rep_gc_ms":$gcJson,"hnsw_d960_ef_sweep":$sweepJson,"pq_d960_ef_sweep":${sweepArr(pqSweep)},"hnsw_pq_walk_d960_ef_sweep":${sweepArr(hnswPqSweep)},"errors":$errJson,"nq":$nq,"n_vec":$nVec,"sf":"$sfDir"}"""
     // DURABLE artifact (r10 verdict item 1): the driver captures only the
     // TAIL of stdout, and the full line above has been truncated two rounds
     // running — losing the np grid and the rep spread it carried. The file

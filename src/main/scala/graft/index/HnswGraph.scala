@@ -452,22 +452,22 @@ final class HnswGraph(
     * the zero-allocation serving hot path. */
   def searchInto(
       q: Array[Float], k: Int, ef: Int,
-      outIds: Array[Int], outDists: Array[Double]): Int = {
+      outIds: Array[Int], outDists: Array[Double],
+      full: Boolean = HnswGraph.fullRerank): Int = {
     if (n == 0) return 0
     val efq = math.max(ef, k)
     val enter = greedyUntilLevel(0, q)
     val result = searchOnLevel(enter, 0, efq, q)
     // exact re-score + bounded (distance, index) top-k insert. The beam's
-    // distances are float-tier SIMD values within a conservative error
-    // envelope of the exact kernel (same envelope as Knn.exactBroadcast's
-    // prefilter), and the result set is ASCENDING in them — so once the
-    // k-th exact distance is more than one envelope below the next float
-    // distance, no later survivor can enter the top-k and the rescore
-    // stops. Exact rescores drop from ef to ~k with selection provably
-    // unchanged (HnswSpec A/Bs this against the full rescore).
+    // distances are float-tier SIMD values within the same empirically-
+    // validated error envelope as Knn.exactBroadcast's prefilter, and the
+    // result set is ASCENDING in them — so once the k-th exact distance is
+    // more than one envelope below the next float distance, no later
+    // survivor can enter the top-k and the rescore stops. Exact rescores
+    // drop from ef to ~k; HnswSpec A/Bs selection equality against the
+    // full rescore (incl. forced exact ties) on both metrics.
     val rel = HnswGraph.envRel(dim)
     val abs = HnswGraph.envAbs(dim)
-    val full = HnswGraph.fullRerank
     var cnt = 0
     var p = 0
     var break = false
@@ -524,7 +524,8 @@ final class HnswGraph(
     * hit count. */
   def searchFnInto(
       distFn: Int => Double, q: Array[Float], k: Int, ef: Int,
-      outIds: Array[Int], outDists: Array[Double]): Int = {
+      outIds: Array[Int], outDists: Array[Double],
+      full: Boolean = HnswGraph.fullRerank): Int = {
     if (n == 0) return 0
     val efq = math.max(ef, k)
     val enter = greedyUntilLevelFn(0, distFn)
@@ -533,17 +534,16 @@ final class HnswGraph(
     // The beam's ADC distances carry quantization error with no usable
     // bound, so unlike [[searchInto]] every survivor must be re-scored
     // against the stored vector — but with the FLOAT SIMD kernel first:
-    // only candidates whose float distance lands within the conservative
-    // error envelope of the current k-th exact distance pay the scalar
-    // double kernel (same envelope and argument as Knn.exactBroadcast's
-    // prefilter; selection provably unchanged — HnswSpec A/Bs it).
+    // only candidates whose float distance lands within the
+    // empirically-validated error envelope of the current k-th exact
+    // distance pay the scalar double kernel (same envelope and argument as
+    // Knn.exactBroadcast's prefilter; HnswSpec A/Bs selection equality).
     // Survivors scan in ascending ADC order, so the exact top-k tightens
     // within the first ~k candidates and the envelope rejects most of the
     // rest: the ef-sized scalar-double resort (~40% of walk time at
     // d960/ef180) becomes ef SIMD evals + ~k scalar ones.
     val rel = HnswGraph.envRel(dim)
     val abs = HnswGraph.envAbs(dim)
-    val full = HnswGraph.fullRerank
     var cnt = 0
     var p = 0
     while (p < result.size) {
@@ -594,16 +594,22 @@ object HnswGraph {
     ThreadLocal.withInitial(() => new HnswSearchCtx)
 
   /** Float-kernel error envelope for the re-rank prefilter — the same
-    * constants as `Knn.exactBroadcast`'s SIMD prefilter (accumulation error
-    * grows ~dim·2⁻²⁴ relative; these carry a >20× margin; the absolute term
-    * guards near-zero distances). */
+    * constants as `Knn.exactBroadcast`'s SIMD prefilter. This is an
+    * empirical error model, not a proof: accumulation error grows
+    * ~dim·2⁻²⁴ relative, and for L2 the margin over observed error is
+    * >20×, but for cosine at d≈960 the absolute term (~2.3e-4) covers
+    * normalized-dot cancellation error by only ~2-4×. Fixture changes that
+    * introduce large-magnitude coordinates should re-validate via
+    * HnswSpec's envelope A/B and WalkProbe's full-rerank arm. */
   @inline private[index] def envRel(dim: Int): Double = 1e-3 + dim * 2.4e-7
   @inline private[index] def envAbs(dim: Int): Double = 1e-6 + dim * 2.4e-7
 
-  /** Probe/spec switch: `true` restores the full ef-sized scalar-double
-    * re-rank in [[HnswGraph.searchInto]]/[[HnswGraph.searchFnInto]] (the
-    * pre-r12 tail) so the envelope path can be A/B-ed for selection
-    * equality and speed. Never set in production paths. */
+  /** Default for the `full` parameter of [[HnswGraph.searchInto]]/
+    * [[HnswGraph.searchFnInto]]: `true` restores the full ef-sized
+    * scalar-double re-rank (the pre-r12 tail). Probes and specs that A/B
+    * the envelope path pass `full` explicitly per call — this global is
+    * never mutated (driver-side mutation wouldn't reach executors anyway);
+    * it exists only so the production default is stated in one place. */
   @volatile private[graft] var fullRerank: Boolean = false
 
   /** Rebuild a graph from exported nodes without re-running insertion —

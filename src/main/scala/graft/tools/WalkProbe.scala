@@ -84,10 +84,8 @@ object WalkProbe {
     for (ef <- Seq(80, 120, 180, 240)) {
       // r12 A/B: full ef-sized scalar-double re-rank (pre-r12) vs the
       // envelope re-rank (float-tier prefilter + early stop)
-      HnswGraph.fullRerank = true
-      val (rF, qpsF) = recallAndQps(q => g.searchInto(q, k, ef, ids, ds))
-      HnswGraph.fullRerank = false
-      val (r, qps) = recallAndQps(q => g.searchInto(q, k, ef, ids, ds))
+      val (rF, qpsF) = recallAndQps(q => g.searchInto(q, k, ef, ids, ds, full = true))
+      val (r, qps) = recallAndQps(q => g.searchInto(q, k, ef, ids, ds, full = false))
       println(f"[walkprobe] plain  ef=$ef%-4d recall=$r%.4f  ${qps}%8.0f q/s (1 thread)  [full-rerank: recall=$rF%.4f ${qpsF}%8.0f q/s]")
     }
 
@@ -116,17 +114,15 @@ object WalkProbe {
       val nBlocks = (n + 15) >> 4
       val blockStride = m << 4
       for (ef <- Seq(120, 180, 240, 360, 480)) {
-        HnswGraph.fullRerank = true
         val (rF, qpsF) = recallAndQps { q =>
           val lut = PqKernel.buildLookup(q, cents, 4, "l2sqr").map(_.toFloat)
           val distFn: Int => Double = idx => PqKernel.adcOne(codes, idx * m, m, 16, lut)
-          g.searchFnInto(distFn, q, k, ef, ids, ds)
+          g.searchFnInto(distFn, q, k, ef, ids, ds, full = true)
         }
-        HnswGraph.fullRerank = false
         val (r, qps) = recallAndQps { q =>
           val lut = PqKernel.buildLookup(q, cents, 4, "l2sqr").map(_.toFloat)
           val distFn: Int => Double = idx => PqKernel.adcOne(codes, idx * m, m, 16, lut)
-          g.searchFnInto(distFn, q, k, ef, ids, ds)
+          g.searchFnInto(distFn, q, k, ef, ids, ds, full = false)
         }
         val (rB, qpsB) =
           if (!PqKernel.fastScanEligible(16)) (0.0, 0.0)

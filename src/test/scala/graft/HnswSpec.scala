@@ -249,10 +249,8 @@ class HnswSpec extends SparkTestBase {
       val noise = new scala.util.Random(7)
       for (qi <- 0 until 60) {
         val q = Array.fill(dim)(noise.nextFloat() * 2f - 1f)
-        HnswGraph.fullRerank = true
-        val cF = g.searchInto(q, 10, 80, idsF, dsF)
-        HnswGraph.fullRerank = false
-        val c = g.searchInto(q, 10, 80, ids, ds)
+        val cF = g.searchInto(q, 10, 80, idsF, dsF, full = true)
+        val c = g.searchInto(q, 10, 80, ids, ds, full = false)
         assert(c == cF, s"$metric count $c != $cF")
         assert(ids.take(c).toSeq == idsF.take(cF).toSeq, s"$metric ids")
         assert(ds.take(c).toSeq == dsF.take(cF).toSeq, s"$metric dists")
@@ -263,15 +261,12 @@ class HnswSpec extends SparkTestBase {
             (x.toDouble - y) * (x.toDouble - y) }.sum
           d * (1.0 + 0.2 * math.sin(idx * 2654435761L).toFloat)
         }
-        HnswGraph.fullRerank = true
-        val cF2 = g.searchFnInto(distFn, q, 10, 80, idsF, dsF)
-        HnswGraph.fullRerank = false
-        val c2 = g.searchFnInto(distFn, q, 10, 80, ids, ds)
+        val cF2 = g.searchFnInto(distFn, q, 10, 80, idsF, dsF, full = true)
+        val c2 = g.searchFnInto(distFn, q, 10, 80, ids, ds, full = false)
         assert(c2 == cF2 && ids.take(c2).toSeq == idsF.take(cF2).toSeq &&
           ds.take(c2).toSeq == dsF.take(cF2).toSeq, s"$metric fn-walk")
       }
     }
-    HnswGraph.fullRerank = false
   }
 
   test("upper bound filters hits") {
