@@ -89,6 +89,8 @@ case class TableEntry(
   */
 class VecDB(spark: SparkSession, root: String) {
   private implicit val formats: Formats = DefaultFormats
+  private val logger = org.slf4j.LoggerFactory.getLogger(classOf[VecDB])
+  private def logWarning(msg: => String): Unit = logger.warn(msg)
 
   /** Per-instance broadcast-gate override for the serving dispatch; `None`
     * falls back to the JVM-wide `-Dgraft.broadcast.max.bytes` (default
@@ -744,19 +746,43 @@ class VecDB(spark: SparkSession, root: String) {
     * (`IndexSerde::save`, `/root/reference/src/index_algorithm/mod.rs:120-141`).
     * `add` keeps the index fresh by appending a subgraph over the new rows
     * (the reference's incremental-insert contract: a search after add sees
-    * the row). Idempotent skip. */
-  def buildHnswIndex(key: String, efConstruction: Option[Int] = None): Unit =
+    * the row). Idempotent skip.
+    *
+    * Tables past the broadcast gate auto-build the ROUTED layout
+    * ([[buildIvfHnswIndex]]) instead: beyond the gate every search runs
+    * the beyond-broadcast arm, where the unrouted subgraph union walks
+    * EVERY subgraph per query (measured 3.6× behind the routed arm at
+    * 1M×960) while the routed layout walks `defaultNProbes`. The unrouted
+    * union at that scale is an explicit opt-out (`forceUnrouted = true`,
+    * for e.g. adversarial recall studies where routing loss is the
+    * subject); within the gate nothing changes — the broadcast walk never
+    * consults the route sidecar. */
+  def buildHnswIndex(key: String, efConstruction: Option[Int] = None,
+      forceUnrouted: Boolean = false): Unit =
     tableLock(key).synchronized {
       // build + flag-set under the table lock: an append racing the build
       // would otherwise yield hasHnsw=true with an index missing its rows
       val e = entry(key)
       if (!e.hasHnsw) {
-        val efc = efConstruction.getOrElse(200)
-        Hnsw.buildIndex(table(key), e.dist, efConstruction = efc)
-          .write.mode("overwrite").parquet(hnswDir(e).toString)
-        catalogLock.synchronized {
-          tables += key -> entry(key).copy(hasHnsw = true, efConstruction = efc)
-          saveBrief()
+        val rows = table(key).count()
+        if (!forceUnrouted &&
+            VecDB.hnswBroadcastBytes(rows, e.dim) > gateBytes) {
+          val kc = VecDB.autoRouteClusters(rows)
+          logWarning(s"buildHnswIndex('$key'): table (~$rows rows × d${e.dim}) " +
+            s"exceeds the broadcast gate ($gateBytes B); building the IVF-routed " +
+            s"layout (kClusters=$kc) instead — the unrouted subgraph union " +
+            "walks every subgraph per query at this scale. Pass " +
+            "forceUnrouted=true to opt out.")
+          buildIvfHnswIndex(key, kClusters = kc,
+            efConstruction = efConstruction)
+        } else {
+          val efc = efConstruction.getOrElse(200)
+          Hnsw.buildIndex(table(key), e.dist, efConstruction = efc)
+            .write.mode("overwrite").parquet(hnswDir(e).toString)
+          catalogLock.synchronized {
+            tables += key -> entry(key).copy(hasHnsw = true, efConstruction = efc)
+            saveBrief()
+          }
         }
       }
     }
@@ -1307,6 +1333,14 @@ object VecDB {
     * per-node id/level overhead. */
   private[graft] def hnswBroadcastBytes(rows: Long, dim: Int): Long =
     rows * (4L * dim + 4L * 16 * 2 + 64L)
+
+  /** Cluster count for [[VecDB.buildHnswIndex]]'s beyond-gate auto-routing:
+    * ~50k rows per cluster (the bench-validated band — 1M serves best at
+    * kc=32, ~31k/cluster), floored at 16 so routing always prunes, capped
+    * at 65536 (at ~3.3B rows the per-cluster graphs stay serving-sized and
+    * the centroid sidecar stays driver-trivial at ≤256 MB for d960). */
+  private[graft] def autoRouteClusters(rows: Long): Int =
+    math.min(65536L, math.max(16L, (rows + 49999L) / 50000L)).toInt
 
   private[graft] def hnswBroadcastEligible(rows: Long, dim: Int): Boolean =
     hnswBroadcastBytes(rows, dim) <= BroadcastMaxBytes

@@ -752,6 +752,40 @@ class CatalogSpec extends SparkTestBase {
     } finally pool.shutdown()
   }
 
+  test("buildHnswIndex auto-routes past the broadcast gate") {
+    // r12 verdict: the beyond-gate unrouted union walks EVERY subgraph per
+    // query (3.6× behind routed at 1M); plain buildHnswIndex must steer
+    // large tables to the routed layout unless explicitly opted out.
+    val root = Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "vecdb_test").toString
+    val db = new VecDB(spark, root)
+    val rnd = new scala.util.Random(31)
+    def mkTable(name: String): Unit = {
+      db.createTableIfNotExists(name, 8, "l2sqr")
+      val vecs = (0 until 200).map(_ => Array.fill(8)(rnd.nextFloat() * 10f))
+      db.batchAdd(name, vecs, vecs.indices.map(i => Map("i" -> i.toString)))
+    }
+    def routed(name: String): Boolean =
+      Files.exists(java.nio.file.Paths.get(root, name, "hnsw_route"))
+    mkTable("big"); mkTable("bigForced"); mkTable("small")
+    db.broadcastGateBytes = Some(1L) // every table is "beyond the gate"
+    try {
+      db.buildHnswIndex("big")
+      assert(db.hasHnswIndex("big") && routed("big"),
+        "beyond-gate build should produce the routed layout")
+      // routed search still answers (exact under full ef; spot-check top-1)
+      val q = Array.fill(8)(5f)
+      assert(db.search("big", q, 3, ef = Some(200)).nonEmpty)
+      db.buildHnswIndex("bigForced", forceUnrouted = true)
+      assert(db.hasHnswIndex("bigForced") && !routed("bigForced"),
+        "forceUnrouted must keep the plain union layout")
+    } finally db.broadcastGateBytes = None
+    db.buildHnswIndex("small")
+    assert(db.hasHnswIndex("small") && !routed("small"),
+      "within the gate the plain layout is unchanged")
+    db.close()
+  }
+
   test("catalog persists across reopen") {
     val root = Files.createTempDirectory(
       java.nio.file.Paths.get("target"), "vecdb_test").toString
