@@ -229,6 +229,89 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int)
   override def prettyName: String = "winnow_fingerprints"
 }
 
+/** Distinct 64-bit word n-gram hashes of a text column in one pass per row
+  * — the MinHash-LSH shingle stage ([[graft.operators.Dedup.minhashLshJoin]])
+  * without ever materializing a shingle string OR a token-hash array.
+  *
+  * Semantics are bit-identical to the declarative
+  * `Dedup.hashedShingles(transform(split(text, " "), xxhash64), n)`:
+  * tokens split on every single 0x20 byte (empties kept, like Spark's
+  * `split(text, " ")` — safe on UTF-8, 0x20 never occurs in a multi-byte
+  * sequence), each token hashed with Spark's XXH64 (seed 42, the xxhash64
+  * default), each window of n token hashes chained through
+  * `XXH64.hashLong` exactly as the n-ary `xxhash64(t0, …, tn-1)` would,
+  * first-occurrence order preserved like `array_distinct`. DedupSpec locks
+  * this equivalence.
+  *
+  * A native expression because the declarative form pays 2-3× in
+  * HigherOrderFunction plumbing (measured at 100k×60 words: 5.1 s vs
+  * 1.9 s for even the string-shingle build; the per-element lambda +
+  * `element_at` dispatch dominates). Interpreted eval only
+  * (CodegenFallback) — the row cost is the O(tokens·n) fold itself. */
+case class NgramHashes(child: Expression, n: Int)
+  extends UnaryExpression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  require(n >= 1, "ngram_hashes: n must be >= 1")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"ngram_hashes requires string, got ${other.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val s = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val len = s.numBytes()
+    // token hashes: split on every 0x20 (empty tokens kept — split(" ")
+    // regex semantics), hash the byte slice with the xxhash64 default seed
+    var nTok = 1
+    var i = 0
+    while (i < len) { if (s.getByte(i) == 0x20) nTok += 1; i += 1 }
+    if (nTok < n)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.empty[Long])
+    val th = new Array[Long](nTok)
+    var t = 0
+    var start = 0
+    i = 0
+    while (i <= len) {
+      if (i == len || s.getByte(i) == 0x20) {
+        th(t) = XXH64.hashUnsafeBytes(base, off + start, i - start, 42L)
+        t += 1
+        start = i + 1
+      }
+      i += 1
+    }
+    // window mix: xxhash64(t_w, …, t_w+n-1) = left-to-right hashLong chain
+    val nWin = nTok - n + 1
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    var w = 0
+    while (w < nWin) {
+      var h = 42L
+      var j = 0
+      while (j < n) { h = XXH64.hashLong(th(w + j), h); j += 1 }
+      seen.add(h)
+      w += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var o = 0
+    while (it.hasNext) { out(o) = it.next(); o += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "ngram_hashes"
+}
+
 object TextFunctions {
   /** Single-pass 64-bit SimHash over an `array<bigint>` of token hashes. */
   def simhash64(tokenHashes: Column): Column =
@@ -238,6 +321,11 @@ object TextFunctions {
     * ([[WinnowFingerprints]]). */
   def winnowFingerprints(text: Column, k: Int, w: Int): Column =
     ColumnShim.column(WinnowFingerprints(ColumnShim.expression(text), k, w))
+
+  /** Distinct 64-bit word n-gram hashes of a text column
+    * ([[NgramHashes]]). */
+  def ngramHashes(text: Column, n: Int): Column =
+    ColumnShim.column(NgramHashes(ColumnShim.expression(text), n))
 
   /** Single-pass MinHash signature over an `array<bigint>` of base hashes. */
   def minhashSignature(

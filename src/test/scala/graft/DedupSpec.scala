@@ -48,6 +48,35 @@ class DedupSpec extends SparkTestBase {
     assert(want.exists(p => p._1 == 0L && p._2 == 2L)) // the near-dup pair is in there
   }
 
+  test("native ngramHashes ≡ declarative hashedShingles (bit-identical)") {
+    // the LSH pipeline runs the single-pass native NgramHashes; its
+    // declarative twin (token xxhash64 → window xxhash64 → array_distinct)
+    // is the oracle. Includes multi-space runs (empty tokens), short docs
+    // (< n tokens → empty array), unicode, and empty string.
+    val docs = (fixture.as[(Long, String)].collect().toSeq ++ Seq(
+      (10L, "a  b   c d"), (11L, ""), (12L, "héllo wörld déjà vu naïve"),
+      (13L, " leading and trailing "), (14L, "x y z")))
+      .toDF("doc_id", "text")
+    for (n <- Seq(1, 2, 3, 5)) {
+      val got = docs.select($"doc_id",
+        graft.functions.TextFunctions.ngramHashes($"text", n).as("sh"))
+      val want = docs.select($"doc_id",
+        Dedup.hashedShingles(
+          transform(split($"text", " "), t => xxhash64(t)), n).as("sh"))
+      val g = got.as[(Long, Seq[Long])].collect().toMap
+      val w = want.as[(Long, Seq[Long])].collect().toMap
+      assert(g == w, s"n=$n mismatch")
+      // hashed sets are in bijection with the string-shingle sets (equal
+      // Jaccard): same distinct-set size per doc (values differ — the mix
+      // chains token hashes, it does not hash the concatenated string)
+      val strSizes = docs.select($"doc_id",
+        size(Dedup.shingles($"text", n)).as("ns"))
+        .as[(Long, Int)].collect().toMap
+      g.foreach { case (id, hs) =>
+        assert(hs.toSet.size == strSizes(id), s"n=$n doc $id set size") }
+    }
+  }
+
   test("minhashLshJoin: verified pairs ⊆ exact join, recall ≥ 0.9 on documents") {
     val docs = Tables.docs(spark, sf001)
     val exact = Dedup.ngramJaccardJoin(docs, n = 3, threshold = 0.5)
