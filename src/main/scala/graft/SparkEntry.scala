@@ -456,6 +456,37 @@ object SparkEntry {
           |WHERE q.id < 4""".stripMargin)
         .orderBy("query_id", "id")
     }),
+    // SURVEY §7.3: index-backed SQL top-k rewrite — `ORDER BY
+    // vec_l2sq(vec, lit) LIMIT k` over a registered table goes through
+    // [[graft.plans.GraftSqlTopK]]'s Rule[LogicalPlan]: the engine's
+    // bounded KNN search runs at plan time and the winners splice back as
+    // an `id IN` prune; the require() pins that the rewrite actually
+    // fired, and the oracle is DuckDB's own ORDER BY … LIMIT
+    "q_sql_topk" -> ((s, dir) => {
+      graft.functions.VectorFunctions.register(s)
+      graft.plans.GraftSqlTopK.enable(s)
+      val emb = Tables.vectors(s, dir)
+      graft.plans.GraftSqlTopK.registerDataFrame("sql_topk_emb", emb, "l2sqr")
+      emb.createOrReplaceTempView("sql_topk_emb")
+      val qv = emb.filter(col("id") === 0)
+        .head.getAs[scala.collection.Seq[Float]]("vec")
+      val lits = qv.map(f => f.toString + "D").mkString("array(", ", ", ")")
+      val top = s.sql("SELECT id, vec_l2sq(vec, CAST(" + lits +
+        " AS array<float>)) AS d FROM sql_topk_emb ORDER BY d LIMIT 50")
+      val fired = top.queryExecution.optimizedPlan.collect {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+          f.condition
+      }.exists(_.exists {
+        case org.apache.spark.sql.catalyst.expressions.In(_, vs) =>
+          vs.length == 50
+        case si: org.apache.spark.sql.catalyst.expressions.InSet =>
+          si.hset.size == 50
+        case _ => false
+      })
+      require(fired, "q_sql_topk: the SQL top-k rewrite did not fire")
+      top.select(col("id"), (round(col("d"), 6) + lit(0.0)).as("distance"))
+        .orderBy("distance", "id")
+    }),
     // P4: dim-slice projection — the front-loaded div_ceil group split
     // (`pq_table.rs:38-53`) applied as slice()+aggregate per group; the
     // oracle recomputes the same split with independent SQL arithmetic
@@ -643,6 +674,16 @@ object SparkEntry {
        |  WHERE rn <= 10 GROUP BY query_id)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    // the SQL rewrite must reproduce DuckDB's own ORDER BY … LIMIT
+    // (single query vector = embeddings row 0; top-50 selection on the
+    // unrounded distance, rounded only in the output projection)
+    "q_sql_topk" ->
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |scored AS (SELECT b.vec_id AS id, $l2Expr AS d
+         |           FROM q CROSS JOIN embeddings b),
+         |top AS (SELECT id, d FROM scored ORDER BY d, id LIMIT 50)
+         |SELECT id, round(d, 6) + 0.0 AS distance FROM top
+         |ORDER BY distance, id""".stripMargin,
     "q_knn_l2" -> topKSql(l2Expr, 5),
     "q_knn_bcast" -> topKSql(l2Expr, 5),
     "q_knn_cosine" -> topKSql(cosExpr, 5),
