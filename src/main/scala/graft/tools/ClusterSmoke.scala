@@ -1,0 +1,141 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.catalog.VecDB
+import graft.operators.{Hnsw, IvfHnsw, Knn}
+
+/** Driver/executor-divergence smoke test on `local-cluster[2,4,…]` — REAL
+  * executor JVMs with real serialization, the regime `local[32]` can never
+  * exercise (r12 verdict item 2: the fast-scan sys-prop toggle bug — a
+  * driver-set flag silently absent on executors — is exactly the class
+  * this catches). Runs the catalog lifecycle end to end off-driver:
+  *
+  *  1. broadcast HNSW serving (graph ships via TorrentBroadcast, executor
+  *     [[graft.index.HnswGraphCache]] decode),
+  *  2. forced beyond-gate routed serving (pinned pid-partitioned RDD +
+  *     per-query probe lists, executor-resident subgraphs),
+  *  3. PQ flat serve (driver-resolved fast-scan toggle, broadcast LUTs),
+  *  4. distributed `addDataFrame` ingest + delta visibility,
+  *
+  * each checked for EXACT equality against the declarative exact KNN on
+  * the same data (generous ef ⇒ the approximate arms are exhaustive at
+  * this size). Exits non-zero on any mismatch.
+  *
+  * Run: `SPARK_SCALA_VERSION=2.13 sbt -batch "runMain graft.tools.ClusterSmoke"`
+  * (SPARK_HOME must point at the Spark dist so the in-process workers can
+  * fork executor JVMs; SPARK_SCALA_VERSION is required because the
+  * launcher otherwise probes source-build directories and aborts with
+  * "Cannot find any build directories"; the repo's compiled classes reach
+  * executors via extraClassPath).
+  */
+object ClusterSmoke {
+  def main(args: Array[String]): Unit = {
+    require(sys.env.contains("SPARK_SCALA_VERSION"),
+      "set SPARK_SCALA_VERSION=2.13 — the standalone launcher needs it to " +
+        "build the executor command (see scaladoc)")
+    val classesDir = new java.io.File("target/scala-2.13/classes")
+      .getAbsolutePath
+    val spark = SparkSession.builder()
+      .appName("graft-cluster-smoke")
+      .master("local-cluster[2,4,2048]")
+      .config("spark.executor.extraClassPath", classesDir)
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.ui.enabled", false)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    var failures = 0
+    def check(name: String)(cond: => Boolean): Unit = {
+      val ok = try cond catch {
+        case e: Throwable =>
+          println(s"[clustersmoke] $name EXCEPTION: ${e.getMessage}")
+          false
+      }
+      println(s"[clustersmoke] $name: ${if (ok) "OK" else "FAIL"}")
+      if (!ok) failures += 1
+    }
+
+    // wait for both executors to register so work actually distributes
+    val deadline = System.currentTimeMillis() + 120000
+    while (spark.sparkContext.getExecutorMemoryStatus.size < 3 &&
+        System.currentTimeMillis() < deadline) Thread.sleep(500)
+    check("two executors registered") {
+      // driver + 2 executor block managers
+      spark.sparkContext.getExecutorMemoryStatus.size >= 3
+    }
+
+    val root = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "cluster_smoke").toString
+    val db = new VecDB(spark, root)
+    val dim = 16
+    db.createTableIfNotExists("t", dim, "l2sqr")
+    val rnd = new scala.util.Random(1806)
+    val vecs = (0 until 3000).map(_ => Array.fill(dim)(rnd.nextFloat() * 4f))
+    db.batchAdd("t", vecs, vecs.indices.map(i => Map("i" -> i.toString)))
+
+    def exact(q: Array[Float], k: Int): Seq[(Long, Double)] =
+      db.search("t", q, k).map(r => (r._1("i").toLong, r._2)).toSeq
+    val q0 = vecs(42)
+    val flat = exact(q0, 10)
+    check("flat exact search returns k") { flat.size == 10 && flat.head._1 == 42L }
+
+    // 1. broadcast HNSW arm (graph ships to executors, cache decode there)
+    db.buildIvfHnswIndex("t", kClusters = 6, defaultNProbes = 6,
+      trainProportion = Some(0.5))
+    check("broadcast HNSW equals flat") {
+      db.search("t", q0, 10, ef = Some(400))
+        .map(r => (r._1("i").toLong, r._2)).toSeq == flat
+    }
+
+    // 2. forced beyond-gate: pinned routed serving off-driver
+    db.broadcastGateBytes = Some(1L)
+    try {
+      check("routed pinned arm equals flat (full probes)") {
+        db.search("t", q0, 10, ef = Some(400))
+          .map(r => (r._1("i").toLong, r._2)).toSeq == flat
+      }
+      check("routed arm batch query") {
+        val qs = spark.createDataFrame(
+          java.util.Arrays.asList(
+            org.apache.spark.sql.Row(0L, vecs(7).toSeq),
+            org.apache.spark.sql.Row(1L, vecs(99).toSeq)),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("query_id",
+              org.apache.spark.sql.types.LongType, false),
+            org.apache.spark.sql.types.StructField("query_vec",
+              org.apache.spark.sql.types.ArrayType(
+                org.apache.spark.sql.types.FloatType, false), false))))
+        val hits = db.searchBatch("t", qs, 5, ef = Some(400)).collect()
+        hits.length == 10 &&
+          hits.filter(_.getLong(0) == 0L).map(_.getLong(1)).contains(7L) &&
+          hits.filter(_.getLong(0) == 1L).map(_.getLong(1)).contains(99L)
+      }
+    } finally db.broadcastGateBytes = None
+
+    // 3. PQ serve (driver-resolved fast-scan toggle; ADC on executors)
+    db.buildPqTable("t", trainProportion = Some(0.5), m = Some(8))
+    check("PQ serve recall ≥ 0.9 vs flat") {
+      db.clearHnswIndex("t")
+      val pq = db.search("t", q0, 10, ef = Some(200))
+        .map(r => r._1("i").toLong).toSet
+      pq.intersect(flat.map(_._1).toSet).size >= 9
+    }
+
+    // 4. distributed ingest: new rows visible to a subsequent search
+    check("addDataFrame ingest visible") {
+      import spark.implicits._
+      val marker = Array.fill(dim)(99f)
+      val add = Seq((100000L, marker.toSeq, Map("i" -> "marker")))
+        .toDF("id", "vec", "meta")
+      db.addDataFrame("t", add)
+      val hit = db.search("t", marker, 1)
+      hit.head._1("i") == "marker" && hit.head._2 < 1e-6
+    }
+
+    db.close()
+    println(s"[clustersmoke] failures=$failures")
+    spark.stop()
+    if (failures > 0) sys.exit(1)
+  }
+}
