@@ -609,9 +609,19 @@ object Bench {
     // reported by the round that builds.
     var recalls1m = Map.empty[String, Double]
     var build1m = Option.empty[Double]
+    // per-build stage split (r12 verdict item 5): routeSec = k-means train
+    // + assignment + skew counts (everything up to the materialized cluster
+    // map), graphsSec = per-cluster HNSW construction + parquet write (the
+    // assignment recomputes inside this stage's lineage — labeled as such).
+    // Persisted in the _done marker ("total route graphs") so cache-hit
+    // runs keep the build-scaling curve.
+    var buildStages = Map.empty[String, (Double, Double)]
     var results1m = Seq.empty[(String, Double)]
     var sustained1m = Map.empty[String, Double]
     var sustainedSpread1m = Map.empty[String, Seq[Double]]
+    // matched-recall calibration detail (target, chosen efs, landed
+    // recalls) — the rows themselves use stable ef-free names
+    var matched1m = Map.empty[String, Double]
     if (n1m > 0) try {
       val kc = 32 // ~n/32 rows per cluster ⇒ 32-task walk parallelism
       // repo-root cache dir (gitignored), NOT target/: an `sbt clean` must
@@ -627,18 +637,22 @@ object Bench {
         val t0 = System.nanoTime()
         val (model, idx) = IvfHnsw.buildIndex(vec1m, kc,
           trainFraction = Some(math.min(0.5, 20000.0 / n1m)))
+        val tRoute = (System.nanoTime() - t0) / 1e9
         idx.write.mode("overwrite").parquet(idxPath)
         Ivf.centroidsDf(spark, model).write.mode("overwrite")
           .parquet(cacheDir.resolve("centroids").toString)
         build1m = Some((System.nanoTime() - t0) / 1e9)
-        // persist the measured build seconds in the marker so cache-hit
-        // runs still report the build-trend row (r12 ADVICE)
+        buildStages += "hnsw_1m_d960_build" -> (tRoute, build1m.get - tRoute)
+        // persist the measured build seconds (+ stage split) in the marker
+        // so cache-hit runs still report the build-trend rows (r12 ADVICE)
         java.nio.file.Files.write(donePath,
-          build1m.get.toString.getBytes("UTF-8"))
+          s"${build1m.get} $tRoute ${build1m.get - tRoute}".getBytes("UTF-8"))
       } else {
-        build1m = scala.util.Try(
-          new String(java.nio.file.Files.readAllBytes(donePath),
-            "UTF-8").trim.toDouble).toOption
+        val toks = scala.util.Try(new String(
+          java.nio.file.Files.readAllBytes(donePath), "UTF-8")
+          .trim.split("\\s+").map(_.toDouble)).getOrElse(Array.empty[Double])
+        if (toks.nonEmpty) build1m = Some(toks(0))
+        if (toks.length >= 3) buildStages += "hnsw_1m_d960_build" -> (toks(1), toks(2))
       }
       val model1m = Ivf.readModel(spark, cacheDir.toString, "l2sqr")
       val idx1m = spark.read.parquet(idxPath)
@@ -743,6 +757,44 @@ object Bench {
       }
       recalls1m += "ivf_hnsw_pq_walk_1m_d960_m320res_ef360_batch" ->
         recallOf(mkRoutedPqRes(), truth1m)
+      // matched-recall pair (r13, verdict item 1): bisect each arm's ef to
+      // the reference's fastest published 1M operating point (recall
+      // 0.858 ± 0.01 at 11,386 q/s — t_bench.toml:29-55) so the
+      // cross-engine gap reads as ONE number at EQUAL recall instead of an
+      // extrapolation across unequal recalls. Row names are ef-free
+      // (stable cross-round series); chosen ef + landed recall live in
+      // the matched_recall JSON object.
+      val matchTarget = 0.858
+      def efAtRecall(lo0: Int, hi0: Int,
+          mk: Int => DataFrame): (Int, Double) = {
+        var lo = lo0; var hi = hi0
+        var best = (0, Double.NaN)
+        var done = false
+        while (!done && lo <= hi) {
+          val ef = (lo + hi) / 2
+          val r = recallOf(mk(ef), truth1m)
+          if (best._2.isNaN ||
+              math.abs(r - matchTarget) < math.abs(best._2 - matchTarget))
+            best = (ef, r)
+          if (math.abs(r - matchTarget) <= 0.01) done = true
+          else if (r < matchTarget) lo = ef + 1
+          else hi = ef - 1
+        }
+        best
+      }
+      def mkWalkEf(ef: Int): DataFrame = IvfHnsw.searchPinnedPq(idx1m,
+        model1m, pqModel1m, q1m, k = 10, ef = Some(ef), nProbes = Some(1),
+        cacheKey = ck1m)
+      def mkPlainEf(ef: Int): DataFrame = IvfHnsw.searchPinned(idx1m,
+        model1m, q1m, k = 10, ef = Some(ef), nProbes = Some(1),
+        cacheKey = ck1m)
+      val (wEf, wRec) = efAtRecall(360, 700, mkWalkEf)
+      val (pEf, pRec) = efAtRecall(10, 48, mkPlainEf)
+      matched1m = Map("target" -> matchTarget, "baseline_qps" -> 11386.0,
+        "walk_ef" -> wEf.toDouble, "walk_recall" -> wRec,
+        "plain_ef" -> pEf.toDouble, "plain_recall" -> pRec)
+      recalls1m += "ivf_hnsw_pq_walk_1m_d960_np1_matched_batch" -> wRec
+      recalls1m += "ivf_hnsw_1m_d960_np1_matched_batch" -> pRec
       results1m = timeInterleaved(Seq[(String, () => Long)](
         ("ivf_hnsw_1m_d960_np1_nq10k_batch",
           () => withAqeOff(serve(mkRouted10k()))),
@@ -765,6 +817,11 @@ object Bench {
         } ++
         Seq(("ivf_hnsw_pq_walk_1m_d960_m320res_ef360_batch",
           () => withAqeOff(serve(mkRoutedPqRes())): Long)))
+      results1m = results1m ++ timeInterleaved(Seq[(String, () => Long)](
+        ("ivf_hnsw_pq_walk_1m_d960_np1_matched_batch",
+          () => withAqeOff(serve(mkWalkEf(wEf)))),
+        ("ivf_hnsw_1m_d960_np1_matched_batch",
+          () => withAqeOff(serve(mkPlainEf(pEf))))))
       // steady-state pipelined rows at the 1M scale (missing through r9:
       // the single-batch rows carry the whole per-job floor): routed np1 is
       // the serving operating point, the walk row shows the gated arm.
@@ -772,7 +829,11 @@ object Bench {
       val (s1m, sp1m) = sustainedGrid(Seq(
         ("ivf_hnsw_1m_d960_np1_sustained", routedMk.head._2, nq),
         ("ivf_hnsw_1m_d960_np1_ef40_sustained", routedLowEf.last._2, nq),
-        ("ivf_hnsw_pq_walk_1m_d960_np1_sustained", routedPqMk.head._3, nq)))
+        ("ivf_hnsw_pq_walk_1m_d960_np1_sustained", routedPqMk.head._3, nq),
+        ("ivf_hnsw_pq_walk_1m_d960_np1_matched_sustained",
+          () => mkWalkEf(wEf), nq),
+        ("ivf_hnsw_1m_d960_np1_matched_sustained",
+          () => mkPlainEf(pEf), nq)))
       sustained1m ++= s1m
       sustainedSpread1m ++= sp1m
     } catch { case e: Throwable =>
@@ -810,18 +871,22 @@ object Bench {
         val t0 = System.nanoTime()
         val (model, idx) = IvfHnsw.buildIndex(vecLr, kc,
           trainFraction = Some(math.min(0.5, 20000.0 / n1mLr)))
+        val tRoute = (System.nanoTime() - t0) / 1e9
         idx.write.mode("overwrite").parquet(idxPath)
         Ivf.centroidsDf(spark, model).write.mode("overwrite")
           .parquet(cacheDir.resolve("centroids").toString)
         build1mLr = Some((System.nanoTime() - t0) / 1e9)
-        // persist the measured build seconds in the marker so cache-hit
-        // runs still report the build-trend row (r12 ADVICE)
+        buildStages += "ivf_hnsw_1mlr_d960_build" -> (tRoute, build1mLr.get - tRoute)
+        // persist the measured build seconds (+ stage split) in the marker
+        // so cache-hit runs still report the build-trend rows (r12 ADVICE)
         java.nio.file.Files.write(donePath,
-          build1mLr.get.toString.getBytes("UTF-8"))
+          s"${build1mLr.get} $tRoute ${build1mLr.get - tRoute}".getBytes("UTF-8"))
       } else {
-        build1mLr = scala.util.Try(
-          new String(java.nio.file.Files.readAllBytes(donePath),
-            "UTF-8").trim.toDouble).toOption
+        val toks = scala.util.Try(new String(
+          java.nio.file.Files.readAllBytes(donePath), "UTF-8")
+          .trim.split("\\s+").map(_.toDouble)).getOrElse(Array.empty[Double])
+        if (toks.nonEmpty) build1mLr = Some(toks(0))
+        if (toks.length >= 3) buildStages += "ivf_hnsw_1mlr_d960_build" -> (toks(1), toks(2))
       }
       val modelLr = Ivf.readModel(spark, cacheDir.toString, "l2sqr")
       val idxLr = spark.read.parquet(idxPath)
@@ -907,18 +972,22 @@ object Bench {
         val t0 = System.nanoTime()
         val (model, idx) = IvfHnsw.buildIndex(vec2m, kc,
           trainFraction = Some(math.min(0.5, 20000.0 / n2m)))
+        val tRoute = (System.nanoTime() - t0) / 1e9
         idx.write.mode("overwrite").parquet(idxPath)
         Ivf.centroidsDf(spark, model).write.mode("overwrite")
           .parquet(cacheDir.resolve("centroids").toString)
         build2m = Some((System.nanoTime() - t0) / 1e9)
-        // persist the measured build seconds in the marker so cache-hit
-        // runs still report the build-trend row (r12 ADVICE)
+        buildStages += "ivf_hnsw_2m_d960_build" -> (tRoute, build2m.get - tRoute)
+        // persist the measured build seconds (+ stage split) in the marker
+        // so cache-hit runs still report the build-trend rows (r12 ADVICE)
         java.nio.file.Files.write(donePath,
-          build2m.get.toString.getBytes("UTF-8"))
+          s"${build2m.get} $tRoute ${build2m.get - tRoute}".getBytes("UTF-8"))
       } else {
-        build2m = scala.util.Try(
-          new String(java.nio.file.Files.readAllBytes(donePath),
-            "UTF-8").trim.toDouble).toOption
+        val toks = scala.util.Try(new String(
+          java.nio.file.Files.readAllBytes(donePath), "UTF-8")
+          .trim.split("\\s+").map(_.toDouble)).getOrElse(Array.empty[Double])
+        if (toks.nonEmpty) build2m = Some(toks(0))
+        if (toks.length >= 3) buildStages += "ivf_hnsw_2m_d960_build" -> (toks(1), toks(2))
       }
       val model2m = Ivf.readModel(spark, cacheDir.toString, "l2sqr")
       val idx2m = spark.read.parquet(idxPath)
@@ -952,6 +1021,29 @@ object Bench {
     val resultsAll = results ++ build1m.map(b => ("hnsw_1m_d960_build", b)).toSeq ++
       build1mLr.map(b => ("ivf_hnsw_1mlr_d960_build", b)).toSeq ++
       build2m.map(b => ("ivf_hnsw_2m_d960_build", b)).toSeq
+    // build-scaling curve (r12 verdict item 5): >= 2 scale points, each
+    // with the route/graphs stage split and rows/s, so the 100x story has
+    // a slope (1M kc=32 vs 2M kc=64 is the like-for-like pair; 1mlr is
+    // the low-rank fixture's point at the same 1M scale)
+    val buildRows = Map(
+      "hnsw_1m_d960_build" -> n1m,
+      "ivf_hnsw_1mlr_d960_build" -> n1mLr,
+      "ivf_hnsw_2m_d960_build" -> n2m)
+    val buildTotals = Map(
+      "hnsw_1m_d960_build" -> build1m,
+      "ivf_hnsw_1mlr_d960_build" -> build1mLr,
+      "ivf_hnsw_2m_d960_build" -> build2m)
+    val buildScaleJson = buildStages.toSeq.sortBy(_._1).map {
+      case (name, (route, graphs)) =>
+        val rows = buildRows.getOrElse(name, 0L)
+        val total = buildTotals.get(name).flatten.getOrElse(route + graphs)
+        val rps = if (total > 0) rows / total else 0.0
+        jstr(name) + ":" +
+          "{\"rows\":" + rows + ",\"total_s\":" + f"$total%.1f" +
+          ",\"route_s\":" + f"$route%.1f" +
+          ",\"graphs_s\":" + f"$graphs%.1f" +
+          ",\"rows_per_s\":" + f"$rps%.0f" + "}"
+    }.mkString("{", ",", "}")
     val qs = resultsAll.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
     val qps = results.filter(_._1.endsWith("_batch"))
@@ -983,6 +1075,11 @@ object Bench {
         jstr(k) + ":" + ts.map(t => f"$t%.3f").mkString("[", ",", "]")
       }
       .mkString("{", ",", "}")
+    val matchedJson = matched1m.toSeq.sortBy(_._1)
+      .map { case (k, v) => jstr(k) + ":" + (
+        if (k.endsWith("_ef") || k == "baseline_qps") f"$v%.0f"
+        else f"$v%.4f") }
+      .mkString("{", ",", "}")
     val gcJson = repGc
       .map { case (k, ts) =>
         jstr(k) + ":" + ts.map(t => f"$t%.0f").mkString("[", ",", "]")
@@ -995,7 +1092,7 @@ object Bench {
     val sweepJson = sweepArr(sweep)
     val total = results.map(_._2).sum
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"qps":$qps,"recall":$recallJson,"sustained_qps":$sustainedJson,"sustained_spread":$sustainedSpreadJson$sanityJson,"rep_spread":$spreadJson,"rep_gc_ms":$gcJson,"hnsw_d960_ef_sweep":$sweepJson,"pq_d960_ef_sweep":${sweepArr(pqSweep)},"hnsw_pq_walk_d960_ef_sweep":${sweepArr(hnswPqSweep)},"errors":$errJson,"nq":$nq,"n_vec":$nVec,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"qps":$qps,"recall":$recallJson,"sustained_qps":$sustainedJson,"sustained_spread":$sustainedSpreadJson$sanityJson,"rep_spread":$spreadJson,"rep_gc_ms":$gcJson,"build_scale":$buildScaleJson,"matched_recall":$matchedJson,"hnsw_d960_ef_sweep":$sweepJson,"pq_d960_ef_sweep":${sweepArr(pqSweep)},"hnsw_pq_walk_d960_ef_sweep":${sweepArr(hnswPqSweep)},"errors":$errJson,"nq":$nq,"n_vec":$nVec,"sf":"$sfDir"}"""
     // DURABLE artifact (r10 verdict item 1): the driver captures only the
     // TAIL of stdout, and the full line above has been truncated two rounds
     // running — losing the np grid and the rep spread it carried. The file

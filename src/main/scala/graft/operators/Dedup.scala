@@ -87,7 +87,9 @@ object Dedup {
     *
     * Exact — a pair with Jaccard ≥ t > 0 shares ≥ 1 shingle, so it appears
     * in the join; pairs sharing nothing are never materialized. Shuffle is
-    * on the shingle key; AQE's skew handling splits hot shingles.
+    * on an 8-byte hashed-shingle key (see the note below — Jaccard values
+    * are identical up to ~2⁻⁶⁴ collisions); AQE's skew handling splits hot
+    * shingles.
     *
     * @return (a_id, b_id, jaccard) with a_id < b_id
     */
@@ -98,12 +100,17 @@ object Dedup {
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     // materialized: the shingle set feeds the inverted index once and the
-    // size/verify lookups twice more — recomputing the string-heavy shingle
-    // build per consumer dominates the join otherwise (LRU-evictable; call
-    // spark.catalog.clearCache() to drop eagerly)
+    // size lookups twice more — recomputing the shingle build per consumer
+    // dominates the join otherwise (LRU-evictable; call
+    // spark.catalog.clearCache() to drop eagerly). Shingles are 64-bit
+    // hashes ([[graft.functions.NgramHashes]]): |A∩B| and |A∪B| are
+    // unchanged up to ~2⁻⁶⁴ collisions, the count-based Jaccard below is
+    // therefore identical, and the inverted-index shuffle moves 8-byte
+    // keys instead of n-gram strings — the difference between a shuffle
+    // that fits and one that doesn't at corpus scale.
     val sh = docs
       .select(col(idCol).cast("long").as("doc_id"),
-        shingles(col(textCol), n).as("sh"))
+        graft.functions.TextFunctions.ngramHashes(col(textCol), n).as("sh"))
       .filter(size(col("sh")) > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     sh.count()
