@@ -836,6 +836,21 @@ class VecDB(spark: SparkSession, root: String) {
 
   def hasHnswIndex(key: String): Boolean = entry(key).hasHnsw
 
+  /** Expose a table to SQL with the top-k rewrite armed (SURVEY §7.3):
+    * creates/replaces a temp view and registers it with
+    * [[graft.plans.GraftSqlTopK]], so `ORDER BY vec_l2sq(vec, lit) LIMIT k`
+    * over the view dispatches through [[searchBatch]]'s index arms instead
+    * of a full-table sort. Re-call after mutations that bump the table
+    * version (delete/compaction) — the registered plan pins the current
+    * data files. */
+  def registerSql(key: String, viewName: Option[String] = None): Unit = {
+    val name = viewName.getOrElse(key)
+    table(key).createOrReplaceTempView(name)
+    graft.functions.VectorFunctions.register(spark)
+    graft.plans.GraftSqlTopK.enable(spark)
+    graft.plans.GraftSqlTopK.registerTable(name, this, key)
+  }
+
   /** Build the PQ sidecar (codes + centroids parquet). Validations per
     * `metadata_vec_table.rs:112-152`; honors n_bits (see class doc).
     * This is also the S6 shape — index persisted WITHOUT the vector

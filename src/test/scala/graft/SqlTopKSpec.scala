@@ -82,6 +82,49 @@ class SqlTopKSpec extends SparkTestBase {
     } finally GraftSqlTopK.unregisterAll()
   }
 
+  test("independently re-read table matches via position remap (fresh exprIds)") {
+    // register one read of the parquet, query through a SECOND read: the
+    // leaf sameResult-matches but every exprId differs, exercising the
+    // by-position attribute remap of the registered vec/id expressions
+    VectorFunctions.register(spark)
+    val regDf = Tables.vectors(spark, sf001)
+    val queryDf = Tables.vectors(spark, sf001) // fresh plan, fresh exprIds
+    val q = regDf.filter(col("id") === 5)
+      .head.getAs[scala.collection.Seq[Float]]("vec")
+    queryDf.createOrReplaceTempView("sql_topk_remap_v")
+    val sqlText = s"SELECT id, vec_l2sq(vec, ${litVec(q)}) AS d " +
+      "FROM sql_topk_remap_v ORDER BY d LIMIT 15"
+    GraftSqlTopK.unregisterAll()
+    val baseline = spark.sql(sqlText).collect()
+    GraftSqlTopK.enable(spark)
+    GraftSqlTopK.registerDataFrame("sql_topk_remap", regDf, "l2sqr")
+    try {
+      val rewritten = spark.sql(sqlText)
+      assert(firedWithK(rewritten, 15), "remap path did not fire:\n" +
+        rewritten.queryExecution.optimizedPlan.treeString)
+      assert(rewritten.collect().toSeq == baseline.toSeq)
+    } finally GraftSqlTopK.unregisterAll()
+  }
+
+  test("cosine-registered table rewrites a vec_cosine sort") {
+    VectorFunctions.register(spark)
+    val df = Tables.vectors(spark, sf001)
+    val q = df.filter(col("id") === 9)
+      .head.getAs[scala.collection.Seq[Float]]("vec")
+    df.createOrReplaceTempView("sql_topk_cos_v")
+    val sqlText = s"SELECT id, vec_cosine(vec, ${litVec(q)}) AS d " +
+      "FROM sql_topk_cos_v ORDER BY d LIMIT 12"
+    GraftSqlTopK.unregisterAll()
+    val baseline = spark.sql(sqlText).collect()
+    GraftSqlTopK.enable(spark)
+    GraftSqlTopK.registerDataFrame("sql_topk_cos", df, "cosine")
+    try {
+      val rewritten = spark.sql(sqlText)
+      assert(firedWithK(rewritten, 12))
+      assert(rewritten.collect().toSeq == baseline.toSeq)
+    } finally GraftSqlTopK.unregisterAll()
+  }
+
   test("registered VecDB table dispatches through the catalog index arms") {
     VectorFunctions.register(spark)
     val root = java.nio.file.Files.createTempDirectory(
@@ -98,8 +141,7 @@ class SqlTopKSpec extends SparkTestBase {
       "FROM catalog_topk_v ORDER BY d LIMIT 5"
     GraftSqlTopK.unregisterAll()
     val exact = spark.sql(sqlText).collect()
-    GraftSqlTopK.enable(spark)
-    GraftSqlTopK.registerTable("catalog_topk_v", db, "t")
+    db.registerSql("t", Some("catalog_topk_v")) // view + enable + register
     spark.conf.set(GraftSqlTopK.EfConf, "300") // generous beam ⇒ exact
     try {
       val rewritten = spark.sql(sqlText)
