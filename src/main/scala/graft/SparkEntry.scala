@@ -487,6 +487,42 @@ object SparkEntry {
       top.select(col("id"), (round(col("d"), 6) + lit(0.0)).as("distance"))
         .orderBy("distance", "id")
     }),
+    // §7.3 + P3: the rewrite's distance-upper-bound arm — `WHERE
+    // vec_l2sq(vec, q) <= ub ORDER BY d LIMIT k` (bound rows are a prefix
+    // of the distance order, so the top-k prune + retained Filter is
+    // exact). ub = the exact 8th-nearest distance, computed on each
+    // engine's own scored set (rank-consistent: the distance orderings
+    // hash-match), so exactly 8 of the LIMIT 15 survive on both sides.
+    "q_sql_topk_bounded" -> ((s, dir) => {
+      graft.functions.VectorFunctions.register(s)
+      graft.plans.GraftSqlTopK.enable(s)
+      val emb = Tables.vectors(s, dir)
+      graft.plans.GraftSqlTopK.registerDataFrame("sql_topk_b_emb", emb, "l2sqr")
+      emb.createOrReplaceTempView("sql_topk_b_emb")
+      val qv = emb.filter(col("id") === 0)
+        .head.getAs[scala.collection.Seq[Float]]("vec")
+      val qcol = array(qv.toSeq.map(v => lit(v)): _*).cast("array<float>")
+      val d8 = emb
+        .select(graft.functions.VectorFunctions.vecL2Sq(col("vec"), qcol).as("d"))
+        .orderBy("d").limit(8).agg(max(col("d"))).head.getDouble(0)
+      val lits = qv.map(f => f.toString + "D").mkString("array(", ", ", ")")
+      val distSql = "vec_l2sq(vec, CAST(" + lits + " AS array<float>))"
+      val top = s.sql(s"SELECT id, $distSql AS d FROM sql_topk_b_emb " +
+        s"WHERE $distSql <= ${d8}D ORDER BY d LIMIT 15")
+      val fired = top.queryExecution.optimizedPlan.collect {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+          f.condition
+      }.exists(_.exists {
+        case org.apache.spark.sql.catalyst.expressions.In(_, vs) =>
+          vs.length == 15
+        case si: org.apache.spark.sql.catalyst.expressions.InSet =>
+          si.hset.size == 15
+        case _ => false
+      })
+      require(fired, "q_sql_topk_bounded: the bounded rewrite did not fire")
+      top.select(col("id"), (round(col("d"), 6) + lit(0.0)).as("distance"))
+        .orderBy("distance", "id")
+    }),
     // P4: dim-slice projection — the front-loaded div_ceil group split
     // (`pq_table.rs:38-53`) applied as slice()+aggregate per group; the
     // oracle recomputes the same split with independent SQL arithmetic
@@ -682,6 +718,17 @@ object SparkEntry {
          |scored AS (SELECT b.vec_id AS id, $l2Expr AS d
          |           FROM q CROSS JOIN embeddings b),
          |top AS (SELECT id, d FROM scored ORDER BY d, id LIMIT 50)
+         |SELECT id, round(d, 6) + 0.0 AS distance FROM top
+         |ORDER BY distance, id""".stripMargin,
+    // bounded arm: ub = each engine's own 8th-nearest distance (rank-
+    // consistent selection; no boundary-ulp coupling between engines)
+    "q_sql_topk_bounded" ->
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |scored AS (SELECT b.vec_id AS id, $l2Expr AS d
+         |           FROM q CROSS JOIN embeddings b),
+         |d8 AS (SELECT d FROM scored ORDER BY d LIMIT 1 OFFSET 7),
+         |top AS (SELECT id, d FROM scored
+         |        WHERE d <= (SELECT d FROM d8) ORDER BY d, id LIMIT 15)
          |SELECT id, round(d, 6) + 0.0 AS distance FROM top
          |ORDER BY distance, id""".stripMargin,
     "q_knn_l2" -> topKSql(l2Expr, 5),

@@ -52,12 +52,16 @@ import graft.operators.Knn
   *
   * Scope guards (no rewrite, never a wrong result): single ASC sort key,
   * distance kind must match the registered metric, `Project` (or nothing)
-  * directly over the leaf — a `WHERE` between sort and scan disables the
-  * rewrite (top-k of a filtered set ≠ filtered top-k); `LIMIT k` ≤
+  * directly over the leaf; a `WHERE` between sort and scan disables the
+  * rewrite (top-k of a filtered set ≠ filtered top-k) — EXCEPT a distance
+  * upper bound on the sort key itself (`WHERE vec_l2sq(vec, q) <= ub … `,
+  * the engine's P3 surface): such rows are a prefix of the distance
+  * order, so the global top-k prune stays a superset of the answer and
+  * the retained Filter re-applies the bound. `LIMIT k` ≤
   * `graft.sql.topk.maxK` (default 10k — the spliced id list is
-  * driver-materialized). The rewritten child contains a Filter above the
-  * leaf, which the matcher rejects, so the fixed-point optimizer batch
-  * terminates.
+  * driver-materialized). A rewritten child nests Filter-over-Filter above
+  * the leaf, which the matcher rejects, so the fixed-point optimizer
+  * batch terminates.
   */
 object GraftSqlTopK {
 
@@ -164,10 +168,20 @@ object GraftSqlTopK {
       val spark = SparkSession.active
       val maxK = spark.conf.getOption(MaxKConf).map(_.toInt).getOrElse(10000)
       if (k > maxK) return None
-      val (projOpt, rel) = sort.child match {
-        case p @ Project(_, r: LeafNode) => (Some(p), r)
-        case r: LeafNode => (None, r)
-        case _ => return None // Filter/Join below the sort: out of scope
+      // a Filter is in scope ONLY when its condition is an upper bound on
+      // the sort key itself (`WHERE vec_l2sq(vec, q) <= ub ORDER BY … ` —
+      // the engine's P3 distance-bound surface): rows passing such a
+      // filter are a PREFIX of the distance order, so the filtered top-k
+      // is always ⊆ the global top-k and the spliced id set stays a
+      // superset of the true answer — the original Filter, left in place,
+      // re-applies the bound. Any other predicate makes filtered-top-k ≠
+      // top-k-filtered and declines the rewrite.
+      val (projOpt, filterOpt, rel) = sort.child match {
+        case p @ Project(_, f @ Filter(_, r: LeafNode)) => (Some(p), Some(f), r)
+        case p @ Project(_, r: LeafNode) => (Some(p), None, r)
+        case f @ Filter(_, r: LeafNode) => (None, Some(f), r)
+        case r: LeafNode => (None, None, r)
+        case _ => return None // Join/other below the sort: out of scope
       }
       registry.values.find(e => rel.sameResult(e.leaf)).flatMap { e =>
         // remap the registered vec/id expressions onto this scan's
@@ -189,17 +203,31 @@ object GraftSqlTopK {
           case ex => Some(ex)
         }
         distExpr.collect {
-          case VecDistance(l, r, kind) if kindFor(e.dist).contains(kind) =>
-            if (l.semanticEquals(vecExpr) && r.foldable) Some(r)
-            else if (r.semanticEquals(vecExpr) && l.foldable) Some(l)
+          case de @ VecDistance(l, r, kind) if kindFor(e.dist).contains(kind) =>
+            if (l.semanticEquals(vecExpr) && r.foldable) Some((de, r))
+            else if (r.semanticEquals(vecExpr) && l.foldable) Some((de, l))
             else None
-        }.flatten.map { qExpr =>
+        }.flatten.filter { case (de, _) =>
+          // with a WHERE present, it must be `dist ≤/< literal` on the
+          // same distance expression (prefix-of-sort-order argument above)
+          filterOpt.forall(_.condition match {
+            case LessThanOrEqual(c, _: Literal) => c.semanticEquals(de)
+            case LessThan(c, _: Literal) => c.semanticEquals(de)
+            case GreaterThanOrEqual(_: Literal, c) => c.semanticEquals(de)
+            case GreaterThan(_: Literal, c) => c.semanticEquals(de)
+            case _ => false
+          })
+        }.map { case (_, qExpr) =>
           val qvec = evalQueryVector(qExpr)
           val ids = e.search(spark, qvec, k)
           val pruned = Filter(idIn(idExpr, ids), rel)
-          val newChild = projOpt match {
-            case Some(p) => p.withNewChildren(Seq(pruned))
+          val bounded = filterOpt match {
+            case Some(f) => f.withNewChildren(Seq(pruned))
             case None => pruned
+          }
+          val newChild = projOpt match {
+            case Some(p) => p.withNewChildren(Seq(bounded))
+            case None => bounded
           }
           gl.withNewChildren(Seq(ll.withNewChildren(
             Seq(sort.withNewChildren(Seq(newChild))))))

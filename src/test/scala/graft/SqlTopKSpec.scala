@@ -82,6 +82,39 @@ class SqlTopKSpec extends SparkTestBase {
     } finally GraftSqlTopK.unregisterAll()
   }
 
+  test("distance upper bound on the sort key rewrites; other WHEREs do not") {
+    // WHERE vec_l2sq(vec, q) <= ub ORDER BY d LIMIT k: bound rows are a
+    // prefix of the distance order, so the global-top-k prune + retained
+    // Filter is exact. Checked against the unrewritten query at a ub that
+    // bites (fewer than k rows pass) and one that does not.
+    VectorFunctions.register(spark)
+    val df = Tables.vectors(spark, sf001)
+    val q = df.filter(col("id") === 21)
+      .head.getAs[scala.collection.Seq[Float]]("vec")
+    df.createOrReplaceTempView("sql_topk_ub_v")
+    def sqlText(ub: String) =
+      s"SELECT id, vec_l2sq(vec, ${litVec(q)}) AS d FROM sql_topk_ub_v " +
+        s"WHERE vec_l2sq(vec, ${litVec(q)}) <= $ub ORDER BY d LIMIT 20"
+    GraftSqlTopK.unregisterAll()
+    val loose = spark.sql(sqlText("1e9")).collect()
+    assert(loose.length == 20)
+    // a ub between the 3rd and 4th distance: exactly 3 rows survive
+    val tightUb = (loose(2).getDouble(1) + loose(3).getDouble(1)) / 2
+    val tight = spark.sql(sqlText(tightUb.toString)).collect()
+    assert(tight.length == 3)
+    GraftSqlTopK.enable(spark)
+    GraftSqlTopK.registerDataFrame("sql_topk_ub", df, "l2sqr")
+    try {
+      val rLoose = spark.sql(sqlText("1e9"))
+      assert(firedWithK(rLoose, 20), "bounded rewrite did not fire:\n" +
+        rLoose.queryExecution.optimizedPlan.treeString)
+      assert(rLoose.collect().toSeq == loose.toSeq)
+      val rTight = spark.sql(sqlText(tightUb.toString))
+      assert(firedWithK(rTight, 20))
+      assert(rTight.collect().toSeq == tight.toSeq)
+    } finally GraftSqlTopK.unregisterAll()
+  }
+
   test("independently re-read table matches via position remap (fresh exprIds)") {
     // register one read of the parquet, query through a SECOND read: the
     // leaf sameResult-matches but every exprId differs, exercising the
