@@ -490,6 +490,8 @@ object Bench {
       ("hnsw_build_200k", () => Hnsw.buildIndex(vecBig).count()),
       ("pq_encode_200k", () => Pq.encode(vecBig, pqModel).count()),
       ("dedup_exact_100k", () => Dedup.exactGroups(docs).count()),
+      ("dedup_ngram_100k", () => Dedup.ngramJaccardJoin(docs, n = 3,
+        threshold = 0.5).count()),
       ("dedup_minhash_100k", () => Dedup.minhashLshJoin(docs, n = 3,
         numHashes = 32, bands = 8, threshold = 0.5).count()),
       ("dedup_semantic_20k", () => Dedup.semanticPairs(clustered,

@@ -78,9 +78,10 @@ object GraftSqlTopK {
       search: (SparkSession, Array[Float], Int) => Array[Long])
 
   private val registry = TrieMap.empty[String, Entry]
-  private val enabled =
-    java.util.Collections.synchronizedSet(
-      new java.util.HashSet[SparkSession]())
+  // weak set: enabling the rule must not pin a closed SparkSession
+  private val enabled = java.util.Collections.synchronizedSet(
+    java.util.Collections.newSetFromMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()))
 
   /** Add the rewrite rule to `spark.experimental.extraOptimizations`
     * (idempotent per session). */
