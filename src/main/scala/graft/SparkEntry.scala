@@ -487,6 +487,39 @@ object SparkEntry {
       top.select(col("id"), (round(col("d"), 6) + lit(0.0)).as("distance"))
         .orderBy("distance", "id")
     }),
+    // §7.3 + §2.11: the rewrite's catalog arm end to end — ingest into a
+    // VecDB, build the HNSW sidecar, registerSql, and run the SQL top-k:
+    // the rule dispatches through searchBatch (lastServedArm pinned to
+    // "hnsw"), full beam ⇒ exact ⇒ the same DuckDB ORDER BY LIMIT oracle
+    "q_sql_topk_indexed" -> ((s, dir) => {
+      val db = catalogIngest(s, dir, "vecdb_qsql")
+      val n = db.getLen("emb").toInt
+      db.buildHnswIndex("emb")
+      db.registerSql("emb", Some("sql_topk_cat_emb"))
+      val qv = Tables.vectors(s, dir).filter(col("id") === 0)
+        .head.getAs[scala.collection.Seq[Float]]("vec")
+      val lits = qv.map(f => f.toString + "D").mkString("array(", ", ", ")")
+      s.conf.set(graft.plans.GraftSqlTopK.EfConf, (2 * n).toString)
+      try {
+        val top = s.sql("SELECT id, vec_l2sq(vec, CAST(" + lits +
+          " AS array<float>)) AS d FROM sql_topk_cat_emb ORDER BY d LIMIT 50")
+        val fired = top.queryExecution.optimizedPlan.collect {
+          case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+            f.condition
+        }.exists(_.exists {
+          case org.apache.spark.sql.catalyst.expressions.In(_, vs) =>
+            vs.length == 50
+          case si: org.apache.spark.sql.catalyst.expressions.InSet =>
+            si.hset.size == 50
+          case _ => false
+        })
+        require(fired, "q_sql_topk_indexed: the catalog rewrite did not fire")
+        require(db.lastServedArm == "hnsw",
+          s"q_sql_topk_indexed: expected the hnsw arm, got '${db.lastServedArm}'")
+        top.select(col("id"), (round(col("d"), 6) + lit(0.0)).as("distance"))
+          .orderBy("distance", "id")
+      } finally s.conf.unset(graft.plans.GraftSqlTopK.EfConf)
+    }),
     // §7.3 + P3: the rewrite's distance-upper-bound arm — `WHERE
     // vec_l2sq(vec, q) <= ub ORDER BY d LIMIT k` (bound rows are a prefix
     // of the distance order, so the top-k prune + retained Filter is
@@ -714,6 +747,14 @@ object SparkEntry {
     // (single query vector = embeddings row 0; top-50 selection on the
     // unrounded distance, rounded only in the output projection)
     "q_sql_topk" ->
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |scored AS (SELECT b.vec_id AS id, $l2Expr AS d
+         |           FROM q CROSS JOIN embeddings b),
+         |top AS (SELECT id, d FROM scored ORDER BY d, id LIMIT 50)
+         |SELECT id, round(d, 6) + 0.0 AS distance FROM top
+         |ORDER BY distance, id""".stripMargin,
+    // catalog arm: same selection as q_sql_topk (full-beam HNSW ⇒ exact)
+    "q_sql_topk_indexed" ->
       s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
          |scored AS (SELECT b.vec_id AS id, $l2Expr AS d
          |           FROM q CROSS JOIN embeddings b),
