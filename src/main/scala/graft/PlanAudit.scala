@@ -27,6 +27,19 @@ object PlanAudit {
     println("=== Ivf.search ===")
     val (model, assigned) = Ivf.build(base, k = 16)
     Ivf.search(assigned, model, qs, k = 5).explain("formatted")
+
+    println("=== SQL top-k rewrite (id IN prune above the scan) ===")
+    graft.functions.VectorFunctions.register(spark)
+    graft.plans.GraftSqlTopK.enable(spark)
+    val emb = Tables.vectors(spark, dir)
+    graft.plans.GraftSqlTopK.registerDataFrame("audit_topk", emb, "l2sqr")
+    emb.createOrReplaceTempView("audit_topk_v")
+    val qv = emb.filter(col("id") === 0)
+      .head.getAs[scala.collection.Seq[Float]]("vec")
+    val lits = qv.map(f => f.toString + "F").mkString("array(", ", ", ")")
+    spark.sql(s"SELECT id, vec_l2sq(vec, $lits) AS d FROM audit_topk_v " +
+      "ORDER BY d LIMIT 10").explain("formatted")
+    graft.plans.GraftSqlTopK.unregisterAll()
     spark.stop()
   }
 }

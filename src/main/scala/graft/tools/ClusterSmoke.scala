@@ -122,7 +122,29 @@ object ClusterSmoke {
       pq.intersect(flat.map(_._1).toSet).size >= 9
     }
 
-    // 4. distributed ingest: new rows visible to a subsequent search
+    // 4. SQL top-k rewrite: rule fires on the driver, the spliced id IN
+    //    plan executes on real executors
+    check("SQL top-k rewrite equals flat on executors") {
+      db.buildIvfHnswIndex("t", kClusters = 6, defaultNProbes = 6,
+        trainProportion = Some(0.5))
+      db.registerSql("t", Some("smoke_sql_v"))
+      val lits = q0.map(f => f.toString + "F")
+        .mkString("array(", ", ", ")")
+      spark.conf.set(graft.plans.GraftSqlTopK.EfConf, "4000") // ≥ n ⇒ exact
+      try {
+        val rows = spark.sql(s"SELECT id, vec_l2sq(vec, $lits) AS d " +
+          "FROM smoke_sql_v ORDER BY d LIMIT 10").collect()
+        rows.length == 10 &&
+          rows.map(r => (r.getLong(0), r.getDouble(1))).toSeq
+            .zip(flat).forall { case ((_, d), (_, fd)) =>
+              math.abs(d - fd) < 1e-9 }
+      } finally {
+        spark.conf.unset(graft.plans.GraftSqlTopK.EfConf)
+        graft.plans.GraftSqlTopK.unregisterAll()
+      }
+    }
+
+    // 5. distributed ingest: new rows visible to a subsequent search
     check("addDataFrame ingest visible") {
       import spark.implicits._
       val marker = Array.fill(dim)(99f)
