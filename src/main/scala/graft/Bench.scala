@@ -496,6 +496,9 @@ object Bench {
         numHashes = 32, bands = 8, threshold = 0.5).count()),
       ("dedup_semantic_20k", () => Dedup.semanticPairs(clustered,
         threshold = 0.15, numBlocks = 64).count()),
+      ("dedup_components_100k", () => Dedup.duplicateComponents(docs,
+        Dedup.minhashLshJoin(docs, n = 3, numHashes = 32, bands = 8,
+          threshold = 0.5)).filter(col("is_canonical")).count()),
       ("text_stats_100k", () => TextAnalysis.stats(docs).count()),
       ("lang_id_100k", () => TextAnalysis.langId(docs).count()),
       ("quality_100k", () => TextAnalysis.qualityScore(docs).count()),

@@ -119,6 +119,17 @@ object SparkEntry {
           (round(col("jaccard"), 6) + lit(0.0)).as("jaccard"))
         .orderBy("a_id", "b_id")
     }),
+    // LLM-pipeline: connected components over the exact n-gram near-dup
+    // pairs (pointer-jumping min-label propagation) — a chain a~b~c is one
+    // duplicate group and the canonical survivor is the min id. Oracled by
+    // a DuckDB recursive CTE computing the transitive closure of the same
+    // pair set.
+    "q_dedup_components" -> ((s, dir) => {
+      val docs = Tables.docs(s, dir)
+      Dedup.duplicateComponents(docs,
+          Dedup.ngramJaccardJoin(docs, n = 3, threshold = 0.5))
+        .orderBy("doc_id")
+    }),
     // LLM-pipeline: SimHash near-dup pairs (64-bit sketch, block banding,
     // Hamming filter). Rows-only; DedupSpec covers semantics.
     "q_dedup_simhash" -> ((s, dir) => {
@@ -959,6 +970,34 @@ object SparkEntry {
         |      FROM s a JOIN s b ON a.doc_id < b.doc_id)
         |SELECT a_id, b_id, round(j, 6) + 0.0 AS jaccard FROM p
         |WHERE j >= 0.5 ORDER BY a_id, b_id""".stripMargin,
+    // transitive closure of the ngram pair set via recursive CTE; the
+    // component id is the minimum reachable doc id (matching the Spark
+    // side's min-label convergence), size and canonical derived from it
+    "q_dedup_components" ->
+      """WITH RECURSIVE t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |s AS (SELECT doc_id,
+        |        list_distinct(list_transform(range(1, len(w) - 1),
+        |          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+        |      FROM t WHERE len(w) >= 3),
+        |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        |      FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |      WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
+        |        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5),
+        |e AS (SELECT a_id AS u, b_id AS v FROM p
+        |      UNION ALL SELECT b_id, a_id FROM p),
+        |reach(u, v) AS (
+        |  SELECT u, v FROM e
+        |  UNION
+        |  SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u),
+        |comp AS (
+        |  SELECT d.doc_id,
+        |         least(d.doc_id, coalesce(min(r.v), d.doc_id)) AS component_id
+        |  FROM documents d LEFT JOIN reach r ON r.u = d.doc_id
+        |  GROUP BY d.doc_id)
+        |SELECT doc_id, component_id,
+        |       count(*) OVER (PARTITION BY component_id) AS component_size,
+        |       doc_id = component_id AS is_canonical
+        |FROM comp ORDER BY doc_id""".stripMargin,
     "q_dedup_semantic" ->
       """WITH p AS (
         |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,

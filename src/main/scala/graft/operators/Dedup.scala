@@ -394,4 +394,77 @@ object Dedup {
       }
     } else pairs
   }
+
+  // -------------------------------------- near-duplicate component grouping
+
+  /** Connected components over a near-duplicate pair list — the step every
+    * pairwise dedup (n-gram / MinHash / SimHash / semantic) needs next: a
+    * chain a~b~c is ONE duplicate group even though (a, c) was never
+    * emitted as a pair, and a pipeline keeps one canonical doc per group.
+    *
+    * Distributed min-label propagation with POINTER JUMPING: each round
+    * every node takes the minimum label among itself and its neighbors,
+    * then shortcuts through its label's label (`comp := comp(comp)`), so a
+    * path of length L converges in O(log L) rounds instead of L (the same
+    * doubling idea as the alternating large-star/small-star CC algorithm;
+    * each round is two shuffles on the id key — scale-safe, no driver
+    * state beyond the converged-yet counter). Deterministic: labels only
+    * ever decrease toward the component's minimum id.
+    *
+    * @param docs  table carrying `idCol` (all docs, including non-dups —
+    *              they come back as singleton components)
+    * @param pairs (a_id, b_id) rows from any pairwise dedup join
+    * @return (doc_id, component_id = min id in the component,
+    *         component_size, is_canonical = doc_id == component_id)
+    */
+  def duplicateComponents(
+      docs: DataFrame,
+      pairs: DataFrame,
+      idCol: String = "doc_id",
+      maxIters: Int = 25): DataFrame = {
+    val edges = pairs
+      .select(col("a_id").cast("long").as("src"), col("b_id").cast("long").as("dst"))
+      .unionByName(pairs.select(col("b_id").cast("long").as("src"),
+        col("a_id").cast("long").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = docs.select(col(idCol).cast("long").as("id")).distinct()
+      .select(col("id"), col("id").as("comp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    labels.count()
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIters) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("dst"), col("comp").as("ncomp")), "dst")
+        .groupBy("src").agg(min(col("ncomp")).as("nmin"))
+      val stepped = labels
+        .join(nbrMin.withColumnRenamed("src", "id"), Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"))
+      // pointer jumping: a label is itself a node id, so shortcut to ITS
+      // label (comp(comp) ≤ comp — labels cover every id). Aliased sides:
+      // a bare self-join would leave `comp === cid` ambiguous (same
+      // attribute ids on both sides).
+      val l = stepped.alias("l")
+      val r = stepped.select(col("id").as("cid"), col("comp").as("ccomp"))
+        .alias("r")
+      val jumped = l.join(r, col("l.comp") === col("r.cid"))
+        .select(col("l.id").as("id"), col("r.ccomp").as("comp"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val changed = jumped.join(labels.withColumnRenamed("comp", "old"), "id")
+        .filter(col("comp") < col("old")).count()
+      labels.unpersist()
+      labels = jumped
+      converged = changed == 0
+      it += 1
+    }
+    require(converged, s"duplicateComponents did not converge in $maxIters " +
+      "pointer-jumping rounds — component diameter exceeds 2^" + maxIters)
+    edges.unpersist()
+    val sizes = labels.groupBy("comp").agg(count(lit(1)).as("component_size"))
+    labels.join(sizes, "comp")
+      .select(col("id").as("doc_id"), col("comp").as("component_id"),
+        col("component_size"),
+        (col("id") === col("comp")).as("is_canonical"))
+  }
 }

@@ -90,6 +90,31 @@ class DedupSpec extends SparkTestBase {
     assert(recall >= 0.9, s"LSH recall $recall < 0.9 (found ${lsh.size}/${exact.size})")
   }
 
+  test("duplicateComponents: chains merge, singletons survive, canonical = min") {
+    // a 6-node chain (worst case for plain propagation — proves the
+    // pointer jumping), a 2-cycle-ish triangle, and isolated nodes
+    val docs = (0L to 11L).toDF("doc_id")
+    val pairs = Seq(
+      (0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), // chain 0..5
+      (6L, 7L), (7L, 8L), (6L, 8L)                      // triangle 6,7,8
+    ).toDF("a_id", "b_id")
+    val got = Dedup.duplicateComponents(docs, pairs)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    for (i <- 0L to 5L) assert(got(i) == (0L, 6L, i == 0L), s"chain node $i")
+    for (i <- 6L to 8L) assert(got(i) == (6L, 3L, i == 6L), s"triangle $i")
+    for (i <- 9L to 11L) assert(got(i) == (i, 1L, true), s"singleton $i")
+    // real pairs end to end: the fixture's ngram join — (0,2) near-dup and
+    // the identical (3,4) pair group; the word-PERMUTED doc 1 shares no
+    // 3-gram with doc 0 and stays a singleton
+    val comp = Dedup.duplicateComponents(fixture,
+      Dedup.ngramJaccardJoin(fixture, n = 3, threshold = 0.3))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp(0L) == 0L && comp(2L) == 0L && comp(1L) == 1L)
+    assert(comp(3L) == 3L && comp(4L) == 3L)
+    assert(comp(5L) == 5L)
+  }
+
   test("simhash: word order does not change the sketch; dup pair at hamming 0") {
     val pairs = Dedup.simhashPairs(fixture, maxHamming = 3).collect()
       .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"), r.getAs[Int]("hamming")))
