@@ -422,10 +422,16 @@ object Dedup {
       pairs: DataFrame,
       idCol: String = "doc_id",
       maxIters: Int = 25): DataFrame = {
+    // one pass over the pair lineage: the upstream pairs DataFrame is
+    // often an expensive join (MinHash/ngram) and a src/dst union would
+    // evaluate it twice — explode each pair into both directions instead
     val edges = pairs
-      .select(col("a_id").cast("long").as("src"), col("b_id").cast("long").as("dst"))
-      .unionByName(pairs.select(col("b_id").cast("long").as("src"),
-        col("a_id").cast("long").as("dst")))
+      .select(explode(array(
+        struct(col("a_id").cast("long").as("src"),
+          col("b_id").cast("long").as("dst")),
+        struct(col("b_id").cast("long").as("src"),
+          col("a_id").cast("long").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = docs.select(col(idCol).cast("long").as("id")).distinct()
       .select(col("id"), col("id").as("comp"))
