@@ -325,6 +325,40 @@ object Bench {
     // each in-flight batch is a FRESH plan (see the factory scaladoc); a
     // whole measurement runs under one AQE-off span because the toggle is
     // session state and the submitters race
+    var errors = Map.empty[String, String]
+    // per-rep times of the 1M rows, reported as `rep_spread` — the r9 np
+    // grid was non-monotonic (np2 slower than np4) and median-of-3 on
+    // multi-second jobs cannot separate noise from signal without the
+    // spread visible
+    var repSpread = Map.empty[String, Seq[Double]]
+    // per-rep GC wall time (ms) aligned with repSpread's SORTED rep times —
+    // pairs are (rep_sec, gc_ms) sorted together by rep_sec, so an outlier
+    // rep like r12's hnsw_pq_walk 5.67 s is attributable to GC (or not)
+    // from the artifact alone (r12 verdict item 6)
+    var repGc = Map.empty[String, Seq[Double]]
+    // per-rep serving-cache rebuild time (ms; graph decodes + PQ code
+    // re-encodes, CacheStats) and JIT compilation time, aligned like
+    // repGc — r13's outlier reps read gc_ms=0 because the thief was
+    // cache-refill CPU (LRU capacity churn), which GC beans can't see
+    var repRebuild = Map.empty[String, Seq[Double]]
+    var repJit = Map.empty[String, Seq[Double]]
+    // per-rep cache-rebuild ms of every sustained row (accumulated inside
+    // sustainedGrid — reported as `sustained_rebuild_ms`): nonzero values
+    // here mean the row's q/s is measuring cache churn, not the kernel
+    var sustainedRebuild = Map.empty[String, Seq[Double]]
+    def gcMillis(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
+    }
+    def jitMillis(): Long = {
+      val b = java.lang.management.ManagementFactory.getCompilationMXBean
+      if (b != null && b.isCompilationTimeMonitoringSupported)
+        b.getTotalCompilationTime
+      else 0L
+    }
+    def rebuildMillis(): Long = graft.index.CacheStats.rebuildMillis()
+
     def sustainedGrid(ws: Seq[(String, () => DataFrame, Int)], rounds: Int = 3)
         : (Map[String, Double], Map[String, Seq[Double]]) = withAqeOff {
       import scala.concurrent.{Await, ExecutionContext, Future}
@@ -334,6 +368,7 @@ object Bench {
       try {
         val batches = 16
         val perRep = Array.fill(ws.length)(Vector.empty[Double])
+        val perRb = Array.fill(ws.length)(Vector.empty[Double])
         // one untimed warm round first: the first pipelined pass per
         // workload is 2-6× cold (JIT of the submit path, pool spin-up, GC
         // ramp — visible in the r11 shakedown's rep spread) and would
@@ -341,12 +376,15 @@ object Bench {
         (0 to rounds).foreach { round =>
           ws.zipWithIndex.foreach { case ((_, mk, nqPlan), i) =>
             System.gc()
-            val t0 = System.nanoTime()
+            val t0 = System.nanoTime(); val r0 = rebuildMillis()
             Await.result(
               Future.sequence((0 until batches).map(_ => Future(serve(mk())))),
               Duration.Inf)
             val sec = (System.nanoTime() - t0) / 1e9
-            if (round > 0) perRep(i) :+= batches.toLong * nqPlan / sec
+            if (round > 0) {
+              perRep(i) :+= batches.toLong * nqPlan / sec
+              perRb(i) :+= (rebuildMillis() - r0).toDouble
+            }
           }
         }
         val med = ws.zipWithIndex.map { case ((name, _, _), i) =>
@@ -356,6 +394,9 @@ object Bench {
         val spread = ws.zipWithIndex.map { case ((name, _, _), i) =>
           name -> (perRep(i): Seq[Double])
         }.toMap
+        ws.zipWithIndex.foreach { case ((name, _, _), i) =>
+          sustainedRebuild += name -> (perRb(i): Seq[Double])
+        }
         (med, spread)
       } finally pool.shutdown()
     }
@@ -516,22 +557,6 @@ object Bench {
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
 
-    var errors = Map.empty[String, String]
-    // per-rep times of the 1M rows, reported as `rep_spread` — the r9 np
-    // grid was non-monotonic (np2 slower than np4) and median-of-3 on
-    // multi-second jobs cannot separate noise from signal without the
-    // spread visible
-    var repSpread = Map.empty[String, Seq[Double]]
-    // per-rep GC wall time (ms) aligned with repSpread's SORTED rep times —
-    // pairs are (rep_sec, gc_ms) sorted together by rep_sec, so an outlier
-    // rep like r12's hnsw_pq_walk 5.67 s is attributable to GC (or not)
-    // from the artifact alone (r12 verdict item 6)
-    var repGc = Map.empty[String, Seq[Double]]
-    def gcMillis(): Long = {
-      import scala.jdk.CollectionConverters._
-      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
-        .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
-    }
     // *_batch workloads: median of 3 runs — single-JVM timings at this
     // scale have >2× run-to-run GC/scheduling variance (measured), and the
     // headline q/s numbers should not inherit it
@@ -550,18 +575,22 @@ object Bench {
         // masquerade as a fast median next to its `errors` entry
         val timesGc = (0 until reps).flatMap { _ =>
           val t0 = System.nanoTime(); val g0 = gcMillis()
+          val r0 = rebuildMillis(); val j0 = jitMillis()
           val ok = try { fn(); true }
           catch { case e: Throwable =>
             errors += name -> Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
             false
           }
-          if (ok) Some(((System.nanoTime() - t0) / 1e9, (gcMillis() - g0).toDouble))
+          if (ok) Some(((System.nanoTime() - t0) / 1e9, (gcMillis() - g0).toDouble,
+            (rebuildMillis() - r0).toDouble, (jitMillis() - j0).toDouble))
           else None
         }.sortBy(_._1)
         val times = timesGc.map(_._1)
         if (name.contains("_1m")) {
           repSpread += name -> times
           repGc += name -> timesGc.map(_._2)
+          repRebuild += name -> timesGc.map(_._3)
+          repJit += name -> timesGc.map(_._4)
         }
         name -> (if (times.isEmpty) Double.NaN else times(times.length / 2))
       }
@@ -575,11 +604,12 @@ object Bench {
     // the same protocol the sustained rows adopted in r11.
     def timeInterleaved(ws: Seq[(String, () => Long)], reps: Int = 5)
         : Seq[(String, Double)] = {
-      val perRep = Array.fill(ws.length)(Vector.empty[(Double, Double)])
+      val perRep = Array.fill(ws.length)(Vector.empty[(Double, Double, Double, Double)])
       (0 to reps).foreach { round =>
         ws.zipWithIndex.foreach { case ((name, fn), i) =>
           System.gc()
           val t0 = System.nanoTime(); val g0 = gcMillis()
+          val r0 = rebuildMillis(); val j0 = jitMillis()
           val ok = try { fn(); true }
           catch { case e: Throwable =>
             errors += name -> Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
@@ -588,13 +618,16 @@ object Bench {
           // failed reps are dropped, not timed — a throw's wall time says
           // nothing about the workload
           if (round > 0 && ok)
-            perRep(i) :+= (((System.nanoTime() - t0) / 1e9, (gcMillis() - g0).toDouble))
+            perRep(i) :+= (((System.nanoTime() - t0) / 1e9, (gcMillis() - g0).toDouble,
+              (rebuildMillis() - r0).toDouble, (jitMillis() - j0).toDouble))
         }
       }
       ws.zipWithIndex.map { case ((name, _), i) =>
         val sorted = perRep(i).sortBy(_._1)
         repSpread += name -> sorted.map(_._1)
         repGc += name -> sorted.map(_._2)
+        repRebuild += name -> sorted.map(_._3)
+        repJit += name -> sorted.map(_._4)
         name -> (if (sorted.isEmpty) Double.NaN else sorted(sorted.length / 2)._1)
       }
     }
@@ -1016,7 +1049,73 @@ object Bench {
       errors += "bench_2m" ->
         Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
     }
-    val results = resultsStd ++ results1m ++ results1mLr ++ results2m
+
+    // ---- 4M×960 third build-scale point (r13 verdict item 6) ---------------
+    // The build curve needs ≥3 points for the 100× extrapolation to rest on
+    // a slope, not a chord: 1M (kc=32) / 2M (kc=64) / 4M (kc=128), cluster
+    // size held ~31k throughout. Time-budgeted: the 4M build is predicted
+    // from the 2M point's measured rows/s and SKIPPED (with an explicit
+    // errors entry, never silently) when the prediction exceeds
+    // SPARK_GRAFT_BENCH_4M_BUDGET_SEC — a cache-hit run (idx already in
+    // bench_cache) always proceeds. SPARK_GRAFT_BENCH_N4M=0 skips.
+    var results4m = Seq.empty[(String, Double)]
+    var recalls4m = Map.empty[String, Double]
+    var build4m = Option.empty[Double]
+    // default rides the 2M knob: 2×n2m, so smoke runs (N2M=0) skip this
+    // section too without knowing the 4M knob exists
+    val n4m = sys.env.getOrElse("SPARK_GRAFT_BENCH_N4M", (2 * n2m).toString).toLong
+    val budget4m =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_4M_BUDGET_SEC", "5400").toDouble
+    if (n4m > 0) try {
+      val kc = math.max(4, (n4m / 31250).toInt) // ~31k rows/cluster
+      val cacheDir = java.nio.file.Paths.get("bench_cache", s"bench4m_${n4m}_$kc")
+      val donePath = cacheDir.resolve("_done")
+      val idxPath = cacheDir.resolve("idx").toString
+      val cached = java.nio.file.Files.exists(donePath)
+      val predicted = build2m.map(b2 => b2 * n4m / math.max(1L, n2m))
+      if (!cached && predicted.exists(_ > budget4m)) {
+        errors += "bench_4m" -> f"skipped: predicted build ${predicted.get}%.0f s > budget $budget4m%.0f s (SPARK_GRAFT_BENCH_4M_BUDGET_SEC)"
+      } else {
+        val vec4m = synthClusteredVectors(spark, n4m, 960, 1000, 0.3)
+        val q4m = vec4m.filter(col("id") < nq)
+          .select(col("id").as("query_id"), col("vec").as("query_vec")).cache()
+        q4m.count()
+        if (!cached) {
+          val t0 = System.nanoTime()
+          val (model, idx) = IvfHnsw.buildIndex(vec4m, kc,
+            trainFraction = Some(math.min(0.5, 20000.0 / n4m)))
+          val tRoute = (System.nanoTime() - t0) / 1e9
+          idx.write.mode("overwrite").parquet(idxPath)
+          Ivf.centroidsDf(spark, model).write.mode("overwrite")
+            .parquet(cacheDir.resolve("centroids").toString)
+          build4m = Some((System.nanoTime() - t0) / 1e9)
+          buildStages += "ivf_hnsw_4m_d960_build" -> (tRoute, build4m.get - tRoute)
+          java.nio.file.Files.write(donePath,
+            s"${build4m.get} $tRoute ${build4m.get - tRoute}".getBytes("UTF-8"))
+        } else {
+          val toks = scala.util.Try(new String(
+            java.nio.file.Files.readAllBytes(donePath), "UTF-8")
+            .trim.split("\\s+").map(_.toDouble)).getOrElse(Array.empty[Double])
+          if (toks.nonEmpty) build4m = Some(toks(0))
+          if (toks.length >= 3) buildStages += "ivf_hnsw_4m_d960_build" -> (toks(1), toks(2))
+        }
+        val model4m = Ivf.readModel(spark, cacheDir.toString, "l2sqr")
+        val idx4m = spark.read.parquet(idxPath)
+        val ck4m = Some(s"bench4m_${n4m}_$kc")
+        def mk4m() = IvfHnsw.searchPinned(idx4m, model4m, q4m, k = 10,
+          ef = Some(120), nProbes = Some(1), cacheKey = ck4m)
+        withAqeOff(serve(mk4m())) // one-time pin shuffle + graph decode
+        val truth4m = truthSets(vec4m, q4m, 10)
+        recalls4m += "ivf_hnsw_4m_d960_np1_batch" -> recallOf(mk4m(), truth4m)
+        results4m = timeInterleaved(Seq[(String, () => Long)](
+          ("ivf_hnsw_4m_d960_np1_batch", () => withAqeOff(serve(mk4m())))))
+        q4m.unpersist()
+      }
+    } catch { case e: Throwable =>
+      errors += "bench_4m" ->
+        Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+    }
+    val results = resultsStd ++ results1m ++ results1mLr ++ results2m ++ results4m
 
     def jstr(s: String): String =
       "\"" + s.flatMap {
@@ -1025,7 +1124,8 @@ object Bench {
       } + "\""
     val resultsAll = results ++ build1m.map(b => ("hnsw_1m_d960_build", b)).toSeq ++
       build1mLr.map(b => ("ivf_hnsw_1mlr_d960_build", b)).toSeq ++
-      build2m.map(b => ("ivf_hnsw_2m_d960_build", b)).toSeq
+      build2m.map(b => ("ivf_hnsw_2m_d960_build", b)).toSeq ++
+      build4m.map(b => ("ivf_hnsw_4m_d960_build", b)).toSeq
     // build-scaling curve (r12 verdict item 5): >= 2 scale points, each
     // with the route/graphs stage split and rows/s, so the 100x story has
     // a slope (1M kc=32 vs 2M kc=64 is the like-for-like pair; 1mlr is
@@ -1033,11 +1133,13 @@ object Bench {
     val buildRows = Map(
       "hnsw_1m_d960_build" -> n1m,
       "ivf_hnsw_1mlr_d960_build" -> n1mLr,
-      "ivf_hnsw_2m_d960_build" -> n2m)
+      "ivf_hnsw_2m_d960_build" -> n2m,
+      "ivf_hnsw_4m_d960_build" -> n4m)
     val buildTotals = Map(
       "hnsw_1m_d960_build" -> build1m,
       "ivf_hnsw_1mlr_d960_build" -> build1mLr,
-      "ivf_hnsw_2m_d960_build" -> build2m)
+      "ivf_hnsw_2m_d960_build" -> build2m,
+      "ivf_hnsw_4m_d960_build" -> build4m)
     val buildScaleJson = buildStages.toSeq.sortBy(_._1).map {
       case (name, (route, graphs)) =>
         val rows = buildRows.getOrElse(name, 0L)
@@ -1072,7 +1174,7 @@ object Bench {
       case Some((r, ok)) => f""","sustained_sameplan_ratio":$r%.3f,"sustained_sameplan_ok":$ok"""
       case None => ""
     }
-    val allRecalls = recalls ++ recalls1m ++ recalls1mLr ++ recalls2m
+    val allRecalls = recalls ++ recalls1m ++ recalls1mLr ++ recalls2m ++ recalls4m
     val recallJson = allRecalls.map { case (k, v) => jstr(k) + ":" + f"$v%.4f" }
       .mkString("{", ",", "}")
     val spreadJson = repSpread
@@ -1085,11 +1187,15 @@ object Bench {
         if (k.endsWith("_ef") || k == "baseline_qps") f"$v%.0f"
         else f"$v%.4f") }
       .mkString("{", ",", "}")
-    val gcJson = repGc
+    def msArrJson(m: Map[String, Seq[Double]]): String = m
       .map { case (k, ts) =>
         jstr(k) + ":" + ts.map(t => f"$t%.0f").mkString("[", ",", "]")
       }
       .mkString("{", ",", "}")
+    val gcJson = msArrJson(repGc)
+    val rebuildJson = msArrJson(repRebuild)
+    val jitJson = msArrJson(repJit)
+    val sustainedRebuildJson = msArrJson(sustainedRebuild)
     def sweepArr(s: Seq[(Int, Double, Double)]): String =
       s.map { case (ef, r, q) =>
         s"""{"ef":$ef,"recall":${f"$r%.4f"},"qps":${f"$q%.1f"}}"""
@@ -1097,7 +1203,7 @@ object Bench {
     val sweepJson = sweepArr(sweep)
     val total = results.map(_._2).sum
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"qps":$qps,"recall":$recallJson,"sustained_qps":$sustainedJson,"sustained_spread":$sustainedSpreadJson$sanityJson,"rep_spread":$spreadJson,"rep_gc_ms":$gcJson,"build_scale":$buildScaleJson,"matched_recall":$matchedJson,"hnsw_d960_ef_sweep":$sweepJson,"pq_d960_ef_sweep":${sweepArr(pqSweep)},"hnsw_pq_walk_d960_ef_sweep":${sweepArr(hnswPqSweep)},"errors":$errJson,"nq":$nq,"n_vec":$nVec,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"qps":$qps,"recall":$recallJson,"sustained_qps":$sustainedJson,"sustained_spread":$sustainedSpreadJson$sanityJson,"rep_spread":$spreadJson,"rep_gc_ms":$gcJson,"rep_rebuild_ms":$rebuildJson,"rep_jit_ms":$jitJson,"sustained_rebuild_ms":$sustainedRebuildJson,"build_scale":$buildScaleJson,"matched_recall":$matchedJson,"hnsw_d960_ef_sweep":$sweepJson,"pq_d960_ef_sweep":${sweepArr(pqSweep)},"hnsw_pq_walk_d960_ef_sweep":${sweepArr(hnswPqSweep)},"errors":$errJson,"nq":$nq,"n_vec":$nVec,"sf":"$sfDir"}"""
     // DURABLE artifact (r10 verdict item 1): the driver captures only the
     // TAIL of stdout, and the full line above has been truncated two rounds
     // running — losing the np grid and the rep spread it carried. The file

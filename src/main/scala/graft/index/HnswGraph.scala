@@ -16,6 +16,8 @@ private[index] final class IntList(initialCap: Int = 8) {
   def clear(): Unit = size = 0
   def toArray: Array[Int] = java.util.Arrays.copyOf(arr, size)
   def addAll(vs: Array[Int]): Unit = { var i = 0; while (i < vs.length) { add(vs(i)); i += 1 } }
+  /** Retained heap bytes (backing-array capacity + headers). */
+  def retainedBytes: Long = arr.length.toLong * 4 + 24
 }
 
 /** Min-heap of (distance, index) in (distance, index) order — the search
@@ -153,6 +155,23 @@ final class HnswGraph(
   private var enterPoint = -1
 
   def size: Int = n
+
+  /** Approximate retained heap bytes (packed-vector capacity + adjacency
+    * capacities + headers) — the budget unit [[HnswGraphCache]] evicts by.
+    * O(nodes·levels) array-length walk; called once per cache insert,
+    * which itself cost O(nodes·dim). */
+  def byteSize: Long = {
+    var b = packed.length.toLong * 4 + vecLevel.retainedBytes + 96
+    var i = 0
+    while (i < links.length) {
+      val ls = links(i)
+      b += 24
+      var j = 0
+      while (j < ls.length) { b += ls(j).retainedBytes; j += 1 }
+      i += 1
+    }
+    b
+  }
 
   private def appendVec(vec: Array[Float]): Unit = {
     require(vec.length == dim, s"HNSW: dimension mismatch (${vec.length} vs $dim)")

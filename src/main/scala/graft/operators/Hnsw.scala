@@ -270,12 +270,8 @@ object Hnsw {
         }
       }
     }
-    pinnedCodesCache.synchronized {
-      pinnedCodesCache.keySet().removeIf(k => k._1.startsWith(prefix))
-    }
-    pqCodesCache.synchronized {
-      pqCodesCache.keySet().removeIf(k => k._1.startsWith(prefix))
-    }
+    pinnedCodesCache.removeIf(_._1.startsWith(prefix))
+    pqCodesCache.removeIf(_._1.startsWith(prefix))
     graft.index.HnswGraphCache.invalidate(prefix)
   }
 
@@ -415,11 +411,9 @@ object Hnsw {
       case Some(key) =>
         val marker = if (residCents != null) "#pqR" else "#pq"
         val kk = (key + marker + pqId, spid)
-        val hit = pinnedCodesCache.synchronized(
-          Option(pinnedCodesCache.get(kk)))
-        hit.getOrElse {
-          val c = buildCodes
-          pinnedCodesCache.synchronized(pinnedCodesCache.put(kk, c))
+        pinnedCodesCache.get(kk).getOrElse {
+          val c = graft.index.CacheStats.timedCodesBuild(buildCodes)
+          pinnedCodesCache.put(kk, c, c.map(codesBytes(_) + 16).sum)
           c
         }
       case None => buildCodes
@@ -444,18 +438,27 @@ object Hnsw {
     PqKernel.buildLookup(q, pqCentroids, pqNBits, dist).map(_.toFloat)
   }
 
+  /** Codes-cache byte budget shared by [[pinnedCodesCache]] and
+    * [[pqCodesCache]]: `graft.cache.codes.maxBytes` sysprop, else 8% of
+    * max heap. Byte-budgeted for the same reason as [[HnswGraphCache]]
+    * (r13: a 64-entry cap vs a 96-entry working set — 3 PQ models × 32
+    * partitions on one fixture — made every interleaved rep's first row
+    * re-encode 1M vectors: the bench's "ef120 10× slower than ef180"
+    * anomaly was pure LRU thrash, CPU-bound and GC-invisible). */
+  private[graft] def codesMaxBytes: Long =
+    sys.props.get("graft.cache.codes.maxBytes").map(_.toLong).getOrElse(
+      (Runtime.getRuntime.maxMemory * 0.08).toLong)
+
+  private def codesBytes(v: (Array[Byte], Array[Double])): Long =
+    v._1.length.toLong + (if (v._2 == null) 0L else v._2.length.toLong * 8) + 48
+
   /** Executor-local cache of per-PARTITION PQ code matrices for the pinned
     * PQ walk (aligned 1:1 with the partition's [[HnswGraphCache.getGroup]]
     * entries — both sorted by pid): (cacheKey+"#pq", spid) → per-pid
     * (codes n×m, cosine centroid self-dot per node — null for L2). */
   private val pinnedCodesCache =
-    new java.util.LinkedHashMap[(String, Int), Array[(Array[Byte], Array[Double])]](
-      16, 0.75f, true) {
-      override def removeEldestEntry(
-          e: java.util.Map.Entry[(String, Int), Array[(Array[Byte], Array[Double])]])
-        : Boolean =
-        size() > 64
-    }
+    new HnswGraphCache.ByteLru[(String, Int), Array[(Array[Byte], Array[Double])]](
+      () => math.max(codesMaxBytes / 16, codesMaxBytes - pqCodesCache.currentBytes))
 
   /** Serving-shape search for indexes too big to broadcast: PIN the stored
     * index across the cluster (repartitioned by subgraph, persisted) and
@@ -997,13 +1000,9 @@ object Hnsw {
     * centroid self-dot sums — cosine only, null for L2). Built once per
     * (index, model) serving key by re-encoding the subgraph's vectors
     * (deterministic — identical to decoding the stored code column). */
-  private val pqCodesCache =
-    new java.util.LinkedHashMap[(String, Int), (Array[Byte], Array[Double])](
-      16, 0.75f, true) {
-      override def removeEldestEntry(
-          e: java.util.Map.Entry[(String, Int), (Array[Byte], Array[Double])]): Boolean =
-        size() > 64
-    }
+  private val pqCodesCache: HnswGraphCache.ByteLru[(String, Int), (Array[Byte], Array[Double])] =
+    new HnswGraphCache.ByteLru[(String, Int), (Array[Byte], Array[Double])](
+      () => math.max(codesMaxBytes / 16, codesMaxBytes - pinnedCodesCache.currentBytes))
 
   /** HNSW+PQ combined traversal, serving shape — the reference's
     * `HNSWIndex::knn_pq` (`/root/reference/src/index_algorithm/
@@ -1114,10 +1113,9 @@ object Hnsw {
             ck match {
               case Some(key) =>
                 val kk = (key + "#pq" + pqId, bcIdx.value(i)._1)
-                val hit = pqCodesCache.synchronized(Option(pqCodesCache.get(kk)))
-                hit.getOrElse {
-                  val e = build
-                  pqCodesCache.synchronized(pqCodesCache.put(kk, e))
+                pqCodesCache.get(kk).getOrElse {
+                  val e = graft.index.CacheStats.timedCodesBuild(build)
+                  pqCodesCache.put(kk, e, codesBytes(e))
                   e
                 }
               case None => build
