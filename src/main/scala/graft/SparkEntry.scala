@@ -531,6 +531,46 @@ object SparkEntry {
           .orderBy("distance", "id")
       } finally s.conf.unset(graft.plans.GraftSqlTopK.EfConf)
     }),
+    // §7.3 batch arm (r13 verdict item 3): per-query-row top-k as SQL —
+    // `row_number() OVER (PARTITION BY qid ORDER BY dist, id) <= k` over a
+    // query-table × vector-table cross join. The rule runs the engine's
+    // BATCH search at plan time and splices the winner-id union above the
+    // vector scan: nq·N distance evals collapse to nq·(nq·k). Oracled
+    // against DuckDB's own window function over the same parquet.
+    "q_sql_topk_batch" -> ((s, dir) => {
+      graft.functions.VectorFunctions.register(s)
+      graft.plans.GraftSqlTopK.enable(s)
+      val emb = Tables.vectors(s, dir)
+      graft.plans.GraftSqlTopK.registerDataFrame("sql_topk_bt_emb", emb, "l2sqr")
+      emb.createOrReplaceTempView("sql_topk_bt_emb")
+      emb.filter(col("id") < 16)
+        .select(col("id").as("qid"), col("vec").as("qvec"))
+        .createOrReplaceTempView("sql_topk_bt_q")
+      val top = s.sql(
+        """SELECT qid, id, d FROM (
+          |  SELECT q.qid AS qid, t.id AS id, vec_l2sq(t.vec, q.qvec) AS d,
+          |         row_number() OVER (PARTITION BY q.qid
+          |           ORDER BY vec_l2sq(t.vec, q.qvec), t.id) AS rn
+          |  FROM sql_topk_bt_q q CROSS JOIN sql_topk_bt_emb t
+          |) WHERE rn <= 10""".stripMargin)
+      val fired = top.queryExecution.optimizedPlan.collect {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+          f.condition
+      }.exists(_.exists {
+        case org.apache.spark.sql.catalyst.expressions.In(_, vs) =>
+          vs.length >= 10
+        case si: org.apache.spark.sql.catalyst.expressions.InSet =>
+          si.hset.size >= 10
+        case _ => false
+      })
+      require(fired, "q_sql_topk_batch: the batch rewrite did not fire")
+      require(graft.plans.GraftSqlTopK.lastFired.exists(_._1 == "batch"),
+        "q_sql_topk_batch: expected the batch arm, got " +
+          graft.plans.GraftSqlTopK.lastFired)
+      top.select(col("qid").as("query_id"), col("id"),
+        (round(col("d"), 6) + lit(0.0)).as("distance"))
+        .orderBy("query_id", "distance", "id")
+    }),
     // §7.3 + P3: the rewrite's distance-upper-bound arm — `WHERE
     // vec_l2sq(vec, q) <= ub ORDER BY d LIMIT k` (bound rows are a prefix
     // of the distance order, so the top-k prune + retained Filter is
@@ -772,6 +812,17 @@ object SparkEntry {
          |top AS (SELECT id, d FROM scored ORDER BY d, id LIMIT 50)
          |SELECT id, round(d, 6) + 0.0 AS distance FROM top
          |ORDER BY distance, id""".stripMargin,
+    // batch arm: DuckDB's own rank-over-join window over the same parquet
+    "q_sql_topk_batch" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+         |           WHERE vec_id < 16),
+         |sc AS (SELECT q.qid AS qid, b.vec_id AS id, $l2Expr AS d
+         |       FROM q CROSS JOIN embeddings b),
+         |rk AS (SELECT qid, id, d,
+         |       row_number() OVER (PARTITION BY qid ORDER BY d, id) AS rn
+         |       FROM sc)
+         |SELECT qid AS query_id, id, round(d, 6) + 0.0 AS distance
+         |FROM rk WHERE rn <= 10 ORDER BY query_id, distance, id""".stripMargin,
     // bounded arm: ub = each engine's own 8th-nearest distance (rank-
     // consistent selection; no boundary-ulp coupling between engines)
     "q_sql_topk_bounded" ->

@@ -768,12 +768,20 @@ class VecDB(spark: SparkSession, root: String) {
         if (!forceUnrouted &&
             VecDB.hnswBroadcastBytes(rows, e.dim) > gateBytes) {
           val kc = VecDB.autoRouteClusters(rows)
+          // probe default must scale with the auto-chosen cluster count: a
+          // flat 4 probes covers 4/kc of the data, which at kc in the
+          // thousands is a silent recall cliff vs the exhaustive union this
+          // path replaces. √kc (floored at the flat default) is the
+          // standard IVF operating rule — coverage shrinks as 1/√kc while
+          // per-probe work shrinks as 1/kc, and callers still override
+          // per-search with `nProbes`.
+          val np = math.max(4, math.round(math.sqrt(kc.toDouble)).toInt)
           logWarning(s"buildHnswIndex('$key'): table (~$rows rows × d${e.dim}) " +
             s"exceeds the broadcast gate ($gateBytes B); building the IVF-routed " +
-            s"layout (kClusters=$kc) instead — the unrouted subgraph union " +
-            "walks every subgraph per query at this scale. Pass " +
+            s"layout (kClusters=$kc, defaultNProbes=$np) instead — the unrouted " +
+            "subgraph union walks every subgraph per query at this scale. Pass " +
             "forceUnrouted=true to opt out.")
-          buildIvfHnswIndex(key, kClusters = kc,
+          buildIvfHnswIndex(key, kClusters = kc, defaultNProbes = np,
             efConstruction = efConstruction)
         } else {
           val efc = efConstruction.getOrElse(200)

@@ -433,40 +433,49 @@ object Dedup {
           col("a_id").cast("long").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // every round materializes via localCheckpoint (eager): same per-round
+    // compute bound as a persist+count, but the LOGICAL plan is truncated
+    // to the materialized RDD too — without it each round's plan nests the
+    // previous round's, and optimizer time grows quadratically with
+    // iteration count (visible at deep-chain diameters; DedupSpec's
+    // 2^14-path fixture exercises this). Nothing is left registered in the
+    // cache manager, so a failed or completed call leaks no pinned blocks:
+    // checkpoint blocks free when the DataFrame is dropped (ContextCleaner),
+    // and `edges` — the one explicit persist — unpersists in the finally
+    // even when the convergence check below throws.
     var labels = docs.select(col(idCol).cast("long").as("id")).distinct()
       .select(col("id"), col("id").as("comp"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    labels.count()
+      .localCheckpoint()
     var it = 0
     var converged = false
-    while (!converged && it < maxIters) {
-      val nbrMin = edges
-        .join(labels.select(col("id").as("dst"), col("comp").as("ncomp")), "dst")
-        .groupBy("src").agg(min(col("ncomp")).as("nmin"))
-      val stepped = labels
-        .join(nbrMin.withColumnRenamed("src", "id"), Seq("id"), "left")
-        .select(col("id"),
-          least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"))
-      // pointer jumping: a label is itself a node id, so shortcut to ITS
-      // label (comp(comp) ≤ comp — labels cover every id). Aliased sides:
-      // a bare self-join would leave `comp === cid` ambiguous (same
-      // attribute ids on both sides).
-      val l = stepped.alias("l")
-      val r = stepped.select(col("id").as("cid"), col("comp").as("ccomp"))
-        .alias("r")
-      val jumped = l.join(r, col("l.comp") === col("r.cid"))
-        .select(col("l.id").as("id"), col("r.ccomp").as("comp"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val changed = jumped.join(labels.withColumnRenamed("comp", "old"), "id")
-        .filter(col("comp") < col("old")).count()
-      labels.unpersist()
-      labels = jumped
-      converged = changed == 0
-      it += 1
-    }
+    try {
+      while (!converged && it < maxIters) {
+        val nbrMin = edges
+          .join(labels.select(col("id").as("dst"), col("comp").as("ncomp")), "dst")
+          .groupBy("src").agg(min(col("ncomp")).as("nmin"))
+        val stepped = labels
+          .join(nbrMin.withColumnRenamed("src", "id"), Seq("id"), "left")
+          .select(col("id"),
+            least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"))
+        // pointer jumping: a label is itself a node id, so shortcut to ITS
+        // label (comp(comp) ≤ comp — labels cover every id). Aliased sides:
+        // a bare self-join would leave `comp === cid` ambiguous (same
+        // attribute ids on both sides).
+        val l = stepped.alias("l")
+        val r = stepped.select(col("id").as("cid"), col("comp").as("ccomp"))
+          .alias("r")
+        val jumped = l.join(r, col("l.comp") === col("r.cid"))
+          .select(col("l.id").as("id"), col("r.ccomp").as("comp"))
+          .localCheckpoint()
+        val changed = jumped.join(labels.withColumnRenamed("comp", "old"), "id")
+          .filter(col("comp") < col("old")).count()
+        labels = jumped
+        converged = changed == 0
+        it += 1
+      }
+    } finally edges.unpersist()
     require(converged, s"duplicateComponents did not converge in $maxIters " +
       "pointer-jumping rounds — component diameter exceeds 2^" + maxIters)
-    edges.unpersist()
     val sizes = labels.groupBy("comp").agg(count(lit(1)).as("component_size"))
     labels.join(sizes, "comp")
       .select(col("id").as("doc_id"), col("comp").as("component_id"),

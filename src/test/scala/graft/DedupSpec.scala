@@ -115,6 +115,27 @@ class DedupSpec extends SparkTestBase {
     assert(comp(5L) == 5L)
   }
 
+  test("duplicateComponents: deep path converges in O(log L) checkpointed rounds") {
+    // a 2^14-node PATH — the diameter-maximizing worst case: plain
+    // propagation would need 16k rounds; the doubling bound is ~14 + the
+    // propagation interleave. The per-round localCheckpoint keeps each
+    // round's plan (and runtime) flat instead of nesting 14 rounds of
+    // joins — this fixture regresses visibly (minutes, then the maxIters
+    // guard) if either the jumping or the lineage truncation breaks.
+    val n = 1 << 14
+    val docs = spark.range(n).select(col("id").as("doc_id"))
+    val pairs = spark.range(n - 1)
+      .select(col("id").as("a_id"), (col("id") + 1).as("b_id"))
+    val got = Dedup.duplicateComponents(docs, pairs, maxIters = 25)
+    val agg = got.agg(
+      countDistinct(col("component_id")).as("ncomp"),
+      max(col("component_size")).as("size"),
+      sum(when(col("is_canonical"), 1).otherwise(0)).as("ncanon")).head
+    assert(agg.getLong(0) == 1L, "one component")
+    assert(agg.getLong(1) == n.toLong, "full size")
+    assert(agg.getLong(2) == 1L, "single canonical (the min id)")
+  }
+
   test("simhash: word order does not change the sketch; dup pair at hamming 0") {
     val pairs = Dedup.simhashPairs(fixture, maxHamming = 3).collect()
       .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"), r.getAs[Int]("hamming")))

@@ -158,6 +158,160 @@ class SqlTopKSpec extends SparkTestBase {
     } finally GraftSqlTopK.unregisterAll()
   }
 
+  /** the batch splice: an IN of at least `n` ids (per-query winners may
+    * overlap, so the union is ≤ nq·k but ≥ k) */
+  private def firedWithAtLeast(df: org.apache.spark.sql.DataFrame, n: Int): Boolean =
+    df.queryExecution.optimizedPlan.collect {
+      case Filter(cond, _) => cond
+    }.exists(_.exists {
+      case In(_, list) => list.length >= n
+      case s: InSet => s.hset.size >= n
+      case _ => false
+    })
+
+  test("batch rewrite: rank-over-join matches the unrewritten window query") {
+    VectorFunctions.register(spark)
+    val df = Tables.vectors(spark, sf001)
+    df.createOrReplaceTempView("sql_topk_bat_v")
+    df.filter(col("id") < 6)
+      .select(col("id").as("qid"), col("vec").as("qvec"))
+      .createOrReplaceTempView("sql_topk_bat_q")
+    val sqlText =
+      """SELECT qid, id, d FROM (
+        |  SELECT q.qid AS qid, t.id AS id,
+        |         vec_l2sq(t.vec, q.qvec) AS d,
+        |         row_number() OVER (PARTITION BY q.qid
+        |           ORDER BY vec_l2sq(t.vec, q.qvec), t.id) AS rn
+        |  FROM sql_topk_bat_q q CROSS JOIN sql_topk_bat_v t
+        |) WHERE rn <= 7""".stripMargin
+    GraftSqlTopK.unregisterAll()
+    val baseline = spark.sql(sqlText).orderBy("qid", "d", "id").collect()
+    assert(baseline.length == 6 * 7)
+    GraftSqlTopK.enable(spark)
+    GraftSqlTopK.registerDataFrame("sql_topk_bat", df, "l2sqr")
+    try {
+      val rewritten = spark.sql(sqlText).orderBy("qid", "d", "id")
+      assert(firedWithAtLeast(rewritten, 7), "batch rewrite did not fire:\n" +
+        rewritten.queryExecution.optimizedPlan.treeString)
+      assert(GraftSqlTopK.lastFired.exists(_._1 == "batch"))
+      assert(rewritten.collect().toSeq == baseline.toSeq)
+    } finally GraftSqlTopK.unregisterAll()
+  }
+
+  test("batch guards: rank(), a join condition, and an oversized query side decline") {
+    VectorFunctions.register(spark)
+    val df = Tables.vectors(spark, sf001)
+    df.createOrReplaceTempView("sql_topk_batg_v")
+    df.filter(col("id") < 4)
+      .select(col("id").as("qid"), col("vec").as("qvec"))
+      .createOrReplaceTempView("sql_topk_batg_q")
+    GraftSqlTopK.enable(spark)
+    GraftSqlTopK.registerDataFrame("sql_topk_batg", df, "l2sqr")
+    def run(window: String, join: String = "CROSS JOIN sql_topk_batg_v t") =
+      spark.sql(
+        s"""SELECT qid, id, d FROM (
+           |  SELECT q.qid AS qid, t.id AS id,
+           |         vec_l2sq(t.vec, q.qvec) AS d,
+           |         $window AS rn
+           |  FROM sql_topk_batg_q q $join
+           |) WHERE rn <= 5""".stripMargin)
+    try {
+      // rank() may return more than k rows on ties — a k-bounded search
+      // cannot serve it
+      val ranked = run("rank() OVER (PARTITION BY q.qid " +
+        "ORDER BY vec_l2sq(t.vec, q.qvec), t.id)")
+      assert(!firedWithAtLeast(ranked, 5))
+      assert(ranked.collect().length == 4 * 5)
+      // a join condition changes each query's candidate set
+      val cond = run(
+        "row_number() OVER (PARTITION BY q.qid " +
+          "ORDER BY vec_l2sq(t.vec, q.qvec), t.id)",
+        "JOIN sql_topk_batg_v t ON t.id % 2 = q.qid % 2")
+      assert(!firedWithAtLeast(cond, 5))
+      assert(cond.collect().forall(r => (r.getLong(1) - r.getLong(0)) % 2 == 0))
+      // nq·k above the maxK ceiling: the id union would be unbounded on
+      // the driver — falls back to the plain window plan
+      spark.conf.set(GraftSqlTopK.MaxKConf, "10")
+      try {
+        val big = run("row_number() OVER (PARTITION BY q.qid " +
+          "ORDER BY vec_l2sq(t.vec, q.qvec), t.id)")
+        assert(!firedWithAtLeast(big, 5))
+        assert(big.collect().length == 4 * 5)
+      } finally spark.conf.unset(GraftSqlTopK.MaxKConf)
+    } finally GraftSqlTopK.unregisterAll()
+  }
+
+  test("null vec rows survive the rewrite (NULLS FIRST order preserved)") {
+    VectorFunctions.register(spark)
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val rows: Seq[(Long, Option[Seq[Float]])] =
+      (0L until 40L).map(i => (i, Some(Seq.fill(6)(rnd.nextFloat())))) ++
+        Seq((40L, Option.empty[Seq[Float]]), (41L, Option.empty[Seq[Float]]))
+    // parquet-backed: a LocalRelation this small would be constant-folded
+    // out of matching range — and nullable PARQUET is the real case anyway
+    val pq = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "sqltopk_null").resolve("t").toString
+    rows.toDF("id", "vec").write.mode("overwrite").parquet(pq)
+    val df = spark.read.parquet(pq)
+    val q = rows(3)._2.get
+    df.createOrReplaceTempView("sql_topk_null_v")
+    val sqlText = s"SELECT id, vec_l2sq(vec, ${litVec(q)}) AS d " +
+      "FROM sql_topk_null_v ORDER BY d LIMIT 8"
+    GraftSqlTopK.unregisterAll()
+    val baseline = spark.sql(sqlText).collect()
+    // ASC default = NULLS FIRST: the two null rows lead
+    assert(baseline.take(2).forall(_.isNullAt(1)))
+    GraftSqlTopK.enable(spark)
+    GraftSqlTopK.registerDataFrame("sql_topk_null", df, "l2sqr")
+    try {
+      val rewritten = spark.sql(sqlText)
+      assert(firedWithK(rewritten, 8), "null-escape rewrite did not fire:\n" +
+        rewritten.queryExecution.optimizedPlan.treeString)
+      assert(rewritten.collect().toSeq == baseline.toSeq)
+    } finally GraftSqlTopK.unregisterAll()
+  }
+
+  test("graft_topk_ef hint sets ef per query, overriding the session conf") {
+    VectorFunctions.register(spark)
+    val root = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "vecdb_sqlef").toString
+    val db = new VecDB(spark, root)
+    db.createTableIfNotExists("t", 8, "l2sqr")
+    val rnd = new scala.util.Random(23)
+    val vecs = (0 until 250).map(_ => Array.fill(8)(rnd.nextFloat() * 10f))
+    db.batchAdd("t", vecs, vecs.indices.map(i => Map("i" -> i.toString)))
+    db.buildHnswIndex("t")
+    val q = vecs(7)
+    db.registerSql("t", Some("catalog_ef_v"))
+    def sqlText(orderKey: String) =
+      s"SELECT id, $orderKey AS d FROM catalog_ef_v ORDER BY d LIMIT 5"
+    val dist = s"vec_l2sq(vec, ${litVec(q.toSeq)})"
+    spark.conf.set(GraftSqlTopK.EfConf, "64")
+    try {
+      // two hinted queries land their own efs; the unhinted one falls
+      // back to the session conf — so concurrent SQL clients at different
+      // recall points no longer fight over one global
+      spark.sql(sqlText(s"graft_topk_ef($dist, 250)")).collect()
+      assert(GraftSqlTopK.lastFired.contains(("single", Some(250))))
+      spark.sql(sqlText(s"graft_topk_ef($dist, 80)")).collect()
+      assert(GraftSqlTopK.lastFired.contains(("single", Some(80))))
+      spark.sql(sqlText(dist)).collect()
+      assert(GraftSqlTopK.lastFired.contains(("single", None)))
+      // hinted at full table size ⇒ exact: matches the unregistered sort
+      GraftSqlTopK.unregisterAll()
+      val exact = spark.sql(sqlText(dist)).collect()
+      db.registerSql("t", Some("catalog_ef_v"))
+      val hinted = spark.sql(sqlText(s"graft_topk_ef($dist, 250)"))
+      assert(firedWithK(hinted, 5))
+      assert(hinted.collect().toSeq == exact.toSeq)
+    } finally {
+      spark.conf.unset(GraftSqlTopK.EfConf)
+      GraftSqlTopK.unregisterAll()
+      db.close()
+    }
+  }
+
   test("registered VecDB table dispatches through the catalog index arms") {
     VectorFunctions.register(spark)
     val root = java.nio.file.Files.createTempDirectory(
