@@ -46,6 +46,7 @@ object ClusterSmoke {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     var failures = 0
+    val results = scala.collection.mutable.LinkedHashMap.empty[String, Boolean]
     def check(name: String)(cond: => Boolean): Unit = {
       val ok = try cond catch {
         case e: Throwable =>
@@ -53,6 +54,7 @@ object ClusterSmoke {
           false
       }
       println(s"[clustersmoke] $name: ${if (ok) "OK" else "FAIL"}")
+      results += name -> ok
       if (!ok) failures += 1
     }
 
@@ -157,6 +159,24 @@ object ClusterSmoke {
 
     db.close()
     println(s"[clustersmoke] failures=$failures")
+    // durable per-round artifact (r13 verdict item 7): the smoke result
+    // belongs next to CORRECTNESS/BENCH, not only in scrollback — any
+    // runner (driver, verify recipe, this round's session) leaves the
+    // same machine-readable record
+    try {
+      def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+      val checksJson = results.map { case (n, ok) => jstr(n) + ":" + ok }
+        .mkString("{", ",", "}")
+      val line =
+        s"""{"failures":$failures,"checks":$checksJson,"master":"local-cluster[2,4,2048]"}"""
+      val dir = java.nio.file.Paths.get("bench_out")
+      java.nio.file.Files.createDirectories(dir)
+      java.nio.file.Files.write(dir.resolve("clustersmoke.json"),
+        (line + "\n").getBytes("UTF-8"))
+      println(s"[clustersmoke] artifact: ${dir.resolve("clustersmoke.json").toAbsolutePath}")
+    } catch { case e: Throwable =>
+      println(s"[clustersmoke] artifact write failed: ${e.getMessage}")
+    }
     spark.stop()
     if (failures > 0) sys.exit(1)
   }
