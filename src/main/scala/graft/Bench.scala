@@ -879,6 +879,19 @@ object Bench {
         Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
     }
 
+    // Each scale fixture's serving state (pinned RDD blocks + executor
+    // graph/code caches) is multiple GB; with byte-budgeted caches it no
+    // longer ages out by entry count, and three fixtures' worth retained
+    // into the next section's BUILD is exactly the heap the build needs
+    // (measured: the 4M graph build OOMed at 64g with ~18 GB of finished
+    // sections' graphs still cached). A section that is DONE serving
+    // drops its keys before the next one starts.
+    def dropServingCaches(keys: Option[String]*): Unit = {
+      keys.flatten.foreach(graft.operators.Hnsw.invalidateCaches)
+      System.gc()
+    }
+    dropServingCaches(if (n1m > 0) Some(s"bench1m_${n1m}_32") else None)
+
     // ---- 1M×960 LOW-RANK fixture: the quantizable (GIST-like) regime ------
     // The clustered fixture above carries iid per-dim noise — PQ-adversarial
     // by construction (nothing for a product quantizer to exploit; the ADC
@@ -985,6 +998,8 @@ object Bench {
         Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
     }
 
+    dropServingCaches(if (n1mLr > 0) Some(s"bench1mlr_${n1mLr}_32") else None)
+
     // ---- 2M×960 scale-bump sanity row (r11 verdict item 7) -----------------
     // One routed build+serve point at 2× the primary scale so build
     // wall-time and recall TRENDS with n are visible, not just the
@@ -1049,6 +1064,8 @@ object Bench {
       errors += "bench_2m" ->
         Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
     }
+
+    dropServingCaches(if (n2m > 0) Some(s"bench2m_${n2m}_64") else None)
 
     // ---- 4M×960 third build-scale point (r13 verdict item 6) ---------------
     // The build curve needs ≥3 points for the 100× extrapolation to rest on
