@@ -27,7 +27,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "--add-modules=jdk.incubator.vector", // SIMD distance kernels
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // default sized for the 1M×960 bench fixtures (pinned index + rebuilt
-  // graphs + shuffle); the sandbox has 125 GiB — a high cap is just a cap
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  // default sized for the 4M×960 bench fixture (pinned index ~15 GB
+  // serialized + 16 GB rebuilt graphs + decode transients + Spark-managed
+  // shuffle/storage, which cannot see the unmanaged graph cache); the
+  // sandbox has 125 GiB — a high cap is just a cap. 48g was measured OOM
+  // in the 4M section's graph decode.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "80g")}",
 )

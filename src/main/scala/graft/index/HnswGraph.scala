@@ -425,6 +425,12 @@ final class HnswGraph(
     while (i < neighbors.length) { arrangeLinks(neighbors(i), level, vecIdx); i += 1 }
   }
 
+  /** Drop growth slack in the packed-vector matrix (post-load; see
+    * [[HnswGraph.fromNodes]]). */
+  private[index] def trimToSize(): Unit =
+    if (packed.length > n * dim)
+      packed = java.util.Arrays.copyOf(packed, n * dim)
+
   /** Append a node with precomputed structure (deserialization path — does
     * not search or mutate other nodes' links). */
   private[index] def loadNode(
@@ -643,6 +649,11 @@ object HnswGraph {
       nodes: Iterator[(Array[Float], Int, Array[Array[Int]])]): HnswGraph = {
     val g = new HnswGraph(dim, dist, m, efConstruction)
     nodes.foreach { case (vec, level, ls) => g.loadNode(vec, level, ls) }
+    // a loaded graph is immutable from here: trim the doubling-growth
+    // slack so cached (byte-budgeted) graphs retain exactly n·dim floats —
+    // an unlucky n just past a power of two would otherwise pin ~2× the
+    // vector bytes for its whole cache lifetime
+    g.trimToSize()
     g
   }
 }

@@ -241,6 +241,49 @@ class SqlTopKSpec extends SparkTestBase {
     } finally GraftSqlTopK.unregisterAll()
   }
 
+  test("batch rewrite dispatches through the catalog arm with an ef hint") {
+    VectorFunctions.register(spark)
+    val root = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "vecdb_sqlbt").toString
+    val db = new VecDB(spark, root)
+    db.createTableIfNotExists("t", 8, "l2sqr")
+    val rnd = new scala.util.Random(31)
+    val vecs = (0 until 200).map(_ => Array.fill(8)(rnd.nextFloat() * 10f))
+    db.batchAdd("t", vecs, vecs.indices.map(i => Map("i" -> i.toString)))
+    db.buildHnswIndex("t")
+    db.table("t").filter(col("id") < 5)
+      .select(col("id").as("qid"), col("vec").as("qvec"))
+      .createOrReplaceTempView("catalog_bt_q")
+    def sqlText(orderKey: String) =
+      s"""SELECT qid, id, d FROM (
+         |  SELECT q.qid AS qid, t.id AS id, $orderKey AS d,
+         |         row_number() OVER (PARTITION BY q.qid
+         |           ORDER BY $orderKey, t.id) AS rn
+         |  FROM catalog_bt_q q CROSS JOIN catalog_bt_v t
+         |) WHERE rn <= 6""".stripMargin
+    val dist = "vec_l2sq(t.vec, q.qvec)"
+    db.registerSql("t", Some("catalog_bt_v")) // view + enable + register
+    try {
+      GraftSqlTopK.unregisterAll() // view stays; rewrite off for baseline
+      val baseline = spark.sql(sqlText(dist)).orderBy("qid", "d", "id").collect()
+      assert(baseline.length == 5 * 6)
+      db.registerSql("t", Some("catalog_bt_v"))
+      // ef hint at table size ⇒ the HNSW beam is exhaustive ⇒ exact
+      val rewritten = spark.sql(sqlText(s"graft_topk_ef($dist, 200)"))
+        .orderBy("qid", "d", "id")
+      assert(firedWithAtLeast(rewritten, 6),
+        "catalog batch rewrite did not fire:\n" +
+          rewritten.queryExecution.optimizedPlan.treeString)
+      assert(GraftSqlTopK.lastFired.contains(("batch", Some(200))))
+      assert(db.lastServedArm == "hnsw",
+        s"expected the HNSW arm, served '${db.lastServedArm}'")
+      assert(rewritten.collect().toSeq == baseline.toSeq)
+    } finally {
+      GraftSqlTopK.unregisterAll()
+      db.close()
+    }
+  }
+
   test("null vec rows survive the rewrite (NULLS FIRST order preserved)") {
     VectorFunctions.register(spark)
     import spark.implicits._
