@@ -359,7 +359,12 @@ object Bench {
     }
     def rebuildMillis(): Long = graft.index.CacheStats.rebuildMillis()
 
-    def sustainedGrid(ws: Seq[(String, () => DataFrame, Int)], rounds: Int = 3)
+    // 5 timed rounds (was 3): today's host shows sporadic single-round 5×
+    // collapses with zero rebuild/GC/JIT attribution (external CPU steal —
+    // see bench_out/ab_1m_code_vs_machine.md); a median of 5 stays on the
+    // kernel signal even with two stolen rounds, where a median of 3 flips
+    // on the second. Costs ~2 s per grid row.
+    def sustainedGrid(ws: Seq[(String, () => DataFrame, Int)], rounds: Int = 5)
         : (Map[String, Double], Map[String, Seq[Double]]) = withAqeOff {
       import scala.concurrent.{Await, ExecutionContext, Future}
       import scala.concurrent.duration.Duration
@@ -1078,6 +1083,8 @@ object Bench {
     var results4m = Seq.empty[(String, Double)]
     var recalls4m = Map.empty[String, Double]
     var build4m = Option.empty[Double]
+    var sustained4m = Map.empty[String, Double]
+    var sustainedSpread4m = Map.empty[String, Seq[Double]]
     // default rides the 2M knob: 2×n2m, so smoke runs (N2M=0) skip this
     // section too without knowing the 4M knob exists
     val n4m = sys.env.getOrElse("SPARK_GRAFT_BENCH_N4M", (2 * n2m).toString).toLong
@@ -1126,6 +1133,13 @@ object Bench {
         recalls4m += "ivf_hnsw_4m_d960_np1_batch" -> recallOf(mk4m(), truth4m)
         results4m = timeInterleaved(Seq[(String, () => Long)](
           ("ivf_hnsw_4m_d960_np1_batch", () => withAqeOff(serve(mk4m())))))
+        // pipelined steady-state row at the largest scale point: the batch
+        // row above carries the whole per-job floor; this is the number a
+        // serving deployment sees, same protocol as the 10k/1M rows
+        val (s4m, sp4m) = sustainedGrid(Seq(
+          ("ivf_hnsw_4m_d960_np1_sustained", mk4m _, nq)))
+        sustained4m ++= s4m
+        sustainedSpread4m ++= sp4m
         q4m.unpersist()
       }
     } catch { case e: Throwable =>
@@ -1176,13 +1190,14 @@ object Bench {
         jstr(k) + ":" + (if (v > 0) rowNq / v else 0.0)
       }
       .mkString("{", ",", "}")
-    val sustainedJson = (sustained ++ sustained1m ++ sustained1mLr)
+    val sustainedJson = (sustained ++ sustained1m ++ sustained1mLr ++ sustained4m)
       .map { case (k, v) => jstr(k) + ":" + f"$v%.1f" }
       .mkString("{", ",", "}")
     // per-rep q/s of every sustained row (r10 verdict item 2): regressions
     // on these rows are only adjudicable with the run-to-run spread visible
     val sustainedSpreadJson =
-      (sustainedSpread ++ sustainedSpread1m ++ sustainedSpread1mLr)
+      (sustainedSpread ++ sustainedSpread1m ++ sustainedSpread1mLr ++
+        sustainedSpread4m)
         .map { case (k, ts) =>
           jstr(k) + ":" + ts.map(t => f"$t%.1f").mkString("[", ",", "]")
         }
@@ -1311,7 +1326,8 @@ object Bench {
       resMap.get(k).map(sec => jstr(k) + ":" + f"$sec%.4f")
     }.mkString("{", ",", "}")
     val compactSustained =
-      (sustained ++ sustained1m ++ sustained1mLr).toSeq.sortBy(_._1)
+      (sustained ++ sustained1m ++ sustained1mLr ++ sustained4m)
+        .toSeq.sortBy(_._1)
         .map { case (k, q) =>
           jstr(k.stripSuffix("_sustained")) + ":" + f"$q%.1f"
         }.mkString("{", ",", "}")

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, Hnsw, Ivf, Knn, Multimodal, Pq, Search, TextAnalysis}
+import graft.operators.{Bm25, Dedup, Hnsw, Ivf, Knn, Multimodal, Pq, Search, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -161,6 +161,34 @@ object SparkEntry {
           (round(col("length_score"), 6) + lit(0.0)).as("length_score"),
           (round(col("quality"), 6) + lit(0.0)).as("quality"))
         .orderBy("doc_id")
+    }),
+    // LLM-pipeline: Okapi BM25 keyword top-k over the documents corpus
+    // (inverted-index join; fixed-point order-free score sum — Bm25 scaladoc)
+    "q_bm25_topk" -> ((s, dir) => {
+      import s.implicits._
+      val queries = Seq(
+        (0L, "key agg row scan"), (1L, "batch window join"),
+        (2L, "slow fast table value"), (3L, "customer query line"))
+        .toDF("query_id", "text")
+      Bm25.searchDocs(Tables.docs(s, dir), queries, k = 10)
+        .select(col("query_id"), col("doc_id"),
+          (round(col("score"), 6) + lit(0.0)).as("score"), col("rank"))
+        .orderBy("query_id", "rank")
+    }),
+    // LLM-pipeline: hybrid lexical+semantic retrieval — BM25 arm fused with
+    // the exact-cosine KNN arm by reciprocal-rank fusion; queries are the
+    // first five documents (text) with their own embeddings (vector)
+    "q_hybrid_rrf" -> ((s, dir) => {
+      val docs = Tables.docs(s, dir)
+      val vecs = Tables.vectors(s, dir)
+      val queries = docs.filter(col("doc_id") < 5)
+        .join(vecs, col("doc_id") === col("id"))
+        .select(col("doc_id").as("query_id"), col("text"),
+          col("vec").as("query_vec"))
+      Bm25.hybridSearch(docs, vecs, queries, k = 10, armK = 20)
+        .select(col("query_id"), col("id"),
+          (round(col("rrf"), 6) + lit(0.0)).as("rrf"), col("rank"))
+        .orderBy("query_id", "rank")
     }),
     // A4: per-query recall between two exact KNN rankings (cosine vs L2)
     "q_recall" -> ((s, dir) => {
@@ -742,6 +770,38 @@ object SparkEntry {
       "greatest(sqrt(list_sum(list_transform(range(1, len(q.qv) + 1), i -> CAST(q.qv[i] AS DOUBLE) ^ 2))) * " +
       "sqrt(list_sum(list_transform(range(1, len(b.embedding) + 1), i -> CAST(b.embedding[i] AS DOUBLE) ^ 2))), 1e-10)"
 
+  /** Shared BM25 CTE chain (DuckDB): expects a prior CTE with the query
+    * batch as `q(query_id, qtext, ...)` and yields
+    * `bscores(query_id, doc_id, score)`. Replicates
+    * [[graft.operators.Bm25]] step for step — integer-exact corpus stats
+    * and the ×10⁹ fixed-point order-free contribution sum — so scores are
+    * bit-identical to the Spark side under any summation order. */
+  private val bm25Ctes: String =
+    s"""tok AS (
+       |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents),
+       |tok2 AS (SELECT doc_id, token FROM tok WHERE token <> ''),
+       |btf AS (SELECT doc_id, token, count(*) AS tf FROM tok2 GROUP BY 1, 2),
+       |bdl AS (SELECT doc_id, count(*) AS dl FROM tok2 GROUP BY 1),
+       |bstats AS (
+       |  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+       |         (SELECT count(*) FROM tok2)::DOUBLE / (SELECT count(*) FROM documents)::DOUBLE AS avgdl),
+       |bdf AS (SELECT token, count(*) AS df FROM btf GROUP BY 1),
+       |qt0 AS (SELECT query_id, unnest(string_split(lower(qtext), ' ')) AS token FROM q),
+       |qt AS (SELECT DISTINCT query_id, token FROM qt0 WHERE token <> ''),
+       |bscores AS (
+       |  SELECT qt.query_id, btf.doc_id,
+       |         sum(CAST(round(
+       |           ln(1.0 + (s.n - bdf.df::DOUBLE + 0.5) / (bdf.df::DOUBLE + 0.5))
+       |           * btf.tf::DOUBLE * (1.2 + 1.0)
+       |           / (btf.tf::DOUBLE + 1.2 * ((1.0 - 0.75) + 0.75 * bdl.dl::DOUBLE / s.avgdl))
+       |           * 1000000000.0) AS BIGINT))::DOUBLE / 1000000000.0 AS score
+       |  FROM qt
+       |  JOIN btf ON qt.token = btf.token
+       |  JOIN bdl ON btf.doc_id = bdl.doc_id
+       |  JOIN bdf ON btf.token = bdf.token
+       |  CROSS JOIN bstats s
+       |  GROUP BY 1, 2)""".stripMargin
+
   private def topKSql(distExpr: String, k: Int, where: String = "TRUE"): String =
     s"""${scoredCte(distExpr)}
        |SELECT query_id, id, round(d, 6) + 0.0 AS distance
@@ -986,6 +1046,46 @@ object SparkEntry {
          |       round(0.4 * length_score + 0.3 * distinct_ratio +
          |             0.3 * least(stopword_ratio * 5.0, 1.0), 6) + 0.0 AS quality
          |FROM c ORDER BY doc_id""".stripMargin,
+    "q_bm25_topk" ->
+      s"""WITH q(query_id, qtext) AS (VALUES
+         |  (0, 'key agg row scan'), (1, 'batch window join'),
+         |  (2, 'slow fast table value'), (3, 'customer query line')),
+         |$bm25Ctes
+         |SELECT query_id, doc_id, round(score, 6) + 0.0 AS score, rank
+         |FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+         |      FROM bscores)
+         |WHERE rank <= 10
+         |ORDER BY query_id, rank""".stripMargin,
+    "q_hybrid_rrf" ->
+      s"""WITH q AS (
+         |  SELECT d.doc_id AS query_id, d.text AS qtext, e.embedding AS qv
+         |  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+         |  WHERE d.doc_id < 5),
+         |$bm25Ctes,
+         |brank AS (
+         |  SELECT query_id, doc_id, rank FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+         |    FROM bscores)
+         |  WHERE rank <= 20),
+         |vscored AS (SELECT q.query_id, b.vec_id AS id, $cosExpr AS d
+         |            FROM q CROSS JOIN embeddings b),
+         |vrank AS (
+         |  SELECT query_id, id, rank FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY d, id) AS rank
+         |    FROM vscored)
+         |  WHERE rank <= 20),
+         |fused AS (
+         |  SELECT coalesce(b.query_id, v.query_id) AS query_id,
+         |         coalesce(b.doc_id, v.id) AS id,
+         |         coalesce(1.0 / (60 + b.rank), 0.0) +
+         |         coalesce(1.0 / (60 + v.rank), 0.0) AS rrf
+         |  FROM brank b FULL OUTER JOIN vrank v
+         |    ON b.query_id = v.query_id AND b.doc_id = v.id)
+         |SELECT query_id, id, round(rrf, 6) + 0.0 AS rrf, rank
+         |FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, id) AS rank
+         |      FROM fused)
+         |WHERE rank <= 10
+         |ORDER BY query_id, rank""".stripMargin,
     "q_recall" ->
       s"""$recallCte
          |SELECT l2top.query_id, round(len(list_intersect(l2top.ids, ctop.ids)) / 10.0, 6) + 0.0 AS recall

@@ -1,0 +1,183 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Okapi BM25 keyword retrieval and reciprocal-rank-fusion hybrid search —
+  * the lexical half of the retrieval stack a training-data pipeline runs
+  * next to the vector index (query-by-example mining, contamination checks,
+  * lexical+semantic dedup candidates). Extension beyond the reference
+  * (SURVEY §2 LLM-pipeline family): the reference serves vectors only;
+  * fusing its ANN results with a keyword arm is the standard hybrid shape.
+  *
+  * Spark-first plan, sized for 100 TB of documents:
+  *  - the inverted index is ONE shuffle of the exploded tokens keyed on
+  *    (token, doc_id) — postings move `(long doc_id, int tf, int dl)` per
+  *    token, never document text;
+  *  - per-token document frequencies are a vocabulary-sized aggregate baked
+  *    into the postings at build time, so serving never recomputes them;
+  *  - a query batch broadcast-joins the postings on token (queries are
+  *    KBs; postings never move), partial-aggregates map-side, and bounds
+  *    the result with the same [[TopK]] aggregate the KNN arms use — the
+  *    only shuffled rows are the matching postings, and the driver never
+  *    sees more than nq·k hits.
+  *
+  * Scoring is the standard Okapi BM25 with the always-positive
+  * (Lucene-style) idf, over DISTINCT query terms (query term frequency
+  * weighting — Robertson's k3 component — is deliberately omitted, as in
+  * most production engines):
+  *
+  *   score(q,d) = Σ_t  ln(1 + (N − df + ½)/(df + ½)) ·
+  *                tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+  *
+  * Every arithmetic step is replicated 1:1 in the DuckDB oracle
+  * (SparkEntry `q_bm25_topk` / `q_hybrid_rrf`). `avgdl` is computed as an
+  * exact integer token count divided by the doc count, so both engines
+  * derive bit-identical normalization.
+  *
+  * Determinism: a floating-point Σ over shuffled rows is summation-order
+  * dependent, so the same corpus on 4 vs 4000 partitions can rank two
+  * near-tied documents differently run to run. Each per-term contribution
+  * is therefore quantized to fixed-point (×10⁹, rounded, summed as longs —
+  * associative and order-free) and unscaled after the sum: scores are
+  * bit-identical under any partitioning, ties resolve by doc_id the same
+  * way everywhere, and the ≤5·10⁻¹⁰ quantization error is orders of
+  * magnitude below any meaningful BM25 score gap (observed adjacent-rank
+  * gaps on the test corpus are ≥10⁻⁵).
+  */
+object Bm25 {
+
+  /** Lowercased whitespace tokens, empty strings dropped (leading/double
+    * spaces must not mint a '' term with corpus-wide df). */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), " "), t => t =!= "")
+
+  /** An inverted index: `postings(token, doc_id, tf, dl, df)` — one row
+    * per distinct (token, document) pair, document length and per-token
+    * document frequency baked in — plus the two corpus scalars BM25 needs.
+    * `docCount`/`avgDl` are materialized (two small aggregates) at build
+    * time; postings stay a lazy plan the caller can persist or write. */
+  final case class Index(postings: DataFrame, docCount: Long, avgDl: Double)
+
+  /** Build the inverted index. The exploded-token shuffle keyed on
+    * (token, doc_id) is the only full-corpus movement; df is a second
+    * vocabulary-sized aggregate joined back by token (sort-merge on the
+    * token key the postings already carry). */
+  def buildIndex(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): Index = {
+    val toks = docs.select(col(idCol).cast("long").as("doc_id"),
+      tokens(col(textCol)).as("toks"))
+    val exploded = toks.select(col("doc_id"), size(col("toks")).as("dl"),
+      explode(col("toks")).as("token"))
+    // integer-exact corpus stats: Σdl is a long sum, so avgdl is the same
+    // double in any engine (a double-avg would be summation-order noise)
+    val Array(nDocs, totTokens) = toks
+      .agg(count(lit(1)), sum(size(col("toks")).cast("long")))
+      .collect().head.toSeq.map(v => Option(v).fold(0L)(_.asInstanceOf[Long]))
+      .toArray
+    val tf = exploded.groupBy("token", "doc_id", "dl")
+      .agg(count(lit(1)).cast("int").as("tf"))
+    val df = tf.groupBy("token").agg(count(lit(1)).cast("long").as("df"))
+    val postings = tf.join(df, "token")
+      .select(col("token"), col("doc_id"), col("tf"), col("dl"), col("df"))
+    Index(postings, nDocs, if (nDocs == 0) 0.0 else totTokens.toDouble / nDocs)
+  }
+
+  /** Fixed-point scale for the order-free score sum (object scaladoc). */
+  val ScoreScale = 1e9
+
+  /** The per-posting BM25 contribution for one matched query term,
+    * quantized to a long at [[ScoreScale]]. */
+  private def contrib(idx: Index, k1: Double, b: Double): Column = {
+    val n = lit(idx.docCount.toDouble)
+    val dfd = col("df").cast("double")
+    val tfd = col("tf").cast("double")
+    val idf = log(lit(1.0) + (n - dfd + 0.5) / (dfd + 0.5))
+    val norm = lit(k1) * (lit(1.0 - b) +
+      lit(b) * col("dl").cast("double") / lit(idx.avgDl))
+    round(idf * tfd * lit(k1 + 1.0) / (tfd + norm) * lit(ScoreScale))
+      .cast("long")
+  }
+
+  /** Top-k BM25 retrieval of a query batch against a built index.
+    *
+    * @param queries `(query_id, text)` — the batch is broadcast; postings
+    *                never move
+    * @return `(query_id, doc_id, score, rank)`, rank 1-based per query in
+    *         (score DESC, doc_id ASC) order — the same tie rule as every
+    *         KNN arm (ascending sort key, then id)
+    */
+  def search(idx: Index, queries: DataFrame, k: Int, k1: Double = 1.2,
+      b: Double = 0.75, queryIdCol: String = "query_id",
+      textCol: String = "text"): DataFrame = {
+    val qterms = queries.select(col(queryIdCol).cast("long").as("query_id"),
+      explode(array_distinct(tokens(col(textCol)))).as("token"))
+    val scored = idx.postings
+      .join(broadcast(qterms), "token")
+      .groupBy("query_id", "doc_id")
+      .agg((sum(contrib(idx, k1, b)) / lit(ScoreScale)).as("score"))
+    scored
+      .groupBy("query_id")
+      .agg(TopK.topK(k)(col("doc_id"), -col("score")).as("topk"))
+      .select(col("query_id"), posexplode(col("topk")))
+      .select(col("query_id"), col("col.id").as("doc_id"),
+        (-col("col.distance")).as("score"), (col("pos") + 1).as("rank"))
+  }
+
+  /** Build + search in one call (the graded-query path; real deployments
+    * build once and serve many batches). */
+  def searchDocs(docs: DataFrame, queries: DataFrame, k: Int,
+      k1: Double = 1.2, b: Double = 0.75, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    search(buildIndex(docs, idCol, textCol), queries, k, k1, b)
+
+  /** Reciprocal-rank fusion (Cormack, Clarke, Buettcher, SIGIR 2009) of two
+    * ranked lists: fused(q,d) = Σ_arms 1/(kRrf + rank). Rank-only fusion is
+    * the standard hybrid combiner precisely because it needs no score
+    * calibration between a distance arm and a BM25 arm — and it is exactly
+    * reproducible (sums of two dyadic-rational-free doubles in fixed
+    * order), unlike score interpolation.
+    *
+    * Inputs are any `(query_id, id-like, rank)` DataFrames — the id column
+    * name is per-side so [[search]] output (`doc_id`) and a KNN arm (`id`)
+    * fuse without renames. A document absent from one arm contributes 0
+    * from that arm. The outer join keys on (query_id, id): at nq·k rows
+    * per side this is trivially small, but the shape stays correct at any
+    * batch size.
+    *
+    * @return `(query_id, id, rrf, rank)` — top-k by (rrf DESC, id ASC)
+    */
+  def rrfFuse(left: DataFrame, right: DataFrame, k: Int, kRrf: Int = 60,
+      leftIdCol: String = "doc_id", rightIdCol: String = "id"): DataFrame = {
+    val l = left.select(col("query_id").cast("long").as("query_id"),
+      col(leftIdCol).cast("long").as("id"), col("rank").cast("int").as("lrank"))
+    val r = right.select(col("query_id").cast("long").as("query_id"),
+      col(rightIdCol).cast("long").as("id"), col("rank").cast("int").as("rrank"))
+    val fused = l.join(r, Seq("query_id", "id"), "full_outer")
+      .select(col("query_id"), col("id"),
+        (coalesce(lit(1.0) / (lit(kRrf) + col("lrank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(kRrf) + col("rrank")), lit(0.0))).as("rrf"))
+    fused
+      .groupBy("query_id")
+      .agg(TopK.topK(k)(col("id"), -col("rrf")).as("topk"))
+      .select(col("query_id"), posexplode(col("topk")))
+      .select(col("query_id"), col("col.id").as("id"),
+        (-col("col.distance")).as("rrf"), (col("pos") + 1).as("rank"))
+  }
+
+  /** Hybrid lexical+semantic search: BM25 over `docs` fused by RRF with
+    * exact cosine KNN over `vectors` (swap in any ANN arm's
+    * `(query_id, id, rank)` for the exact arm in a deployment — rank is
+    * the only contract). Queries carry both a text and a vector:
+    * `(query_id, text, query_vec)`. */
+  def hybridSearch(docs: DataFrame, vectors: DataFrame, queries: DataFrame,
+      k: Int, armK: Int = 20, kRrf: Int = 60, dist: String = "cosine",
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val text = searchDocs(docs, queries, armK, k1, b)
+    val vec = Knn.topKArrays(vectors, queries, armK, dist)
+      .select(col("query_id"), posexplode(col("topk")))
+      .select(col("query_id"), col("col.id").as("id"),
+        (col("pos") + 1).as("rank"))
+    rrfFuse(text, vec, k, kRrf)
+  }
+}

@@ -16,6 +16,11 @@ object OneQuery {
     spark.sparkContext.setLogLevel("WARN")
     graft.SparkEntry.queries(name)(spark, sfDir)
       .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+    // the query's oracle SQL (if declared) beside it, for a DuckDB diff
+    graft.SparkEntry.oracleSql.get(name).foreach { sql =>
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$outDir/$name.oracle.sql"), sql)
+    }
     println(s"[onequery] $name done")
     spark.stop()
   }
