@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Bm25, Dedup, Hnsw, Ivf, Knn, Multimodal, Pq, Search, TextAnalysis}
+import graft.operators.{Bm25, Corpus, Decontaminate, Dedup, Hnsw, Ivf, Knn, Multimodal, Pq, Search, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -161,6 +161,37 @@ object SparkEntry {
           (round(col("length_score"), 6) + lit(0.0)).as("length_score"),
           (round(col("quality"), 6) + lit(0.0)).as("quality"))
         .orderBy("doc_id")
+    }),
+    // LLM-pipeline: Gopher-style repetition signals (single-pass native
+    // n-gram count kernel — zero shuffle; TextAnalysis.repetitionSignals)
+    "q_repetition_signals" -> ((s, dir) => {
+      TextAnalysis.repetitionSignals(Tables.docs(s, dir))
+        .select(col("doc_id"),
+          (round(col("dup_token_frac"), 6) + lit(0.0)).as("dup_token_frac"),
+          (round(col("top2gram_frac"), 6) + lit(0.0)).as("top2gram_frac"),
+          (round(col("dup3gram_frac"), 6) + lit(0.0)).as("dup3gram_frac"))
+        .orderBy("doc_id")
+    }),
+    // LLM-pipeline: overlapping token-window chunking (map-only, no shuffle)
+    "q_chunking" -> ((s, dir) => {
+      Corpus.chunk(Tables.docs(s, dir), window = 32, stride = 24)
+        .orderBy("doc_id", "chunk_id")
+    }),
+    // LLM-pipeline: deterministic md5-threshold train/val/test assignment
+    "q_hash_split" -> ((s, dir) => {
+      Corpus.hashSplit(Tables.docs(s, dir),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "r14")
+        .select(col("doc_id"), col("split"))
+        .orderBy("doc_id")
+    }),
+    // LLM-pipeline: benchmark decontamination — training docs sharing word
+    // 8-grams with the pseudo-benchmark (every 20th doc); hashed-gram
+    // broadcast join, oracle counts literal-string grams
+    "q_decontaminate" -> ((s, dir) => {
+      val docs = Tables.docs(s, dir)
+      Decontaminate.contaminationPairs(
+        docs, docs.filter(col("doc_id") % 20 === 0), n = 8)
+        .orderBy("doc_id", "bench_id")
     }),
     // LLM-pipeline: Okapi BM25 keyword top-k over the documents corpus
     // (inverted-index join; fixed-point order-free score sum — Bm25 scaladoc)
@@ -1046,6 +1077,46 @@ object SparkEntry {
          |       round(0.4 * length_score + 0.3 * distinct_ratio +
          |             0.3 * least(stopword_ratio * 5.0, 1.0), 6) + 0.0 AS quality
          |FROM c ORDER BY doc_id""".stripMargin,
+    "q_repetition_signals" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |g2 AS (SELECT doc_id, array_to_string(t[i+1:i+2], ' ') AS g
+        |       FROM (SELECT doc_id, t, unnest(range(0, len(t) - 1)) AS i FROM tk)),
+        |c2 AS (SELECT doc_id, max(c)::DOUBLE / sum(c)::DOUBLE AS top2
+        |       FROM (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2) GROUP BY 1),
+        |g3 AS (SELECT doc_id, array_to_string(t[i+1:i+3], ' ') AS g
+        |       FROM (SELECT doc_id, t, unnest(range(0, len(t) - 2)) AS i FROM tk)),
+        |c3 AS (SELECT doc_id, sum(CASE WHEN c >= 2 THEN c ELSE 0 END)::DOUBLE / sum(c)::DOUBLE AS dup3
+        |       FROM (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1, 2) GROUP BY 1),
+        |d AS (SELECT doc_id, 1.0 - len(list_distinct(t))::DOUBLE / len(t)::DOUBLE AS dtf FROM tk)
+        |SELECT d.doc_id, round(d.dtf, 6) + 0.0 AS dup_token_frac,
+        |       round(coalesce(c2.top2, 0.0), 6) + 0.0 AS top2gram_frac,
+        |       round(coalesce(c3.dup3, 0.0), 6) + 0.0 AS dup3gram_frac
+        |FROM d LEFT JOIN c2 USING (doc_id) LEFT JOIN c3 USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    "q_chunking" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+        |           WHERE len(string_split(text, ' ')) > 0),
+        |s AS (SELECT doc_id, tk, unnest(range(0, len(tk), 24)) AS st FROM t)
+        |SELECT doc_id, CAST(st // 24 AS INT) AS chunk_id,
+        |       array_to_string(tk[st+1:st+32], ' ') AS chunk_text,
+        |       least(32, len(tk) - st) AS n_tokens
+        |FROM s ORDER BY doc_id, chunk_id""".stripMargin,
+    "q_hash_split" ->
+      """SELECT doc_id,
+        |       CASE WHEN h < 'cccd' THEN 'train'
+        |            WHEN h < 'e666' THEN 'val' ELSE 'test' END AS split
+        |FROM (SELECT doc_id,
+        |             substr(md5('r14:' || CAST(doc_id AS VARCHAR)), 1, 4) AS h
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    "q_decontaminate" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |dg AS (SELECT DISTINCT doc_id, array_to_string(t[i+1:i+8], ' ') AS g
+        |       FROM (SELECT doc_id, t, unnest(range(0, len(t) - 7)) AS i FROM tk)),
+        |bg AS (SELECT doc_id AS bench_id, g FROM dg WHERE doc_id % 20 = 0)
+        |SELECT d.doc_id, b.bench_id, count(*) AS n_shared
+        |FROM dg d JOIN bg b ON d.g = b.g
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_bm25_topk" ->
       s"""WITH q(query_id, qtext) AS (VALUES
          |  (0, 'key agg row scan'), (1, 'batch window join'),

@@ -312,6 +312,124 @@ case class NgramHashes(child: Expression, n: Int)
   override def prettyName: String = "ngram_hashes"
 }
 
+/** Single-pass repetition statistics over a text column — the
+  * Gopher/MassiveText repetition quality signals (Rae et al. 2021, §A1.1)
+  * in the exact shapes the n-gram rules take there:
+  *
+  *   out[0] = top 2-gram fraction: occurrences of the most frequent word
+  *            2-gram ÷ total 2-gram windows (0.0 when < 2 tokens);
+  *   out[1] = duplicate 3-gram fraction: windows whose 3-gram occurs ≥ 2
+  *            times ÷ total 3-gram windows (0.0 when < 3 tokens).
+  *
+  * Tokenization and window hashing are byte-identical to [[NgramHashes]]
+  * (0x20 split with empties kept, XXH64 token hashes, left-to-right
+  * hashLong window chain), so the DuckDB oracle's literal-string n-gram
+  * counts match unless 64-bit hashes collide within one document —
+  * vanishingly unlikely and loudly caught by the oracle hash compare.
+  *
+  * Zero-shuffle by construction: the alternative explode → groupBy(doc,
+  * gram) → window-max formulation shuffles every n-gram occurrence of the
+  * corpus; this is a per-row kernel with one small open-addressed count
+  * table, embarrassingly parallel at 100 TB.
+  */
+case class RepetitionStats(child: Expression)
+  extends UnaryExpression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"repetition_stats requires string, got ${other.catalogString}")
+  }
+
+  /** Open-addressed long→count insert-or-increment; returns the new count.
+    * Capacity is 2× the max insert count rounded up to a power of two, so
+    * load factor stays ≤ 0.5 and probes are short. Key 0 is remapped (an
+    * XXH64 output of 0 is one specific 64-bit value; remapping merges it
+    * with the remap target at ~2⁻⁶⁴ odds — the same collision class the
+    * hashing itself accepts). */
+  private def bump(keys: Array[Long], counts: Array[Int], key0: Long): Int = {
+    val key = if (key0 == 0L) 0x9E3779B97F4A7C15L else key0
+    val mask = keys.length - 1
+    var i = java.lang.Long.hashCode(key * 0x9E3779B97F4A7C15L) & mask
+    while (true) {
+      val k = keys(i)
+      if (k == key) { counts(i) += 1; return counts(i) }
+      if (k == 0L) { keys(i) = key; counts(i) = 1; return 1 }
+      i = (i + 1) & mask
+    }
+    0 // unreachable
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val s = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val len = s.numBytes()
+    var nTok = 1
+    var i = 0
+    while (i < len) { if (s.getByte(i) == 0x20) nTok += 1; i += 1 }
+    val th = new Array[Long](nTok)
+    var t = 0
+    var start = 0
+    i = 0
+    while (i <= len) {
+      if (i == len || s.getByte(i) == 0x20) {
+        th(t) = XXH64.hashUnsafeBytes(base, off + start, i - start, 42L)
+        t += 1
+        start = i + 1
+      }
+      i += 1
+    }
+    val out = new Array[Double](2)
+    val nWin2 = nTok - 1
+    if (nWin2 > 0) {
+      var cap = 4
+      while (cap < nWin2 * 2) cap <<= 1
+      val keys = new Array[Long](cap)
+      val counts = new Array[Int](cap)
+      var maxC = 0
+      var w = 0
+      while (w < nWin2) {
+        val h = XXH64.hashLong(th(w + 1), XXH64.hashLong(th(w), 42L))
+        val c = bump(keys, counts, h)
+        if (c > maxC) maxC = c
+        w += 1
+      }
+      out(0) = maxC.toDouble / nWin2
+    }
+    val nWin3 = nTok - 2
+    if (nWin3 > 0) {
+      var cap = 4
+      while (cap < nWin3 * 2) cap <<= 1
+      val keys = new Array[Long](cap)
+      val counts = new Array[Int](cap)
+      // windows in duplicated grams = Σ_{gram: c≥2} c — count every window
+      // whose gram reaches 2, plus the first window retroactively when its
+      // gram's count hits exactly 2
+      var dup = 0
+      var w = 0
+      while (w < nWin3) {
+        val h = XXH64.hashLong(th(w + 2),
+          XXH64.hashLong(th(w + 1), XXH64.hashLong(th(w), 42L)))
+        val c = bump(keys, counts, h)
+        if (c == 2) dup += 2 else if (c > 2) dup += 1
+        w += 1
+      }
+      out(1) = dup.toDouble / nWin3
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "repetition_stats"
+}
+
 object TextFunctions {
   /** Single-pass 64-bit SimHash over an `array<bigint>` of token hashes. */
   def simhash64(tokenHashes: Column): Column =
@@ -326,6 +444,11 @@ object TextFunctions {
     * ([[NgramHashes]]). */
   def ngramHashes(text: Column, n: Int): Column =
     ColumnShim.column(NgramHashes(ColumnShim.expression(text), n))
+
+  /** Gopher-style repetition signals `[top2gram_frac, dup3gram_frac]`
+    * ([[RepetitionStats]]). */
+  def repetitionStats(text: Column): Column =
+    ColumnShim.column(RepetitionStats(ColumnShim.expression(text)))
 
   /** Single-pass MinHash signature over an `array<bigint>` of base hashes. */
   def minhashSignature(

@@ -95,6 +95,34 @@ object TextAnalysis {
     withHits.withColumn("predicted_lang", pred).withColumn("top_hits", g)
   }
 
+  /** Gopher/MassiveText repetition quality signals (Rae et al. 2021,
+    * §A1.1) — the filters that catch boilerplate and degenerate generation
+    * loops heuristic length/diversity scores miss:
+    *
+    *   - `dup_token_frac`: 1 − distinct/total tokens (word-level repetition)
+    *   - `top2gram_frac`: occurrences of the most frequent word 2-gram ÷
+    *     total 2-gram windows
+    *   - `dup3gram_frac`: 3-gram windows whose gram occurs ≥2 times ÷
+    *     total 3-gram windows
+    *
+    * The n-gram signals are one pass per row in the native
+    * [[graft.functions.RepetitionStats]] expression (zero shuffle — the
+    * explode+groupBy formulation shuffles every n-gram occurrence of the
+    * corpus); `dup_token_frac` stays declarative. Replicated 1:1 in the
+    * DuckDB oracle via literal-string n-gram counts. */
+  def repetitionSignals(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val t = tokens(col(textCol))
+    docs.select(
+      col(idCol).cast("long").as("doc_id"),
+      (lit(1.0) - size(array_distinct(t)).cast("double") / size(t))
+        .as("dup_token_frac"),
+      graft.functions.TextFunctions.repetitionStats(col(textCol)).as("rep"))
+      .select(col("doc_id"), col("dup_token_frac"),
+        col("rep").getItem(0).as("top2gram_frac"),
+        col("rep").getItem(1).as("dup3gram_frac"))
+  }
+
   /** Quality score ∈ [0,1]: 0.4·length + 0.3·lexical-diversity +
     * 0.3·stopword-plausibility (standard heuristic-filter shape — docs that
     * are too short, too repetitive, or stopword-free score low). */
