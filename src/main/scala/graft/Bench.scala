@@ -1270,7 +1270,11 @@ object Bench {
     val outPath = try {
       val dir = java.nio.file.Paths.get("bench_out")
       java.nio.file.Files.createDirectories(dir)
-      val p = dir.resolve("bench_full.json")
+      // a knob-reduced run (any SPARK_GRAFT_BENCH_N* override) is a smoke
+      // run: park its artifact beside the full one instead of clobbering
+      // the full-scale record the round's analysis cites
+      val isSmoke = sys.env.keys.exists(_.startsWith("SPARK_GRAFT_BENCH_N"))
+      val p = dir.resolve(if (isSmoke) "bench_smoke.json" else "bench_full.json")
       java.nio.file.Files.write(p, (fullLine + "\n").getBytes("UTF-8"))
       p.toAbsolutePath.toString
     } catch { case e: Throwable => s"unwritable: ${e.getMessage}" }
@@ -1330,8 +1334,10 @@ object Bench {
       s"""{"metric":"headline",${floorJson}"sustained_qps":$sustainedJson,"qps":$headQps,"recall":$headRecall,"sustained_spread":$sustainedSpreadJson$sanityJson,"np_rep_spread":$headSpread,"full_json":${jstr(outPath)},"nq":$nq}"""
     println(headlineLine)
     try {
+      val isSmoke = sys.env.keys.exists(_.startsWith("SPARK_GRAFT_BENCH_N"))
       java.nio.file.Files.write(
-        java.nio.file.Paths.get("bench_out", "headline.json"),
+        java.nio.file.Paths.get("bench_out",
+          if (isSmoke) "headline_smoke.json" else "headline.json"),
         (headlineLine + "\n").getBytes("UTF-8"))
     } catch { case _: Throwable => () }
     // FINAL line, deliberately COMPACT (< ~1.2 KB): the driver keeps only
