@@ -237,6 +237,11 @@ object Bench {
     val hnswIdx960 = Hnsw.buildIndex(vec960.coalesce(1)).cache(); hnswIdx960.count()
     val pqModel960 = Pq.train(vec960, m = 320, nBits = 4, trainFraction = Some(0.1))
     val pqEncoded960 = Pq.encode(vec960, pqModel960).cache(); pqEncoded960.count()
+    // sign-bit packed corpus: 15 longs/row vs 960 floats — the 32×-smaller
+    // scan the BQ coarse pass streams (packed once at ingest, like deployed)
+    val bq960 = graft.operators.Bq.encode(vec960).select("id", "bq")
+      .repartition(nCores).cache()
+    bq960.count()
 
     // ---- serving plan FACTORIES --------------------------------------------
     // Every timed rep constructs a FRESH DataFrame and collects it under
@@ -273,11 +278,18 @@ object Bench {
       queries960, k = 10, ef = 100)
     def mkIvfProbe() = Ivf.search(ivfAssignedC, ivfModelC, queriesC,
       k = 10, nProbes = Some(8))
+    // BQ serving arms at the baseline d960 config: raw Hamming top-10 on
+    // the packed scan, and the two-stage (Hamming top-100 → exact re-rank)
+    def mkBqHamming960() = graft.operators.Bq.hammingBroadcastPacked(
+      bq960, queries960, k = 10)
+    def mkBqRerank960() = graft.operators.Bq.searchRerankPacked(
+      bq960, vec960, queries960, k = 10, candidates = 100)
     /** One timed serving rep: fresh plan, bound AQE-off, full collect. */
     def serveFresh(mk: () => DataFrame): Long = withAqeOff(serve(mk()))
     // warm the resident index state (broadcast ship, graph rebuild caches)
     Seq(mkHnsw10k _, mkHnsw200k _, mkHnsw960 _, mkPqServe960 _,
-      mkHnswPq960 _, mkPqBcast960 _, mkIvfProbe _).foreach(serveFresh)
+      mkHnswPq960 _, mkPqBcast960 _, mkIvfProbe _,
+      mkBqHamming960 _, mkBqRerank960 _).foreach(serveFresh)
     // full-table query batch at d960 (all 10k vectors as queries): the
     // serving rows above pay a measured ~100 ms fixed per-job scheduler
     // floor that dominates a 1000-query batch (the walk itself is ~20 ms);
@@ -316,7 +328,9 @@ object Bench {
       "pq_serve_10k_d960_nq10k_batch" -> recallOf(mkPqServe960Big(), truth960All),
       "hnsw_10k_batch" -> recallOf(mkHnsw10k(), truth10k),
       "hnsw_200k_batch" -> recallOf(mkHnsw200k(), truthBig),
-      "ivf_probe_batch" -> recallOf(mkIvfProbe(), truthC))
+      "ivf_probe_batch" -> recallOf(mkIvfProbe(), truthC),
+      "bq_hamming_10k_d960_batch" -> recallOf(mkBqHamming960(), truth960),
+      "bq_rerank_10k_d960_batch" -> recallOf(mkBqRerank960(), truth960))
 
     // ---- sustained serving throughput (pipelined batches) ------------------
     // The per-batch serving rows include the whole ~100 ms scheduler floor
@@ -522,6 +536,9 @@ object Bench {
       // zero shuffle) — directly comparable to BASELINE.md:28
       ("pq_serve_10k_d960_batch", () => serveFresh(mkPqServe960 _)),
       ("ivf_probe_batch", () => serveFresh(mkIvfProbe _)),
+      // BQ coarse scan (packed longs) and two-stage serving at d960
+      ("bq_hamming_10k_d960_batch", () => serveFresh(mkBqHamming960 _)),
+      ("bq_rerank_10k_d960_batch", () => serveFresh(mkBqRerank960 _)),
       // Knn.exact is physically served by the broadcast scan (primitive
       // float[] reads); the declarative cross-join shape is kept visible
       // as knn_l2_xjoin_batch — its per-pair ArrayData accessor cost
@@ -664,6 +681,7 @@ object Bench {
     // the memory-hungry 1M sections
     bm25Idx.postings.unpersist()
     bm25Queries.unpersist()
+    bq960.unpersist()
 
     // ---- 1M×960 beyond-broadcast serving (BASELINE.md primary scale) -------
     // 1M×960 f32 ≈ 3.8 GB — past the 1 GiB broadcast gate, so these rows
@@ -808,7 +826,22 @@ object Bench {
       withAqeOff(serve(mkRoutedPqRes())) // one-time residual code encode
       // recall vs exact ground truth; the recall pass doubles as the warm
       // run (pin shuffle + stored-adjacency graph decode + code encode)
+      // BQ at 1M: the packed corpus is 1M × 15 longs ≈ 120 MB — the coarse
+      // Hamming pass scans ONLY that (the float fixture is 3.8 GB). The
+      // rerank row honestly includes its candidate-fetch pass over the
+      // uncached float fixture (regenerated per batch here; a deployment
+      // reads parquet) — the coarse row is the scale exhibit.
+      val bq1m = graft.operators.Bq.encode(vec1m).select("id", "bq")
+        .repartition(nCores).cache()
+      bq1m.count()
+      def mkBqHamming1m() = graft.operators.Bq.hammingBroadcastPacked(
+        bq1m, q1m, k = 10)
+      def mkBqRerank1m() = graft.operators.Bq.searchRerankPacked(
+        bq1m, vec1m, q1m, k = 10, candidates = 100)
+      withAqeOff(serve(mkBqHamming1m())); withAqeOff(serve(mkBqRerank1m()))
       val truth1m = truthSets(vec1m, q1m, 10)
+      recalls1m += "bq_hamming_1m_d960_batch" -> recallOf(mkBqHamming1m(), truth1m)
+      recalls1m += "bq_rerank_1m_d960_batch" -> recallOf(mkBqRerank1m(), truth1m)
       recalls1m += "hnsw_1m_d960_batch" -> recallOf(mkPinned(), truth1m)
       routedMk.foreach { case (np, mk) =>
         recalls1m += s"ivf_hnsw_1m_d960_np${np}_batch" -> recallOf(mk(), truth1m)
@@ -873,7 +906,9 @@ object Bench {
         ("hnsw_1m_d960_batch", () => withAqeOff(serve(mkPinned()))),
         ("hnsw_pq_1m_d960_batch", () => withAqeOff(serve(mkPinnedPq()))),
         ("hnsw_pq_walk_1m_d960_batch", () => withAqeOff(serve(mkPinnedPqWalk()))),
-        ("ivf_hnsw_pq_1m_d960_np1_batch", () => withAqeOff(serve(mkRoutedPq())))) ++
+        ("ivf_hnsw_pq_1m_d960_np1_batch", () => withAqeOff(serve(mkRoutedPq()))),
+        ("bq_hamming_1m_d960_batch", () => withAqeOff(serve(mkBqHamming1m()))),
+        ("bq_rerank_1m_d960_batch", () => withAqeOff(serve(mkBqRerank1m())))) ++
         routedMk.map { case (np, mk) =>
           (s"ivf_hnsw_1m_d960_np${np}_batch",
             () => withAqeOff(serve(mk())): Long)
@@ -906,6 +941,7 @@ object Bench {
           () => mkPlainEf(pEf), nq)))
       sustained1m ++= s1m
       sustainedSpread1m ++= sp1m
+      bq1m.unpersist()
     } catch { case e: Throwable =>
       errors += "bench_1m" ->
         Option(e.getMessage).getOrElse(e.getClass.getName).take(200)

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Bm25, Corpus, Decontaminate, Dedup, Hnsw, Ivf, Knn, Multimodal, Pq, Redact, Search, TextAnalysis}
+import graft.operators.{Bm25, Bq, Corpus, Decontaminate, Dedup, Hnsw, Ivf, Knn, Multimodal, Pq, Redact, Search, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -352,6 +352,68 @@ object SparkEntry {
         .select(col("query_id"), col("id"),
           (round(col("distance"), 6) + lit(0.0)).as("distance"))
         .orderBy("query_id", "distance", "id")
+    }),
+    // §2.9 streaming ANN serving: the query batch arrives as a stream
+    // (file source, one file per micro-batch), each batch served with the
+    // exact broadcast scan and landed as per-epoch parquet; the unioned
+    // result equals the one-shot batch KNN, so the plain top-k oracle
+    // applies
+    "q_stream_search" -> ((s, dir) => {
+      val b = base(s, dir)
+      val tmp = scratchDir("stream_search")
+      val qDir = tmp.resolve("queries").toString
+      queryVectors(s, dir).repartition(4).write.parquet(qDir)
+      val stream = s.readStream
+        .schema(s.read.parquet(qDir).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(qDir)
+      val q = graft.streaming.StreamSearch.startExact(b, stream, k = 5,
+        tmp.resolve("out").toString, tmp.resolve("ckpt").toString)
+      try q.processAllAvailable() finally q.stop()
+      s.read.parquet(tmp.resolve("out").toString)
+        .select(col("query_id"), col("id"),
+          (round(col("distance"), 6) + lit(0.0)).as("distance"))
+        .orderBy("query_id", "distance", "id")
+    }),
+    // BQ coarse pass: sign-bit packed Hamming top-k (codegen XOR/popcount
+    // over array<bigint>) — hamming == per-dim sign disagreement, which the
+    // oracle recomputes unpacked, so the packed layout is hash-verified
+    "q_bq_hamming" -> ((s, dir) => {
+      Bq.hammingTopK(base(s, dir), queryVectors(s, dir), k = 5)
+        .orderBy("query_id", "hamming", "id")
+    }),
+    // BQ two-stage serving: Hamming top-200 coarse candidates, exact L2
+    // re-rank. Derived-check oracle (same pattern as q_pq_search): exact
+    // re-rank distances dominate the true KNN per rank, hit count is k,
+    // and recall@5 against exact KNN clears the floor (the 64-dim
+    // near-uniform testdata is the hardest regime for a sign sketch:
+    // candidates=200 measures n_common=5/5 for every query at the graded
+    // sf0.01 and ≥3/5 at sf0.1 — DuckDB-verified on the fixed fixtures).
+    "q_bq_rerank" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val b = base(s, dir)
+      val q = queryVectors(s, dir)
+      val approx = Bq.searchRerank(b, q, k = 5, candidates = 200)
+        .select(col("query_id"), col("id"), col("distance")).cache()
+      val exact = Knn.exact(b, q, k = 5, dist = "l2sqr")
+        .select(col("query_id"), col("id").as("e_id"),
+          col("distance").as("e_dist"))
+      val byRank = Window.partitionBy("query_id").orderBy(col("distance"), col("id"))
+      val eByRank = Window.partitionBy("query_id").orderBy(col("e_dist"), col("e_id"))
+      val ranked = approx.withColumn("rn", row_number().over(byRank))
+        .join(exact.withColumn("rn", row_number().over(eByRank)),
+          Seq("query_id", "rn"))
+      val common = approx.join(
+          exact.select(col("query_id"), col("e_id").as("id")), Seq("query_id", "id"))
+        .groupBy("query_id").agg(count(lit(1)).as("n_common"))
+      ranked.groupBy("query_id")
+        .agg(count(lit(1)).cast("long").as("n_hits"),
+          min(col("distance") >= col("e_dist") - lit(1e-9)).as("dominated"))
+        .join(common, Seq("query_id"), "left")
+        .select(col("query_id"), col("n_hits"),
+          (coalesce(col("n_common"), lit(0L)) >= lit(3L)).as("recall_ok"),
+          col("dominated"))
+        .orderBy("query_id")
     }),
     // LLM-pipeline: multimodal binary-column feature extraction (decode is
     // a deterministic stub; length+digest verified end-to-end by oracle)
@@ -979,6 +1041,30 @@ object SparkEntry {
     // rank-domination checks against its own exact twin and emits them as
     // constants-when-healthy; the oracle pins those constants per query
     "q_pq_search" ->
+      """SELECT vec_id AS query_id, CAST(5 AS BIGINT) AS n_hits,
+        |       TRUE AS recall_ok, TRUE AS dominated
+        |FROM embeddings WHERE vec_id < 8 ORDER BY query_id""".stripMargin,
+    // streaming serving unions to exactly the batch KNN result
+    "q_stream_search" -> topKSql(l2Expr, 5),
+    // BQ coarse pass: hamming == per-dimension sign-disagreement count,
+    // recomputed UNPACKED here — a packing/popcount bug on the Spark side
+    // cannot hash-match this
+    "q_bq_hamming" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+        |           FROM embeddings WHERE vec_id < 8),
+        |sc AS (SELECT q.query_id, b.vec_id AS id,
+        |       CAST(list_sum(list_transform(range(1, len(b.embedding) + 1),
+        |         i -> CASE WHEN (q.qv[i] >= 0) != (b.embedding[i] >= 0)
+        |              THEN 1 ELSE 0 END)) AS BIGINT) AS hamming
+        |       FROM q CROSS JOIN embeddings b)
+        |SELECT query_id, id, hamming
+        |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+        |                                   ORDER BY hamming, id) AS rn FROM sc)
+        |WHERE rn <= 5 ORDER BY query_id, hamming, id""".stripMargin,
+    // derived-bound oracle, same pattern as q_pq_search: the Spark side
+    // emits constants-when-healthy (hit count, recall floor, per-rank
+    // domination vs its own exact twin); the oracle pins them
+    "q_bq_rerank" ->
       """SELECT vec_id AS query_id, CAST(5 AS BIGINT) AS n_hits,
         |       TRUE AS recall_ok, TRUE AS dominated
         |FROM embeddings WHERE vec_id < 8 ORDER BY query_id""".stripMargin,
