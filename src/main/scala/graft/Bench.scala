@@ -438,7 +438,9 @@ object Bench {
       // *_walk_* row below
       ("hnsw_pq_10k_d960_sustained", mkHnswPq960 _, nq),
       ("hnsw_pq_walk_10k_d960_sustained", mkHnswPq960Walk _, nq),
-      ("pq_serve_10k_d960_sustained", mkPqServe960 _, nq)))
+      ("pq_serve_10k_d960_sustained", mkPqServe960 _, nq),
+      ("bq_hamming_10k_d960_sustained", mkBqHamming960 _, nq),
+      ("bq_rerank_10k_d960_sustained", mkBqRerank960 _, nq)))
     // same-plan sanity (r10 verdict item 2): when the dispatch gate maps
     // (ef, pq) onto the plain walk, the hnsw and hnsw_pq sustained rows are
     // the SAME physical plan — their measured ratio is pure measurement
@@ -938,7 +940,8 @@ object Bench {
         ("ivf_hnsw_pq_walk_1m_d960_np1_matched_sustained",
           () => mkWalkEf(wEf), nq),
         ("ivf_hnsw_1m_d960_np1_matched_sustained",
-          () => mkPlainEf(pEf), nq)))
+          () => mkPlainEf(pEf), nq),
+        ("bq_hamming_1m_d960_sustained", mkBqHamming1m _, nq)))
       sustained1m ++= s1m
       sustainedSpread1m ++= sp1m
       bq1m.unpersist()
@@ -1192,18 +1195,31 @@ object Bench {
         def mk4m() = IvfHnsw.searchPinned(idx4m, model4m, q4m, k = 10,
           ef = Some(120), nProbes = Some(1), cacheKey = ck4m)
         withAqeOff(serve(mk4m())) // one-time pin shuffle + graph decode
+        // BQ coarse scan at the largest scale point: 4M packed rows are
+        // ~480 MB cached vs ~15 GB float — the linear-scan arm that still
+        // fits executor memory when the float corpus no longer does
+        val bq4m = graft.operators.Bq.encode(vec4m).select("id", "bq")
+          .repartition(nCores).cache()
+        bq4m.count()
+        def mkBq4m() = graft.operators.Bq.hammingBroadcastPacked(
+          bq4m, q4m, k = 10)
+        withAqeOff(serve(mkBq4m()))
         val truth4m = truthSets(vec4m, q4m, 10)
         recalls4m += "ivf_hnsw_4m_d960_np1_batch" -> recallOf(mk4m(), truth4m)
+        recalls4m += "bq_hamming_4m_d960_batch" -> recallOf(mkBq4m(), truth4m)
         results4m = timeInterleaved(Seq[(String, () => Long)](
-          ("ivf_hnsw_4m_d960_np1_batch", () => withAqeOff(serve(mk4m())))))
+          ("ivf_hnsw_4m_d960_np1_batch", () => withAqeOff(serve(mk4m()))),
+          ("bq_hamming_4m_d960_batch", () => withAqeOff(serve(mkBq4m())))))
         // pipelined steady-state row at the largest scale point: the batch
         // row above carries the whole per-job floor; this is the number a
         // serving deployment sees, same protocol as the 10k/1M rows
         val (s4m, sp4m) = sustainedGrid(Seq(
-          ("ivf_hnsw_4m_d960_np1_sustained", mk4m _, nq)))
+          ("ivf_hnsw_4m_d960_np1_sustained", mk4m _, nq),
+          ("bq_hamming_4m_d960_sustained", mkBq4m _, nq)))
         sustained4m ++= s4m
         sustainedSpread4m ++= sp4m
         q4m.unpersist()
+        bq4m.unpersist()
       }
     } catch { case e: Throwable =>
       errors += "bench_4m" ->
@@ -1330,6 +1346,8 @@ object Bench {
       // nq1000 rows (floor-dominated — read with job_floor_sec in mind)
       "hnsw_10k_d960_batch", "hnsw_pq_10k_d960_batch",
       "pq_serve_10k_d960_batch",
+      "bq_hamming_10k_d960_batch", "bq_rerank_10k_d960_batch",
+      "bq_hamming_1m_d960_batch", "bq_rerank_1m_d960_batch",
       "hnsw_1m_d960_batch", "ivf_hnsw_1m_d960_np1_batch",
       "ivf_hnsw_1m_d960_np1_ef20_batch", "ivf_hnsw_1m_d960_np1_ef40_batch",
       "ivf_hnsw_1m_d960_np2_batch", "ivf_hnsw_1m_d960_np4_batch",

@@ -28,6 +28,9 @@ object PlanAudit {
     val (model, assigned) = Ivf.build(base, k = 16)
     Ivf.search(assigned, model, qs, k = 5).explain("formatted")
 
+    println("=== Bq.hammingTopK (codegen pack + XOR/popcount) ===")
+    graft.operators.Bq.hammingTopK(base, qs, k = 5).explain("formatted")
+
     println("=== SQL top-k rewrite (id IN prune above the scan) ===")
     graft.functions.VectorFunctions.register(spark)
     graft.plans.GraftSqlTopK.enable(spark)
