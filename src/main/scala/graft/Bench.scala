@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.XXH64
 import org.apache.spark.sql.functions._
 import graft.operators.{Dedup, Hnsw, Ivf, IvfHnsw, Knn, Pq, TextAnalysis}
 
@@ -39,24 +40,67 @@ import graft.operators.{Dedup, Hnsw, Ivf, IvfHnsw, Knn, Pq, TextAnalysis}
 object Bench {
 
   /** Deterministic pseudo-random vectors: component j of row i is
-    * xxhash64(i, j) mapped to [-1, 1). Seeded, partitioning-independent. */
-  def synthVectors(s: SparkSession, n: Long, dim: Int): DataFrame =
-    s.range(n).select(col("id"),
-      transform(sequence(lit(0), lit(dim - 1)),
-        j => ((pmod(xxhash64(col("id"), j), lit(20000L)) - 10000L) / 10000.0)
-          .cast("float")).as("vec"))
+    * xxhash64(i, j) mapped to [-1, 1). Seeded, partitioning-independent.
+    *
+    * Implemented as a mapPartitions kernel calling the SAME XXH64 primitive
+    * Spark's `xxhash64` expression uses (`hashInt(j, hashLong(id, 42))` —
+    * the expression folds children left-to-right with the running hash as
+    * seed), so the values are bit-identical to the original
+    * `transform(sequence(...), j -> pmod(xxhash64(id, j), 20000) ...)`
+    * form (BenchSynthSpec pins this). The expression form evaluates
+    * interpreted — ArrayTransform never whole-stage-codegens — and at
+    * 1M×960 a single uncached pass cost ~10 CPU-min (and much worse on a
+    * loaded host: the r14 full-run crash window was exactly the repeated
+    * interpreted re-evaluation of the uncached 1M fixture). The kernel is
+    * ~30× cheaper per pass. */
+  def synthVectors(s: SparkSession, n: Long, dim: Int): DataFrame = {
+    import s.implicits._
+    s.range(n).mapPartitions { it =>
+      it.map { boxed =>
+        val id = boxed.longValue()
+        val hi = XXH64.hashLong(id, 42L)
+        val v = new Array[Float](dim)
+        var j = 0
+        while (j < dim) {
+          val h = XXH64.hashInt(j, hi)
+          val p = { val r = h % 20000L; if (r < 0) r + 20000L else r }
+          v(j) = ((p - 10000L) / 10000.0).toFloat
+          j += 1
+        }
+        (id, v)
+      }
+    }.toDF("id", "vec")
+  }
 
   /** Clustered variant: `centers` cluster centers (from the hash of the
     * cluster id), plus per-row noise of ±`noise` per component — the
     * structure real descriptor/embedding corpora (GIST, text embeddings)
-    * have and a uniform cloud lacks. */
+    * have and a uniform cloud lacks. Kernel form of the original
+    * `transform(sequence(...))` expression, bit-identical (see
+    * [[synthVectors]]; BenchSynthSpec pins equality). */
   def synthClusteredVectors(
-      s: SparkSession, n: Long, dim: Int, centers: Int, noise: Double): DataFrame =
-    s.range(n).select(col("id"),
-      transform(sequence(lit(0), lit(dim - 1)),
-        j => (((pmod(xxhash64(col("id") % centers, j), lit(20000L)) - 10000L) / 10000.0) +
-          ((pmod(xxhash64(col("id"), j + dim), lit(20000L)) - 10000L) / 10000.0) * noise)
-          .cast("float")).as("vec"))
+      s: SparkSession, n: Long, dim: Int, centers: Int, noise: Double): DataFrame = {
+    import s.implicits._
+    s.range(n).mapPartitions { it =>
+      it.map { boxed =>
+        val id = boxed.longValue()
+        val hc = XXH64.hashLong(id % centers, 42L)
+        val hi = XXH64.hashLong(id, 42L)
+        val v = new Array[Float](dim)
+        var j = 0
+        while (j < dim) {
+          val a = XXH64.hashInt(j, hc)
+          val b = XXH64.hashInt(j + dim, hi)
+          val pa = { val r = a % 20000L; if (r < 0) r + 20000L else r }
+          val pb = { val r = b % 20000L; if (r < 0) r + 20000L else r }
+          v(j) = (((pa - 10000L) / 10000.0) +
+            ((pb - 10000L) / 10000.0) * noise).toFloat
+          j += 1
+        }
+        (id, v)
+      }
+    }.toDF("id", "vec")
+  }
 
   /** Rank-R manifold variant: x = W·z with z clustered in R dims — the
     * intrinsic-dimension structure real descriptor corpora actually have
@@ -154,6 +198,11 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val nCores = cpus.toInt
+    // smoke-run detection (artifact routing): any knob override OR an
+    // under-provisioned session — full-scale records must come from a run
+    // using every core the machine has, or cross-round comparisons break
+    val isSmoke = sys.env.keys.exists(_.startsWith("SPARK_GRAFT_BENCH_N")) ||
+      nCores < Runtime.getRuntime.availableProcessors()
 
     /** Bind a serving plan's physical plan with AQE disabled. Serving jobs
       * are sub-second, fixed-shape, and broadcast/pinned-index driven: AQE
@@ -1314,7 +1363,7 @@ object Bench {
     val sweepJson = sweepArr(sweep)
     val total = results.map(_._2).sum
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"qps":$qps,"recall":$recallJson,"sustained_qps":$sustainedJson,"sustained_spread":$sustainedSpreadJson$sanityJson,"rep_spread":$spreadJson,"rep_gc_ms":$gcJson,"rep_rebuild_ms":$rebuildJson,"rep_jit_ms":$jitJson,"sustained_rebuild_ms":$sustainedRebuildJson,"build_scale":$buildScaleJson,"matched_recall":$matchedJson,"hnsw_d960_ef_sweep":$sweepJson,"pq_d960_ef_sweep":${sweepArr(pqSweep)},"hnsw_pq_walk_d960_ef_sweep":${sweepArr(hnswPqSweep)},"errors":$errJson,"nq":$nq,"n_vec":$nVec,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"qps":$qps,"recall":$recallJson,"sustained_qps":$sustainedJson,"sustained_spread":$sustainedSpreadJson$sanityJson,"rep_spread":$spreadJson,"rep_gc_ms":$gcJson,"rep_rebuild_ms":$rebuildJson,"rep_jit_ms":$jitJson,"sustained_rebuild_ms":$sustainedRebuildJson,"build_scale":$buildScaleJson,"matched_recall":$matchedJson,"hnsw_d960_ef_sweep":$sweepJson,"pq_d960_ef_sweep":${sweepArr(pqSweep)},"hnsw_pq_walk_d960_ef_sweep":${sweepArr(hnswPqSweep)},"errors":$errJson,"nq":$nq,"n_vec":$nVec,"cpus":$nCores,"smoke":$isSmoke,"sf":"$sfDir"}"""
     // DURABLE artifact (r10 verdict item 1): the driver captures only the
     // TAIL of stdout, and the full line above has been truncated two rounds
     // running — losing the np grid and the rep spread it carried. The file
@@ -1322,10 +1371,11 @@ object Bench {
     val outPath = try {
       val dir = java.nio.file.Paths.get("bench_out")
       java.nio.file.Files.createDirectories(dir)
-      // a knob-reduced run (any SPARK_GRAFT_BENCH_N* override) is a smoke
-      // run: park its artifact beside the full one instead of clobbering
-      // the full-scale record the round's analysis cites
-      val isSmoke = sys.env.keys.exists(_.startsWith("SPARK_GRAFT_BENCH_N"))
+      // a knob-reduced run (any SPARK_GRAFT_BENCH_N* override) OR a run at
+      // fewer cores than the machine has is a smoke run: park its artifact
+      // beside the full one instead of clobbering the full-scale record the
+      // round's analysis cites (an 8-of-32-core run once overwrote
+      // bench_full.json with uniformly ~4x-slow rows)
       val p = dir.resolve(if (isSmoke) "bench_smoke.json" else "bench_full.json")
       java.nio.file.Files.write(p, (fullLine + "\n").getBytes("UTF-8"))
       p.toAbsolutePath.toString
@@ -1388,7 +1438,6 @@ object Bench {
       s"""{"metric":"headline",${floorJson}"sustained_qps":$sustainedJson,"qps":$headQps,"recall":$headRecall,"sustained_spread":$sustainedSpreadJson$sanityJson,"np_rep_spread":$headSpread,"full_json":${jstr(outPath)},"nq":$nq}"""
     println(headlineLine)
     try {
-      val isSmoke = sys.env.keys.exists(_.startsWith("SPARK_GRAFT_BENCH_N"))
       java.nio.file.Files.write(
         java.nio.file.Paths.get("bench_out",
           if (isSmoke) "headline_smoke.json" else "headline.json"),

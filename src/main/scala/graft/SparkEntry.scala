@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Bm25, Bq, Corpus, Decontaminate, Dedup, Hnsw, Ivf, Knn, Multimodal, Pq, Redact, Search, TextAnalysis}
+import graft.operators.{Bm25, Bq, Corpus, Decontaminate, Dedup, Hnsw, Ivf, Knn, Multimodal, Pq, Redact, Search, Sq, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -394,6 +394,64 @@ object SparkEntry {
       val b = base(s, dir)
       val q = queryVectors(s, dir)
       val approx = Bq.searchRerank(b, q, k = 5, candidates = 200)
+        .select(col("query_id"), col("id"), col("distance")).cache()
+      val exact = Knn.exact(b, q, k = 5, dist = "l2sqr")
+        .select(col("query_id"), col("id").as("e_id"),
+          col("distance").as("e_dist"))
+      val byRank = Window.partitionBy("query_id").orderBy(col("distance"), col("id"))
+      val eByRank = Window.partitionBy("query_id").orderBy(col("e_dist"), col("e_id"))
+      val ranked = approx.withColumn("rn", row_number().over(byRank))
+        .join(exact.withColumn("rn", row_number().over(eByRank)),
+          Seq("query_id", "rn"))
+      val common = approx.join(
+          exact.select(col("query_id"), col("e_id").as("id")), Seq("query_id", "id"))
+        .groupBy("query_id").agg(count(lit(1)).as("n_common"))
+      ranked.groupBy("query_id")
+        .agg(count(lit(1)).cast("long").as("n_hits"),
+          min(col("distance") >= col("e_dist") - lit(1e-9)).as("dominated"))
+        .join(common, Seq("query_id"), "left")
+        .select(col("query_id"), col("n_hits"),
+          (coalesce(col("n_common"), lit(0L)) >= lit(3L)).as("recall_ok"),
+          col("dominated"))
+        .orderBy("query_id")
+    }),
+    // SQ8 coarse pass: per-dim affine quantization (exact double min/max →
+    // scale=(max−min)/255), codegen'd asymmetric decode-and-score. The
+    // model is deterministic from the data (no seeds, no sampling), so the
+    // oracle recomputes the SAME codes in SQL from per-dim min/max and the
+    // quantized-domain distances hash-match — a quantizer bug on the Spark
+    // side cannot slip past this.
+    "q_sq_coarse" -> ((s, dir) => {
+      val b = base(s, dir)
+      val model = Sq.train(b)
+      Sq.coarseTopK(Sq.encode(b, model).select(col("id"), col("sq")),
+          queryVectors(s, dir), model, k = 5)
+        .select(col("query_id"), col("id"),
+          (round(col("distance"), 6) + lit(0.0)).as("distance"))
+        .orderBy("query_id", "distance", "id")
+    }),
+    // SQ8 exhaustive: candidates ≥ table size keeps every row through the
+    // coarse pass, so the exact re-rank returns exact KNN and the plain
+    // top-k SQL oracle applies (q_pq_exact's pattern).
+    "q_sq_exact" -> ((s, dir) => {
+      val b = base(s, dir)
+      val n = b.count().toInt
+      Sq.searchRerank(b, queryVectors(s, dir), k = 5, candidates = 2 * n)
+        .select(col("query_id"), col("id"),
+          (round(col("distance"), 6) + lit(0.0)).as("distance"))
+        .orderBy("query_id", "distance", "id")
+    }),
+    // SQ8 two-stage serving at modest candidates: coarse top-50 on codes,
+    // exact L2 re-rank. Derived-check oracle (q_bq_rerank's pattern): hit
+    // count is k, recall@5 vs the exact twin clears the floor (SQ8's ≤
+    // scale/2 per-dim error makes candidates=50 measure 5/5 on the shipped
+    // fixtures; the graded bound is 3/5), and exact re-rank distances
+    // dominate the true KNN per rank (a theorem for any re-ranked subset).
+    "q_sq_rerank" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val b = base(s, dir)
+      val q = queryVectors(s, dir)
+      val approx = Sq.searchRerank(b, q, k = 5, candidates = 50)
         .select(col("query_id"), col("id"), col("distance")).cache()
       val exact = Knn.exact(b, q, k = 5, dist = "l2sqr")
         .select(col("query_id"), col("id").as("e_id"),
@@ -1065,6 +1123,47 @@ object SparkEntry {
     // emits constants-when-healthy (hit count, recall floor, per-rank
     // domination vs its own exact twin); the oracle pins them
     "q_bq_rerank" ->
+      """SELECT vec_id AS query_id, CAST(5 AS BIGINT) AS n_hits,
+        |       TRUE AS recall_ok, TRUE AS dominated
+        |FROM embeddings WHERE vec_id < 8 ORDER BY query_id""".stripMargin,
+    // SQ8 coarse pass: the oracle re-derives the ENTIRE quantizer in SQL —
+    // per-dim min/max over the table (two zipped unnests align value with
+    // dimension index), scale=(max−min)/255, the same double-arithmetic
+    // floor(x+0.5) clamp the Spark encode uses (bit-identical codes), then
+    // asymmetric decode-and-score. A train/encode/score bug cannot
+    // hash-match this.
+    "q_sq_coarse" ->
+      """WITH dims AS (
+        |  SELECT i, min(v) AS mn, max(v) AS mx FROM (
+        |    SELECT unnest(range(1, len(embedding) + 1)) AS i,
+        |           unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS v
+        |    FROM embeddings)
+        |  GROUP BY i),
+        |sc AS (SELECT i, mn,
+        |         CASE WHEN mx > mn THEN (mx - mn) / 255.0 ELSE 0.0 END AS s
+        |       FROM dims),
+        |dec AS (
+        |  SELECT e.vec_id, sc.i,
+        |         sc.mn + sc.s * (CASE WHEN sc.s > 0
+        |           THEN least(255.0, greatest(0.0,
+        |             floor((CAST(e.embedding[sc.i] AS DOUBLE) - sc.mn) / sc.s + 0.5)))
+        |           ELSE 0.0 END) AS dv
+        |  FROM embeddings e CROSS JOIN sc),
+        |scored AS (
+        |  SELECT q.query_id, d.vec_id AS id,
+        |         sum((CAST(q.qv[d.i] AS DOUBLE) - d.dv) ^ 2) AS dist
+        |  FROM (SELECT vec_id AS query_id, embedding AS qv
+        |        FROM embeddings WHERE vec_id < 8) q
+        |  CROSS JOIN dec d
+        |  GROUP BY q.query_id, d.vec_id)
+        |SELECT query_id, id, round(dist, 6) + 0.0 AS distance
+        |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+        |                                   ORDER BY dist, id) AS rn FROM scored)
+        |WHERE rn <= 5 ORDER BY query_id, distance, id""".stripMargin,
+    // exhaustive coarse pass + exact re-rank == exact KNN (see the query)
+    "q_sq_exact" -> topKSql(l2Expr, 5),
+    // derived-bound oracle, same pattern as q_pq_search / q_bq_rerank
+    "q_sq_rerank" ->
       """SELECT vec_id AS query_id, CAST(5 AS BIGINT) AS n_hits,
         |       TRUE AS recall_ok, TRUE AS dominated
         |FROM embeddings WHERE vec_id < 8 ORDER BY query_id""".stripMargin,
