@@ -39,6 +39,29 @@ import graft.operators.{Dedup, Hnsw, Ivf, IvfHnsw, Knn, Pq, TextAnalysis}
   */
 object Bench {
 
+  /** Error record for the JSON artifact: class + message + the CAUSE chain
+    * and the first graft/spark frames — the r14 full-run crash recorded
+    * only "[INTERNAL_ERROR] The count action failed..." with no stack,
+    * leaving the actual thrower unknowable from the artifact. */
+  private def errString(e: Throwable): String = {
+    val sb = new StringBuilder
+    var cur: Throwable = e
+    var depth = 0
+    while (cur != null && depth < 4) {
+      if (depth > 0) sb.append(" <- ")
+      sb.append(cur.getClass.getSimpleName).append(": ")
+        .append(Option(cur.getMessage).getOrElse("").take(300))
+      val frame = cur.getStackTrace.find(f =>
+        f.getClassName.startsWith("graft") ||
+        f.getClassName.startsWith("org.apache.spark"))
+      frame.foreach(f => sb.append(" @ ").append(f.getClassName)
+        .append(".").append(f.getMethodName).append(":").append(f.getLineNumber))
+      cur = cur.getCause
+      depth += 1
+    }
+    sb.toString.take(1200)
+  }
+
   /** Deterministic pseudo-random vectors: component j of row i is
     * xxhash64(i, j) mapped to [-1, 1). Seeded, partitioning-independent.
     *
@@ -291,6 +314,12 @@ object Bench {
     val bq960 = graft.operators.Bq.encode(vec960).select("id", "bq")
       .repartition(nCores).cache()
     bq960.count()
+    // SQ8 corpus: 960 bytes/row vs 3,840 — the 4×-smaller scan of the
+    // quantized spectrum's middle point (BQ 32× / SQ8 4× / PQ m-config)
+    val sqModel960 = graft.operators.Sq.train(vec960)
+    val sq960 = graft.operators.Sq.encode(vec960, sqModel960)
+      .select("id", "sq").repartition(nCores).cache()
+    sq960.count()
 
     // ---- serving plan FACTORIES --------------------------------------------
     // Every timed rep constructs a FRESH DataFrame and collects it under
@@ -333,12 +362,19 @@ object Bench {
       bq960, queries960, k = 10)
     def mkBqRerank960() = graft.operators.Bq.searchRerankPacked(
       bq960, vec960, queries960, k = 10, candidates = 100)
+    // SQ8 serving arms: raw asymmetric top-10 on the byte scan, and the
+    // two-stage (coarse top-100 → exact re-rank) shape
+    def mkSqCoarse960() = graft.operators.Sq.serveBroadcastPacked(
+      sq960, queries960, sqModel960, k = 10)
+    def mkSqRerank960() = graft.operators.Sq.searchRerankPacked(
+      sq960, vec960, queries960, sqModel960, k = 10, candidates = 100)
     /** One timed serving rep: fresh plan, bound AQE-off, full collect. */
     def serveFresh(mk: () => DataFrame): Long = withAqeOff(serve(mk()))
     // warm the resident index state (broadcast ship, graph rebuild caches)
     Seq(mkHnsw10k _, mkHnsw200k _, mkHnsw960 _, mkPqServe960 _,
       mkHnswPq960 _, mkPqBcast960 _, mkIvfProbe _,
-      mkBqHamming960 _, mkBqRerank960 _).foreach(serveFresh)
+      mkBqHamming960 _, mkBqRerank960 _,
+      mkSqCoarse960 _, mkSqRerank960 _).foreach(serveFresh)
     // full-table query batch at d960 (all 10k vectors as queries): the
     // serving rows above pay a measured ~100 ms fixed per-job scheduler
     // floor that dominates a 1000-query batch (the walk itself is ~20 ms);
@@ -379,7 +415,9 @@ object Bench {
       "hnsw_200k_batch" -> recallOf(mkHnsw200k(), truthBig),
       "ivf_probe_batch" -> recallOf(mkIvfProbe(), truthC),
       "bq_hamming_10k_d960_batch" -> recallOf(mkBqHamming960(), truth960),
-      "bq_rerank_10k_d960_batch" -> recallOf(mkBqRerank960(), truth960))
+      "bq_rerank_10k_d960_batch" -> recallOf(mkBqRerank960(), truth960),
+      "sq_coarse_10k_d960_batch" -> recallOf(mkSqCoarse960(), truth960),
+      "sq_rerank_10k_d960_batch" -> recallOf(mkSqRerank960(), truth960))
 
     // ---- sustained serving throughput (pipelined batches) ------------------
     // The per-batch serving rows include the whole ~100 ms scheduler floor
@@ -489,7 +527,9 @@ object Bench {
       ("hnsw_pq_walk_10k_d960_sustained", mkHnswPq960Walk _, nq),
       ("pq_serve_10k_d960_sustained", mkPqServe960 _, nq),
       ("bq_hamming_10k_d960_sustained", mkBqHamming960 _, nq),
-      ("bq_rerank_10k_d960_sustained", mkBqRerank960 _, nq)))
+      ("bq_rerank_10k_d960_sustained", mkBqRerank960 _, nq),
+      ("sq_coarse_10k_d960_sustained", mkSqCoarse960 _, nq),
+      ("sq_rerank_10k_d960_sustained", mkSqRerank960 _, nq)))
     // same-plan sanity (r10 verdict item 2): when the dispatch gate maps
     // (ef, pq) onto the plain walk, the hnsw and hnsw_pq sustained rows are
     // the SAME physical plan — their measured ratio is pure measurement
@@ -590,6 +630,9 @@ object Bench {
       // BQ coarse scan (packed longs) and two-stage serving at d960
       ("bq_hamming_10k_d960_batch", () => serveFresh(mkBqHamming960 _)),
       ("bq_rerank_10k_d960_batch", () => serveFresh(mkBqRerank960 _)),
+      // SQ8 byte scan and two-stage serving at d960
+      ("sq_coarse_10k_d960_batch", () => serveFresh(mkSqCoarse960 _)),
+      ("sq_rerank_10k_d960_batch", () => serveFresh(mkSqRerank960 _)),
       // Knn.exact is physically served by the broadcast scan (primitive
       // float[] reads); the declarative cross-join shape is kept visible
       // as knn_l2_xjoin_batch — its per-pair ArrayData accessor cost
@@ -674,7 +717,7 @@ object Bench {
           val r0 = rebuildMillis(); val j0 = jitMillis()
           val ok = try { fn(); true }
           catch { case e: Throwable =>
-            errors += name -> Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+            errors += name -> errString(e)
             false
           }
           if (ok) Some(((System.nanoTime() - t0) / 1e9, (gcMillis() - g0).toDouble,
@@ -708,7 +751,7 @@ object Bench {
           val r0 = rebuildMillis(); val j0 = jitMillis()
           val ok = try { fn(); true }
           catch { case e: Throwable =>
-            errors += name -> Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+            errors += name -> errString(e)
             false
           }
           // failed reps are dropped, not timed — a throw's wall time says
@@ -733,6 +776,7 @@ object Bench {
     bm25Idx.postings.unpersist()
     bm25Queries.unpersist()
     bq960.unpersist()
+    sq960.unpersist()
 
     // ---- 1M×960 beyond-broadcast serving (BASELINE.md primary scale) -------
     // 1M×960 f32 ≈ 3.8 GB — past the 1 GiB broadcast gate, so these rows
@@ -890,9 +934,20 @@ object Bench {
       def mkBqRerank1m() = graft.operators.Bq.searchRerankPacked(
         bq1m, vec1m, q1m, k = 10, candidates = 100)
       withAqeOff(serve(mkBqHamming1m())); withAqeOff(serve(mkBqRerank1m()))
+      // SQ8 at 1M: the byte corpus is ~960 MB cached vs ~3.8 GB float —
+      // the 4×-less-traffic linear-scan arm, far higher coarse recall than
+      // BQ's sign sketch (≤ scale/2 per-dim reconstruction error)
+      val sqModel1m = graft.operators.Sq.train(vec1m)
+      val sq1m = graft.operators.Sq.encode(vec1m, sqModel1m).select("id", "sq")
+        .repartition(nCores).cache()
+      sq1m.count()
+      def mkSqCoarse1m() = graft.operators.Sq.serveBroadcastPacked(
+        sq1m, q1m, sqModel1m, k = 10)
+      withAqeOff(serve(mkSqCoarse1m()))
       val truth1m = truthSets(vec1m, q1m, 10)
       recalls1m += "bq_hamming_1m_d960_batch" -> recallOf(mkBqHamming1m(), truth1m)
       recalls1m += "bq_rerank_1m_d960_batch" -> recallOf(mkBqRerank1m(), truth1m)
+      recalls1m += "sq_coarse_1m_d960_batch" -> recallOf(mkSqCoarse1m(), truth1m)
       recalls1m += "hnsw_1m_d960_batch" -> recallOf(mkPinned(), truth1m)
       routedMk.foreach { case (np, mk) =>
         recalls1m += s"ivf_hnsw_1m_d960_np${np}_batch" -> recallOf(mk(), truth1m)
@@ -959,7 +1014,8 @@ object Bench {
         ("hnsw_pq_walk_1m_d960_batch", () => withAqeOff(serve(mkPinnedPqWalk()))),
         ("ivf_hnsw_pq_1m_d960_np1_batch", () => withAqeOff(serve(mkRoutedPq()))),
         ("bq_hamming_1m_d960_batch", () => withAqeOff(serve(mkBqHamming1m()))),
-        ("bq_rerank_1m_d960_batch", () => withAqeOff(serve(mkBqRerank1m())))) ++
+        ("bq_rerank_1m_d960_batch", () => withAqeOff(serve(mkBqRerank1m()))),
+        ("sq_coarse_1m_d960_batch", () => withAqeOff(serve(mkSqCoarse1m())))) ++
         routedMk.map { case (np, mk) =>
           (s"ivf_hnsw_1m_d960_np${np}_batch",
             () => withAqeOff(serve(mk())): Long)
@@ -990,13 +1046,15 @@ object Bench {
           () => mkWalkEf(wEf), nq),
         ("ivf_hnsw_1m_d960_np1_matched_sustained",
           () => mkPlainEf(pEf), nq),
-        ("bq_hamming_1m_d960_sustained", mkBqHamming1m _, nq)))
+        ("bq_hamming_1m_d960_sustained", mkBqHamming1m _, nq),
+        ("sq_coarse_1m_d960_sustained", mkSqCoarse1m _, nq)))
       sustained1m ++= s1m
       sustainedSpread1m ++= sp1m
       bq1m.unpersist()
+      sq1m.unpersist()
     } catch { case e: Throwable =>
       errors += "bench_1m" ->
-        Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+        errString(e)
     }
 
     // Each scale fixture's serving state (pinned RDD blocks + executor
@@ -1115,7 +1173,7 @@ object Bench {
       sustainedSpread1mLr ++= spLr
     } catch { case e: Throwable =>
       errors += "bench_1mlr" ->
-        Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+        errString(e)
     }
 
     dropServingCaches(if (n1mLr > 0) Some(s"bench1mlr_${n1mLr}_32") else None)
@@ -1182,7 +1240,7 @@ object Bench {
       q2m.unpersist(); q2m10k.unpersist()
     } catch { case e: Throwable =>
       errors += "bench_2m" ->
-        Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+        errString(e)
     }
 
     dropServingCaches(if (n2m > 0) Some(s"bench2m_${n2m}_64") else None)
@@ -1272,7 +1330,7 @@ object Bench {
       }
     } catch { case e: Throwable =>
       errors += "bench_4m" ->
-        Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+        errString(e)
     }
     val results = resultsStd ++ results1m ++ results1mLr ++ results2m ++ results4m
 
@@ -1397,6 +1455,7 @@ object Bench {
       "hnsw_10k_d960_batch", "hnsw_pq_10k_d960_batch",
       "pq_serve_10k_d960_batch",
       "bq_hamming_10k_d960_batch", "bq_rerank_10k_d960_batch",
+      "sq_coarse_10k_d960_batch", "sq_rerank_10k_d960_batch",
       "bq_hamming_1m_d960_batch", "bq_rerank_1m_d960_batch",
       "hnsw_1m_d960_batch", "ivf_hnsw_1m_d960_np1_batch",
       "ivf_hnsw_1m_d960_np1_ef20_batch", "ivf_hnsw_1m_d960_np1_ef40_batch",

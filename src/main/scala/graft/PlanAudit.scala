@@ -31,6 +31,14 @@ object PlanAudit {
     println("=== Bq.hammingTopK (codegen pack + XOR/popcount) ===")
     graft.operators.Bq.hammingTopK(base, qs, k = 5).explain("formatted")
 
+    println("=== Sq.coarseTopK (codegen asymmetric decode-and-score) ===")
+    val sqModel = graft.operators.Sq.train(base)
+    graft.operators.Sq.coarseTopK(
+      graft.operators.Sq.encode(base, sqModel)
+        .select(org.apache.spark.sql.functions.col("id"),
+          org.apache.spark.sql.functions.col("sq")),
+      qs, sqModel, k = 5).explain("formatted")
+
     println("=== SQL top-k rewrite (id IN prune above the scan) ===")
     graft.functions.VectorFunctions.register(spark)
     graft.plans.GraftSqlTopK.enable(spark)
