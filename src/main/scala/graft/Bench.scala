@@ -1046,8 +1046,13 @@ object Bench {
           () => mkWalkEf(wEf), nq),
         ("ivf_hnsw_1m_d960_np1_matched_sustained",
           () => mkPlainEf(pEf), nq),
-        ("bq_hamming_1m_d960_sustained", mkBqHamming1m _, nq),
-        ("sq_coarse_1m_d960_sustained", mkSqCoarse1m _, nq)))
+        ("bq_hamming_1m_d960_sustained", mkBqHamming1m _, nq)))
+      // NO sq_coarse_1m sustained row: 96 pipelined batches of a full
+      // 1M×960 double-precision scan is ~hours of compute for a row nobody
+      // serves (the 1M batch + recall rows above carry the scale evidence;
+      // IVF routing is SQ8's scale path). Measured the hard way in r14:
+      // the row alone held the sustained grid >2 h before the early-exit
+      // kernel landed.
       sustained1m ++= s1m
       sustainedSpread1m ++= sp1m
       bq1m.unpersist()

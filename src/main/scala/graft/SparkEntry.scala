@@ -473,6 +473,23 @@ object SparkEntry {
           col("dominated"))
         .orderBy("query_id")
     }),
+    // IVF-routed SQ8 (FAISS IVFSQ composition): probe-pruned byte scan +
+    // exact re-rank. Exhaustive settings (nProbes = kClusters, candidates ≥
+    // n) make it exact KNN → plain top-k oracle; SqSpec holds the pruned-
+    // probe recall floor.
+    "q_sq_ivf" -> ((s, dir) => {
+      val b = base(s, dir)
+      val n = b.count().toInt
+      val (ivfModel, assigned) = Ivf.build(b, k = 16)
+      val sqModel = Sq.train(b)
+      val packed = Sq.encode(assigned, sqModel)
+        .select(col("id"), col("sq"), col("cluster"))
+      Sq.searchIvf(packed, b, ivfModel, sqModel, queryVectors(s, dir),
+          k = 5, candidates = 2 * n, nProbes = Some(16))
+        .select(col("query_id"), col("id"),
+          (round(col("distance"), 6) + lit(0.0)).as("distance"))
+        .orderBy("query_id", "distance", "id")
+    }),
     // LLM-pipeline: multimodal binary-column feature extraction (decode is
     // a deterministic stub; length+digest verified end-to-end by oracle)
     "q_multimodal_features" -> ((s, dir) => {
@@ -1162,6 +1179,8 @@ object SparkEntry {
         |WHERE rn <= 5 ORDER BY query_id, distance, id""".stripMargin,
     // exhaustive coarse pass + exact re-rank == exact KNN (see the query)
     "q_sq_exact" -> topKSql(l2Expr, 5),
+    // exhaustive probes + candidates ⇒ IVFSQ is exact KNN (see the query)
+    "q_sq_ivf" -> topKSql(l2Expr, 5),
     // derived-bound oracle, same pattern as q_pq_search / q_bq_rerank
     "q_sq_rerank" ->
       """SELECT vec_id AS query_id, CAST(5 AS BIGINT) AS n_hits,

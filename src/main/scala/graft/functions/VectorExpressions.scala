@@ -199,5 +199,26 @@ object VectorFunctions {
         // "builtin" (no hyphen) throws at resolution time
         "built-in")
     }
+    // binary-quantization surface: pack + Hamming are model-free, so they
+    // are directly SQL-expressible (SQ/PQ need a trained model and stay on
+    // the DataFrame/catalog API)
+    reg.createOrReplaceTempFunction(
+      "bq_pack",
+      exprs => {
+        if (exprs.length != 1)
+          throw new IllegalArgumentException(
+            s"bq_pack requires exactly 1 argument (got ${exprs.length})")
+        BitPackSign(exprs(0))
+      },
+      "built-in")
+    reg.createOrReplaceTempFunction(
+      "bq_hamming",
+      exprs => {
+        if (exprs.length != 2)
+          throw new IllegalArgumentException(
+            s"bq_hamming requires exactly 2 arguments (got ${exprs.length})")
+        HammingDistance(exprs(0), exprs(1))
+      },
+      "built-in")
   }
 }

@@ -58,7 +58,7 @@ object Sq {
           Iterator.single((mn, mx))
         }
       }
-    val (mins, maxs) = partials.treeReduce { case ((mn1, mx1), (mn2, mx2)) =>
+    val (mins, maxs) = try partials.treeReduce { case ((mn1, mx1), (mn2, mx2)) =>
       var i = 0
       while (i < mn1.length) {
         if (mn2(i) < mn1(i)) mn1(i) = mn2(i)
@@ -66,6 +66,11 @@ object Sq {
         i += 1
       }
       (mn1, mx1)
+    } catch { case _: UnsupportedOperationException =>
+      // treeReduce's "empty collection" — keep train ONE pass (no isEmpty
+      // pre-job) and still fail with an actionable message
+      throw new IllegalArgumentException(
+        "sq_train: input table has no rows — a quantizer needs at least one vector")
     }
     SqModel(mins, SqKernel.scales(mins, maxs))
   }
@@ -145,17 +150,58 @@ object Sq {
           val bufD = Array.fill(nq)(new Array[Double](k))
           val bufI = Array.fill(nq)(new Array[Long](k))
           val sz = new Array[Int](nq)
+          val dim = mins.length
+          // decode each row ONCE per batch, not once per (row × query):
+          // at nq=1000 the affine decode would otherwise triple the FLOPs
+          // and re-read code bytes per query; the decoded row stays hot in
+          // L1 across the query loop. Same double arithmetic as
+          // [[SqKernel]] term for term — the declarative arm's distances
+          // (and therefore ties) are reproduced exactly (SqSpec pins it).
+          val dec = new Array[Double](dim)
           while (it.hasNext) {
             val (id, code) = it.next()
+            var di = 0
+            while (di < dim) {
+              dec(di) = mins(di) + scales(di) * (code(di) & 0xFF)
+              di += 1
+            }
             var qi = 0
             while (qi < nq) {
               val q = qarr(qi)._2
-              val d =
-                if (kindDot) SqKernel.dot(q, code, mins, scales)
-                else if (kindCos) SqKernel.cosine(q, code, mins, scales)
-                else SqKernel.l2(q, code, mins, scales)
               val n = sz(qi)
               val ds = bufD(qi); val ids = bufI(qi)
+              var d = 0.0
+              if (kindDot) {
+                var i = 0
+                while (i < dim) { d += q(i).toDouble * dec(i); i += 1 }
+              } else if (kindCos) {
+                var dp = 0.0; var nq2 = 0.0; var nc = 0.0
+                var i = 0
+                while (i < dim) {
+                  val a = q(i).toDouble
+                  dp += a * dec(i); nq2 += a * a; nc += dec(i) * dec(i)
+                  i += 1
+                }
+                d = 1.0 - dp / math.max(math.sqrt(nq2) * math.sqrt(nc), 1e-10)
+              } else {
+                // L2 partial sums are monotone: once d exceeds the current
+                // k-th-worst STRICTLY, the row cannot be admitted (equality
+                // still completes — the id tie-break may admit it), so the
+                // dim loop bails in 128-element blocks. Selection-neutral:
+                // only never-admitted rows are cut short.
+                val bound = if (n == k) ds(n - 1) else Double.PositiveInfinity
+                var i = 0
+                var live = true
+                while (live && i < dim) {
+                  val blockEnd = math.min(i + 128, dim)
+                  while (i < blockEnd) {
+                    val t = q(i).toDouble - dec(i)
+                    d += t * t
+                    i += 1
+                  }
+                  if (d > bound) live = false
+                }
+              }
               if (n < k || d < ds(n - 1) || (d == ds(n - 1) && id < ids(n - 1))) {
                 val m = if (n < k) n else n - 1
                 var lo = 0; var hi = m
@@ -212,6 +258,84 @@ object Sq {
     val qs = broadcast(queries.select(
       col(queryIdCol).cast("long").as("query_id"),
       col(queryVecCol).as("__qvec")))
+    broadcast(coarse)
+      .join(base.select(col(idCol).cast("long").as("id"),
+        col(vecCol).as("__vec")), "id")
+      .join(qs, "query_id")
+      .select(col("query_id"), col("id"),
+        graft.functions.VectorFunctions.distance(
+          col("__vec"), col("__qvec"), dist).as("__dist"))
+      .groupBy("query_id")
+      .agg(TopK.topK(k)(col("id"), col("__dist")).as("topk"))
+      .select(col("query_id"), explode(col("topk")).as("hit"))
+      .select(col("query_id"), col("hit.id").as("id"),
+        col("hit.distance").as("distance"))
+  }
+
+  /** IVF-routed SQ8 (the FAISS IVF+SQ composition on the engine's own IVF
+    * machinery): per query, probe the `nProbes` nearest clusters (tiny
+    * broadcast crossJoin against the centroid sidecar), scan ONLY those
+    * clusters' byte codes with the codegen'd asymmetric distance, keep the
+    * coarse top-`candidates`, then exact re-rank on an id-pruned pass over
+    * the float column. With `nProbes ≥ kClusters` and `candidates ≥ n` the
+    * result is exact KNN (every row survives both prunes).
+    *
+    * 100 TB shape: the IVF pruning and the 4× byte compression multiply.
+    * In this DataFrame shape the scan is COMPUTE-pruned (a probed-pairs
+    * broadcast hash join: unprobed clusters' rows score nothing); to prune
+    * BYTES too, write `assignedPacked` cluster-partitioned
+    * ([[Ivf.writePartitioned]]'s layout) and the probed clusters become
+    * parquet partition filters — (np/kc) × corpus/4 bytes read per batch.
+    *
+    * @param assignedPacked (id, sq, cluster) — [[Ivf.assign]] output run
+    *                       through [[encode]]
+    * @param base           (id, vec) float table for the re-rank
+    */
+  def searchIvf(
+      assignedPacked: DataFrame,
+      base: DataFrame,
+      ivfModel: graft.operators.IvfModel,
+      sqModel: SqModel,
+      queries: DataFrame,
+      k: Int,
+      candidates: Int,
+      nProbes: Option[Int] = None,
+      dist: String = "l2sqr",
+      idCol: String = "id",
+      vecCol: String = "vec",
+      queryIdCol: String = "query_id",
+      queryVecCol: String = "query_vec"): DataFrame = {
+    require(candidates >= k, s"candidates ($candidates) must be >= k ($k)")
+    val np = math.max(1, nProbes.getOrElse(ivfModel.defaultNProbes))
+    val spark = assignedPacked.sparkSession
+    val qsExact = queries.select(
+      col(queryIdCol).cast("long").as("query_id"),
+      col(queryVecCol).as("query_vec"))
+    // per-query probe list: Q × k_clusters tiny crossJoin + bounded top-k
+    // (Ivf.search's shape — ties → lowest cluster id)
+    val probes = qsExact
+      .crossJoin(broadcast(Ivf.centroidsDf(spark, ivfModel)))
+      .select(col("query_id"), col("cluster").cast("long").as("cl"),
+        graft.functions.VectorFunctions.distance(
+          col("query_vec"), col("centroid"), ivfModel.dist).as("cd"))
+      .groupBy("query_id")
+      .agg(TopK.topK(np)(col("cl"), col("cd")).as("pk"))
+      .select(col("query_id"),
+        explode(transform(col("pk"), h => h.getField("id"))).as("p_cluster"))
+    val probedQueries = probes.join(qsExact, "query_id")
+    // cluster-pruned BYTE scan: codes stream, probed pairs broadcast
+    val coarse = assignedPacked
+      .join(broadcast(probedQueries),
+        col("cluster").cast("long") === col("p_cluster"))
+      .select(col("query_id"), col(idCol).cast("long").as("__id"),
+        sqDistance(col("sq"), col("query_vec"), sqModel, dist).as("__dist"))
+      .groupBy("query_id")
+      .agg(TopK.topK(candidates)(col("__id"), col("__dist")).as("topk"))
+      .select(col("query_id"), explode(col("topk")).as("hit"))
+      .select(col("query_id"), col("hit.id").as("id"))
+    // exact re-rank of the survivors (bounded: nq × candidates rows)
+    val qs = broadcast(qsExact.select(col("query_id"),
+      col("query_vec").as("__qvec")))
     broadcast(coarse)
       .join(base.select(col(idCol).cast("long").as("id"),
         col(vecCol).as("__vec")), "id")

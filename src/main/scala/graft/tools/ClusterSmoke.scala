@@ -146,7 +146,32 @@ object ClusterSmoke {
       }
     }
 
-    // 5. distributed ingest: new rows visible to a subsequent search
+    // 5. quantized serving off-driver: BQ packed Hamming and SQ8 asymmetric
+    //    byte-scan both broadcast driver-built state (packed query batch /
+    //    model arrays inside the codegen'd expression) to executor tasks —
+    //    exactly the driver-state-absent-on-executor class this harness
+    //    exists for. candidates ≥ n makes both two-stage arms exact.
+    check("BQ and SQ8 rerank equal exact KNN on executors") {
+      import spark.implicits._
+      val base = vecs.indices.map(i => (i.toLong, vecs(i))).toDF("id", "vec")
+        .repartition(8).cache()
+      val qdf = Seq((0L, q0)).toDF("query_id", "query_vec")
+      val want = Knn.exact(base, qdf, k = 10)
+        .select("id", "distance").as[(Long, Double)].collect().toSeq
+        .sortBy(r => (r._2, r._1))
+      val bq = graft.operators.Bq.searchRerank(base, qdf, k = 10,
+          candidates = vecs.size)
+        .select("id", "distance").as[(Long, Double)].collect().toSeq
+        .sortBy(r => (r._2, r._1))
+      val sq = graft.operators.Sq.searchRerank(base, qdf, k = 10,
+          candidates = vecs.size)
+        .select("id", "distance").as[(Long, Double)].collect().toSeq
+        .sortBy(r => (r._2, r._1))
+      base.unpersist()
+      bq == want && sq == want
+    }
+
+    // 6. distributed ingest: new rows visible to a subsequent search
     check("addDataFrame ingest visible") {
       import spark.implicits._
       val marker = Array.fill(dim)(99f)

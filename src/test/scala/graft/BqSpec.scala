@@ -109,4 +109,17 @@ class BqSpec extends SparkTestBase {
       assert(math.abs(x.getAs[Double]("distance") - y.getAs[Double]("distance")) < 1e-9)
     }
   }
+
+  test("SQL surface: bq_pack / bq_hamming registered and match the kernel") {
+    graft.functions.VectorFunctions.register(spark)
+    val v = Array(1f, -2f, 3f, -4f)
+    val w = Array(-1f, -2f, 3f, 4f)
+    Seq((0L, v, w)).toDF("id", "a", "b").createOrReplaceTempView("bqsql_t")
+    val got = spark.sql(
+      "SELECT bq_hamming(bq_pack(a), bq_pack(b)) AS h FROM bqsql_t")
+      .as[Long].collect().head
+    val want = graft.functions.BqKernel.hamming(
+      graft.functions.BqKernel.pack(v), graft.functions.BqKernel.pack(w))
+    assert(got == want && got == 2L)
+  }
 }

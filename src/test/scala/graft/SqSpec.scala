@@ -114,6 +114,46 @@ class SqSpec extends SparkTestBase {
     df.unpersist()
   }
 
+  test("searchIvf: exhaustive probes + candidates equals exact KNN") {
+    val data = randVecs(400, 10, seed = 23)
+    val df = data.toDF("id", "vec").repartition(4).cache()
+    val q = df.filter(col("id") < 5)
+      .select(col("id").as("query_id"), col("vec").as("query_vec"))
+    val (ivfModel, assigned) = graft.operators.Ivf.build(df, k = 8)
+    val sqModel = Sq.train(df)
+    val packed = Sq.encode(assigned, sqModel)
+      .select(col("id"), col("sq"), col("cluster"))
+    val got = Sq.searchIvf(packed, df, ivfModel, sqModel, q, k = 5,
+        candidates = 400, nProbes = Some(8))
+      .orderBy("query_id", "distance", "id").collect().toSeq
+    val want = Knn.exact(df, q, k = 5, dist = "l2sqr")
+      .select(col("query_id"), col("id"), col("distance"))
+      .orderBy("query_id", "distance", "id").collect().toSeq
+    assert(got == want)
+    df.unpersist()
+  }
+
+  test("searchIvf: pruned probes keep a recall floor") {
+    val data = randVecs(1000, 16, seed = 29)
+    val df = data.toDF("id", "vec").repartition(4).cache()
+    val q = df.filter(col("id") < 8)
+      .select(col("id").as("query_id"), col("vec").as("query_vec"))
+    val (ivfModel, assigned) = graft.operators.Ivf.build(df, k = 16)
+    val sqModel = Sq.train(df)
+    val packed = Sq.encode(assigned, sqModel)
+      .select(col("id"), col("sq"), col("cluster"))
+    val approx = Sq.searchIvf(packed, df, ivfModel, sqModel, q, k = 5,
+        candidates = 50, nProbes = Some(4))
+      .select(col("query_id"), col("id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Knn.exact(df, q, k = 5, dist = "l2sqr")
+      .select(col("query_id"), col("id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (approx intersect exact).size.toDouble / exact.size
+    assert(recall >= 0.7, s"recall $recall < 0.7 at nProbes=4/16")
+    df.unpersist()
+  }
+
   test("sq distance kinds match exact distances on decoded vectors") {
     // evaluating the codegen expression against the kernel on one row
     val v = Array(0.5f, -1.25f, 2f, 0f)
