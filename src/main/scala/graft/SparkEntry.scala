@@ -441,6 +441,25 @@ object SparkEntry {
           (round(col("distance"), 6) + lit(0.0)).as("distance"))
         .orderBy("query_id", "distance", "id")
     }),
+    // BQ through the registered SQL surface: bq_pack / bq_hamming called
+    // from spark.sql, per-query top-k via a window — the same sign-
+    // disagreement DuckDB oracle as q_bq_hamming grades the SQL-function
+    // path end to end (registration, resolution, codegen under SQL).
+    "q_bq_sql" -> ((s, dir) => {
+      graft.functions.VectorFunctions.register(s)
+      base(s, dir).createOrReplaceTempView("bq_sql_base")
+      queryVectors(s, dir).createOrReplaceTempView("bq_sql_q")
+      s.sql(
+        """WITH sc AS (
+          |  SELECT q.query_id, b.id,
+          |         bq_hamming(bq_pack(b.vec), bq_pack(q.query_vec)) AS hamming
+          |  FROM bq_sql_q q CROSS JOIN bq_sql_base b)
+          |SELECT query_id, id, hamming
+          |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+          |                                   ORDER BY hamming, id) AS rn FROM sc)
+          |WHERE rn <= 5
+          |ORDER BY query_id, hamming, id""".stripMargin)
+    }),
     // SQ8 two-stage serving at modest candidates: coarse top-50 on codes,
     // exact L2 re-rank. Derived-check oracle (q_bq_rerank's pattern): hit
     // count is k, recall@5 vs the exact twin clears the floor (SQ8's ≤
@@ -1125,6 +1144,19 @@ object SparkEntry {
     // recomputed UNPACKED here — a packing/popcount bug on the Spark side
     // cannot hash-match this
     "q_bq_hamming" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+        |           FROM embeddings WHERE vec_id < 8),
+        |sc AS (SELECT q.query_id, b.vec_id AS id,
+        |       CAST(list_sum(list_transform(range(1, len(b.embedding) + 1),
+        |         i -> CASE WHEN (q.qv[i] >= 0) != (b.embedding[i] >= 0)
+        |              THEN 1 ELSE 0 END)) AS BIGINT) AS hamming
+        |       FROM q CROSS JOIN embeddings b)
+        |SELECT query_id, id, hamming
+        |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+        |                                   ORDER BY hamming, id) AS rn FROM sc)
+        |WHERE rn <= 5 ORDER BY query_id, hamming, id""".stripMargin,
+    // the SQL-function path grades against the same unpacked recomputation
+    "q_bq_sql" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv
         |           FROM embeddings WHERE vec_id < 8),
         |sc AS (SELECT q.query_id, b.vec_id AS id,
