@@ -488,11 +488,13 @@ object Bench {
         val batches = 16
         val perRep = Array.fill(ws.length)(Vector.empty[Double])
         val perRb = Array.fill(ws.length)(Vector.empty[Double])
-        // one untimed warm round first: the first pipelined pass per
+        // TWO untimed warm rounds first: the first pipelined pass per
         // workload is 2-6× cold (JIT of the submit path, pool spin-up, GC
-        // ramp — visible in the r11 shakedown's rep spread) and would
-        // otherwise burn one of the timed reps per workload
-        (0 to rounds).foreach { round =>
+        // ramp — visible in the r11 shakedown's rep spread), and with only
+        // one warm round the first TIMED rep still ran 40-75% of its
+        // siblings on every 1M row (r14 full artifact: C2 tiering completes
+        // during round 1) — burning one of the five timed reps per workload
+        (-1 to rounds).foreach { round =>
           ws.zipWithIndex.foreach { case ((_, mk, nqPlan), i) =>
             System.gc()
             val t0 = System.nanoTime(); val r0 = rebuildMillis()
@@ -944,10 +946,23 @@ object Bench {
       def mkSqCoarse1m() = graft.operators.Sq.serveBroadcastPacked(
         sq1m, q1m, sqModel1m, k = 10)
       withAqeOff(serve(mkSqCoarse1m()))
+      // SQ8's actual scale path: IVF-routed (np1 of kc=32 ⇒ ~1/32 of the
+      // byte corpus scanned per query) + exact re-rank. Reuses the routed
+      // index's own centroids (model1m). Batch + recall only, like
+      // bq_rerank_1m: the re-rank pass honestly re-reads the uncached
+      // float fixture per batch (a deployment reads parquet).
+      val sqIvf1m = graft.operators.Sq.encode(
+        Ivf.assign(vec1m, model1m), sqModel1m)
+        .select("id", "sq", "cluster").repartition(nCores).cache()
+      sqIvf1m.count()
+      def mkSqIvf1m() = graft.operators.Sq.searchIvf(sqIvf1m, vec1m,
+        model1m, sqModel1m, q1m, k = 10, candidates = 100, nProbes = Some(1))
+      withAqeOff(serve(mkSqIvf1m()))
       val truth1m = truthSets(vec1m, q1m, 10)
       recalls1m += "bq_hamming_1m_d960_batch" -> recallOf(mkBqHamming1m(), truth1m)
       recalls1m += "bq_rerank_1m_d960_batch" -> recallOf(mkBqRerank1m(), truth1m)
       recalls1m += "sq_coarse_1m_d960_batch" -> recallOf(mkSqCoarse1m(), truth1m)
+      recalls1m += "sq_ivf_1m_d960_np1_batch" -> recallOf(mkSqIvf1m(), truth1m)
       recalls1m += "hnsw_1m_d960_batch" -> recallOf(mkPinned(), truth1m)
       routedMk.foreach { case (np, mk) =>
         recalls1m += s"ivf_hnsw_1m_d960_np${np}_batch" -> recallOf(mk(), truth1m)
@@ -1015,7 +1030,8 @@ object Bench {
         ("ivf_hnsw_pq_1m_d960_np1_batch", () => withAqeOff(serve(mkRoutedPq()))),
         ("bq_hamming_1m_d960_batch", () => withAqeOff(serve(mkBqHamming1m()))),
         ("bq_rerank_1m_d960_batch", () => withAqeOff(serve(mkBqRerank1m()))),
-        ("sq_coarse_1m_d960_batch", () => withAqeOff(serve(mkSqCoarse1m())))) ++
+        ("sq_coarse_1m_d960_batch", () => withAqeOff(serve(mkSqCoarse1m()))),
+        ("sq_ivf_1m_d960_np1_batch", () => withAqeOff(serve(mkSqIvf1m())))) ++
         routedMk.map { case (np, mk) =>
           (s"ivf_hnsw_1m_d960_np${np}_batch",
             () => withAqeOff(serve(mk())): Long)
@@ -1057,6 +1073,7 @@ object Bench {
       sustainedSpread1m ++= sp1m
       bq1m.unpersist()
       sq1m.unpersist()
+      sqIvf1m.unpersist()
     } catch { case e: Throwable =>
       errors += "bench_1m" ->
         errString(e)
