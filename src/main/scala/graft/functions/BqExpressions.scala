@@ -37,8 +37,33 @@ object BqKernel {
     out
   }
 
-  /** Hamming distance between two packed sign arrays. */
+  /** Pack threshold bits: bit set iff `v(i) >= thr(i)`. With `thr` = the
+    * per-dim corpus mean ([[graft.operators.Bq.train]]) each bit splits the
+    * corpus ~50/50 — raw sign bits carry near-zero information on any
+    * corpus whose dims are not already centered (an all-positive corpus
+    * packs every row identically and the Hamming coarse pass degenerates
+    * to random selection). */
+  def packCentered(v: Array[Float], thr: Array[Double]): Array[Long] = {
+    if (v.length != thr.length)
+      throw new IllegalArgumentException(
+        s"bq_pack: dimension mismatch (vector ${v.length} vs thresholds ${thr.length})")
+    val out = new Array[Long](words(v.length))
+    var i = 0
+    while (i < v.length) {
+      if (v(i) >= thr(i)) out(i >>> 6) |= 1L << (i & 63)
+      i += 1
+    }
+    out
+  }
+
+  /** Hamming distance between two packed sign arrays. Validates word
+    * counts with the same message as [[HammingDistance]]: a longer corpus
+    * row would otherwise silently truncate to a wrong distance and a
+    * shorter one would throw a bare ArrayIndexOutOfBoundsException. */
   def hamming(a: Array[Long], b: Array[Long]): Int = {
+    if (a.length != b.length)
+      throw new IllegalArgumentException(
+        s"bq_hamming: word-count mismatch (${a.length} vs ${b.length})")
     var acc = 0
     var i = 0
     while (i < a.length) {
@@ -107,6 +132,79 @@ case class BitPackSign(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 
   override def prettyName: String = "bq_pack"
+}
+
+/** Codegen'd threshold-bit packing: `array<float|double>` → `array<bigint>`,
+  * bit `j` of word `w` set iff `v(64·w + j) >= thresholds(64·w + j)` — the
+  * centered variant of [[BitPackSign]] (which this generalizes: an all-zero
+  * threshold vector reproduces it bit for bit). The threshold vector is a
+  * plan-level constant (per-dim corpus means from [[graft.operators.Bq
+  * .train]]), shipped once per task as a codegen reference object. */
+case class BitPackCentered(child: Expression, thresholds: Array[Double])
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"bq_pack requires array<float>/array<double>, got ${other.catalogString}")
+  }
+
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    if (n != thresholds.length)
+      throw new IllegalArgumentException(
+        s"bq_pack: dimension mismatch (vector $n vs thresholds ${thresholds.length})")
+    val out = new Array[Long]((n + 63) >>> 6)
+    var i = 0
+    if (isFloat) {
+      while (i < n) {
+        if (a.getFloat(i) >= thresholds(i)) out(i >>> 6) |= 1L << (i & 63)
+        i += 1
+      }
+    } else {
+      while (i < n) {
+        if (a.getDouble(i) >= thresholds(i)) out(i >>> 6) |= 1L << (i & 63)
+        i += 1
+      }
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val acc = if (isFloat) "getFloat" else "getDouble"
+    val thrRef = ctx.addReferenceObj("bqThresholds", thresholds, "double[]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val arr = ctx.freshName("packed")
+      s"""int $n = $a.numElements();
+         |if ($n != $thrRef.length) {
+         |  throw new IllegalArgumentException("bq_pack: dimension mismatch (vector "
+         |    + $n + " vs thresholds " + $thrRef.length + ")");
+         |}
+         |long[] $arr = new long[($n + 63) >>> 6];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.$acc($i) >= $thrRef[$i]) $arr[$i >>> 6] |= 1L << ($i & 63);
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($arr);
+         |""".stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "bq_pack_centered"
 }
 
 /** Codegen'd Hamming distance between two packed sign arrays

@@ -350,6 +350,26 @@ case class RepetitionStats(child: Expression)
     * XXH64 output of 0 is one specific 64-bit value; remapping merges it
     * with the remap target at ~2⁻⁶⁴ odds — the same collision class the
     * hashing itself accepts). */
+  /** Open-table capacity for `nWin` inserts: 2× rounded up to a power of
+    * two, computed in LONG arithmetic (an int `nWin * 2` overflows negative
+    * at ≥2^30 windows, leaving cap at 4 and [[bump]] in an infinite probe
+    * loop once the 4-slot table fills — a hang on pathological ~1 GB single
+    * documents). Capped at 2^30 slots; callers switch to a HashMap before
+    * the cap can saturate ([[MapFallbackWindows]]). */
+  private def tableCap(nWin: Int): Int = {
+    var cap = 4
+    val need = math.min(nWin.toLong * 2, 1L << 30)
+    while (cap < need) cap <<= 1
+    cap
+  }
+
+  /** Windows-per-doc threshold past which the open table would exceed load
+    * factor 0.5 at its 2^30-slot ceiling: such documents (≥2^29 n-gram
+    * windows — a ≥1 GB single doc) count through a HashMap instead. The
+    * open table must never run full: a full table turns [[bump]]'s probe
+    * loop infinite. */
+  private val MapFallbackWindows = 1 << 29
+
   private def bump(keys: Array[Long], counts: Array[Int], key0: Long): Int = {
     val key = if (key0 == 0L) 0x9E3779B97F4A7C15L else key0
     val mask = keys.length - 1
@@ -387,37 +407,58 @@ case class RepetitionStats(child: Expression)
     val out = new Array[Double](2)
     val nWin2 = nTok - 1
     if (nWin2 > 0) {
-      var cap = 4
-      while (cap < nWin2 * 2) cap <<= 1
-      val keys = new Array[Long](cap)
-      val counts = new Array[Int](cap)
       var maxC = 0
-      var w = 0
-      while (w < nWin2) {
-        val h = XXH64.hashLong(th(w + 1), XXH64.hashLong(th(w), 42L))
-        val c = bump(keys, counts, h)
-        if (c > maxC) maxC = c
-        w += 1
+      if (nWin2 >= MapFallbackWindows) {
+        val map = new java.util.HashMap[java.lang.Long, Integer](1 << 20)
+        var w = 0
+        while (w < nWin2) {
+          val h = XXH64.hashLong(th(w + 1), XXH64.hashLong(th(w), 42L))
+          val c = map.merge(h, 1, (a, b) => a + b).intValue()
+          if (c > maxC) maxC = c
+          w += 1
+        }
+      } else {
+        val cap = tableCap(nWin2)
+        val keys = new Array[Long](cap)
+        val counts = new Array[Int](cap)
+        var w = 0
+        while (w < nWin2) {
+          val h = XXH64.hashLong(th(w + 1), XXH64.hashLong(th(w), 42L))
+          val c = bump(keys, counts, h)
+          if (c > maxC) maxC = c
+          w += 1
+        }
       }
       out(0) = maxC.toDouble / nWin2
     }
     val nWin3 = nTok - 2
     if (nWin3 > 0) {
-      var cap = 4
-      while (cap < nWin3 * 2) cap <<= 1
-      val keys = new Array[Long](cap)
-      val counts = new Array[Int](cap)
       // windows in duplicated grams = Σ_{gram: c≥2} c — count every window
       // whose gram reaches 2, plus the first window retroactively when its
       // gram's count hits exactly 2
       var dup = 0
-      var w = 0
-      while (w < nWin3) {
-        val h = XXH64.hashLong(th(w + 2),
-          XXH64.hashLong(th(w + 1), XXH64.hashLong(th(w), 42L)))
-        val c = bump(keys, counts, h)
-        if (c == 2) dup += 2 else if (c > 2) dup += 1
-        w += 1
+      if (nWin3 >= MapFallbackWindows) {
+        val map = new java.util.HashMap[java.lang.Long, Integer](1 << 20)
+        var w = 0
+        while (w < nWin3) {
+          val h = XXH64.hashLong(th(w + 2),
+            XXH64.hashLong(th(w + 1), XXH64.hashLong(th(w), 42L)))
+          val c = map.merge(h, 1, (a, b) => a + b).intValue()
+          if (c == 2) dup += 2 else if (c > 2) dup += 1
+          w += 1
+        }
+      } else {
+        val cap = tableCap(nWin3)
+        val keys = new Array[Long](cap)
+        val counts = new Array[Int](cap)
+        var w = 0
+        while (w < nWin3) {
+          val h = XXH64.hashLong(th(w + 2),
+            XXH64.hashLong(th(w + 1), XXH64.hashLong(th(w), 42L)))
+          val c = bump(keys, counts, h)
+          if (c == 2) dup += 2 else if (c > 2) dup += 1
+          w += 1
+        }
       }
       out(1) = dup.toDouble / nWin3
     }

@@ -32,24 +32,37 @@ object Sq {
 
   /** One-pass exact per-dim min/max (double arithmetic; see [[SqKernel]]).
     * Per-partition fold keeps two d-length arrays per task; treeReduce
-    * merges log₂(P) rounds of 2·d doubles — nothing else moves. */
+    * merges log₂(P) rounds of 2·d doubles — nothing else moves. Accepts
+    * array<float> and array<double>, the same surface as [[SqEncode]] /
+    * [[SqAdcDistance]] (float widens to double exactly, so the float-input
+    * model is bit-identical to the old float-only fold). */
   def train(df: DataFrame, vecCol: String = "vec"): SqModel = {
     val spark = df.sparkSession
     import spark.implicits._
-    val partials = df.select(col(vecCol)).as[Array[Float]].rdd
+    df.schema(vecCol).dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType |
+        org.apache.spark.sql.types.DoubleType, _) => ()
+      case other => throw new IllegalArgumentException(
+        s"sq_train requires array<float>/array<double>, got ${other.catalogString}")
+    }
+    val partials = df.select(col(vecCol)
+        .cast(org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType)).as("v"))
+      .as[Array[Double]].rdd
       .mapPartitions { it =>
         if (!it.hasNext) Iterator.empty
         else {
           val first = it.next()
-          val mn = first.map(_.toDouble)
-          val mx = mn.clone()
+          val mn = first.clone()
+          val mx = first.clone()
           while (it.hasNext) {
             val v = it.next()
             require(v.length == mn.length,
               s"sq_train: dimension mismatch (${v.length} vs ${mn.length})")
             var i = 0
             while (i < v.length) {
-              val x = v(i).toDouble
+              val x = v(i)
               if (x < mn(i)) mn(i) = x
               if (x > mx(i)) mx(i) = x
               i += 1
@@ -151,6 +164,16 @@ object Sq {
           val bufI = Array.fill(nq)(new Array[Long](k))
           val sz = new Array[Int](nq)
           val dim = mins.length
+          // validate once per partition what the declarative SqAdcDistance
+          // arm validates per row — same descriptive error, not a raw AIOOBE
+          var vq = 0
+          while (vq < nq) {
+            if (qarr(vq)._2.length != dim)
+              throw new IllegalArgumentException(
+                s"sq_adc: dimension mismatch (code $dim, query " +
+                  s"${qarr(vq)._2.length}, model $dim)")
+            vq += 1
+          }
           // decode each row ONCE per batch, not once per (row × query):
           // at nq=1000 the affine decode would otherwise triple the FLOPs
           // and re-read code bytes per query; the decoded row stays hot in
@@ -160,6 +183,10 @@ object Sq {
           val dec = new Array[Double](dim)
           while (it.hasNext) {
             val (id, code) = it.next()
+            if (code.length != dim)
+              throw new IllegalArgumentException(
+                s"sq_adc: dimension mismatch (code ${code.length}, query " +
+                  s"$dim, model $dim)")
             var di = 0
             while (di < dim) {
               dec(di) = mins(di) + scales(di) * (code(di) & 0xFF)

@@ -37,6 +37,13 @@ class BqSpec extends SparkTestBase {
     }
   }
 
+  test("kernel hamming rejects word-count mismatch with the expression's message") {
+    val e = intercept[IllegalArgumentException] {
+      BqKernel.hamming(new Array[Long](2), new Array[Long](3))
+    }
+    assert(e.getMessage.contains("bq_hamming: word-count mismatch (2 vs 3)"))
+  }
+
   test("expression pack/hamming match the kernel on real rows") {
     val got = Bq.encode(base.limit(50))
       .select($"id", $"vec", $"bq",

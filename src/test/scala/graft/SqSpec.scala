@@ -36,6 +36,22 @@ class SqSpec extends SparkTestBase {
     assert(m.mins(2) + m.scales(2) * (code(2) & 0xFF) == 7.0)
   }
 
+  test("train accepts array<double> (same model as the float-widened input)") {
+    val df = Seq(
+      (0L, Array(1f, -3f, 7f)),
+      (1L, Array(5f, -1f, 7f)),
+      (2L, Array(3f, -2f, 7f))).toDF("id", "vec")
+    val mF = Sq.train(df)
+    val mD = Sq.train(df.select(col("id"),
+      col("vec").cast("array<double>").as("vec")))
+    assert(mD.mins.toSeq == mF.mins.toSeq)
+    assert(mD.scales.toSeq == mF.scales.toSeq)
+    val e = intercept[IllegalArgumentException] {
+      Sq.train(df.select(col("id"), col("id").as("vec")))
+    }
+    assert(e.getMessage.contains("sq_train requires array<float>/array<double>"))
+  }
+
   test("encode/decode: reconstruction error <= scale/2 per dim (in-range)") {
     val data = randVecs(200, 16, seed = 7)
     val df = data.toDF("id", "vec").cache()
