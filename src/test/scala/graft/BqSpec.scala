@@ -100,6 +100,61 @@ class BqSpec extends SparkTestBase {
     assert(recall >= 0.8, s"BQ rerank recall@$k = $recall (candidates=200)")
   }
 
+  test("train: exact per-dim means; centered pack bits split on the mean") {
+    val df = Seq(
+      (0L, Array(1f, 10f)),
+      (1L, Array(3f, 20f)),
+      (2L, Array(5f, 60f))).toDF("id", "vec").repartition(3)
+    val m = Bq.train(df)
+    assert(m.thresholds.toSeq == Seq(3.0, 30.0))
+    val packed = Bq.encodeCentered(df, m).orderBy("id")
+      .select("bq").as[Array[Long]].collect()
+    // row 0: (1<3, 10<30) -> 00; row 1: (3>=3, 20<30) -> 01; row 2: 11
+    assert(packed(0)(0) == 0L)
+    assert(packed(1)(0) == 1L)
+    assert(packed(2)(0) == 3L)
+    // kernel packCentered agrees with the expression
+    assert(BqKernel.packCentered(Array(3f, 20f), m.thresholds)
+      .sameElements(packed(1)))
+    intercept[IllegalArgumentException] {
+      BqKernel.packCentered(Array(1f), m.thresholds)
+    }
+  }
+
+  test("centering recovers recall on an uncentered (all-positive) corpus") {
+    // shift every dim by +5: raw sign bits become all-ones (zero
+    // information — every Hamming distance is 0 and the coarse pass
+    // degenerates to lowest-id selection), while mean thresholds follow
+    // the shift and the centered sketch is bit-identical to the unshifted
+    // raw sketch. L2 geometry is shift-invariant, so exact KNN is the
+    // same and recall isolates the packing information content.
+    val k = 10
+    val shifted = base.select($"id",
+      transform($"vec", x => x + lit(5.0f)).as("vec")).cache()
+    val qShifted = shifted.filter($"id" < 6)
+      .select($"id".as("query_id"), $"vec".as("query_vec"))
+    val exact = Knn.exact(shifted, qShifted, k = k)
+      .select("query_id", "id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def recallOf(got: org.apache.spark.sql.DataFrame): Double = {
+      val mine = got.select("query_id", "id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      exact.keys.toSeq.map { qid =>
+        (mine.getOrElse(qid, Set.empty) & exact(qid)).size.toDouble / k
+      }.sum / exact.size
+    }
+    val raw = recallOf(Bq.searchRerank(shifted, qShifted, k = k,
+      candidates = 100, center = false))
+    val centered = recallOf(Bq.searchRerank(shifted, qShifted, k = k,
+      candidates = 100))
+    assert(raw <= 0.6, s"raw sign sketch on an all-positive corpus " +
+      s"should be near-uninformative, measured recall $raw")
+    assert(centered >= 0.8, s"centered recall $centered < 0.8")
+    assert(centered > raw + 0.2,
+      s"centering should dominate on a shifted corpus ($centered vs $raw)")
+    shifted.unpersist()
+  }
+
   test("candidates < k rejected; candidates >= n is exact") {
     intercept[IllegalArgumentException] {
       Bq.searchRerank(base, qs, k = 10, candidates = 5)
