@@ -282,10 +282,28 @@ object Sq {
     val coarse = serveBroadcastPacked(packed, queries, model, candidates,
       dist, queryIdCol, queryVecCol)
       .select(col("query_id"), col("id"))
+    rerankExact(coarse, base, queries, k, dist, idCol, vecCol,
+      queryIdCol, queryVecCol)
+  }
+
+  /** Exact float re-rank of a bounded `(query_id, id)` candidate set —
+    * the shared second stage of every two-stage arm: broadcast the (nq ×
+    * candidates)-bounded winner set against the float table (id-pruned
+    * hash join, never an all-pairs scan), score exactly, bounded top-k. */
+  private def rerankExact(
+      coarseIds: DataFrame,
+      base: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      dist: String,
+      idCol: String,
+      vecCol: String,
+      queryIdCol: String,
+      queryVecCol: String): DataFrame = {
     val qs = broadcast(queries.select(
       col(queryIdCol).cast("long").as("query_id"),
       col(queryVecCol).as("__qvec")))
-    broadcast(coarse)
+    broadcast(coarseIds)
       .join(base.select(col(idCol).cast("long").as("id"),
         col(vecCol).as("__vec")), "id")
       .join(qs, "query_id")
@@ -299,26 +317,246 @@ object Sq {
         col("hit.distance").as("distance"))
   }
 
+  /** Probed coarse pass in the SERVING kernel shape: stream the probed
+    * clusters' `(id, sq, cluster)` rows once through `mapPartitions`,
+    * decode each row ONCE per batch, score only the queries that probed
+    * that row's cluster (inverted cluster→queries map, broadcast), L2
+    * early exit in 128-element blocks — [[serveBroadcastPacked]]'s kernel
+    * with per-row query subsets. Same distances term for term as the
+    * declarative [[SqAdcDistance]] arm, so ties and results agree exactly.
+    * Measured at 10k×960 the decode-once kernel serves ~1.5-2× the
+    * declarative per-(row×query) decode (bench `sq_ivf_kernel_ab`). */
+  private def coarseIvfKernel(
+      probedRows: DataFrame,
+      qs: Array[(Long, Array[Float])],
+      clusterToQ: Map[Long, Array[Int]],
+      model: SqModel,
+      candidates: Int,
+      dist: String): DataFrame = {
+    val spark = probedRows.sparkSession
+    import spark.implicits._
+    val bcQ = spark.sparkContext.broadcast(qs)
+    val bcMap = spark.sparkContext.broadcast(clusterToQ)
+    val mins = model.mins
+    val scales = model.scales
+    val kindDot = dist == "dot"
+    val kindCos = dist == "cosine"
+    val k = candidates
+    val partial = probedRows
+      .select(col("id").cast("long"), col("sq"), col("cluster").cast("long"))
+      .as[(Long, Array[Byte], Long)]
+      .mapPartitions { it =>
+        val qarr = bcQ.value
+        val qmap = bcMap.value
+        val nq = qarr.length
+        if (nq == 0 || !it.hasNext) Iterator.empty
+        else {
+          val bufD = Array.fill(nq)(new Array[Double](k))
+          val bufI = Array.fill(nq)(new Array[Long](k))
+          val sz = new Array[Int](nq)
+          val dim = mins.length
+          var vq = 0
+          while (vq < nq) {
+            if (qarr(vq)._2.length != dim)
+              throw new IllegalArgumentException(
+                s"sq_adc: dimension mismatch (code $dim, query " +
+                  s"${qarr(vq)._2.length}, model $dim)")
+            vq += 1
+          }
+          val dec = new Array[Double](dim)
+          while (it.hasNext) {
+            val (id, code, cluster) = it.next()
+            val probers = qmap.getOrElse(cluster, null)
+            if (probers != null) {
+              if (code.length != dim)
+                throw new IllegalArgumentException(
+                  s"sq_adc: dimension mismatch (code ${code.length}, query " +
+                    s"$dim, model $dim)")
+              var di = 0
+              while (di < dim) {
+                dec(di) = mins(di) + scales(di) * (code(di) & 0xFF)
+                di += 1
+              }
+              var pi = 0
+              while (pi < probers.length) {
+                val qi = probers(pi)
+                val q = qarr(qi)._2
+                val n = sz(qi)
+                val ds = bufD(qi); val ids = bufI(qi)
+                var d = 0.0
+                if (kindDot) {
+                  var i = 0
+                  while (i < dim) { d += q(i).toDouble * dec(i); i += 1 }
+                } else if (kindCos) {
+                  var dp = 0.0; var nq2 = 0.0; var nc = 0.0
+                  var i = 0
+                  while (i < dim) {
+                    val a = q(i).toDouble
+                    dp += a * dec(i); nq2 += a * a; nc += dec(i) * dec(i)
+                    i += 1
+                  }
+                  d = 1.0 - dp / math.max(math.sqrt(nq2) * math.sqrt(nc), 1e-10)
+                } else {
+                  val bound = if (n == k) ds(n - 1) else Double.PositiveInfinity
+                  var i = 0
+                  var live = true
+                  while (live && i < dim) {
+                    val blockEnd = math.min(i + 128, dim)
+                    while (i < blockEnd) {
+                      val t = q(i).toDouble - dec(i)
+                      d += t * t
+                      i += 1
+                    }
+                    if (d > bound) live = false
+                  }
+                }
+                if (n < k || d < ds(n - 1) || (d == ds(n - 1) && id < ids(n - 1))) {
+                  val m = if (n < k) n else n - 1
+                  var lo = 0; var hi = m
+                  while (lo < hi) {
+                    val mid = (lo + hi) >>> 1
+                    if (d < ds(mid) || (d == ds(mid) && id < ids(mid))) hi = mid
+                    else lo = mid + 1
+                  }
+                  System.arraycopy(ds, lo, ds, lo + 1, m - lo)
+                  System.arraycopy(ids, lo, ids, lo + 1, m - lo)
+                  ds(lo) = d; ids(lo) = id
+                  if (n < k) sz(qi) = n + 1
+                }
+                pi += 1
+              }
+            }
+          }
+          Iterator.range(0, nq).flatMap { qi =>
+            Iterator.range(0, sz(qi)).map(p =>
+              (qarr(qi)._1, bufI(qi)(p), bufD(qi)(p)))
+          }
+        }
+      }
+      .toDF("query_id", "id", "distance")
+    partial
+      .groupBy("query_id")
+      .agg(TopK.topK(k)(col("id"), col("distance")).as("topk"))
+      .select(col("query_id"), explode(col("topk")).as("hit"))
+      .select(col("query_id"), col("hit.id").as("id"))
+  }
+
+  /** Driver-side probe selection for a collected query batch: the `np`
+    * nearest centroids per query ([[Ivf.probeList]] — exact doubles, ties
+    * → lowest cluster, the same order as the declarative TopK pass) plus
+    * the inverted cluster → probing-query-indices map the kernel scans
+    * with. */
+  private def probePlan(
+      qs: Array[(Long, Array[Float])],
+      ivfModel: graft.operators.IvfModel,
+      np: Int): (Map[Long, Array[Int]], Array[Int]) = {
+    val pairs = qs.zipWithIndex.flatMap { case ((_, qv), qi) =>
+      Ivf.probeList(qv, ivfModel, np).map(c => (c.toLong, qi))
+    }
+    val inverted = pairs.groupBy(_._1).map { case (c, ps) => c -> ps.map(_._2) }
+    (inverted, pairs.map(_._1.toInt).distinct.sorted)
+  }
+
   /** IVF-routed SQ8 (the FAISS IVF+SQ composition on the engine's own IVF
-    * machinery): per query, probe the `nProbes` nearest clusters (tiny
-    * broadcast crossJoin against the centroid sidecar), scan ONLY those
-    * clusters' byte codes with the codegen'd asymmetric distance, keep the
-    * coarse top-`candidates`, then exact re-rank on an id-pruned pass over
-    * the float column. With `nProbes ≥ kClusters` and `candidates ≥ n` the
-    * result is exact KNN (every row survives both prunes).
+    * machinery): per query, probe the `nProbes` nearest clusters (driver-
+    * side — Q × k_clusters exact double distances), scan ONLY those
+    * clusters' byte codes with the decode-once early-exit kernel
+    * ([[coarseIvfKernel]]), keep the coarse top-`candidates`, then exact
+    * re-rank on an id-pruned pass over the float column. With `nProbes ≥
+    * kClusters` and `candidates ≥ n` the result is exact KNN (every row
+    * survives both prunes).
     *
     * 100 TB shape: the IVF pruning and the 4× byte compression multiply.
-    * In this DataFrame shape the scan is COMPUTE-pruned (a probed-pairs
-    * broadcast hash join: unprobed clusters' rows score nothing); to prune
-    * BYTES too, write `assignedPacked` cluster-partitioned
-    * ([[Ivf.writePartitioned]]'s layout) and the probed clusters become
-    * parquet partition filters — (np/kc) × corpus/4 bytes read per batch.
+    * Over an in-memory `assignedPacked` the probed-cluster `isin` filter
+    * is compute-pruning; over the cluster-PARTITIONED layout
+    * ([[writeIvfPartitioned]] / [[searchIvfPartitioned]]) the same filter
+    * is a parquet partition filter and only (np/kc) × corpus/4 bytes are
+    * READ per batch.
     *
     * @param assignedPacked (id, sq, cluster) — [[Ivf.assign]] output run
     *                       through [[encode]]
     * @param base           (id, vec) float table for the re-rank
     */
   def searchIvf(
+      assignedPacked: DataFrame,
+      base: DataFrame,
+      ivfModel: graft.operators.IvfModel,
+      sqModel: SqModel,
+      queries: DataFrame,
+      k: Int,
+      candidates: Int,
+      nProbes: Option[Int] = None,
+      dist: String = "l2sqr",
+      idCol: String = "id",
+      vecCol: String = "vec",
+      queryIdCol: String = "query_id",
+      queryVecCol: String = "query_vec"): DataFrame = {
+    require(candidates >= k, s"candidates ($candidates) must be >= k ($k)")
+    val np = math.max(1, nProbes.getOrElse(ivfModel.defaultNProbes))
+    val spark = assignedPacked.sparkSession
+    import spark.implicits._
+    val qs = queries
+      .select(col(queryIdCol).cast("long"), col(queryVecCol))
+      .as[(Long, Array[Float])].collect()
+    val (clusterToQ, probed) = probePlan(qs, ivfModel, np)
+    val probedRows = assignedPacked
+      .select(col(idCol).cast("long").as("id"), col("sq"),
+        col("cluster").cast("long").as("cluster"))
+      .filter(col("cluster").isInCollection(probed.map(c => Long.box(c.toLong)).toSeq))
+    val coarse = coarseIvfKernel(probedRows, qs, clusterToQ, sqModel,
+      candidates, dist)
+    rerankExact(coarse, base, queries, k, dist, idCol, vecCol,
+      queryIdCol, queryVecCol)
+  }
+
+  /** Persist `(id, sq, cluster)` as the physical IVFSQ layout: cluster-
+    * partitioned parquet (`data/cluster=N/...`) — [[Ivf.writePartitioned]]'s
+    * layout on byte codes, so [[searchIvfPartitioned]]'s probe filter
+    * prunes DIRECTORIES before any byte is read. */
+  def writeIvfPartitioned(assignedPacked: DataFrame, path: String): Unit =
+    assignedPacked.select(col("id"), col("sq"), col("cluster"))
+      .write.partitionBy("cluster").mode("overwrite").parquet(s"$path/data")
+
+  /** [[searchIvf]] over the cluster-partitioned code layout: the probed
+    * clusters push down as a parquet PARTITION filter, so a batch reads
+    * (probed clusters / kc) × corpus/4 bytes — the multiplied prune the
+    * operator exists for. */
+  def searchIvfPartitioned(
+      path: String,
+      base: DataFrame,
+      ivfModel: graft.operators.IvfModel,
+      sqModel: SqModel,
+      queries: DataFrame,
+      k: Int,
+      candidates: Int,
+      nProbes: Option[Int] = None,
+      dist: String = "l2sqr",
+      idCol: String = "id",
+      vecCol: String = "vec",
+      queryIdCol: String = "query_id",
+      queryVecCol: String = "query_vec"): DataFrame = {
+    require(candidates >= k, s"candidates ($candidates) must be >= k ($k)")
+    val np = math.max(1, nProbes.getOrElse(ivfModel.defaultNProbes))
+    val spark = base.sparkSession
+    import spark.implicits._
+    val qs = queries
+      .select(col(queryIdCol).cast("long"), col(queryVecCol))
+      .as[(Long, Array[Float])].collect()
+    val (clusterToQ, probed) = probePlan(qs, ivfModel, np)
+    val probedRows = spark.read.parquet(s"$path/data")
+      .filter(col("cluster").isin(probed.map(Int.box): _*)) // partition-pruned
+      .select(col("id").cast("long").as("id"), col("sq"),
+        col("cluster").cast("long").as("cluster"))
+    val coarse = coarseIvfKernel(probedRows, qs, clusterToQ, sqModel,
+      candidates, dist)
+    rerankExact(coarse, base, queries, k, dist, idCol, vecCol,
+      queryIdCol, queryVecCol)
+  }
+
+  /** The r14 declarative probed scan (per-(row×query) codegen decode) —
+    * kept as the A/B twin for the kernel arm (bench `sq_ivf_kernel_ab`):
+    * same logical result as [[searchIvf]], slower physical shape. */
+  def searchIvfDeclarative(
       assignedPacked: DataFrame,
       base: DataFrame,
       ivfModel: graft.operators.IvfModel,
@@ -360,21 +598,8 @@ object Sq {
       .agg(TopK.topK(candidates)(col("__id"), col("__dist")).as("topk"))
       .select(col("query_id"), explode(col("topk")).as("hit"))
       .select(col("query_id"), col("hit.id").as("id"))
-    // exact re-rank of the survivors (bounded: nq × candidates rows)
-    val qs = broadcast(qsExact.select(col("query_id"),
-      col("query_vec").as("__qvec")))
-    broadcast(coarse)
-      .join(base.select(col(idCol).cast("long").as("id"),
-        col(vecCol).as("__vec")), "id")
-      .join(qs, "query_id")
-      .select(col("query_id"), col("id"),
-        graft.functions.VectorFunctions.distance(
-          col("__vec"), col("__qvec"), dist).as("__dist"))
-      .groupBy("query_id")
-      .agg(TopK.topK(k)(col("id"), col("__dist")).as("topk"))
-      .select(col("query_id"), explode(col("topk")).as("hit"))
-      .select(col("query_id"), col("hit.id").as("id"),
-        col("hit.distance").as("distance"))
+    rerankExact(coarse, base, queries, k, dist, idCol, vecCol,
+      queryIdCol, queryVecCol)
   }
 
   /** [[searchRerankPacked]] with train+encode inline (convenience for the

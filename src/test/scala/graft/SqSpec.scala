@@ -170,6 +170,42 @@ class SqSpec extends SparkTestBase {
     df.unpersist()
   }
 
+  test("searchIvf kernel == declarative twin == partitioned layout; scan prunes") {
+    val data = randVecs(600, 24, seed = 29)
+    val df = data.toDF("id", "vec").repartition(4).cache()
+    val q = df.filter(col("id") < 5)
+      .select(col("id").as("query_id"), col("vec").as("query_vec"))
+    val (ivfModel, assigned) = graft.operators.Ivf.build(df, k = 8)
+    val sqModel = Sq.train(df)
+    val packed = Sq.encode(assigned, sqModel)
+      .select(col("id"), col("sq"), col("cluster")).cache()
+    val dir = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "sq_ivf_part").toString
+    Sq.writeIvfPartitioned(packed, dir)
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.select(col("query_id"), col("id"),
+        org.apache.spark.sql.functions.round(col("distance"), 9))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    for (np <- Seq(2, 8); dist <- Seq("l2sqr", "cosine")) {
+      val kernel = Sq.searchIvf(packed, df, ivfModel, sqModel, q,
+        k = 6, candidates = 24, nProbes = Some(np), dist = dist)
+      val declarative = Sq.searchIvfDeclarative(packed, df, ivfModel,
+        sqModel, q, k = 6, candidates = 24, nProbes = Some(np), dist = dist)
+      val part = Sq.searchIvfPartitioned(dir, df, ivfModel, sqModel, q,
+        k = 6, candidates = 24, nProbes = Some(np), dist = dist)
+      assert(rows(kernel) == rows(declarative), s"np=$np dist=$dist kernel vs declarative")
+      assert(rows(part) == rows(declarative), s"np=$np dist=$dist partitioned vs declarative")
+      // the partitioned layout's probe filter must reach the parquet scan
+      // as a PARTITION filter — the byte prune IVFSQ exists for
+      if (np < ivfModel.centroids.length) {
+        val plan = part.queryExecution.executedPlan.toString
+        assert(plan.contains("PartitionFilters: [cluster"),
+          s"no partition filters in plan:\n$plan")
+      }
+    }
+    packed.unpersist(); df.unpersist()
+  }
+
   test("sq distance kinds match exact distances on decoded vectors") {
     // evaluating the codegen expression against the kernel on one row
     val v = Array(0.5f, -1.25f, 2f, 0f)
