@@ -614,6 +614,60 @@ object SparkEntry {
           (round(col("distance"), 6) + lit(0.0)).as("distance"))
         .orderBy("query_id", "distance", "id")
     }),
+    // §2.11 dispatch + T13 as a CATALOG citizen: create/addDataFrame/
+    // buildSqIndex, then searchBatch — the dispatch serves the SQ
+    // coarse+rerank arm (sq_rerank_serve; pinned by the require below and
+    // by CatalogSpec). ef maps to the coarse candidate budget: ef = 2n
+    // keeps every row through the coarse pass, the exact re-rank returns
+    // exact KNN, and the plain top-k SQL oracle applies.
+    "q_sq_catalog" -> ((s, dir) => {
+      val db = catalogIngest(s, dir, "vecdb_qsq")
+      val n = db.getLen("emb").toInt
+      db.buildSqIndex("emb")
+      val out = db.searchBatch("emb", queryVectors(s, dir), k = 5, ef = Some(2 * n))
+        .select(col("query_id"), col("id"),
+          (round(col("distance"), 6) + lit(0.0)).as("distance"))
+        .orderBy("query_id", "distance", "id")
+      require(db.lastServedArm == "sq_rerank_serve",
+        s"expected the SQ serving arm, dispatched '${db.lastServedArm}'")
+      out
+    }),
+    // §2.11 dispatch + T13 routed: buildIvfIndex THEN buildSqIndex writes
+    // the codes cluster-partitioned under the IVF routing and the dispatch
+    // serves IVFSQ (partition-pruned byte scan + exact re-rank). Full
+    // default probes (defaultNProbes = kClusters) + ef = 2n candidates ⇒
+    // every row survives both prunes ⇒ exact ⇒ plain top-k SQL oracle;
+    // SqSpec carries the pruned-probe recall floor + partition-filter
+    // plan assert.
+    "q_sq_ivf_catalog" -> ((s, dir) => {
+      val db = catalogIngest(s, dir, "vecdb_qsqivf")
+      val n = db.getLen("emb").toInt
+      db.buildIvfIndex("emb", k = 8, defaultNProbes = 8)
+      db.buildSqIndex("emb")
+      val out = db.searchBatch("emb", queryVectors(s, dir), k = 5, ef = Some(2 * n))
+        .select(col("query_id"), col("id"),
+          (round(col("distance"), 6) + lit(0.0)).as("distance"))
+        .orderBy("query_id", "distance", "id")
+      require(db.lastServedArm == "sq_ivf",
+        s"expected the IVFSQ serving arm, dispatched '${db.lastServedArm}'")
+      out
+    }),
+    // §2.11 dispatch + T12 as a CATALOG citizen: buildBqIndex (centered
+    // thresholds) + searchBatch through the bq_rerank_serve arm. ef = 2n
+    // keeps every row through the Hamming coarse pass ⇒ exact ⇒ plain
+    // top-k SQL oracle; BqSpec carries the centered-recall oracles.
+    "q_bq_catalog" -> ((s, dir) => {
+      val db = catalogIngest(s, dir, "vecdb_qbq")
+      val n = db.getLen("emb").toInt
+      db.buildBqIndex("emb")
+      val out = db.searchBatch("emb", queryVectors(s, dir), k = 5, ef = Some(2 * n))
+        .select(col("query_id"), col("id"),
+          (round(col("distance"), 6) + lit(0.0)).as("distance"))
+        .orderBy("query_id", "distance", "id")
+      require(db.lastServedArm == "bq_rerank_serve",
+        s"expected the BQ serving arm, dispatched '${db.lastServedArm}'")
+      out
+    }),
     // §2.11 dispatch + T7 residual variant: the catalog serving path with
     // a RESIDUAL-trained PQ sidecar (FAISS IVFPQ — IvfHnsw.trainResidualPq)
     // over a routed index. The dispatch must pin such tables to the routed
@@ -1218,6 +1272,11 @@ object SparkEntry {
       """SELECT vec_id AS query_id, CAST(5 AS BIGINT) AS n_hits,
         |       TRUE AS recall_ok, TRUE AS dominated
         |FROM embeddings WHERE vec_id < 8 ORDER BY query_id""".stripMargin,
+    // exhaustive candidate budgets make the catalog quantized arms exact
+    // KNN (see the queries; the dispatch arm itself is pinned in-query)
+    "q_sq_catalog" -> topKSql(l2Expr, 5),
+    "q_sq_ivf_catalog" -> topKSql(l2Expr, 5),
+    "q_bq_catalog" -> topKSql(l2Expr, 5),
     "q_ivf_probe" -> topKSql(l2Expr, 5),
     "q_ivf_catalog" -> topKSql(l2Expr, 5),
     "q_ivf_hnsw_routed" -> topKSql(l2Expr, 5),

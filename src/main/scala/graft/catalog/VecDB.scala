@@ -8,7 +8,7 @@ import org.apache.spark.sql.types._
 import org.json4s.{DefaultFormats, Formats}
 import org.json4s.jackson.Serialization
 
-import graft.operators.{Hnsw, Ivf, IvfHnsw, Knn, Pq, PqModel, Search, TopK}
+import graft.operators.{Bq, Hnsw, Ivf, IvfHnsw, Knn, Pq, PqModel, Search, Sq, TopK}
 import graft.functions.VectorFunctions
 
 /** PQ sidecar parameters recorded in the catalog. `residual` marks a
@@ -23,6 +23,21 @@ case class PqInfo(m: Int, nBits: Int, residual: Boolean = false)
   * reference's DB layer is Flat/HNSW only, `dynamic_index.rs:10-14`; at
   * 100 TB cluster-pruned scans are IVF's entire point). */
 case class IvfInfo(k: Int, defaultNProbes: Int)
+
+/** SQ8 sidecar marker (our extension — the quantized-serving spectrum's
+  * 8-bit point as a catalog citizen, like the reference's PQ at
+  * `metadata_vec_table.rs:112-152`). The exact (mins, scales) model lives
+  * in the sidecar (`sq/model`); `routed` marks codes written
+  * cluster-partitioned under the table's IVF routing (`sq/ivf`) — the
+  * IVFSQ byte-prune layout — and couples the sidecar's lifetime to the
+  * IVF index's. */
+case class SqInfo(routed: Boolean)
+
+/** BQ (binary quantization) sidecar marker. `centered` records whether
+  * the packed bits threshold at the per-dim corpus mean
+  * ([[graft.operators.Bq.train]] — the information-preserving default) or
+  * at raw sign (the SQL-function convention). */
+case class BqInfo(centered: Boolean = true)
 
 /** One catalog row — the Spark shape of the reference's `VecTableBrief` +
   * per-table index state (`/root/reference/src/database/mod.rs:47-64`,
@@ -48,6 +63,9 @@ case class TableEntry(
     // route sidecar just degrades to the unrouted union.
     hnswRouted: Boolean = false,
     routeProbes: Int = 4,
+    // quantized-arm sidecars (defaulted so pre-r15 briefs read as absent)
+    sq: Option[SqInfo] = None,
+    bq: Option[BqInfo] = None,
     // creation stamp, folded into serving cacheKeys: (version, nextId)
     // alone are NOT unique across delete-table + recreate (both restart at
     // 0), and a recreated table of the same size would otherwise collide
@@ -221,6 +239,10 @@ class VecDB(spark: SparkSession, root: String) {
     * the [[graft.operators.Ivf.readModel]] layout). */
   private def routeDir(e: TableEntry): Path =
     rootPath.resolve(e.filename).resolve("hnsw_route")
+  private def sqDir(e: TableEntry): Path =
+    rootPath.resolve(e.filename).resolve("sq")
+  private def bqDir(e: TableEntry): Path =
+    rootPath.resolve(e.filename).resolve("bq")
 
   private def dataSchema(dim: Int): StructType = StructType(Seq(
     StructField("id", LongType, nullable = false),
@@ -361,7 +383,12 @@ class VecDB(spark: SparkSession, root: String) {
     vecs.foreach(v => require(v.length == e0.dim,
       s"Dimension mismatch: got ${v.length}, expected ${e0.dim}"))
     tableLock(key).synchronized {
+      // appends invalidate every code sidecar (PQ's reference rule,
+      // metadata_vec_table.rs:64-81, applied to the whole quantized family:
+      // SQ/BQ codes and models are corpus-derived and go stale the same way)
       clearPqTable(key)
+      clearSqIndex(key)
+      clearBqIndex(key)
       val (e, start) = catalogLock.synchronized {
         val healed = healMissingSidecars(key)
         val s = healed.nextId
@@ -419,6 +446,8 @@ class VecDB(spark: SparkSession, root: String) {
       if (n == 0L) return 0L
       tableLock(key).synchronized {
         clearPqTable(key)
+        clearSqIndex(key)
+        clearBqIndex(key)
         val (e, start) = catalogLock.synchronized {
           val healed = healMissingSidecars(key)
           val s = healed.nextId
@@ -669,7 +698,9 @@ class VecDB(spark: SparkSession, root: String) {
     (!e.hasHnsw || Files.exists(hnswDir(e))) &&
       (!e.hnswRouted || Files.exists(routeDir(e))) &&
       (e.pq.isEmpty || Files.exists(pqDir(e))) &&
-      (e.ivf.isEmpty || Files.exists(ivfDir(e)))
+      (e.ivf.isEmpty || Files.exists(ivfDir(e))) &&
+      (e.sq.isEmpty || Files.exists(sqDir(e))) &&
+      (e.bq.isEmpty || Files.exists(bqDir(e)))
 
   /** Crash resilience for index sidecars: if the catalog says an index
     * exists but its directory is gone, first try to restore the graph from
@@ -707,6 +738,19 @@ class VecDB(spark: SparkSession, root: String) {
       tables += key -> e
       saveBrief()
     }
+    if (e.sq.isDefined &&
+        (!Files.exists(sqDir(e)) ||
+          (e.sq.get.routed && e.ivf.isEmpty))) {
+      // a routed SQ sidecar cannot serve without its IVF centroids
+      e = e.copy(sq = None)
+      tables += key -> e
+      saveBrief()
+    }
+    if (e.bq.isDefined && !Files.exists(bqDir(e))) {
+      e = e.copy(bq = None)
+      tables += key -> e
+      saveBrief()
+    }
     e
   }
 
@@ -722,6 +766,8 @@ class VecDB(spark: SparkSession, root: String) {
       clearHnswIndex(key)
       clearPqTable(key)
       clearIvfIndex(key)
+      clearSqIndex(key)
+      clearBqIndex(key)
       val df = table(key)
       val matchCond = Search.metaPattern(pattern, col("meta"))
       val removed = df.filter(matchCond).count()
@@ -932,6 +978,9 @@ class VecDB(spark: SparkSession, root: String) {
   }
 
   def clearIvfIndex(key: String): Unit = tableLock(key).synchronized {
+    // a ROUTED SQ sidecar's probe lists live in the IVF centroids — it
+    // cannot serve without them, so it goes with the IVF index
+    if (entry(key).sq.exists(_.routed)) clearSqIndex(key)
     val cleared = catalogLock.synchronized {
       val e = entry(key)
       if (e.ivf.isDefined) {
@@ -944,6 +993,111 @@ class VecDB(spark: SparkSession, root: String) {
   }
 
   def hasIvfIndex(key: String): Boolean = entry(key).ivf.isDefined
+
+  /** Build the SQ8 sidecar: exact per-dim (min, scale) model + byte codes,
+    * 1/4 the float scan traffic with exact re-rank on the survivors (the
+    * quantized-serving spectrum's 8-bit point as a catalog citizen — the
+    * reference's PQ analog, `metadata_vec_table.rs:112-152`). On a table
+    * with an IVF index the codes are written CLUSTER-PARTITIONED under the
+    * IVF routing (`sq/ivf/data/cluster=N/`) so catalog searches serve the
+    * IVFSQ byte-prune — probes become parquet partition filters and a
+    * batch reads (np/kc) × corpus/4 bytes; otherwise a flat codes sidecar
+    * (`sq/codes`) serves the coarse+rerank scan. Cleared on add/delete
+    * like PQ (`metadata_vec_table.rs:64-81,163-187`). Idempotent skip. */
+  def buildSqIndex(key: String): Unit = tableLock(key).synchronized {
+    val e = entry(key)
+    if (e.sq.isDefined) return
+    val df = table(key)
+    if (df.isEmpty) throw new IllegalArgumentException(
+      "Cannot build SQ index for an empty table")
+    val model = Sq.train(df)
+    val routed = e.ivf.isDefined
+    if (routed) {
+      val ivfModel = Ivf.readModel(spark, ivfDir(e).toString, e.dist,
+        e.ivf.get.defaultNProbes)
+      Sq.writeIvfPartitioned(
+        Sq.encode(Ivf.assign(df.select(col("id"), col("vec")), ivfModel), model)
+          .select(col("id"), col("sq"), col("cluster")),
+        sqDir(e).resolve("ivf").toString)
+    } else {
+      Sq.encode(df, model).select("id", "sq")
+        .write.mode("overwrite").parquet(sqDir(e).resolve("codes").toString)
+    }
+    import spark.implicits._
+    Seq((model.mins.toSeq, model.scales.toSeq)).toDF("mins", "scales")
+      .write.mode("overwrite").parquet(sqDir(e).resolve("model").toString)
+    catalogLock.synchronized {
+      tables += key -> entry(key).copy(sq = Some(SqInfo(routed)))
+      saveBrief()
+    }
+  }
+
+  def clearSqIndex(key: String): Unit = tableLock(key).synchronized {
+    val cleared = catalogLock.synchronized {
+      val e = entry(key)
+      if (e.sq.isDefined) {
+        tables += key -> e.copy(sq = None)
+        saveBrief()
+        Some(e)
+      } else None
+    }
+    cleared.foreach(e => deleteRecursively(sqDir(e)))
+  }
+
+  def hasSqIndex(key: String): Boolean = entry(key).sq.isDefined
+
+  /** Build the BQ sidecar: per-dim mean thresholds
+    * ([[graft.operators.Bq.train]]) + packed threshold bits — 1/32 the
+    * float scan traffic for the Hamming coarse pass, exact re-rank on a
+    * corpus-scaled candidate set ([[graft.operators.Bq.autoCandidates]]).
+    * `centered = false` packs raw sign bits (the SQL-function convention;
+    * near-uninformative on uncentered corpora — see Bq.BqModel). Cleared
+    * on add/delete like PQ. Idempotent skip. */
+  def buildBqIndex(key: String, centered: Boolean = true): Unit =
+    tableLock(key).synchronized {
+      val e = entry(key)
+      if (e.bq.isDefined) return
+      val df = table(key)
+      if (df.isEmpty) throw new IllegalArgumentException(
+        "Cannot build BQ index for an empty table")
+      val model = if (centered) Some(Bq.train(df)) else None
+      model.fold(Bq.encode(df))(m => Bq.encodeCentered(df, m))
+        .select("id", "bq")
+        .write.mode("overwrite").parquet(bqDir(e).resolve("packed").toString)
+      import spark.implicits._
+      Seq(model.fold(Seq.empty[Double])(_.thresholds.toSeq)).toDF("thresholds")
+        .write.mode("overwrite").parquet(bqDir(e).resolve("model").toString)
+      catalogLock.synchronized {
+        tables += key -> entry(key).copy(bq = Some(BqInfo(centered)))
+        saveBrief()
+      }
+    }
+
+  def clearBqIndex(key: String): Unit = tableLock(key).synchronized {
+    val cleared = catalogLock.synchronized {
+      val e = entry(key)
+      if (e.bq.isDefined) {
+        tables += key -> e.copy(bq = None)
+        saveBrief()
+        Some(e)
+      } else None
+    }
+    cleared.foreach(e => deleteRecursively(bqDir(e)))
+  }
+
+  def hasBqIndex(key: String): Boolean = entry(key).bq.isDefined
+
+  private def loadSqModel(e: TableEntry): Sq.SqModel = {
+    val r = spark.read.parquet(sqDir(e).resolve("model").toString).head()
+    Sq.SqModel(r.getSeq[Double](r.fieldIndex("mins")).toArray,
+      r.getSeq[Double](r.fieldIndex("scales")).toArray)
+  }
+
+  private def loadBqModel(e: TableEntry): Option[Bq.BqModel] = {
+    val thr = spark.read.parquet(bqDir(e).resolve("model").toString)
+      .head().getSeq[Double](0)
+    if (thr.isEmpty) None else Some(Bq.BqModel(thr.toArray))
+  }
 
   def clearPqTable(key: String): Unit = tableLock(key).synchronized {
     val cleared = catalogLock.synchronized {
@@ -1164,6 +1318,47 @@ class VecDB(spark: SparkSession, root: String) {
       case (Some(efv), None) if e.hasHnsw =>
         lastServedArm = "hnsw"
         hnswSearch(e, filtered, queries, k, Some(efv), ub, pattern.isEmpty)
+      // Quantized-arm extension: an explicitly built SQ/BQ sidecar serves
+      // the scan-compressed two-stage arms wherever the matrix would
+      // otherwise run a FLOAT scan (HNSW arms above keep priority —
+      // sub-linear beats any compressed linear scan; the plain IVF arms
+      // below yield to sq_ivf, which prunes the same probed clusters at
+      // 1/4 the bytes). `ef` maps to the coarse candidate budget (default
+      // scales with N, Bq.autoCandidates); the upper bound applies on the
+      // EXACT re-ranked distances, so P3 semantics are preserved.
+      case (efOpt, _) if e.sq.isDefined && !e.hasHnsw && pattern.isEmpty =>
+        val info = e.sq.get
+        val model = loadSqModel(e)
+        val candidates = math.max(k,
+          efOpt.getOrElse(Bq.autoCandidates(e.nextId, k)))
+        val hits =
+          if (info.routed) {
+            if (e.ivf.isEmpty) throw new IllegalStateException(
+              s"table '$key': routed SQ sidecar without an IVF index " +
+                "(clearIvfIndex cascades — this brief was edited externally)")
+            lastServedArm = "sq_ivf"
+            val ivfModel = Ivf.readModel(spark, ivfDir(e).toString, e.dist,
+              e.ivf.get.defaultNProbes)
+            Sq.searchIvfPartitioned(sqDir(e).resolve("ivf").toString,
+              filtered, ivfModel, model, queries, k, candidates,
+              nProbes = None, dist = e.dist)
+          } else {
+            lastServedArm = "sq_rerank_serve"
+            val packed = spark.read.parquet(sqDir(e).resolve("codes").toString)
+            Sq.searchRerankPacked(packed, filtered, queries, model, k,
+              candidates, dist = e.dist)
+          }
+        if (ub == Double.PositiveInfinity) hits
+        else hits.filter(col("distance") <= lit(ub))
+      case (efOpt, _) if e.bq.isDefined && !e.hasHnsw && pattern.isEmpty =>
+        lastServedArm = "bq_rerank_serve"
+        val candidates = math.max(k,
+          efOpt.getOrElse(Bq.autoCandidates(e.nextId, k)))
+        val packed = spark.read.parquet(bqDir(e).resolve("packed").toString)
+        val hits = Bq.searchRerankPacked(packed, filtered, queries, k,
+          candidates, dist = e.dist, model = loadBqModel(e))
+        if (ub == Double.PositiveInfinity) hits
+        else hits.filter(col("distance") <= lit(ub))
       // IVF arms (extension): ef → n_probes, the reference's IVF ef mapping
       // (ivf_index.rs:137-143); the partitioned layout prunes the scan to
       // the probed clusters. Metadata patterns fall through to Flat (the

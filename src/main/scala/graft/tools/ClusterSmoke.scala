@@ -171,7 +171,31 @@ object ClusterSmoke {
       bq == want && sq == want
     }
 
-    // 6. distributed ingest: new rows visible to a subsequent search
+    // 6. quantized CATALOG arms off-driver: the SQ model / BQ thresholds
+    //    load driver-side from their sidecars and ship to executor tasks
+    //    inside broadcast state; the routed IVFSQ scan partition-prunes
+    //    executor-read parquet. Exhaustive budgets (ef ≥ n, full default
+    //    probes) make both arms exact, so equality against flat is the
+    //    whole driver-vs-executor divergence check.
+    check("catalog SQ/BQ arms equal flat on executors") {
+      db.clearHnswIndex("t")
+      db.clearPqTable("t") // (Some ef, Some pq) would outrank the SQ arm
+      db.buildIvfIndex("t", k = 6, defaultNProbes = 6)
+      db.buildSqIndex("t")
+      val sqGot = db.search("t", q0, 10, ef = Some(2 * vecs.size))
+        .map(r => (r._1("i").toLong, r._2)).toSeq
+      val okSq = sqGot == flat && db.lastServedArm == "sq_ivf"
+      db.clearIvfIndex("t") // cascades the routed SQ sidecar
+      val okCascade = !db.hasSqIndex("t")
+      db.buildBqIndex("t")
+      val bqGot = db.search("t", q0, 10, ef = Some(2 * vecs.size))
+        .map(r => (r._1("i").toLong, r._2)).toSeq
+      val okBq = bqGot == flat && db.lastServedArm == "bq_rerank_serve"
+      db.clearBqIndex("t")
+      okSq && okCascade && okBq
+    }
+
+    // 7. distributed ingest: new rows visible to a subsequent search
     check("addDataFrame ingest visible") {
       import spark.implicits._
       val marker = Array.fill(dim)(99f)

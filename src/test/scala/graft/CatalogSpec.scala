@@ -159,6 +159,78 @@ class CatalogSpec extends SparkTestBase {
     assert(!db.hasIvfIndex("t"))
   }
 
+  test("sq sidecar: build/serve/invalidate; routed IVFSQ partition-prunes; ivf clear cascades") {
+    val db = freshDb()
+    db.createTableIfNotExists("t", 8, "l2sqr")
+    val rnd = new scala.util.Random(13)
+    val vecs = (0 until 60).map(_ => Array.fill(8)(rnd.nextFloat()))
+    db.batchAdd("t", vecs, vecs.indices.map(i => Map("i" -> i.toString)))
+    val flat = db.search("t", vecs(7), 5)
+    // plain SQ sidecar: coarse+rerank serving arm; ef ≥ n ⇒ exact
+    db.buildSqIndex("t")
+    assert(db.hasSqIndex("t"))
+    assert(db.search("t", vecs(7), 5, ef = Some(200)) == flat)
+    assert(db.lastServedArm == "sq_rerank_serve")
+    // no ef → corpus-scaled default budget; self-hit survives
+    assert(db.search("t", vecs(7), 1).head._1("i") == "7")
+    assert(db.lastServedArm == "sq_rerank_serve")
+    // P3 upper bound applies on the EXACT re-ranked distances
+    assert(db.search("t", vecs(7), 5, ef = Some(200), upperBound = Some(0.3))
+      == flat.filter(_._2 <= 0.3))
+    // append clears the sidecar (the PQ rule for the whole quantized family)
+    db.add("t", Array.fill(8)(0.9f), Map("i" -> "new"))
+    assert(!db.hasSqIndex("t"))
+    val flat2 = db.search("t", vecs(7), 5)
+    // rebuild over an IVF index ⇒ cluster-partitioned IVFSQ serving
+    db.buildIvfIndex("t", k = 4, defaultNProbes = 4)
+    db.buildSqIndex("t")
+    import spark.implicits._
+    val q = Seq((0L, vecs(7))).toDF("query_id", "query_vec")
+    val hits = db.searchBatch("t", q, 5, ef = Some(200))
+    assert(db.lastServedArm == "sq_ivf")
+    val got = hits.orderBy("distance", "id").collect()
+      .map(r => (Option(r.getAs[Map[String, String]]("meta")).getOrElse(Map.empty),
+        r.getAs[Double]("distance"))).toSeq
+    assert(got == flat2)
+    // (the PartitionFilters plan assert for the probed byte scan lives in
+    // SqSpec — the serving meta-attach collects the hits into a local
+    // relation, so the returned plan no longer contains the parquet scan)
+    // clearing the IVF index cascades to the routed SQ sidecar (its probe
+    // lists live in the IVF centroids)
+    db.clearIvfIndex("t")
+    assert(!db.hasSqIndex("t") && !db.hasIvfIndex("t"))
+    db.close()
+  }
+
+  test("bq sidecar: centered serving, exact at exhaustive candidates, delete clears, reopen persists") {
+    val root = Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "vecdb_bq").toString
+    val db = new VecDB(spark, root)
+    db.createTableIfNotExists("t", 8, "l2sqr")
+    val rnd = new scala.util.Random(17)
+    // shift +2: all-positive corpus — raw sign bits would be identical on
+    // every row; the centered sidecar must still serve exactly
+    val vecs = (0 until 50).map(_ => Array.fill(8)(rnd.nextFloat() + 2f))
+    db.batchAdd("t", vecs, vecs.indices.map(i => Map("i" -> i.toString)))
+    val flat = db.search("t", vecs(3), 5)
+    db.buildBqIndex("t")
+    assert(db.hasBqIndex("t"))
+    assert(db.search("t", vecs(3), 5, ef = Some(200)) == flat)
+    assert(db.lastServedArm == "bq_rerank_serve")
+    // delete-by-pattern clears the sidecar
+    db.delete("t", Map("i" -> "49"))
+    assert(!db.hasBqIndex("t"))
+    // brief round-trips the bq field across reopen
+    db.buildBqIndex("t")
+    db.close()
+    val db2 = new VecDB(spark, root)
+    assert(db2.hasBqIndex("t"))
+    val flat3 = flat.filterNot(_._1("i") == "49")
+    assert(db2.search("t", vecs(3), 5, ef = Some(200)).take(flat3.length) == flat3)
+    assert(db2.lastServedArm == "bq_rerank_serve")
+    db2.close()
+  }
+
   test("broadcast gates are byte-based: high-dim big tables are ineligible") {
     // rows × dim decides, not rows alone — the row gate let a 1M × d960
     // index (~4 GB of vectors) through the broadcast path
