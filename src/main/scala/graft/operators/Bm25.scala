@@ -83,6 +83,36 @@ object Bm25 {
     Index(postings, nDocs, if (nDocs == 0) 0.0 else totTokens.toDouble / nDocs)
   }
 
+  /** Persist an index: postings parquet + the two corpus scalars, stored
+    * as the EXACT integers they derive from (`n_docs`, `tot_tokens`) so a
+    * reload recomputes the identical `avgDl` double — build once, serve
+    * many sessions (the reference pattern for every other sidecar here;
+    * an in-memory-only postings index re-pays the full corpus shuffle per
+    * session). Invalidation contract: the postings bake in corpus-wide
+    * `df`/`avgdl`, so ANY corpus change (append included) stales the
+    * whole sidecar — rebuild, don't patch (the same clear-on-add rule the
+    * catalog applies to its code sidecars). */
+  def save(idx: Index, path: String): Unit = {
+    idx.postings.write.mode("overwrite").parquet(s"$path/postings")
+    val spark = idx.postings.sparkSession
+    import spark.implicits._
+    // tot_tokens = Σ tf over postings reproduces the build's exact count
+    // (every token occurrence lands in exactly one (token, doc) posting)
+    Seq((idx.docCount, math.round(idx.avgDl * idx.docCount)))
+      .toDF("n_docs", "tot_tokens")
+      .write.mode("overwrite").parquet(s"$path/stats")
+  }
+
+  /** Reload a [[save]]d index. `avgDl` is recomputed from the stored exact
+    * integers, so scores bit-match the building session's. */
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): Index = {
+    val r = spark.read.parquet(s"$path/stats").head()
+    val nDocs = r.getLong(r.fieldIndex("n_docs"))
+    val tot = r.getLong(r.fieldIndex("tot_tokens"))
+    Index(spark.read.parquet(s"$path/postings"), nDocs,
+      if (nDocs == 0) 0.0 else tot.toDouble / nDocs)
+  }
+
   /** Fixed-point scale for the order-free score sum (object scaladoc). */
   val ScoreScale = 1e9
 

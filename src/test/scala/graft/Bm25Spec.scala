@@ -93,6 +93,25 @@ class Bm25Spec extends SparkTestBase {
     assert(out.count() == 0)
   }
 
+  test("save/load: build once, serve across sessions bit-identically") {
+    val docs = corpus.toDF("doc_id", "text")
+    val idx = Bm25.buildIndex(docs)
+    val dir = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "bm25_idx").toString
+    Bm25.save(idx, dir)
+    val reloaded = Bm25.load(spark, dir)
+    // corpus scalars round-trip EXACTLY (stored as the integers they
+    // derive from — a double avgdl would drift the normalization)
+    assert(reloaded.docCount == idx.docCount)
+    assert(reloaded.avgDl == idx.avgDl)
+    val q = Seq((0L, "quick dog"), (1L, "brown")).toDF("query_id", "text")
+    def rows(i: Bm25.Index) = Bm25.search(i, q, k = 5)
+      .orderBy("query_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2), r.getInt(3))).toSeq
+    assert(rows(reloaded) == rows(idx))
+  }
+
   test("rrfFuse: hand-computed fusion, missing-arm zeros, tie by id") {
     val text = Seq((0L, 100L, 1), (0L, 101L, 2)).toDF("query_id", "doc_id", "rank")
     val vec = Seq((0L, 101L, 1), (0L, 102L, 2)).toDF("query_id", "id", "rank")
