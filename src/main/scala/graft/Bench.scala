@@ -310,9 +310,13 @@ object Bench {
     val pqModel960 = Pq.train(vec960, m = 320, nBits = 4, trainFraction = Some(0.1))
     val pqEncoded960 = Pq.encode(vec960, pqModel960).cache(); pqEncoded960.count()
     // sign-bit packed corpus: 15 longs/row vs 960 floats — the 32×-smaller
-    // scan the BQ coarse pass streams (packed once at ingest, like deployed)
-    val bq960 = graft.operators.Bq.encode(vec960).select("id", "bq")
-      .repartition(nCores).cache()
+    // scan the BQ coarse pass streams (packed once at ingest, like deployed).
+    // CENTERED at the per-dim mean (r15): what buildBqIndex serves — on
+    // this zero-mean fixture the thresholds land ≈0 and the sketch is
+    // near-identical to raw sign, so the 10k series stays comparable
+    val bqModel960 = graft.operators.Bq.train(vec960)
+    val bq960 = graft.operators.Bq.encodeCentered(vec960, bqModel960)
+      .select("id", "bq").repartition(nCores).cache()
     bq960.count()
     // SQ8 corpus: 960 bytes/row vs 3,840 — the 4×-smaller scan of the
     // quantized spectrum's middle point (BQ 32× / SQ8 4× / PQ m-config)
@@ -359,9 +363,11 @@ object Bench {
     // BQ serving arms at the baseline d960 config: raw Hamming top-10 on
     // the packed scan, and the two-stage (Hamming top-100 → exact re-rank)
     def mkBqHamming960() = graft.operators.Bq.hammingBroadcastPacked(
-      bq960, queries960, k = 10)
+      bq960, queries960, k = 10, model = Some(bqModel960))
     def mkBqRerank960() = graft.operators.Bq.searchRerankPacked(
-      bq960, vec960, queries960, k = 10, candidates = 100)
+      bq960, vec960, queries960, k = 10,
+      candidates = graft.operators.Bq.autoCandidates(10000, 10), // = 100
+      model = Some(bqModel960))
     // SQ8 serving arms: raw asymmetric top-10 on the byte scan, and the
     // two-stage (coarse top-100 → exact re-rank) shape
     def mkSqCoarse960() = graft.operators.Sq.serveBroadcastPacked(
@@ -456,6 +462,14 @@ object Bench {
     // cache-refill CPU (LRU capacity churn), which GC beans can't see
     var repRebuild = Map.empty[String, Seq[Double]]
     var repJit = Map.empty[String, Seq[Double]]
+    // per-rep PROCESS-CPU and host-STEAL deltas, aligned like repGc — the
+    // attribution the r14 outliers lacked (13.26 s reps with gc=0,
+    // jit=210 ms and no named thief): an outlier rep whose process CPU is
+    // FLAT while wall time spikes is off-JVM (host scheduling); rising
+    // steal names the hypervisor explicitly; rising CPU names in-JVM work,
+    // which gc/jit/rebuild then split
+    var repCpu = Map.empty[String, Seq[Double]]
+    var repSteal = Map.empty[String, Seq[Double]]
     // per-rep cache-rebuild ms of every sustained row (accumulated inside
     // sustainedGrid — reported as `sustained_rebuild_ms`): nonzero values
     // here mean the row's q/s is measuring cache churn, not the kernel
@@ -472,6 +486,22 @@ object Bench {
       else 0L
     }
     def rebuildMillis(): Long = graft.index.CacheStats.rebuildMillis()
+    def processCpuMillis(): Long =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+        case b: com.sun.management.OperatingSystemMXBean =>
+          val t = b.getProcessCpuTime // ns across all threads; -1 if unsupported
+          if (t < 0) 0L else t / 1000000L
+        case _ => 0L
+      }
+    /** Cumulative host steal time (ms) from /proc/stat — hypervisor time
+      * stolen from THIS guest, the direct signature of shared-VM
+      * interference (this host's known ±25%% day-scale variance). */
+    def hostStealMillis(): Long = try {
+      val line = java.nio.file.Files.readAllLines(
+        java.nio.file.Paths.get("/proc/stat")).get(0)
+      val f = line.trim.split("\\s+") // cpu user nice sys idle iowait irq sirq steal
+      if (f.length > 8) f(8).toLong * 10L else 0L // USER_HZ=100 jiffies → ms
+    } catch { case _: Throwable => 0L }
 
     // 5 timed rounds (was 3): today's host shows sporadic single-round 5×
     // collapses with zero rebuild/GC/JIT attribution (external CPU steal —
@@ -717,13 +747,15 @@ object Bench {
         val timesGc = (0 until reps).flatMap { _ =>
           val t0 = System.nanoTime(); val g0 = gcMillis()
           val r0 = rebuildMillis(); val j0 = jitMillis()
+          val c0 = processCpuMillis(); val s0 = hostStealMillis()
           val ok = try { fn(); true }
           catch { case e: Throwable =>
             errors += name -> errString(e)
             false
           }
           if (ok) Some(((System.nanoTime() - t0) / 1e9, (gcMillis() - g0).toDouble,
-            (rebuildMillis() - r0).toDouble, (jitMillis() - j0).toDouble))
+            (rebuildMillis() - r0).toDouble, (jitMillis() - j0).toDouble,
+            (processCpuMillis() - c0).toDouble, (hostStealMillis() - s0).toDouble))
           else None
         }.sortBy(_._1)
         val times = timesGc.map(_._1)
@@ -732,6 +764,8 @@ object Bench {
           repGc += name -> timesGc.map(_._2)
           repRebuild += name -> timesGc.map(_._3)
           repJit += name -> timesGc.map(_._4)
+          repCpu += name -> timesGc.map(_._5)
+          repSteal += name -> timesGc.map(_._6)
         }
         name -> (if (times.isEmpty) Double.NaN else times(times.length / 2))
       }
@@ -745,12 +779,14 @@ object Bench {
     // the same protocol the sustained rows adopted in r11.
     def timeInterleaved(ws: Seq[(String, () => Long)], reps: Int = 5)
         : Seq[(String, Double)] = {
-      val perRep = Array.fill(ws.length)(Vector.empty[(Double, Double, Double, Double)])
+      val perRep = Array.fill(ws.length)(
+        Vector.empty[(Double, Double, Double, Double, Double, Double)])
       (0 to reps).foreach { round =>
         ws.zipWithIndex.foreach { case ((name, fn), i) =>
           System.gc()
           val t0 = System.nanoTime(); val g0 = gcMillis()
           val r0 = rebuildMillis(); val j0 = jitMillis()
+          val c0 = processCpuMillis(); val s0 = hostStealMillis()
           val ok = try { fn(); true }
           catch { case e: Throwable =>
             errors += name -> errString(e)
@@ -760,7 +796,8 @@ object Bench {
           // nothing about the workload
           if (round > 0 && ok)
             perRep(i) :+= (((System.nanoTime() - t0) / 1e9, (gcMillis() - g0).toDouble,
-              (rebuildMillis() - r0).toDouble, (jitMillis() - j0).toDouble))
+              (rebuildMillis() - r0).toDouble, (jitMillis() - j0).toDouble,
+              (processCpuMillis() - c0).toDouble, (hostStealMillis() - s0).toDouble))
         }
       }
       ws.zipWithIndex.map { case ((name, _), i) =>
@@ -769,6 +806,8 @@ object Bench {
         repGc += name -> sorted.map(_._2)
         repRebuild += name -> sorted.map(_._3)
         repJit += name -> sorted.map(_._4)
+        repCpu += name -> sorted.map(_._5)
+        repSteal += name -> sorted.map(_._6)
         name -> (if (sorted.isEmpty) Double.NaN else sorted(sorted.length / 2)._1)
       }
     }
@@ -818,6 +857,17 @@ object Bench {
       val q1m = vec1m.filter(col("id") < nq)
         .select(col("id").as("query_id"), col("vec").as("query_vec")).cache()
       q1m.count()
+      // persist the float fixture ONCE (r14 verdict item 3: the two 1M
+      // rerank rows timed per-batch fixture REGENERATION for their
+      // candidate fetch — IVFSQ at np1 showed no speedup over the
+      // exhaustive coarse scan because both were dominated by synth
+      // recompute). The rerank arms read this parquet like a deployment
+      // reads its table; f32 round-trips parquet bit-exactly.
+      val vecPath = cacheDir.resolve("vec").toString
+      if (!java.nio.file.Files.exists(
+          java.nio.file.Paths.get(vecPath).resolve("_SUCCESS")))
+        vec1m.write.mode("overwrite").parquet(vecPath)
+      val vec1mDisk = spark.read.parquet(vecPath)
       if (!java.nio.file.Files.exists(donePath)) {
         val t0 = System.nanoTime()
         val (model, idx) = IvfHnsw.buildIndex(vec1m, kc,
@@ -928,13 +978,22 @@ object Bench {
       // rerank row honestly includes its candidate-fetch pass over the
       // uncached float fixture (regenerated per batch here; a deployment
       // reads parquet) — the coarse row is the scale exhibit.
-      val bq1m = graft.operators.Bq.encode(vec1m).select("id", "bq")
-        .repartition(nCores).cache()
+      // CENTERED (r15): per-dim mean thresholds + corpus-scaled rerank
+      // candidates. On this clustered fixture the sketch separates
+      // clusters but ranks near-randomly WITHIN one (~1000 rows/cluster at
+      // 1M), so the r14 fixed candidates=100 budget was the recall cliff
+      // (0.36 after rerank); autoCandidates(1M) = 2000 covers the
+      // neighborhood and the exact re-rank recovers the true top-k.
+      val bqModel1m = graft.operators.Bq.train(vec1m)
+      val bq1m = graft.operators.Bq.encodeCentered(vec1m, bqModel1m)
+        .select("id", "bq").repartition(nCores).cache()
       bq1m.count()
       def mkBqHamming1m() = graft.operators.Bq.hammingBroadcastPacked(
-        bq1m, q1m, k = 10)
+        bq1m, q1m, k = 10, model = Some(bqModel1m))
       def mkBqRerank1m() = graft.operators.Bq.searchRerankPacked(
-        bq1m, vec1m, q1m, k = 10, candidates = 100)
+        bq1m, vec1mDisk, q1m, k = 10,
+        candidates = graft.operators.Bq.autoCandidates(n1m, 10),
+        model = Some(bqModel1m))
       withAqeOff(serve(mkBqHamming1m())); withAqeOff(serve(mkBqRerank1m()))
       // SQ8 at 1M: the byte corpus is ~960 MB cached vs ~3.8 GB float —
       // the 4×-less-traffic linear-scan arm, far higher coarse recall than
@@ -949,15 +1008,34 @@ object Bench {
       // SQ8's actual scale path: IVF-routed (np1 of kc=32 ⇒ ~1/32 of the
       // byte corpus scanned per query) + exact re-rank. Reuses the routed
       // index's own centroids (model1m). Batch + recall only, like
-      // bq_rerank_1m: the re-rank pass honestly re-reads the uncached
-      // float fixture per batch (a deployment reads parquet).
+      // bq_rerank_1m / sq_ivf_1m: the re-rank pass reads the PERSISTED
+      // parquet fixture (r15 — was uncached per-batch regeneration).
       val sqIvf1m = graft.operators.Sq.encode(
         Ivf.assign(vec1m, model1m), sqModel1m)
         .select("id", "sq", "cluster").repartition(nCores).cache()
       sqIvf1m.count()
-      def mkSqIvf1m() = graft.operators.Sq.searchIvf(sqIvf1m, vec1m,
+      // BYTE-prune row: the same IVFSQ search over the PERSISTED
+      // cluster-partitioned code layout — probes push down as parquet
+      // partition filters, so the scan READS ~(np/kc) × corpus/4 bytes
+      // from disk (the cached sqIvf1m rows above measure compute-pruning
+      // over memory). Written once beside the index cache.
+      val sqIvfPartPath = cacheDir.resolve("sq_ivf").toString
+      if (!java.nio.file.Files.exists(
+          java.nio.file.Paths.get(sqIvfPartPath, "data", "_SUCCESS")))
+        graft.operators.Sq.writeIvfPartitioned(sqIvf1m, sqIvfPartPath)
+      def mkSqIvfPart1m() = graft.operators.Sq.searchIvfPartitioned(
+        sqIvfPartPath, vec1mDisk, model1m, sqModel1m, q1m, k = 10,
+        candidates = 100, nProbes = Some(1))
+      def mkSqIvf1m() = graft.operators.Sq.searchIvf(sqIvf1m, vec1mDisk,
         model1m, sqModel1m, q1m, k = 10, candidates = 100, nProbes = Some(1))
-      withAqeOff(serve(mkSqIvf1m()))
+      // A/B twin (r14 verdict item 4): the r14 declarative per-(row×query)
+      // decode vs the decode-once early-exit kernel, same probes, same
+      // rerank source — the artifact's kernel-speedup evidence
+      def mkSqIvf1mDecl() = graft.operators.Sq.searchIvfDeclarative(sqIvf1m,
+        vec1mDisk, model1m, sqModel1m, q1m, k = 10, candidates = 100,
+        nProbes = Some(1))
+      withAqeOff(serve(mkSqIvf1m())); withAqeOff(serve(mkSqIvf1mDecl()))
+      withAqeOff(serve(mkSqIvfPart1m()))
       val truth1m = truthSets(vec1m, q1m, 10)
       recalls1m += "bq_hamming_1m_d960_batch" -> recallOf(mkBqHamming1m(), truth1m)
       recalls1m += "bq_rerank_1m_d960_batch" -> recallOf(mkBqRerank1m(), truth1m)
@@ -1031,7 +1109,11 @@ object Bench {
         ("bq_hamming_1m_d960_batch", () => withAqeOff(serve(mkBqHamming1m()))),
         ("bq_rerank_1m_d960_batch", () => withAqeOff(serve(mkBqRerank1m()))),
         ("sq_coarse_1m_d960_batch", () => withAqeOff(serve(mkSqCoarse1m()))),
-        ("sq_ivf_1m_d960_np1_batch", () => withAqeOff(serve(mkSqIvf1m())))) ++
+        ("sq_ivf_1m_d960_np1_batch", () => withAqeOff(serve(mkSqIvf1m()))),
+        ("sq_ivf_1m_d960_np1_decl_batch",
+          () => withAqeOff(serve(mkSqIvf1mDecl()))),
+        ("sq_ivf_part_1m_d960_np1_batch",
+          () => withAqeOff(serve(mkSqIvfPart1m())))) ++
         routedMk.map { case (np, mk) =>
           (s"ivf_hnsw_1m_d960_np${np}_batch",
             () => withAqeOff(serve(mk())): Long)
@@ -1327,11 +1409,12 @@ object Bench {
         // BQ coarse scan at the largest scale point: 4M packed rows are
         // ~480 MB cached vs ~15 GB float — the linear-scan arm that still
         // fits executor memory when the float corpus no longer does
-        val bq4m = graft.operators.Bq.encode(vec4m).select("id", "bq")
-          .repartition(nCores).cache()
+        val bqModel4m = graft.operators.Bq.train(vec4m)
+        val bq4m = graft.operators.Bq.encodeCentered(vec4m, bqModel4m)
+          .select("id", "bq").repartition(nCores).cache()
         bq4m.count()
         def mkBq4m() = graft.operators.Bq.hammingBroadcastPacked(
-          bq4m, q4m, k = 10)
+          bq4m, q4m, k = 10, model = Some(bqModel4m))
         withAqeOff(serve(mkBq4m()))
         val truth4m = truthSets(vec4m, q4m, 10)
         recalls4m += "ivf_hnsw_4m_d960_np1_batch" -> recallOf(mk4m(), truth4m)
@@ -1435,6 +1518,8 @@ object Bench {
     val gcJson = msArrJson(repGc)
     val rebuildJson = msArrJson(repRebuild)
     val jitJson = msArrJson(repJit)
+    val cpuJson = msArrJson(repCpu)
+    val stealJson = msArrJson(repSteal)
     val sustainedRebuildJson = msArrJson(sustainedRebuild)
     def sweepArr(s: Seq[(Int, Double, Double)]): String =
       s.map { case (ef, r, q) =>
@@ -1443,7 +1528,7 @@ object Bench {
     val sweepJson = sweepArr(sweep)
     val total = results.map(_._2).sum
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"qps":$qps,"recall":$recallJson,"sustained_qps":$sustainedJson,"sustained_spread":$sustainedSpreadJson$sanityJson,"rep_spread":$spreadJson,"rep_gc_ms":$gcJson,"rep_rebuild_ms":$rebuildJson,"rep_jit_ms":$jitJson,"sustained_rebuild_ms":$sustainedRebuildJson,"build_scale":$buildScaleJson,"matched_recall":$matchedJson,"hnsw_d960_ef_sweep":$sweepJson,"pq_d960_ef_sweep":${sweepArr(pqSweep)},"hnsw_pq_walk_d960_ef_sweep":${sweepArr(hnswPqSweep)},"errors":$errJson,"nq":$nq,"n_vec":$nVec,"cpus":$nCores,"smoke":$isSmoke,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"qps":$qps,"recall":$recallJson,"sustained_qps":$sustainedJson,"sustained_spread":$sustainedSpreadJson$sanityJson,"rep_spread":$spreadJson,"rep_gc_ms":$gcJson,"rep_rebuild_ms":$rebuildJson,"rep_jit_ms":$jitJson,"rep_cpu_ms":$cpuJson,"rep_steal_ms":$stealJson,"sustained_rebuild_ms":$sustainedRebuildJson,"build_scale":$buildScaleJson,"matched_recall":$matchedJson,"hnsw_d960_ef_sweep":$sweepJson,"pq_d960_ef_sweep":${sweepArr(pqSweep)},"hnsw_pq_walk_d960_ef_sweep":${sweepArr(hnswPqSweep)},"errors":$errJson,"nq":$nq,"n_vec":$nVec,"cpus":$nCores,"smoke":$isSmoke,"sf":"$sfDir"}"""
     // DURABLE artifact (r10 verdict item 1): the driver captures only the
     // TAIL of stdout, and the full line above has been truncated two rounds
     // running — losing the np grid and the rep spread it carried. The file
