@@ -1023,9 +1023,33 @@ object Bench {
       if (!java.nio.file.Files.exists(
           java.nio.file.Paths.get(sqIvfPartPath, "data", "_SUCCESS")))
         graft.operators.Sq.writeIvfPartitioned(sqIvf1m, sqIvfPartPath)
+      // floats cluster-partitioned under the SAME assignment (the catalog
+      // IVF sidecar's layout): the RERANK also partition-prunes — without
+      // it the candidate fetch streams the whole 3.7 GB float parquet per
+      // batch and dominates the pruned coarse pass (measured: ~4 s of a
+      // ~5 s np1 batch)
+      val floatPartPath = cacheDir.resolve("vec_ivf").toString
+      if (!java.nio.file.Files.exists(
+          java.nio.file.Paths.get(floatPartPath, "data", "_SUCCESS")))
+        Ivf.writePartitioned(Ivf.assign(vec1m, model1m), model1m, floatPartPath)
       def mkSqIvfPart1m() = graft.operators.Sq.searchIvfPartitioned(
-        sqIvfPartPath, vec1mDisk, model1m, sqModel1m, q1m, k = 10,
-        candidates = 100, nProbes = Some(1))
+        sqIvfPartPath, spark.read.parquet(s"$floatPartPath/data"), model1m,
+        sqModel1m, q1m, k = 10, candidates = 100, nProbes = Some(1),
+        baseClusterCol = Some("cluster"))
+      // SINGLE-query pair: the 1000-query batch's probe UNION covers all
+      // kc=32 clusters, so batch serving cannot partition-prune (the
+      // nq1000 rows measure the amortized-scan regime). One query probes
+      // ONE cluster — the partitioned path reads ~(np/kc) of codes AND
+      // floats, the per-query-latency regime the byte-prune layout
+      // exists for; the unpartitioned twin prices the same search
+      // against full scans.
+      val q1m1 = q1m.filter(col("query_id") < 1).cache(); q1m1.count()
+      def mkSqIvfPart1mNq1() = graft.operators.Sq.searchIvfPartitioned(
+        sqIvfPartPath, spark.read.parquet(s"$floatPartPath/data"), model1m,
+        sqModel1m, q1m1, k = 10, candidates = 100, nProbes = Some(1),
+        baseClusterCol = Some("cluster"))
+      def mkSqIvf1mNq1() = graft.operators.Sq.searchIvf(sqIvf1m, vec1mDisk,
+        model1m, sqModel1m, q1m1, k = 10, candidates = 100, nProbes = Some(1))
       def mkSqIvf1m() = graft.operators.Sq.searchIvf(sqIvf1m, vec1mDisk,
         model1m, sqModel1m, q1m, k = 10, candidates = 100, nProbes = Some(1))
       // A/B twin (r14 verdict item 4): the r14 declarative per-(row×query)
@@ -1113,7 +1137,11 @@ object Bench {
         ("sq_ivf_1m_d960_np1_decl_batch",
           () => withAqeOff(serve(mkSqIvf1mDecl()))),
         ("sq_ivf_part_1m_d960_np1_batch",
-          () => withAqeOff(serve(mkSqIvfPart1m())))) ++
+          () => withAqeOff(serve(mkSqIvfPart1m()))),
+        ("sq_ivf_part_1m_d960_np1_nq1_batch",
+          () => withAqeOff(serve(mkSqIvfPart1mNq1()))),
+        ("sq_ivf_1m_d960_np1_nq1_batch",
+          () => withAqeOff(serve(mkSqIvf1mNq1())))) ++
         routedMk.map { case (np, mk) =>
           (s"ivf_hnsw_1m_d960_np${np}_batch",
             () => withAqeOff(serve(mk())): Long)
@@ -1475,10 +1503,14 @@ object Bench {
     }.mkString("{", ",", "}")
     val qs = resultsAll.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
+    // row-local query count: "_nq10k_" and "_nqN_" name tags override the
+    // global batch size (the nq1 latency rows would otherwise print 1000x)
+    def rowNqOf(k: String): Int =
+      if (k.contains("_nq10k_")) 10000
+      else "_nq(\\d+)_".r.findFirstMatchIn(k).map(_.group(1).toInt).getOrElse(nq)
     val qps = results.filter(_._1.endsWith("_batch"))
       .map { case (k, v) =>
-        val rowNq = if (k.contains("_nq10k_")) 10000 else nq
-        jstr(k) + ":" + (if (v > 0) rowNq / v else 0.0)
+        jstr(k) + ":" + (if (v > 0) rowNqOf(k) / v else 0.0)
       }
       .mkString("{", ",", "}")
     val sustainedJson = (sustained ++ sustained1m ++ sustained1mLr ++ sustained4m)
@@ -1582,8 +1614,7 @@ object Bench {
     val resMap = results.toMap
     val headQps = headlineKeys.flatMap { k =>
       resMap.get(k).filter(_ > 0).map { sec =>
-        val rowNq = if (k.contains("_nq10k_")) 10000 else nq
-        jstr(k) + ":" + f"${rowNq / sec}%.1f"
+        jstr(k) + ":" + f"${rowNqOf(k) / sec}%.1f"
       }
     }.mkString("{", ",", "}")
     val headRecall = headlineKeys.flatMap { k =>

@@ -1339,9 +1339,17 @@ class VecDB(spark: SparkSession, root: String) {
             lastServedArm = "sq_ivf"
             val ivfModel = Ivf.readModel(spark, ivfDir(e).toString, e.dist,
               e.ivf.get.defaultNProbes)
+            // rerank against the IVF sidecar's OWN cluster-partitioned
+            // float layout (same assignment as the codes): both stages
+            // partition-prune, so a batch touches (np/kc) of the codes
+            // AND (np/kc) of the floats — the full-table `filtered` base
+            // would stream the whole float corpus per batch
+            val floatBase = spark.read
+              .parquet(ivfDir(e).resolve("data").toString)
             Sq.searchIvfPartitioned(sqDir(e).resolve("ivf").toString,
-              filtered, ivfModel, model, queries, k, candidates,
-              nProbes = None, dist = e.dist)
+              floatBase, ivfModel, model, queries, k, candidates,
+              nProbes = None, dist = e.dist,
+              baseClusterCol = Some("cluster"))
           } else {
             lastServedArm = "sq_rerank_serve"
             val packed = spark.read.parquet(sqDir(e).resolve("codes").toString)

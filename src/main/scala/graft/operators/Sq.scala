@@ -30,6 +30,14 @@ object Sq {
   private def c(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
     ColumnShim.column(e)
 
+  /** Cold-path throw, kept OUT of the serving kernels' hot loops: an
+    * inline interpolated throw bloats the mapPartitions closure past the
+    * JIT inlining budget and measurably de-optimizes the scan (r15 run-1:
+    * sq_coarse rows lost 35-50% to exactly this). */
+  private def sqDimMismatch(codeLen: Int, queryLen: Int, model: Int): Nothing =
+    throw new IllegalArgumentException(
+      s"sq_adc: dimension mismatch (code $codeLen, query $queryLen, model $model)")
+
   /** One-pass exact per-dim min/max (double arithmetic; see [[SqKernel]]).
     * Per-partition fold keeps two d-length arrays per task; treeReduce
     * merges log₂(P) rounds of 2·d doubles — nothing else moves. Accepts
@@ -169,9 +177,7 @@ object Sq {
           var vq = 0
           while (vq < nq) {
             if (qarr(vq)._2.length != dim)
-              throw new IllegalArgumentException(
-                s"sq_adc: dimension mismatch (code $dim, query " +
-                  s"${qarr(vq)._2.length}, model $dim)")
+              sqDimMismatch(dim, qarr(vq)._2.length, dim)
             vq += 1
           }
           // decode each row ONCE per batch, not once per (row × query):
@@ -183,10 +189,7 @@ object Sq {
           val dec = new Array[Double](dim)
           while (it.hasNext) {
             val (id, code) = it.next()
-            if (code.length != dim)
-              throw new IllegalArgumentException(
-                s"sq_adc: dimension mismatch (code ${code.length}, query " +
-                  s"$dim, model $dim)")
+            if (code.length != dim) sqDimMismatch(code.length, dim, dim)
             var di = 0
             while (di < dim) {
               dec(di) = mins(di) + scales(di) * (code(di) & 0xFF)
@@ -358,9 +361,7 @@ object Sq {
           var vq = 0
           while (vq < nq) {
             if (qarr(vq)._2.length != dim)
-              throw new IllegalArgumentException(
-                s"sq_adc: dimension mismatch (code $dim, query " +
-                  s"${qarr(vq)._2.length}, model $dim)")
+              sqDimMismatch(dim, qarr(vq)._2.length, dim)
             vq += 1
           }
           val dec = new Array[Double](dim)
@@ -368,10 +369,7 @@ object Sq {
             val (id, code, cluster) = it.next()
             val probers = qmap.getOrElse(cluster, null)
             if (probers != null) {
-              if (code.length != dim)
-                throw new IllegalArgumentException(
-                  s"sq_adc: dimension mismatch (code ${code.length}, query " +
-                    s"$dim, model $dim)")
+              if (code.length != dim) sqDimMismatch(code.length, dim, dim)
               var di = 0
               while (di < dim) {
                 dec(di) = mins(di) + scales(di) * (code(di) & 0xFF)
@@ -520,7 +518,16 @@ object Sq {
   /** [[searchIvf]] over the cluster-partitioned code layout: the probed
     * clusters push down as a parquet PARTITION filter, so a batch reads
     * (probed clusters / kc) × corpus/4 bytes — the multiplied prune the
-    * operator exists for. */
+    * operator exists for.
+    *
+    * When `base` is ALSO cluster-partitioned under the same IVF assignment
+    * (the catalog's IVF sidecar layout, [[Ivf.writePartitioned]]), pass
+    * `baseClusterCol = Some("cluster")`: every coarse candidate comes from
+    * a probed cluster, so its float row lives in a probed cluster's
+    * directory and the RERANK scan partition-prunes too — without it the
+    * rerank streams the whole float corpus per batch, which dominates the
+    * serving cost once the coarse pass is pruned (measured at 1M×960 np1:
+    * the full-scan rerank is ~4 s of a ~5 s batch). */
   def searchIvfPartitioned(
       path: String,
       base: DataFrame,
@@ -534,7 +541,8 @@ object Sq {
       idCol: String = "id",
       vecCol: String = "vec",
       queryIdCol: String = "query_id",
-      queryVecCol: String = "query_vec"): DataFrame = {
+      queryVecCol: String = "query_vec",
+      baseClusterCol: Option[String] = None): DataFrame = {
     require(candidates >= k, s"candidates ($candidates) must be >= k ($k)")
     val np = math.max(1, nProbes.getOrElse(ivfModel.defaultNProbes))
     val spark = base.sparkSession
@@ -549,7 +557,9 @@ object Sq {
         col("cluster").cast("long").as("cluster"))
     val coarse = coarseIvfKernel(probedRows, qs, clusterToQ, sqModel,
       candidates, dist)
-    rerankExact(coarse, base, queries, k, dist, idCol, vecCol,
+    val rerankBase = baseClusterCol.fold(base)(c =>
+      base.filter(col(c).isin(probed.map(Int.box): _*)))
+    rerankExact(coarse, rerankBase, queries, k, dist, idCol, vecCol,
       queryIdCol, queryVecCol)
   }
 

@@ -186,6 +186,11 @@ class SqSpec extends SparkTestBase {
       d.select(col("query_id"), col("id"),
         org.apache.spark.sql.functions.round(col("distance"), 9))
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // float layout partitioned under the SAME assignment: the rerank base
+    // the catalog's sq_ivf arm reads (the IVF sidecar's data layout)
+    val floatDir = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "sq_ivf_float").toString
+    graft.operators.Ivf.writePartitioned(assigned, ivfModel, floatDir)
     for (np <- Seq(2, 8); dist <- Seq("l2sqr", "cosine")) {
       val kernel = Sq.searchIvf(packed, df, ivfModel, sqModel, q,
         k = 6, candidates = 24, nProbes = Some(np), dist = dist)
@@ -193,14 +198,27 @@ class SqSpec extends SparkTestBase {
         sqModel, q, k = 6, candidates = 24, nProbes = Some(np), dist = dist)
       val part = Sq.searchIvfPartitioned(dir, df, ivfModel, sqModel, q,
         k = 6, candidates = 24, nProbes = Some(np), dist = dist)
+      // both stages partition-pruned: codes from `dir`, floats from the
+      // cluster-partitioned layout (every candidate's float row lives in
+      // a probed cluster's directory, so pruning cannot drop a candidate)
+      val partBoth = Sq.searchIvfPartitioned(dir,
+        spark.read.parquet(s"$floatDir/data"), ivfModel, sqModel, q,
+        k = 6, candidates = 24, nProbes = Some(np), dist = dist,
+        baseClusterCol = Some("cluster"))
       assert(rows(kernel) == rows(declarative), s"np=$np dist=$dist kernel vs declarative")
       assert(rows(part) == rows(declarative), s"np=$np dist=$dist partitioned vs declarative")
-      // the partitioned layout's probe filter must reach the parquet scan
-      // as a PARTITION filter — the byte prune IVFSQ exists for
+      assert(rows(partBoth) == rows(declarative), s"np=$np dist=$dist float-pruned vs declarative")
+      // the probe filter must reach the parquet scans as PARTITION
+      // filters — on BOTH the code scan and the float rerank scan
       if (np < ivfModel.centroids.length) {
         val plan = part.queryExecution.executedPlan.toString
         assert(plan.contains("PartitionFilters: [cluster"),
           s"no partition filters in plan:\n$plan")
+        val planBoth = partBoth.queryExecution.executedPlan.toString
+        val nPruned = "PartitionFilters: \\[cluster".r
+          .findAllMatchIn(planBoth).size
+        assert(nPruned >= 2,
+          s"expected partition filters on code AND float scans, found $nPruned:\n$planBoth")
       }
     }
     packed.unpersist(); df.unpersist()
