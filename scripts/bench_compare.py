@@ -10,6 +10,7 @@ variance band this host is known for, so anything inside it is noise
 unless a same-JVM A/B says otherwise (bench_out/ab_1m_code_vs_machine.md).
 """
 import json
+import re
 import sys
 
 
@@ -24,7 +25,11 @@ def qps_map(d):
     for k, sec in d.get("queries", {}).items():
         if not k.endswith("_batch") or not isinstance(sec, (int, float)) or sec <= 0:
             continue
-        row_nq = 10000 if "_nq10k_" in k else nq
+        # row-local query count, same parse as Bench.rowNqOf: "_nq10k_"
+        # then a generic "_nqN_" tag (the nq1/nq100 latency rows would
+        # otherwise convert with the global batch size, inflating 1000x)
+        m = re.search(r"_nq(\d+)_", k)
+        row_nq = 10000 if "_nq10k_" in k else (int(m.group(1)) if m else nq)
         out[k] = row_nq / sec
     for k, v in d.get("sustained_qps", {}).items():
         out[k] = v

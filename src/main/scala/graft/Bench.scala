@@ -508,14 +508,17 @@ object Bench {
     // see bench_out/ab_1m_code_vs_machine.md); a median of 5 stays on the
     // kernel signal even with two stolen rounds, where a median of 3 flips
     // on the second. Costs ~2 s per grid row.
-    def sustainedGrid(ws: Seq[(String, () => DataFrame, Int)], rounds: Int = 5)
+    // `batches` scales the in-flight work per rep: 16 for the fast serving
+    // arms; the slow quantized 1M arms (tens-to-hundreds of q/s) use 4 so a
+    // rep stays tens of seconds, not tens of minutes
+    def sustainedGrid(ws: Seq[(String, () => DataFrame, Int)], rounds: Int = 5,
+        batches: Int = 16)
         : (Map[String, Double], Map[String, Seq[Double]]) = withAqeOff {
       import scala.concurrent.{Await, ExecutionContext, Future}
       import scala.concurrent.duration.Duration
       val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
       implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
       try {
-        val batches = 16
         val perRep = Array.fill(ws.length)(Vector.empty[Double])
         val perRb = Array.fill(ws.length)(Vector.empty[Double])
         // TWO untimed warm rounds first: the first pipelined pass per
@@ -551,17 +554,37 @@ object Bench {
         (med, spread)
       } finally pool.shutdown()
     }
-    val (sustained, sustainedSpread) = sustainedGrid(Seq(
+    val (sustainedStable, sustainedSpreadStable) = sustainedGrid(Seq(
       ("hnsw_10k_d960_sustained", mkHnsw960 _, nq),
       // the dispatch-served (ef, pq) arm; the raw ADC walk is the
       // *_walk_* row below
       ("hnsw_pq_10k_d960_sustained", mkHnswPq960 _, nq),
       ("hnsw_pq_walk_10k_d960_sustained", mkHnswPq960Walk _, nq),
-      ("pq_serve_10k_d960_sustained", mkPqServe960 _, nq),
+      ("pq_serve_10k_d960_sustained", mkPqServe960 _, nq)))
+    // r16 (verdict Wrong #1 / item 5): the SQ/BQ 10k serving family shows
+    // up to 1.9× same-code day-scale spread (R15_NOTES adjudication), so a
+    // single grid's median still lands anywhere inside it — r15 committed
+    // its own distribution's bottom. THREE independent grid passes (each
+    // with its own warm rounds, back-to-back so JIT/GC drift lands on all
+    // three) and the MEDIAN OF PASS-MEDIANS is the committed value; the
+    // pass-medians ship in `sustained_samples` with `sustained_n_samples`
+    // so cross-round deltas are adjudicable from the artifact alone.
+    val volatileWs: Seq[(String, () => DataFrame, Int)] = Seq(
       ("bq_hamming_10k_d960_sustained", mkBqHamming960 _, nq),
       ("bq_rerank_10k_d960_sustained", mkBqRerank960 _, nq),
       ("sq_coarse_10k_d960_sustained", mkSqCoarse960 _, nq),
-      ("sq_rerank_10k_d960_sustained", mkSqRerank960 _, nq)))
+      ("sq_rerank_10k_d960_sustained", mkSqRerank960 _, nq))
+    val volatilePasses = (1 to 3).map(_ => sustainedGrid(volatileWs, rounds = 3))
+    val sustainedSamples: Map[String, Seq[Double]] =
+      volatileWs.map { case (name, _, _) =>
+        name -> volatilePasses.map(_._1(name))
+      }.toMap
+    val sustained = sustainedStable ++ sustainedSamples.map { case (n, ss) =>
+      n -> ss.sorted.apply(ss.length / 2)
+    }
+    val sustainedSpread = sustainedSpreadStable ++ volatileWs.map {
+      case (name, _, _) => name -> volatilePasses.flatMap(_._2(name)).toSeq
+    }.toMap
     // same-plan sanity (r10 verdict item 2): when the dispatch gate maps
     // (ef, pq) onto the plain walk, the hnsw and hnsw_pq sustained rows are
     // the SAME physical plan — their measured ratio is pure measurement
@@ -843,6 +866,9 @@ object Bench {
     var results1m = Seq.empty[(String, Double)]
     var sustained1m = Map.empty[String, Double]
     var sustainedSpread1m = Map.empty[String, Seq[Double]]
+    // measured probe-union coverage of the kc=512 IVFSQ prune demo
+    // (fractions of partitions a batch actually reads, driver-computed)
+    var sqIvfKc512 = Map.empty[String, Double]
     // matched-recall calibration detail (target, chosen efs, landed
     // recalls) — the rows themselves use stable ef-free names
     var matched1m = Map.empty[String, Double]
@@ -1181,6 +1207,100 @@ object Bench {
       // kernel landed.
       sustained1m ++= s1m
       sustainedSpread1m ++= sp1m
+      // r16 (verdict item 6): sustained (pipelined warm) rows for the 1M
+      // quantized arms so they compare like-for-like with the HNSW family.
+      // batches=4, rounds=3 (not 16/5): these arms serve tens-to-hundreds
+      // of q/s — a 16-batch rep would run minutes, and the grid hours.
+      val (s1mQ, sp1mQ) = sustainedGrid(Seq(
+        ("sq_ivf_1m_d960_np1_sustained", mkSqIvf1m _, nq),
+        ("bq_rerank_1m_d960_sustained", mkBqRerank1m _, nq)),
+        rounds = 3, batches = 4)
+      sustained1m ++= s1mQ
+      sustainedSpread1m ++= sp1mQ
+
+      // ---- IVFSQ batch-regime partition-prune demo (r16 verdict item 1) --
+      // kc=32 voids the BATCH prune: a 1000-query np1 probe union covers
+      // all 32 clusters, so the kc=32 partitioned rows above measure layout
+      // overhead, not pruning. At kc=512 the coverage math turns over:
+      // E[distinct probed clusters] = kc·(1 − e^(−nq/kc)) ≈ 86% at nq=1000
+      // but ≈ 18% at nq=100 — the nq100 pair is the regime where the
+      // partitioned batch path reads <25% of the partitions and must beat
+      // the in-memory full-scan twin. The MEASURED probe-union fractions
+      // (from the same driver-side probe planner the search executes) ship
+      // in `sq_ivf_kc512` beside the rows.
+      try {
+        val kc512 = 512
+        val dir512 = java.nio.file.Paths.get("bench_cache",
+          s"bench1m_sq${kc512}_$n1m")
+        val float512 = dir512.resolve("vec_ivf").toString
+        val codes512 = dir512.resolve("sq_ivf").toString
+        if (!java.nio.file.Files.exists(
+            java.nio.file.Paths.get(float512, "data", "_SUCCESS"))) {
+          val t0 = System.nanoTime()
+          val (m512, assigned512) = Ivf.build(
+            vec1mDisk.select("id", "vec"), kc512,
+            trainFraction = Some(math.min(0.5, 20000.0 / n1m)))
+          // cluster-align the write: one file per cluster directory (an
+          // unaligned 32-task write puts up to 32 small files in each of
+          // the 512 dirs — 16k files whose open/footer overhead would be
+          // charged to the scan the demo measures)
+          Ivf.writePartitioned(
+            assigned512.repartition(kc512, col("cluster")), m512, float512)
+          buildStages += "ivf_sq_1m_kc512_build" ->
+            ((System.nanoTime() - t0) / 1e9, 0.0)
+        }
+        val model512 = Ivf.readModel(spark, float512, "l2sqr", 1)
+        if (!java.nio.file.Files.exists(
+            java.nio.file.Paths.get(codes512, "data", "_SUCCESS")))
+          graft.operators.Sq.writeIvfPartitioned(
+            graft.operators.Sq.encode(Ivf.assign(vec1mDisk, model512), sqModel1m)
+              .select("id", "sq", "cluster")
+              .repartition(kc512, col("cluster")), codes512)
+        // in-memory full-scan twin: cached (id, sq, cluster), compute-pruned
+        val sqIvf512 = graft.operators.Sq.encode(
+          Ivf.assign(vec1m, model512), sqModel1m)
+          .select("id", "sq", "cluster").repartition(nCores).cache()
+        sqIvf512.count()
+        val q1m100 = q1m.filter(col("query_id") < 100).cache(); q1m100.count()
+        def collectQ(q: DataFrame): Array[(Long, Array[Float])] = q
+          .select(col("query_id").cast("long"), col("query_vec"))
+          .collect()
+          .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+        sqIvfKc512 += "kc" -> kc512.toDouble
+        sqIvfKc512 += "nq100_partition_fraction" ->
+          graft.operators.Sq.probePlan(collectQ(q1m100), model512, 1)
+            ._2.length.toDouble / kc512
+        sqIvfKc512 += "nq1000_partition_fraction" ->
+          graft.operators.Sq.probePlan(collectQ(q1m), model512, 1)
+            ._2.length.toDouble / kc512
+        def mkSqIvfPart512(q: DataFrame) = () =>
+          graft.operators.Sq.searchIvfPartitioned(codes512,
+            spark.read.parquet(s"$float512/data"), model512, sqModel1m,
+            q, k = 10, candidates = 100, nProbes = Some(1),
+            baseClusterCol = Some("cluster"))
+        def mkSqIvf512(q: DataFrame) = () => graft.operators.Sq.searchIvf(
+          sqIvf512, vec1mDisk, model512, sqModel1m, q, k = 10,
+          candidates = 100, nProbes = Some(1))
+        val part100 = mkSqIvfPart512(q1m100); val mem100 = mkSqIvf512(q1m100)
+        val part1k = mkSqIvfPart512(q1m); val mem1k = mkSqIvf512(q1m)
+        Seq(part100, mem100, part1k, mem1k).foreach(mk => withAqeOff(serve(mk())))
+        val truth100 = truth1m.filter(_._1 < 100)
+        recalls1m += "sq_ivf_part_1m_kc512_np1_nq100_batch" ->
+          recallOf(part100(), truth100)
+        recalls1m += "sq_ivf_1m_kc512_np1_nq100_batch" ->
+          recallOf(mem100(), truth100)
+        results1m = results1m ++ timeInterleaved(Seq[(String, () => Long)](
+          ("sq_ivf_part_1m_kc512_np1_nq100_batch",
+            () => withAqeOff(serve(part100()))),
+          ("sq_ivf_1m_kc512_np1_nq100_batch",
+            () => withAqeOff(serve(mem100()))),
+          ("sq_ivf_part_1m_kc512_np1_batch",
+            () => withAqeOff(serve(part1k()))),
+          ("sq_ivf_1m_kc512_np1_batch",
+            () => withAqeOff(serve(mem1k())))))
+        sqIvf512.unpersist()
+        q1m100.unpersist()
+      } catch { case e: Throwable => errors += "bench_sq512" -> errString(e) }
       bq1m.unpersist()
       sq1m.unpersist()
       sqIvf1m.unpersist()
@@ -1482,6 +1602,7 @@ object Bench {
     // the low-rank fixture's point at the same 1M scale)
     val buildRows = Map(
       "hnsw_1m_d960_build" -> n1m,
+      "ivf_sq_1m_kc512_build" -> n1m,
       "ivf_hnsw_1mlr_d960_build" -> n1mLr,
       "ivf_hnsw_2m_d960_build" -> n2m,
       "ivf_hnsw_4m_d960_build" -> n4m)
@@ -1515,6 +1636,16 @@ object Bench {
       .mkString("{", ",", "}")
     val sustainedJson = (sustained ++ sustained1m ++ sustained1mLr ++ sustained4m)
       .map { case (k, v) => jstr(k) + ":" + f"$v%.1f" }
+      .mkString("{", ",", "}")
+    // pass-medians of the volatile SQ/BQ 10k family (committed value =
+    // median of these; r16 verdict item 5)
+    val sustainedSamplesJson = sustainedSamples
+      .map { case (k, ss) =>
+        jstr(k) + ":" + ss.map(v => f"$v%.1f").mkString("[", ",", "]")
+      }
+      .mkString("{", ",", "}")
+    val sqIvfKc512Json = sqIvfKc512.toSeq.sortBy(_._1)
+      .map { case (k, v) => jstr(k) + ":" + f"$v%.4f" }
       .mkString("{", ",", "}")
     // per-rep q/s of every sustained row (r10 verdict item 2): regressions
     // on these rows are only adjudicable with the run-to-run spread visible
@@ -1560,7 +1691,7 @@ object Bench {
     val sweepJson = sweepArr(sweep)
     val total = results.map(_._2).sum
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"qps":$qps,"recall":$recallJson,"sustained_qps":$sustainedJson,"sustained_spread":$sustainedSpreadJson$sanityJson,"rep_spread":$spreadJson,"rep_gc_ms":$gcJson,"rep_rebuild_ms":$rebuildJson,"rep_jit_ms":$jitJson,"rep_cpu_ms":$cpuJson,"rep_steal_ms":$stealJson,"sustained_rebuild_ms":$sustainedRebuildJson,"build_scale":$buildScaleJson,"matched_recall":$matchedJson,"hnsw_d960_ef_sweep":$sweepJson,"pq_d960_ef_sweep":${sweepArr(pqSweep)},"hnsw_pq_walk_d960_ef_sweep":${sweepArr(hnswPqSweep)},"errors":$errJson,"nq":$nq,"n_vec":$nVec,"cpus":$nCores,"smoke":$isSmoke,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"qps":$qps,"recall":$recallJson,"sustained_qps":$sustainedJson,"sustained_samples":$sustainedSamplesJson,"sustained_n_samples":3,"sq_ivf_kc512":$sqIvfKc512Json,"sustained_spread":$sustainedSpreadJson$sanityJson,"rep_spread":$spreadJson,"rep_gc_ms":$gcJson,"rep_rebuild_ms":$rebuildJson,"rep_jit_ms":$jitJson,"rep_cpu_ms":$cpuJson,"rep_steal_ms":$stealJson,"sustained_rebuild_ms":$sustainedRebuildJson,"build_scale":$buildScaleJson,"matched_recall":$matchedJson,"hnsw_d960_ef_sweep":$sweepJson,"pq_d960_ef_sweep":${sweepArr(pqSweep)},"hnsw_pq_walk_d960_ef_sweep":${sweepArr(hnswPqSweep)},"errors":$errJson,"nq":$nq,"n_vec":$nVec,"cpus":$nCores,"smoke":$isSmoke,"sf":"$sfDir"}"""
     // DURABLE artifact (r10 verdict item 1): the driver captures only the
     // TAIL of stdout, and the full line above has been truncated two rounds
     // running — losing the np grid and the rep spread it carried. The file
@@ -1596,6 +1727,8 @@ object Bench {
       "bq_hamming_10k_d960_batch", "bq_rerank_10k_d960_batch",
       "sq_coarse_10k_d960_batch", "sq_rerank_10k_d960_batch",
       "bq_hamming_1m_d960_batch", "bq_rerank_1m_d960_batch",
+      "sq_ivf_1m_d960_np1_batch",
+      "sq_ivf_part_1m_kc512_np1_nq100_batch", "sq_ivf_1m_kc512_np1_nq100_batch",
       "hnsw_1m_d960_batch", "ivf_hnsw_1m_d960_np1_batch",
       "ivf_hnsw_1m_d960_np1_ef20_batch", "ivf_hnsw_1m_d960_np1_ef40_batch",
       "ivf_hnsw_1m_d960_np2_batch", "ivf_hnsw_1m_d960_np4_batch",

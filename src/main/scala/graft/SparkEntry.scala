@@ -668,6 +668,27 @@ object SparkEntry {
         s"expected the BQ serving arm, dispatched '${db.lastServedArm}'")
       out
     }),
+    // §2.11 dispatch + T12 routed (r16): buildIvfIndex THEN buildBqIndex
+    // writes the packed words cluster-partitioned under the IVF routing and
+    // the dispatch serves IVF-BQ (partition-pruned Hamming coarse pass +
+    // partition-pruned exact re-rank — the sq_ivf composition at 1/32 the
+    // coarse bytes). Full default probes (defaultNProbes = kClusters) +
+    // ef = 2n candidates ⇒ every row survives both prunes ⇒ exact ⇒ plain
+    // top-k SQL oracle; BqSpec carries the pruned-probe equality + the
+    // partition-filter plan assert on BOTH scans.
+    "q_bq_ivf_catalog" -> ((s, dir) => {
+      val db = catalogIngest(s, dir, "vecdb_qbqivf")
+      val n = db.getLen("emb").toInt
+      db.buildIvfIndex("emb", k = 8, defaultNProbes = 8)
+      db.buildBqIndex("emb")
+      val out = db.searchBatch("emb", queryVectors(s, dir), k = 5, ef = Some(2 * n))
+        .select(col("query_id"), col("id"),
+          (round(col("distance"), 6) + lit(0.0)).as("distance"))
+        .orderBy("query_id", "distance", "id")
+      require(db.lastServedArm == "bq_ivf",
+        s"expected the IVF-BQ serving arm, dispatched '${db.lastServedArm}'")
+      out
+    }),
     // §2.11 dispatch + T7 residual variant: the catalog serving path with
     // a RESIDUAL-trained PQ sidecar (FAISS IVFPQ — IvfHnsw.trainResidualPq)
     // over a routed index. The dispatch must pin such tables to the routed
@@ -838,6 +859,40 @@ object SparkEntry {
         require(fired, "q_sql_topk_indexed: the catalog rewrite did not fire")
         require(db.lastServedArm == "hnsw",
           s"q_sql_topk_indexed: expected the hnsw arm, got '${db.lastServedArm}'")
+        top.select(col("id"), (round(col("d"), 6) + lit(0.0)).as("distance"))
+          .orderBy("distance", "id")
+      } finally s.conf.unset(graft.plans.GraftSqlTopK.EfConf)
+    }),
+    // §7.3 + T13 (r16): the SQL top-k rewrite over a QUANTIZED-indexed
+    // catalog table — the rule dispatches through searchBatch, which serves
+    // the SQ coarse+rerank arm (lastServedArm pinned). EfConf = 2n maps to
+    // an exhaustive coarse candidate budget ⇒ exact ⇒ the same DuckDB
+    // ORDER BY LIMIT oracle as the HNSW-indexed variant.
+    "q_sql_topk_sq" -> ((s, dir) => {
+      val db = catalogIngest(s, dir, "vecdb_qsqlsq")
+      val n = db.getLen("emb").toInt
+      db.buildSqIndex("emb")
+      db.registerSql("emb", Some("sql_topk_sq_emb"))
+      val qv = Tables.vectors(s, dir).filter(col("id") === 0)
+        .head.getAs[scala.collection.Seq[Float]]("vec")
+      val lits = qv.map(f => f.toString + "D").mkString("array(", ", ", ")")
+      s.conf.set(graft.plans.GraftSqlTopK.EfConf, (2 * n).toString)
+      try {
+        val top = s.sql("SELECT id, vec_l2sq(vec, CAST(" + lits +
+          " AS array<float>)) AS d FROM sql_topk_sq_emb ORDER BY d LIMIT 50")
+        val fired = top.queryExecution.optimizedPlan.collect {
+          case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+            f.condition
+        }.exists(_.exists {
+          case org.apache.spark.sql.catalyst.expressions.In(_, vs) =>
+            vs.length == 50
+          case si: org.apache.spark.sql.catalyst.expressions.InSet =>
+            si.hset.size == 50
+          case _ => false
+        })
+        require(fired, "q_sql_topk_sq: the catalog rewrite did not fire")
+        require(db.lastServedArm == "sq_rerank_serve",
+          s"q_sql_topk_sq: expected the SQ serving arm, got '${db.lastServedArm}'")
         top.select(col("id"), (round(col("d"), 6) + lit(0.0)).as("distance"))
           .orderBy("distance", "id")
       } finally s.conf.unset(graft.plans.GraftSqlTopK.EfConf)
@@ -1155,6 +1210,15 @@ object SparkEntry {
          |top AS (SELECT id, d FROM scored ORDER BY d, id LIMIT 50)
          |SELECT id, round(d, 6) + 0.0 AS distance FROM top
          |ORDER BY distance, id""".stripMargin,
+    // quantized catalog arm: exhaustive coarse budget (ef = 2n) ⇒ exact,
+    // same selection as q_sql_topk
+    "q_sql_topk_sq" ->
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |scored AS (SELECT b.vec_id AS id, $l2Expr AS d
+         |           FROM q CROSS JOIN embeddings b),
+         |top AS (SELECT id, d FROM scored ORDER BY d, id LIMIT 50)
+         |SELECT id, round(d, 6) + 0.0 AS distance FROM top
+         |ORDER BY distance, id""".stripMargin,
     // batch arm: DuckDB's own rank-over-join window over the same parquet
     "q_sql_topk_batch" ->
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
@@ -1277,6 +1341,8 @@ object SparkEntry {
     "q_sq_catalog" -> topKSql(l2Expr, 5),
     "q_sq_ivf_catalog" -> topKSql(l2Expr, 5),
     "q_bq_catalog" -> topKSql(l2Expr, 5),
+    // IVF-routed BQ at full probes + exhaustive candidates == exact KNN
+    "q_bq_ivf_catalog" -> topKSql(l2Expr, 5),
     "q_ivf_probe" -> topKSql(l2Expr, 5),
     "q_ivf_catalog" -> topKSql(l2Expr, 5),
     "q_ivf_hnsw_routed" -> topKSql(l2Expr, 5),

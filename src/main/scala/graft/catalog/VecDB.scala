@@ -36,8 +36,12 @@ case class SqInfo(routed: Boolean)
 /** BQ (binary quantization) sidecar marker. `centered` records whether
   * the packed bits threshold at the per-dim corpus mean
   * ([[graft.operators.Bq.train]] — the information-preserving default) or
-  * at raw sign (the SQL-function convention). */
-case class BqInfo(centered: Boolean = true)
+  * at raw sign (the SQL-function convention). `routed` marks packed words
+  * written cluster-partitioned under the table's IVF routing (`bq/ivf`) —
+  * the IVF-BQ bit-prune layout, [[SqInfo]]'s composition on 1-bit codes —
+  * and couples the sidecar's lifetime to the IVF index's. Defaulted so
+  * pre-r16 briefs read as flat. */
+case class BqInfo(centered: Boolean = true, routed: Boolean = false)
 
 /** One catalog row — the Spark shape of the reference's `VecTableBrief` +
   * per-table index state (`/root/reference/src/database/mod.rs:47-64`,
@@ -746,7 +750,10 @@ class VecDB(spark: SparkSession, root: String) {
       tables += key -> e
       saveBrief()
     }
-    if (e.bq.isDefined && !Files.exists(bqDir(e))) {
+    if (e.bq.isDefined &&
+        (!Files.exists(bqDir(e)) ||
+          (e.bq.get.routed && e.ivf.isEmpty))) {
+      // a routed BQ sidecar cannot serve without its IVF centroids
       e = e.copy(bq = None)
       tables += key -> e
       saveBrief()
@@ -978,9 +985,10 @@ class VecDB(spark: SparkSession, root: String) {
   }
 
   def clearIvfIndex(key: String): Unit = tableLock(key).synchronized {
-    // a ROUTED SQ sidecar's probe lists live in the IVF centroids — it
+    // a ROUTED SQ/BQ sidecar's probe lists live in the IVF centroids — it
     // cannot serve without them, so it goes with the IVF index
     if (entry(key).sq.exists(_.routed)) clearSqIndex(key)
+    if (entry(key).bq.exists(_.routed)) clearBqIndex(key)
     val cleared = catalogLock.synchronized {
       val e = entry(key)
       if (e.ivf.isDefined) {
@@ -1051,8 +1059,14 @@ class VecDB(spark: SparkSession, root: String) {
     * float scan traffic for the Hamming coarse pass, exact re-rank on a
     * corpus-scaled candidate set ([[graft.operators.Bq.autoCandidates]]).
     * `centered = false` packs raw sign bits (the SQL-function convention;
-    * near-uninformative on uncentered corpora — see Bq.BqModel). Cleared
-    * on add/delete like PQ. Idempotent skip. */
+    * near-uninformative on uncentered corpora — see Bq.BqModel). On a
+    * table with an IVF index the packed words are written
+    * CLUSTER-PARTITIONED under the IVF routing (`bq/ivf/data/cluster=N/`)
+    * so catalog searches serve the IVF-BQ bit-prune — probes become
+    * parquet partition filters and a batch reads (np/kc) × corpus/32
+    * bytes, the same composition [[buildSqIndex]] ships for byte codes;
+    * otherwise a flat packed sidecar (`bq/packed`) serves the
+    * coarse+rerank scan. Cleared on add/delete like PQ. Idempotent skip. */
   def buildBqIndex(key: String, centered: Boolean = true): Unit =
     tableLock(key).synchronized {
       val e = entry(key)
@@ -1061,14 +1075,25 @@ class VecDB(spark: SparkSession, root: String) {
       if (df.isEmpty) throw new IllegalArgumentException(
         "Cannot build BQ index for an empty table")
       val model = if (centered) Some(Bq.train(df)) else None
-      model.fold(Bq.encode(df))(m => Bq.encodeCentered(df, m))
-        .select("id", "bq")
-        .write.mode("overwrite").parquet(bqDir(e).resolve("packed").toString)
+      def packed(d: DataFrame) =
+        model.fold(Bq.encode(d))(m => Bq.encodeCentered(d, m))
+      val routed = e.ivf.isDefined
+      if (routed) {
+        val ivfModel = Ivf.readModel(spark, ivfDir(e).toString, e.dist,
+          e.ivf.get.defaultNProbes)
+        Bq.writeIvfPartitioned(
+          packed(Ivf.assign(df.select(col("id"), col("vec")), ivfModel))
+            .select(col("id"), col("bq"), col("cluster")),
+          bqDir(e).resolve("ivf").toString)
+      } else {
+        packed(df).select("id", "bq")
+          .write.mode("overwrite").parquet(bqDir(e).resolve("packed").toString)
+      }
       import spark.implicits._
       Seq(model.fold(Seq.empty[Double])(_.thresholds.toSeq)).toDF("thresholds")
         .write.mode("overwrite").parquet(bqDir(e).resolve("model").toString)
       catalogLock.synchronized {
-        tables += key -> entry(key).copy(bq = Some(BqInfo(centered)))
+        tables += key -> entry(key).copy(bq = Some(BqInfo(centered, routed)))
         saveBrief()
       }
     }
@@ -1359,12 +1384,33 @@ class VecDB(spark: SparkSession, root: String) {
         if (ub == Double.PositiveInfinity) hits
         else hits.filter(col("distance") <= lit(ub))
       case (efOpt, _) if e.bq.isDefined && !e.hasHnsw && pattern.isEmpty =>
-        lastServedArm = "bq_rerank_serve"
+        val info = e.bq.get
         val candidates = math.max(k,
           efOpt.getOrElse(Bq.autoCandidates(e.nextId, k)))
-        val packed = spark.read.parquet(bqDir(e).resolve("packed").toString)
-        val hits = Bq.searchRerankPacked(packed, filtered, queries, k,
-          candidates, dist = e.dist, model = loadBqModel(e))
+        val hits =
+          if (info.routed) {
+            if (e.ivf.isEmpty) throw new IllegalStateException(
+              s"table '$key': routed BQ sidecar without an IVF index " +
+                "(clearIvfIndex cascades — this brief was edited externally)")
+            lastServedArm = "bq_ivf"
+            val ivfModel = Ivf.readModel(spark, ivfDir(e).toString, e.dist,
+              e.ivf.get.defaultNProbes)
+            // rerank against the IVF sidecar's OWN cluster-partitioned
+            // float layout (same assignment as the packed words): both
+            // stages partition-prune — the sq_ivf arm's argument, at 1/32
+            // the coarse bytes instead of 1/4
+            val floatBase = spark.read
+              .parquet(ivfDir(e).resolve("data").toString)
+            Bq.searchIvfPartitioned(bqDir(e).resolve("ivf").toString,
+              floatBase, ivfModel, loadBqModel(e), queries, k, candidates,
+              nProbes = None, dist = e.dist,
+              baseClusterCol = Some("cluster"))
+          } else {
+            lastServedArm = "bq_rerank_serve"
+            val packed = spark.read.parquet(bqDir(e).resolve("packed").toString)
+            Bq.searchRerankPacked(packed, filtered, queries, k,
+              candidates, dist = e.dist, model = loadBqModel(e))
+          }
         if (ub == Double.PositiveInfinity) hits
         else hits.filter(col("distance") <= lit(ub))
       // IVF arms (extension): ef → n_probes, the reference's IVF ef mapping

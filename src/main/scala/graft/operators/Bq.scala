@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftshim.ColumnShim
 
-import graft.functions.{BitPackCentered, BitPackSign, BqKernel, HammingDistance, VectorFunctions}
+import graft.functions.{BitPackCentered, BitPackSign, BqKernel, HammingDistance}
 
 /** Binary-quantization (sign-bit) search — the codebook-free end of the
   * quantized-serving spectrum the reference's PQ occupies
@@ -47,26 +47,38 @@ object Bq {
 
   /** One-pass exact per-dim mean ([[Sq.train]]'s fold shape: a d-length
     * double sum + row count per partition, treeReduce of log₂(P) merges —
-    * no data rows move). Float inputs widen to double exactly; the sum
-    * order varies with partitioning, but a ±1-ulp threshold wobble flips a
-    * bit only for vectors EXACTLY at the mean — the same measure-zero
-    * class as the raw packer's `-0.0 >= 0` edge. */
+    * no data rows move). Accepts array<float> and array<double>, the same
+    * surface as [[encodeCentered]] / [[BitPackCentered]] (float widens to
+    * double exactly, so float-input models are unchanged). The sum order
+    * varies with partitioning, but a ±1-ulp threshold wobble flips a bit
+    * only for vectors EXACTLY at the mean — the same measure-zero class
+    * as the raw packer's `-0.0 >= 0` edge. */
   def train(df: DataFrame, vecCol: String = "vec"): BqModel = {
     val spark = df.sparkSession
     import spark.implicits._
-    val partials = df.select(col(vecCol)).as[Array[Float]].rdd
+    df.schema(vecCol).dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType |
+        org.apache.spark.sql.types.DoubleType, _) => ()
+      case other => throw new IllegalArgumentException(
+        s"bq_train requires array<float>/array<double>, got ${other.catalogString}")
+    }
+    val partials = df.select(col(vecCol)
+        .cast(org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType)).as("v"))
+      .as[Array[Double]].rdd
       .mapPartitions { it =>
         if (!it.hasNext) Iterator.empty
         else {
           val first = it.next()
-          val sum = first.map(_.toDouble)
+          val sum = first.clone()
           var n = 1L
           while (it.hasNext) {
             val v = it.next()
             require(v.length == sum.length,
               s"bq_train: dimension mismatch (${v.length} vs ${sum.length})")
             var i = 0
-            while (i < v.length) { sum(i) += v(i).toDouble; i += 1 }
+            while (i < v.length) { sum(i) += v(i); i += 1 }
             n += 1
           }
           Iterator.single((sum, n))
@@ -171,6 +183,18 @@ object Bq {
       .map { case (qid, v) =>
         (qid, model.fold(BqKernel.pack(v))(m => BqKernel.packCentered(v, m.thresholds)))
       }
+    hammingBroadcastPackedArr(packed, qs, k)
+  }
+
+  /** [[hammingBroadcastPacked]] over an already-collected, already-PACKED
+    * query batch — the shared entry for callers that need the batch on
+    * the driver anyway (probe planning, rerank byte-gating). */
+  private[graft] def hammingBroadcastPackedArr(
+      packed: DataFrame,
+      qs: Array[(Long, Array[Long])],
+      k: Int): DataFrame = {
+    val spark = packed.sparkSession
+    import spark.implicits._
     val bc = spark.sparkContext.broadcast(qs)
 
     val partial = packed
@@ -181,35 +205,23 @@ object Bq {
         val nq = qarr.length
         if (nq == 0 || !it.hasNext) Iterator.empty
         else {
-          val bufH = Array.fill(nq)(new Array[Int](k))
-          val bufI = Array.fill(nq)(new Array[Long](k))
-          val sz = new Array[Int](nq)
+          // bounded (hamming, id) selector per query — integer hammings
+          // (≤ dim) are exact in double, so (distance, id) order is the
+          // engine's standard tie-break bit for bit; heap layout past 256
+          // slots (rerank candidate budgets — the O(k)-memmove fix)
+          val bufs = Array.fill(nq)(new graft.index.TopBuffer(k))
           while (it.hasNext) {
             val (id, bq) = it.next()
             var qi = 0
             while (qi < nq) {
-              val h = BqKernel.hamming(qarr(qi)._2, bq)
-              val n = sz(qi)
-              val hs = bufH(qi); val ids = bufI(qi)
-              if (n < k || h < hs(n - 1) || (h == hs(n - 1) && id < ids(n - 1))) {
-                val m = if (n < k) n else n - 1
-                var lo = 0; var hi = m
-                while (lo < hi) {
-                  val mid = (lo + hi) >>> 1
-                  if (h < hs(mid) || (h == hs(mid) && id < ids(mid))) hi = mid
-                  else lo = mid + 1
-                }
-                System.arraycopy(hs, lo, hs, lo + 1, m - lo)
-                System.arraycopy(ids, lo, ids, lo + 1, m - lo)
-                hs(lo) = h; ids(lo) = id
-                if (n < k) sz(qi) = n + 1
-              }
+              bufs(qi).offer(BqKernel.hamming(qarr(qi)._2, bq).toDouble, id)
               qi += 1
             }
           }
           Iterator.range(0, nq).flatMap { qi =>
-            Iterator.range(0, sz(qi)).map(p =>
-              (qarr(qi)._1, bufI(qi)(p), bufH(qi)(p).toDouble))
+            val buf = bufs(qi)
+            Iterator.range(0, buf.size).map(p =>
+              (qarr(qi)._1, buf.idAt(p), buf.distAt(p)))
           }
         }
       }
@@ -265,24 +277,179 @@ object Bq {
       queryVecCol: String = "query_vec",
       model: Option[BqModel] = None): DataFrame = {
     require(candidates >= k, s"candidates ($candidates) must be >= k ($k)")
-    val coarse = hammingBroadcastPacked(packed, queries, candidates,
-      queryIdCol, queryVecCol, model)
+    val spark = packed.sparkSession
+    import spark.implicits._
+    val qs = queries
+      .select(col(queryIdCol).cast("long"), col(queryVecCol))
+      .as[(Long, Array[Float])].collect()
+    val qsPacked = qs.map { case (qid, v) =>
+      (qid, model.fold(BqKernel.pack(v))(m => BqKernel.packCentered(v, m.thresholds)))
+    }
+    val coarse = hammingBroadcastPackedArr(packed, qsPacked, candidates)
       .select(col("query_id"), col("id"))
-    // one id-pruned pass over the float column: broadcast the (small)
-    // candidate set against the base scan, attach each candidate's query
-    // vector, score exactly, bounded top-k
-    val qs = broadcast(queries.select(
-      col(queryIdCol).cast("long").as("query_id"),
-      col(queryVecCol).as("__qvec")))
-    broadcast(coarse)
-      .join(base.select(col(idCol).cast("long").as("id"), col(vecCol).as("__vec")), "id")
-      .join(qs, "query_id")
-      .select(col("query_id"), col("id"),
-        VectorFunctions.distance(col("__vec"), col("__qvec"), dist).as("__dist"))
+    // one id-pruned pass over the float column — the shared, byte-gated
+    // exact re-rank stage ([[Rerank.exact]])
+    Rerank.exact(coarse, base, queries, k, dist, idCol, vecCol,
+      queryIdCol, queryVecCol, estRows = qs.length.toLong * candidates)
+  }
+
+  /** Persist `(id, bq, cluster)` as the physical IVF-BQ layout: cluster-
+    * partitioned parquet (`data/cluster=N/...`) — [[Sq.writeIvfPartitioned]]'s
+    * layout on packed sign/threshold words, so [[searchIvfPartitioned]]'s
+    * probe filter prunes DIRECTORIES before any word is read. */
+  def writeIvfPartitioned(assignedPacked: DataFrame, path: String): Unit =
+    assignedPacked.select(col("id"), col("bq"), col("cluster"))
+      .write.partitionBy("cluster").mode("overwrite").parquet(s"$path/data")
+
+  /** Probed Hamming coarse pass in the serving kernel shape: stream the
+    * probed clusters' `(id, bq, cluster)` rows once through
+    * `mapPartitions`, score only the queries that probed that row's
+    * cluster (inverted cluster→queries map, broadcast) —
+    * [[Sq.coarseIvfKernel]]'s shape on packed words (XOR/popcount needs
+    * no decode and no early exit: 15 words at d960 cost less than the
+    * exit test). Output: (query_id, id) coarse winners. */
+  private def coarseIvfKernel(
+      probedRows: DataFrame,
+      qsPacked: Array[(Long, Array[Long])],
+      clusterToQ: Map[Long, Array[Int]],
+      candidates: Int): DataFrame = {
+    val spark = probedRows.sparkSession
+    import spark.implicits._
+    val bcQ = spark.sparkContext.broadcast(qsPacked)
+    val bcMap = spark.sparkContext.broadcast(clusterToQ)
+    val k = candidates
+    val partial = probedRows
+      .select(col("id").cast("long"), col("bq"), col("cluster").cast("long"))
+      .as[(Long, Array[Long], Long)]
+      .mapPartitions { it =>
+        val qarr = bcQ.value
+        val qmap = bcMap.value
+        val nq = qarr.length
+        if (nq == 0 || !it.hasNext) Iterator.empty
+        else {
+          val bufs = Array.fill(nq)(new graft.index.TopBuffer(k))
+          while (it.hasNext) {
+            val (id, bq, cluster) = it.next()
+            val probers = qmap.getOrElse(cluster, null)
+            if (probers != null) {
+              var pi = 0
+              while (pi < probers.length) {
+                val qi = probers(pi)
+                bufs(qi).offer(BqKernel.hamming(qarr(qi)._2, bq).toDouble, id)
+                pi += 1
+              }
+            }
+          }
+          Iterator.range(0, nq).flatMap { qi =>
+            val buf = bufs(qi)
+            Iterator.range(0, buf.size).map(p =>
+              (qarr(qi)._1, buf.idAt(p), buf.distAt(p)))
+          }
+        }
+      }
+      .toDF("query_id", "id", "distance")
+    partial
       .groupBy("query_id")
-      .agg(TopK.topK(k)(col("id"), col("__dist")).as("topk"))
+      .agg(TopK.topK(k)(col("id"), col("distance")).as("topk"))
       .select(col("query_id"), explode(col("topk")).as("hit"))
-      .select(col("query_id"), col("hit.id").as("id"),
-        col("hit.distance").as("distance"))
+      .select(col("query_id"), col("hit.id").as("id"))
+  }
+
+  /** IVF-routed BQ (the composition [[Sq.searchIvf]] already serves for
+    * byte codes, on 1-bit words): per query, probe the `nProbes` nearest
+    * clusters (driver-side exact double distances, [[Sq.probePlan]]), scan
+    * ONLY those clusters' packed words with the Hamming kernel, keep the
+    * coarse top-`candidates`, then exact re-rank on an id-pruned pass over
+    * the float column. With `nProbes ≥ kClusters` and `candidates ≥ n`
+    * the result is exact KNN (every row survives both prunes).
+    *
+    * 100 TB shape: the IVF pruning and the 32× bit compression multiply —
+    * a batch reads (np/kc) × corpus/32 bytes over the partitioned layout
+    * ([[writeIvfPartitioned]] / [[searchIvfPartitioned]]). Reference
+    * analog: the probe economics of
+    * `/root/reference/src/index/ivf_index.rs:143-155` on the packed
+    * sidecar pattern of `metadata_vec_table.rs:14-20`.
+    *
+    * @param assignedPacked (id, bq, cluster) — [[Ivf.assign]] output run
+    *                       through [[encodeCentered]]/[[encode]]
+    * @param base           (id, vec) float table for the re-rank
+    */
+  def searchIvf(
+      assignedPacked: DataFrame,
+      base: DataFrame,
+      ivfModel: graft.operators.IvfModel,
+      bqModel: Option[BqModel],
+      queries: DataFrame,
+      k: Int,
+      candidates: Int,
+      nProbes: Option[Int] = None,
+      dist: String = "l2sqr",
+      idCol: String = "id",
+      vecCol: String = "vec",
+      queryIdCol: String = "query_id",
+      queryVecCol: String = "query_vec"): DataFrame = {
+    require(candidates >= k, s"candidates ($candidates) must be >= k ($k)")
+    val np = math.max(1, nProbes.getOrElse(ivfModel.defaultNProbes))
+    val spark = assignedPacked.sparkSession
+    import spark.implicits._
+    val qs = queries
+      .select(col(queryIdCol).cast("long"), col(queryVecCol))
+      .as[(Long, Array[Float])].collect()
+    val (clusterToQ, probed) = Sq.probePlan(qs, ivfModel, np)
+    val qsPacked = qs.map { case (qid, v) =>
+      (qid, bqModel.fold(BqKernel.pack(v))(m => BqKernel.packCentered(v, m.thresholds)))
+    }
+    val probedRows = assignedPacked
+      .select(col(idCol).cast("long").as("id"), col("bq"),
+        col("cluster").cast("long").as("cluster"))
+      .filter(col("cluster").isInCollection(probed.map(c => Long.box(c.toLong)).toSeq))
+    val coarse = coarseIvfKernel(probedRows, qsPacked, clusterToQ, candidates)
+    Rerank.exact(coarse, base, queries, k, dist, idCol, vecCol,
+      queryIdCol, queryVecCol, estRows = qs.length.toLong * candidates)
+  }
+
+  /** [[searchIvf]] over the cluster-partitioned packed layout: the probed
+    * clusters push down as a parquet PARTITION filter, so a batch reads
+    * (probed clusters / kc) × corpus/32 bytes. When `base` is ALSO
+    * cluster-partitioned under the same IVF assignment (the catalog's IVF
+    * sidecar layout), pass `baseClusterCol = Some("cluster")` and the
+    * RERANK scan partition-prunes too — every coarse candidate comes from
+    * a probed cluster, so pruning cannot drop one ([[Sq.searchIvfPartitioned]]'s
+    * argument, verbatim). */
+  def searchIvfPartitioned(
+      path: String,
+      base: DataFrame,
+      ivfModel: graft.operators.IvfModel,
+      bqModel: Option[BqModel],
+      queries: DataFrame,
+      k: Int,
+      candidates: Int,
+      nProbes: Option[Int] = None,
+      dist: String = "l2sqr",
+      idCol: String = "id",
+      vecCol: String = "vec",
+      queryIdCol: String = "query_id",
+      queryVecCol: String = "query_vec",
+      baseClusterCol: Option[String] = None): DataFrame = {
+    require(candidates >= k, s"candidates ($candidates) must be >= k ($k)")
+    val np = math.max(1, nProbes.getOrElse(ivfModel.defaultNProbes))
+    val spark = base.sparkSession
+    import spark.implicits._
+    val qs = queries
+      .select(col(queryIdCol).cast("long"), col(queryVecCol))
+      .as[(Long, Array[Float])].collect()
+    val (clusterToQ, probed) = Sq.probePlan(qs, ivfModel, np)
+    val qsPacked = qs.map { case (qid, v) =>
+      (qid, bqModel.fold(BqKernel.pack(v))(m => BqKernel.packCentered(v, m.thresholds)))
+    }
+    val probedRows = spark.read.parquet(s"$path/data")
+      .filter(col("cluster").isin(probed.map(Int.box): _*)) // partition-pruned
+      .select(col("id").cast("long").as("id"), col("bq"),
+        col("cluster").cast("long").as("cluster"))
+    val coarse = coarseIvfKernel(probedRows, qsPacked, clusterToQ, candidates)
+    val rerankBase = baseClusterCol.fold(base)(c =>
+      base.filter(col(c).isin(probed.map(Int.box): _*)))
+    Rerank.exact(coarse, rerankBase, queries, k, dist, idCol, vecCol,
+      queryIdCol, queryVecCol, estRows = qs.length.toLong * candidates)
   }
 }

@@ -154,6 +154,20 @@ object Sq {
     val qs = queries
       .select(col(queryIdCol).cast("long"), col(queryVecCol))
       .as[(Long, Array[Float])].collect()
+    serveBroadcastPackedArr(packed, qs, model, k, dist)
+  }
+
+  /** [[serveBroadcastPacked]] over an already-collected query batch — the
+    * shared entry for callers that need the batch on the driver anyway
+    * (probe planning, rerank byte-gating). */
+  private[graft] def serveBroadcastPackedArr(
+      packed: DataFrame,
+      qs: Array[(Long, Array[Float])],
+      model: SqModel,
+      k: Int,
+      dist: String): DataFrame = {
+    val spark = packed.sparkSession
+    import spark.implicits._
     val bc = spark.sparkContext.broadcast(qs)
     val mins = model.mins
     val scales = model.scales
@@ -168,9 +182,10 @@ object Sq {
         val nq = qarr.length
         if (nq == 0 || !it.hasNext) Iterator.empty
         else {
-          val bufD = Array.fill(nq)(new Array[Double](k))
-          val bufI = Array.fill(nq)(new Array[Long](k))
-          val sz = new Array[Int](nq)
+          // bounded (distance, id) selector per query: sorted-array admits
+          // at serving k, max-heap past 256 slots (rerank candidate budgets
+          // — the O(k)-memmove-per-admit fix); identical admitted set
+          val bufs = Array.fill(nq)(new graft.index.TopBuffer(k))
           val dim = mins.length
           // validate once per partition what the declarative SqAdcDistance
           // arm validates per row — same descriptive error, not a raw AIOOBE
@@ -198,8 +213,7 @@ object Sq {
             var qi = 0
             while (qi < nq) {
               val q = qarr(qi)._2
-              val n = sz(qi)
-              val ds = bufD(qi); val ids = bufI(qi)
+              val buf = bufs(qi)
               var d = 0.0
               if (kindDot) {
                 var i = 0
@@ -219,7 +233,7 @@ object Sq {
                 // still completes — the id tie-break may admit it), so the
                 // dim loop bails in 128-element blocks. Selection-neutral:
                 // only never-admitted rows are cut short.
-                val bound = if (n == k) ds(n - 1) else Double.PositiveInfinity
+                val bound = buf.bound
                 var i = 0
                 var live = true
                 while (live && i < dim) {
@@ -232,25 +246,14 @@ object Sq {
                   if (d > bound) live = false
                 }
               }
-              if (n < k || d < ds(n - 1) || (d == ds(n - 1) && id < ids(n - 1))) {
-                val m = if (n < k) n else n - 1
-                var lo = 0; var hi = m
-                while (lo < hi) {
-                  val mid = (lo + hi) >>> 1
-                  if (d < ds(mid) || (d == ds(mid) && id < ids(mid))) hi = mid
-                  else lo = mid + 1
-                }
-                System.arraycopy(ds, lo, ds, lo + 1, m - lo)
-                System.arraycopy(ids, lo, ids, lo + 1, m - lo)
-                ds(lo) = d; ids(lo) = id
-                if (n < k) sz(qi) = n + 1
-              }
+              buf.offer(d, id)
               qi += 1
             }
           }
           Iterator.range(0, nq).flatMap { qi =>
-            Iterator.range(0, sz(qi)).map(p =>
-              (qarr(qi)._1, bufI(qi)(p), bufD(qi)(p)))
+            val buf = bufs(qi)
+            Iterator.range(0, buf.size).map(p =>
+              (qarr(qi)._1, buf.idAt(p), buf.distAt(p)))
           }
         }
       }
@@ -282,42 +285,15 @@ object Sq {
       queryIdCol: String = "query_id",
       queryVecCol: String = "query_vec"): DataFrame = {
     require(candidates >= k, s"candidates ($candidates) must be >= k ($k)")
-    val coarse = serveBroadcastPacked(packed, queries, model, candidates,
-      dist, queryIdCol, queryVecCol)
+    val spark = packed.sparkSession
+    import spark.implicits._
+    val qs = queries
+      .select(col(queryIdCol).cast("long"), col(queryVecCol))
+      .as[(Long, Array[Float])].collect()
+    val coarse = serveBroadcastPackedArr(packed, qs, model, candidates, dist)
       .select(col("query_id"), col("id"))
-    rerankExact(coarse, base, queries, k, dist, idCol, vecCol,
-      queryIdCol, queryVecCol)
-  }
-
-  /** Exact float re-rank of a bounded `(query_id, id)` candidate set —
-    * the shared second stage of every two-stage arm: broadcast the (nq ×
-    * candidates)-bounded winner set against the float table (id-pruned
-    * hash join, never an all-pairs scan), score exactly, bounded top-k. */
-  private def rerankExact(
-      coarseIds: DataFrame,
-      base: DataFrame,
-      queries: DataFrame,
-      k: Int,
-      dist: String,
-      idCol: String,
-      vecCol: String,
-      queryIdCol: String,
-      queryVecCol: String): DataFrame = {
-    val qs = broadcast(queries.select(
-      col(queryIdCol).cast("long").as("query_id"),
-      col(queryVecCol).as("__qvec")))
-    broadcast(coarseIds)
-      .join(base.select(col(idCol).cast("long").as("id"),
-        col(vecCol).as("__vec")), "id")
-      .join(qs, "query_id")
-      .select(col("query_id"), col("id"),
-        graft.functions.VectorFunctions.distance(
-          col("__vec"), col("__qvec"), dist).as("__dist"))
-      .groupBy("query_id")
-      .agg(TopK.topK(k)(col("id"), col("__dist")).as("topk"))
-      .select(col("query_id"), explode(col("topk")).as("hit"))
-      .select(col("query_id"), col("hit.id").as("id"),
-        col("hit.distance").as("distance"))
+    Rerank.exact(coarse, base, queries, k, dist, idCol, vecCol,
+      queryIdCol, queryVecCol, estRows = qs.length.toLong * candidates)
   }
 
   /** Probed coarse pass in the SERVING kernel shape: stream the probed
@@ -354,9 +330,7 @@ object Sq {
         val nq = qarr.length
         if (nq == 0 || !it.hasNext) Iterator.empty
         else {
-          val bufD = Array.fill(nq)(new Array[Double](k))
-          val bufI = Array.fill(nq)(new Array[Long](k))
-          val sz = new Array[Int](nq)
+          val bufs = Array.fill(nq)(new graft.index.TopBuffer(k))
           val dim = mins.length
           var vq = 0
           while (vq < nq) {
@@ -379,8 +353,7 @@ object Sq {
               while (pi < probers.length) {
                 val qi = probers(pi)
                 val q = qarr(qi)._2
-                val n = sz(qi)
-                val ds = bufD(qi); val ids = bufI(qi)
+                val buf = bufs(qi)
                 var d = 0.0
                 if (kindDot) {
                   var i = 0
@@ -395,7 +368,7 @@ object Sq {
                   }
                   d = 1.0 - dp / math.max(math.sqrt(nq2) * math.sqrt(nc), 1e-10)
                 } else {
-                  val bound = if (n == k) ds(n - 1) else Double.PositiveInfinity
+                  val bound = buf.bound
                   var i = 0
                   var live = true
                   while (live && i < dim) {
@@ -408,26 +381,15 @@ object Sq {
                     if (d > bound) live = false
                   }
                 }
-                if (n < k || d < ds(n - 1) || (d == ds(n - 1) && id < ids(n - 1))) {
-                  val m = if (n < k) n else n - 1
-                  var lo = 0; var hi = m
-                  while (lo < hi) {
-                    val mid = (lo + hi) >>> 1
-                    if (d < ds(mid) || (d == ds(mid) && id < ids(mid))) hi = mid
-                    else lo = mid + 1
-                  }
-                  System.arraycopy(ds, lo, ds, lo + 1, m - lo)
-                  System.arraycopy(ids, lo, ids, lo + 1, m - lo)
-                  ds(lo) = d; ids(lo) = id
-                  if (n < k) sz(qi) = n + 1
-                }
+                buf.offer(d, id)
                 pi += 1
               }
             }
           }
           Iterator.range(0, nq).flatMap { qi =>
-            Iterator.range(0, sz(qi)).map(p =>
-              (qarr(qi)._1, bufI(qi)(p), bufD(qi)(p)))
+            val buf = bufs(qi)
+            Iterator.range(0, buf.size).map(p =>
+              (qarr(qi)._1, buf.idAt(p), buf.distAt(p)))
           }
         }
       }
@@ -444,7 +406,7 @@ object Sq {
     * → lowest cluster, the same order as the declarative TopK pass) plus
     * the inverted cluster → probing-query-indices map the kernel scans
     * with. */
-  private def probePlan(
+  private[graft] def probePlan(
       qs: Array[(Long, Array[Float])],
       ivfModel: graft.operators.IvfModel,
       np: Int): (Map[Long, Array[Int]], Array[Int]) = {
@@ -503,8 +465,8 @@ object Sq {
       .filter(col("cluster").isInCollection(probed.map(c => Long.box(c.toLong)).toSeq))
     val coarse = coarseIvfKernel(probedRows, qs, clusterToQ, sqModel,
       candidates, dist)
-    rerankExact(coarse, base, queries, k, dist, idCol, vecCol,
-      queryIdCol, queryVecCol)
+    Rerank.exact(coarse, base, queries, k, dist, idCol, vecCol,
+      queryIdCol, queryVecCol, estRows = qs.length.toLong * candidates)
   }
 
   /** Persist `(id, sq, cluster)` as the physical IVFSQ layout: cluster-
@@ -559,8 +521,8 @@ object Sq {
       candidates, dist)
     val rerankBase = baseClusterCol.fold(base)(c =>
       base.filter(col(c).isin(probed.map(Int.box): _*)))
-    rerankExact(coarse, rerankBase, queries, k, dist, idCol, vecCol,
-      queryIdCol, queryVecCol)
+    Rerank.exact(coarse, rerankBase, queries, k, dist, idCol, vecCol,
+      queryIdCol, queryVecCol, estRows = qs.length.toLong * candidates)
   }
 
   /** The r14 declarative probed scan (per-(row×query) codegen decode) —
@@ -608,8 +570,11 @@ object Sq {
       .agg(TopK.topK(candidates)(col("__id"), col("__dist")).as("topk"))
       .select(col("query_id"), explode(col("topk")).as("hit"))
       .select(col("query_id"), col("hit.id").as("id"))
-    rerankExact(coarse, base, queries, k, dist, idCol, vecCol,
-      queryIdCol, queryVecCol)
+    // the A/B twin never collects the batch — one bounded count prices
+    // the rerank gate (this arm exists for bench comparisons only)
+    Rerank.exact(coarse, base, queries, k, dist, idCol, vecCol,
+      queryIdCol, queryVecCol,
+      estRows = queries.count() * candidates)
   }
 
   /** [[searchRerankPacked]] with train+encode inline (convenience for the

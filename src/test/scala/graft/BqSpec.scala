@@ -172,6 +172,98 @@ class BqSpec extends SparkTestBase {
     }
   }
 
+  test("train accepts array<double> (same thresholds as the float-widened input)") {
+    val df = Seq(
+      (0L, Array(1f, -3f, 7f)),
+      (1L, Array(5f, -1f, 7f)),
+      (2L, Array(3f, -2f, 7f))).toDF("id", "vec")
+    val mF = Bq.train(df)
+    val mD = Bq.train(df.select(col("id"),
+      col("vec").cast("array<double>").as("vec")))
+    assert(mD.thresholds.toSeq == mF.thresholds.toSeq)
+    val e = intercept[IllegalArgumentException] {
+      Bq.train(df.select(col("id"), col("id").as("vec")))
+    }
+    assert(e.getMessage.contains("bq_train requires array<float>/array<double>"))
+  }
+
+  test("heap-layout coarse buffers (candidates > 256) match the declarative arm") {
+    // k past TopBuffer.HeapThreshold drives the bounded max-heap path; the
+    // declarative hammingTopK is the selection oracle (same (hamming, id)
+    // order, independent TypedImperativeAggregate)
+    val big = base.cache()
+    val q2 = big.filter($"id" < 3)
+      .select($"id".as("query_id"), $"vec".as("query_vec"))
+    val a = Bq.hammingTopK(big, q2, k = 300)
+      .orderBy("query_id", "hamming", "id").collect().toSeq
+    val b = Bq.hammingBroadcast(big, q2, k = 300)
+      .orderBy("query_id", "hamming", "id").collect().toSeq
+    assert(a == b)
+  }
+
+  test("searchIvf: exhaustive probes + candidates equal exact KNN; partitioned layout agrees and prunes") {
+    val n = base.count().toInt
+    val (ivfModel, assigned) = graft.operators.Ivf.build(
+      base.select(col("id"), col("vec")), k = 8)
+    val model = Bq.train(base)
+    val packed = Bq.encodeCentered(assigned, model)
+      .select(col("id"), col("bq"), col("cluster")).cache()
+    // exhaustive: every row survives both prunes ⇒ exact KNN
+    val got = Bq.searchIvf(packed, base, ivfModel, Some(model), qs, k = 5,
+        candidates = n, nProbes = Some(8))
+      .orderBy("query_id", "distance", "id").collect().toSeq
+    val want = Knn.exact(base, qs, k = 5, dist = "l2sqr")
+      .select(col("query_id"), col("id"), col("distance"))
+      .orderBy("query_id", "distance", "id").collect().toSeq
+    assert(got == want)
+    // pruned probes: partitioned layout == in-memory twin, plan prunes
+    val dir = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "bq_ivf_part").toString
+    Bq.writeIvfPartitioned(packed, dir)
+    val floatDir = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "bq_ivf_float").toString
+    graft.operators.Ivf.writePartitioned(assigned, ivfModel, floatDir)
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.select(col("query_id"), col("id"),
+        org.apache.spark.sql.functions.round(col("distance"), 9))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    for (np <- Seq(2, 8)) {
+      val mem = Bq.searchIvf(packed, base, ivfModel, Some(model), qs,
+        k = 5, candidates = 24, nProbes = Some(np))
+      val partBoth = Bq.searchIvfPartitioned(dir,
+        spark.read.parquet(s"$floatDir/data"), ivfModel, Some(model), qs,
+        k = 5, candidates = 24, nProbes = Some(np),
+        baseClusterCol = Some("cluster"))
+      assert(rows(partBoth) == rows(mem), s"np=$np partitioned vs in-memory")
+      // probes must reach BOTH parquet scans as PARTITION filters
+      if (np < ivfModel.centroids.length) {
+        val plan = partBoth.queryExecution.executedPlan.toString
+        val nPruned = "PartitionFilters: \\[cluster".r.findAllMatchIn(plan).size
+        assert(nPruned >= 2,
+          s"expected partition filters on packed AND float scans, found $nPruned:\n$plan")
+      }
+    }
+    packed.unpersist()
+  }
+
+  test("rerank gate: above the byte budget the winner join shuffles, same rows") {
+    val saved = graft.operators.Rerank.broadcastMaxBytes
+    try {
+      graft.operators.Rerank.broadcastMaxBytes = 1L // force the shuffle path
+      val tiny = base.limit(40).cache()
+      val q1 = tiny.limit(1).select($"id".as("query_id"), $"vec".as("query_vec"))
+      val viaBq = Bq.searchRerank(tiny, q1, k = 5, candidates = 40)
+      val plan = viaBq.queryExecution.sparkPlan.toString
+      assert(graft.operators.Rerank.lastJoin == "shuffle")
+      assert(plan.contains("ShuffledHashJoin"),
+        s"expected a shuffled winner join in:\n$plan")
+      val got = viaBq.orderBy("distance", "id").collect().map(_.getLong(1)).toSeq
+      val want = Knn.exact(tiny, q1, k = 5).orderBy("distance", "id")
+        .collect().map(_.getAs[Long]("id")).toSeq
+      assert(got == want)
+    } finally graft.operators.Rerank.broadcastMaxBytes = saved
+  }
+
   test("SQL surface: bq_pack / bq_hamming registered and match the kernel") {
     graft.functions.VectorFunctions.register(spark)
     val v = Array(1f, -2f, 3f, -4f)

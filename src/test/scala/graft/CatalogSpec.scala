@@ -231,6 +231,45 @@ class CatalogSpec extends SparkTestBase {
     db2.close()
   }
 
+  test("bq sidecar routed under IVF: bq_ivf arm, exact at exhaustive budgets, IVF clear cascades") {
+    val root = Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "vecdb_bqivf").toString
+    val db = new VecDB(spark, root)
+    db.createTableIfNotExists("t", 8, "l2sqr")
+    val rnd = new scala.util.Random(23)
+    // +2 shift: all-positive corpus — the routed arm must serve through
+    // the CENTERED thresholds like its flat sibling
+    val vecs = (0 until 60).map(_ => Array.fill(8)(rnd.nextFloat() + 2f))
+    db.batchAdd("t", vecs, vecs.indices.map(i => Map("i" -> i.toString)))
+    val flat = db.search("t", vecs(7), 5)
+    // building BQ over an IVF index writes the packed words cluster-
+    // partitioned and the dispatch serves IVF-BQ (both stages pruned)
+    db.buildIvfIndex("t", k = 4, defaultNProbes = 4)
+    db.buildBqIndex("t")
+    assert(db.hasBqIndex("t"))
+    import spark.implicits._
+    val q = Seq((0L, vecs(7))).toDF("query_id", "query_vec")
+    val hits = db.searchBatch("t", q, 5, ef = Some(200))
+    assert(db.lastServedArm == "bq_ivf")
+    val got = hits.orderBy("distance", "id").collect()
+      .map(r => (Option(r.getAs[Map[String, String]]("meta")).getOrElse(Map.empty),
+        r.getAs[Double]("distance"))).toSeq
+    assert(got == flat)
+    // default probes (np < kc) still find the self-hit through the prune
+    assert(db.search("t", vecs(7), 1).head._1("i") == "7")
+    assert(db.lastServedArm == "bq_ivf")
+    // the brief round-trips `routed` across reopen
+    db.close()
+    val db2 = new VecDB(spark, root)
+    assert(db2.searchBatch("t", q, 5, ef = Some(200)).count() == 5)
+    assert(db2.lastServedArm == "bq_ivf")
+    // clearing the IVF index cascades to the routed BQ sidecar (its probe
+    // lists live in the IVF centroids)
+    db2.clearIvfIndex("t")
+    assert(!db2.hasBqIndex("t") && !db2.hasIvfIndex("t"))
+    db2.close()
+  }
+
   test("broadcast gates are byte-based: high-dim big tables are ineligible") {
     // rows × dim decides, not rows alone — the row gate let a 1M × d960
     // index (~4 GB of vectors) through the broadcast path

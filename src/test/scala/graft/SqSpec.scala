@@ -99,6 +99,50 @@ class SqSpec extends SparkTestBase {
     packed.unpersist(); df.unpersist()
   }
 
+  test("heap-layout coarse buffers (k > 256) match the declarative arm") {
+    // k past TopBuffer.HeapThreshold drives the bounded max-heap admits
+    // (and the early-exit bound reads the heap root); the declarative
+    // coarseTopK is the selection oracle
+    val data = randVecs(600, 12, seed = 31)
+    val df = data.toDF("id", "vec").repartition(4).cache()
+    val q = df.filter(col("id") < 3)
+      .select(col("id").as("query_id"), col("vec").as("query_vec"))
+    val m = Sq.train(df)
+    val packed = Sq.encode(df, m).select(col("id"), col("sq")).cache()
+    for (dist <- Seq("l2sqr", "cosine")) {
+      val a = Sq.coarseTopK(packed, q, m, k = 300, dist = dist)
+        .orderBy("query_id", "distance", "id").collect().toSeq
+      val b = Sq.serveBroadcastPacked(packed, q, m, k = 300, dist = dist)
+        .orderBy("query_id", "distance", "id").collect().toSeq
+      assert(a == b, s"arms disagree for $dist at k=300")
+    }
+    packed.unpersist(); df.unpersist()
+  }
+
+  test("rerank gate: the default budget broadcasts, a tiny budget shuffles — same result") {
+    val data = randVecs(300, 10, seed = 41)
+    val df = data.toDF("id", "vec").repartition(4).cache()
+    val q = df.filter(col("id") < 5)
+      .select(col("id").as("query_id"), col("vec").as("query_vec"))
+    def run() = Sq.searchRerank(df, q, k = 5, candidates = 300)
+      .orderBy("query_id", "distance", "id").collect().toSeq
+    val saved = graft.operators.Rerank.broadcastMaxBytes
+    val viaBroadcast = try {
+      val r = run()
+      assert(graft.operators.Rerank.lastJoin == "broadcast")
+      r
+    } finally graft.operators.Rerank.broadcastMaxBytes = saved
+    val viaShuffle = try {
+      graft.operators.Rerank.broadcastMaxBytes = 1L
+      val d = Sq.searchRerank(df, q, k = 5, candidates = 300)
+      assert(graft.operators.Rerank.lastJoin == "shuffle")
+      assert(d.queryExecution.sparkPlan.toString.contains("ShuffledHashJoin"))
+      d.orderBy("query_id", "distance", "id").collect().toSeq
+    } finally graft.operators.Rerank.broadcastMaxBytes = saved
+    assert(viaBroadcast == viaShuffle)
+    df.unpersist()
+  }
+
   test("searchRerank with candidates >= n equals exact KNN") {
     val data = randVecs(300, 10, seed = 3)
     val df = data.toDF("id", "vec").repartition(4).cache()
