@@ -1256,6 +1256,16 @@ object Bench {
             graft.operators.Sq.encode(Ivf.assign(vec1mDisk, model512), sqModel1m)
               .select("id", "sq", "cluster")
               .repartition(kc512, col("cluster")), codes512)
+        // UNPARTITIONED codes on disk: the fair full-scan comparator (a
+        // deployment without the layout reads ALL the code bytes + ALL the
+        // float bytes per batch; the cached in-memory twin below is the
+        // strongest baseline, with the corpus already resident)
+        val codes512Flat = dir512.resolve("sq_flat").toString
+        if (!java.nio.file.Files.exists(
+            java.nio.file.Paths.get(codes512Flat, "_SUCCESS")))
+          graft.operators.Sq.encode(Ivf.assign(vec1mDisk, model512), sqModel1m)
+            .select("id", "sq", "cluster")
+            .write.mode("overwrite").parquet(codes512Flat)
         // in-memory full-scan twin: cached (id, sq, cluster), compute-pruned
         val sqIvf512 = graft.operators.Sq.encode(
           Ivf.assign(vec1m, model512), sqModel1m)
@@ -1281,9 +1291,14 @@ object Bench {
         def mkSqIvf512(q: DataFrame) = () => graft.operators.Sq.searchIvf(
           sqIvf512, vec1mDisk, model512, sqModel1m, q, k = 10,
           candidates = 100, nProbes = Some(1))
+        def mkSqIvf512Disk(q: DataFrame) = () => graft.operators.Sq.searchIvf(
+          spark.read.parquet(codes512Flat), vec1mDisk, model512, sqModel1m,
+          q, k = 10, candidates = 100, nProbes = Some(1))
         val part100 = mkSqIvfPart512(q1m100); val mem100 = mkSqIvf512(q1m100)
+        val disk100 = mkSqIvf512Disk(q1m100)
         val part1k = mkSqIvfPart512(q1m); val mem1k = mkSqIvf512(q1m)
-        Seq(part100, mem100, part1k, mem1k).foreach(mk => withAqeOff(serve(mk())))
+        Seq(part100, mem100, disk100, part1k, mem1k)
+          .foreach(mk => withAqeOff(serve(mk())))
         val truth100 = truth1m.filter(_._1 < 100)
         recalls1m += "sq_ivf_part_1m_kc512_np1_nq100_batch" ->
           recallOf(part100(), truth100)
@@ -1294,6 +1309,8 @@ object Bench {
             () => withAqeOff(serve(part100()))),
           ("sq_ivf_1m_kc512_np1_nq100_batch",
             () => withAqeOff(serve(mem100()))),
+          ("sq_ivf_flatdisk_1m_kc512_np1_nq100_batch",
+            () => withAqeOff(serve(disk100()))),
           ("sq_ivf_part_1m_kc512_np1_batch",
             () => withAqeOff(serve(part1k()))),
           ("sq_ivf_1m_kc512_np1_batch",
