@@ -1297,24 +1297,37 @@ object Bench {
         val part100 = mkSqIvfPart512(q1m100); val mem100 = mkSqIvf512(q1m100)
         val disk100 = mkSqIvf512Disk(q1m100)
         val part1k = mkSqIvfPart512(q1m); val mem1k = mkSqIvf512(q1m)
-        Seq(part100, mem100, disk100, part1k, mem1k)
-          .foreach(mk => withAqeOff(serve(mk())))
-        val truth100 = truth1m.filter(_._1 < 100)
-        recalls1m += "sq_ivf_part_1m_kc512_np1_nq100_batch" ->
-          recallOf(part100(), truth100)
-        recalls1m += "sq_ivf_1m_kc512_np1_nq100_batch" ->
-          recallOf(mem100(), truth100)
-        results1m = results1m ++ timeInterleaved(Seq[(String, () => Long)](
-          ("sq_ivf_part_1m_kc512_np1_nq100_batch",
-            () => withAqeOff(serve(part100()))),
-          ("sq_ivf_1m_kc512_np1_nq100_batch",
-            () => withAqeOff(serve(mem100()))),
-          ("sq_ivf_flatdisk_1m_kc512_np1_nq100_batch",
-            () => withAqeOff(serve(disk100()))),
-          ("sq_ivf_part_1m_kc512_np1_batch",
-            () => withAqeOff(serve(part1k()))),
-          ("sq_ivf_1m_kc512_np1_batch",
-            () => withAqeOff(serve(mem1k())))))
+        // size scan partitions to the PRUNED read (the whole section, all
+        // comparators): at the 128 MB default an ~87-cluster probed read
+        // (87 × 1.9 MB codes + 87 × 7.3 MB floats) coalesces into a
+        // handful of tasks and runs ~4-wide on a 32-core executor — the
+        // r16 first run measured the partitioned path LOSING to the full
+        // scans on task-granularity alone. 16 MB ⇒ ~10/40 tasks. This is
+        // the prompt's own sizing rule (maxPartitionBytes vs target SF),
+        // applied where the operator's economics depend on it.
+        val mpbKey = "spark.sql.files.maxPartitionBytes"
+        val mpbPrev = spark.conf.get(mpbKey)
+        spark.conf.set(mpbKey, (16L << 20).toString)
+        try {
+          Seq(part100, mem100, disk100, part1k, mem1k)
+            .foreach(mk => withAqeOff(serve(mk())))
+          val truth100 = truth1m.filter(_._1 < 100)
+          recalls1m += "sq_ivf_part_1m_kc512_np1_nq100_batch" ->
+            recallOf(part100(), truth100)
+          recalls1m += "sq_ivf_1m_kc512_np1_nq100_batch" ->
+            recallOf(mem100(), truth100)
+          results1m = results1m ++ timeInterleaved(Seq[(String, () => Long)](
+            ("sq_ivf_part_1m_kc512_np1_nq100_batch",
+              () => withAqeOff(serve(part100()))),
+            ("sq_ivf_1m_kc512_np1_nq100_batch",
+              () => withAqeOff(serve(mem100()))),
+            ("sq_ivf_flatdisk_1m_kc512_np1_nq100_batch",
+              () => withAqeOff(serve(disk100()))),
+            ("sq_ivf_part_1m_kc512_np1_batch",
+              () => withAqeOff(serve(part1k()))),
+            ("sq_ivf_1m_kc512_np1_batch",
+              () => withAqeOff(serve(mem1k())))))
+        } finally spark.conf.set(mpbKey, mpbPrev)
         sqIvf512.unpersist()
         q1m100.unpersist()
       } catch { case e: Throwable => errors += "bench_sq512" -> errString(e) }

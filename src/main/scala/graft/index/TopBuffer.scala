@@ -29,7 +29,7 @@ package graft.index
   * re-sorting bounded aggregate ([[graft.operators.TopK]]), so the
   * emitted partials' order is immaterial.
   */
-final class TopBuffer(k: Int) {
+final class TopBuffer(k: Int) extends Serializable {
   require(k > 0, s"TopBuffer needs k > 0 (got $k)")
   private[this] val heap = k > TopBuffer.HeapThreshold
   private[this] val ds = new Array[Double](k)
@@ -105,6 +105,19 @@ final class TopBuffer(k: Int) {
 
   /** Id at position p (0 until size; layout order). */
   def idAt(p: Int): Long = ids(p)
+
+  /** Merge another buffer's elements into this one (bounded union — the
+    * treeReduce combine of the driver-merged coarse selection). Offers are
+    * the same strict (distance, id) admits, so a merge tree of any shape
+    * lands on the exact global top-k. */
+  def absorb(other: TopBuffer): TopBuffer = {
+    var p = 0
+    while (p < other.size) {
+      offer(other.distAt(p), other.idAt(p))
+      p += 1
+    }
+    this
+  }
 }
 
 object TopBuffer {

@@ -18,7 +18,10 @@ import graft.functions.{BitPackCentered, BitPackSign, BqKernel, HammingDistance}
   * pass of the float corpus pruned by a broadcast hash join against the
   * (nq × candidates)-bounded winner set — never an all-pairs join.
   */
-object Bq {
+// Serializable: the coarse-scan function values call module helpers, so
+// task closures can capture the singleton (deserializes back to MODULE$
+// via the compiler-generated readResolve — carries no state)
+object Bq extends Serializable {
 
   /** Per-dim threshold model for CENTERED packing: bit set iff
     * `v(i) >= thresholds(i)`. Raw sign bits (threshold 0 everywhere) carry
@@ -196,43 +199,57 @@ object Bq {
     val spark = packed.sparkSession
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(qs)
-
-    val partial = packed
-      .select(col("id").cast("long"), col("bq"))
-      .as[(Long, Array[Long])]
-      .mapPartitions { it =>
-        val qarr = bc.value
-        val nq = qarr.length
-        if (nq == 0 || !it.hasNext) Iterator.empty
-        else {
-          // bounded (hamming, id) selector per query — integer hammings
-          // (≤ dim) are exact in double, so (distance, id) order is the
-          // engine's standard tie-break bit for bit; heap layout past 256
-          // slots (rerank candidate budgets — the O(k)-memmove fix)
-          val bufs = Array.fill(nq)(new graft.index.TopBuffer(k))
-          while (it.hasNext) {
-            val (id, bq) = it.next()
-            var qi = 0
-            while (qi < nq) {
-              bufs(qi).offer(BqKernel.hamming(qarr(qi)._2, bq).toDouble, id)
-              qi += 1
-            }
-          }
-          Iterator.range(0, nq).flatMap { qi =>
-            val buf = bufs(qi)
-            Iterator.range(0, buf.size).map(p =>
-              (qarr(qi)._1, buf.idAt(p), buf.distAt(p)))
-          }
+    // bounded (hamming, id) selector per query — integer hammings (≤ dim)
+    // are exact in double, so (distance, id) order is the engine's
+    // standard tie-break bit for bit; heap layout past 256 slots (rerank
+    // candidate budgets — the O(k)-memmove fix)
+    def scanPartition(it: Iterator[(Long, Array[Long])])
+        : Array[graft.index.TopBuffer] = {
+      val qarr = bc.value
+      val nq = qarr.length
+      if (nq == 0 || !it.hasNext) return Array.empty
+      val bufs = Array.fill(nq)(new graft.index.TopBuffer(k))
+      while (it.hasNext) {
+        val (id, bq) = it.next()
+        var qi = 0
+        while (qi < nq) {
+          bufs(qi).offer(BqKernel.hamming(qarr(qi)._2, bq).toDouble, id)
+          qi += 1
         }
       }
-      .toDF("query_id", "id", "distance")
-
-    partial
-      .groupBy("query_id")
-      .agg(TopK.topK(k)(col("id"), col("distance")).as("topk"))
-      .select(col("query_id"), explode(col("topk")).as("hit"))
-      .select(col("query_id"), col("hit.id").as("id"),
-        col("hit.distance").cast("long").as("hamming"))
+      bufs
+    }
+    val src = packed
+      .select(col("id").cast("long"), col("bq"))
+      .as[(Long, Array[Long])]
+    val hits =
+      if (CoarseMerge.eligible(qs.length, k)) {
+        // large candidate budgets: tree-merge the per-partition buffers —
+        // the aggregate path would shuffle P × nq × k partial rows (64M
+        // at nq=1000, k=2000, P=32 — the measured bound of the 1M rerank)
+        CoarseMerge.lastPath = "merge"
+        CoarseMerge.merge(spark, qs.map(_._1),
+          src.rdd.mapPartitions(it => Iterator.single(scanPartition(it))))
+      } else {
+        CoarseMerge.lastPath = "agg"
+        src.mapPartitions { it =>
+            val qarr = bc.value
+            val bufs = scanPartition(it)
+            Iterator.range(0, bufs.length).flatMap { qi =>
+              val buf = bufs(qi)
+              Iterator.range(0, buf.size).map(p =>
+                (qarr(qi)._1, buf.idAt(p), buf.distAt(p)))
+            }
+          }
+          .toDF("query_id", "id", "distance")
+          .groupBy("query_id")
+          .agg(TopK.topK(k)(col("id"), col("distance")).as("topk"))
+          .select(col("query_id"), explode(col("topk")).as("hit"))
+          .select(col("query_id"), col("hit.id").as("id"),
+            col("hit.distance").as("distance"))
+      }
+    hits.select(col("query_id"), col("id"),
+      col("distance").cast("long").as("hamming"))
   }
 
   /** Two-stage BQ serving: Hamming top-`candidates` coarse pass on the
@@ -318,41 +335,54 @@ object Bq {
     val bcQ = spark.sparkContext.broadcast(qsPacked)
     val bcMap = spark.sparkContext.broadcast(clusterToQ)
     val k = candidates
-    val partial = probedRows
-      .select(col("id").cast("long"), col("bq"), col("cluster").cast("long"))
-      .as[(Long, Array[Long], Long)]
-      .mapPartitions { it =>
-        val qarr = bcQ.value
-        val qmap = bcMap.value
-        val nq = qarr.length
-        if (nq == 0 || !it.hasNext) Iterator.empty
-        else {
-          val bufs = Array.fill(nq)(new graft.index.TopBuffer(k))
-          while (it.hasNext) {
-            val (id, bq, cluster) = it.next()
-            val probers = qmap.getOrElse(cluster, null)
-            if (probers != null) {
-              var pi = 0
-              while (pi < probers.length) {
-                val qi = probers(pi)
-                bufs(qi).offer(BqKernel.hamming(qarr(qi)._2, bq).toDouble, id)
-                pi += 1
-              }
-            }
-          }
-          Iterator.range(0, nq).flatMap { qi =>
-            val buf = bufs(qi)
-            Iterator.range(0, buf.size).map(p =>
-              (qarr(qi)._1, buf.idAt(p), buf.distAt(p)))
+    def scanPartition(it: Iterator[(Long, Array[Long], Long)])
+        : Array[graft.index.TopBuffer] = {
+      val qarr = bcQ.value
+      val qmap = bcMap.value
+      val nq = qarr.length
+      if (nq == 0 || !it.hasNext) return Array.empty
+      val bufs = Array.fill(nq)(new graft.index.TopBuffer(k))
+      while (it.hasNext) {
+        val (id, bq, cluster) = it.next()
+        val probers = qmap.getOrElse(cluster, null)
+        if (probers != null) {
+          var pi = 0
+          while (pi < probers.length) {
+            val qi = probers(pi)
+            bufs(qi).offer(BqKernel.hamming(qarr(qi)._2, bq).toDouble, id)
+            pi += 1
           }
         }
       }
-      .toDF("query_id", "id", "distance")
-    partial
-      .groupBy("query_id")
-      .agg(TopK.topK(k)(col("id"), col("distance")).as("topk"))
-      .select(col("query_id"), explode(col("topk")).as("hit"))
-      .select(col("query_id"), col("hit.id").as("id"))
+      bufs
+    }
+    val src = probedRows
+      .select(col("id").cast("long"), col("bq"), col("cluster").cast("long"))
+      .as[(Long, Array[Long], Long)]
+    val hits =
+      if (CoarseMerge.eligible(qsPacked.length, k)) {
+        CoarseMerge.lastPath = "merge"
+        CoarseMerge.merge(spark, qsPacked.map(_._1),
+          src.rdd.mapPartitions(it => Iterator.single(scanPartition(it))))
+      } else {
+        CoarseMerge.lastPath = "agg"
+        src.mapPartitions { it =>
+            val qarr = bcQ.value
+            val bufs = scanPartition(it)
+            Iterator.range(0, bufs.length).flatMap { qi =>
+              val buf = bufs(qi)
+              Iterator.range(0, buf.size).map(p =>
+                (qarr(qi)._1, buf.idAt(p), buf.distAt(p)))
+            }
+          }
+          .toDF("query_id", "id", "distance")
+          .groupBy("query_id")
+          .agg(TopK.topK(k)(col("id"), col("distance")).as("topk"))
+          .select(col("query_id"), explode(col("topk")).as("hit"))
+          .select(col("query_id"), col("hit.id").as("id"),
+            col("hit.distance").as("distance"))
+      }
+    hits.select(col("query_id"), col("id"))
   }
 
   /** IVF-routed BQ (the composition [[Sq.searchIvf]] already serves for

@@ -20,7 +20,10 @@ import graft.functions.{SqAdcDistance, SqEncode, SqKernel}
   * float column only through a broadcast-pruned `id IN` candidate set,
   * never an all-pairs join.
   */
-object Sq {
+// Serializable: the coarse-scan function values call module helpers, so
+// task closures can capture the singleton (deserializes back to MODULE$
+// via the compiler-generated readResolve — carries no state)
+object Sq extends Serializable {
 
   /** Exact per-dim affine model; `scales(i) == 0` marks a constant dim. */
   case class SqModel(mins: Array[Double], scales: Array[Double]) {
@@ -173,98 +176,111 @@ object Sq {
     val scales = model.scales
     val kindDot = dist == "dot"
     val kindCos = dist == "cosine"
-
-    val partial = packed
+    // bounded (distance, id) selector per query: sorted-array admits at
+    // serving k, max-heap past 256 slots (rerank candidate budgets — the
+    // O(k)-memmove-per-admit fix); identical admitted set
+    // a FUNCTION VALUE, not a local def: a def lifts to a method on the
+    // enclosing object and its reference from the rdd lambda captures the
+    // (non-serializable) singleton — Task not serializable
+    val scanPartition = (it: Iterator[(Long, Array[Byte])]) =>
+        if (!it.hasNext || bc.value.isEmpty) Array.empty[graft.index.TopBuffer]
+        else {
+      val qarr = bc.value
+      val nq = qarr.length
+      val bufs = Array.fill(nq)(new graft.index.TopBuffer(k))
+      val dim = mins.length
+      // validate once per partition what the declarative SqAdcDistance
+      // arm validates per row — same descriptive error, not a raw AIOOBE
+      var vq = 0
+      while (vq < nq) {
+        if (qarr(vq)._2.length != dim)
+          sqDimMismatch(dim, qarr(vq)._2.length, dim)
+        vq += 1
+      }
+      // decode each row ONCE per batch, not once per (row × query):
+      // at nq=1000 the affine decode would otherwise triple the FLOPs
+      // and re-read code bytes per query; the decoded row stays hot in
+      // L1 across the query loop. Same double arithmetic as
+      // [[SqKernel]] term for term — the declarative arm's distances
+      // (and therefore ties) are reproduced exactly (SqSpec pins it).
+      val dec = new Array[Double](dim)
+      while (it.hasNext) {
+        val (id, code) = it.next()
+        if (code.length != dim) sqDimMismatch(code.length, dim, dim)
+        var di = 0
+        while (di < dim) {
+          dec(di) = mins(di) + scales(di) * (code(di) & 0xFF)
+          di += 1
+        }
+        var qi = 0
+        while (qi < nq) {
+          val q = qarr(qi)._2
+          val buf = bufs(qi)
+          var d = 0.0
+          if (kindDot) {
+            var i = 0
+            while (i < dim) { d += q(i).toDouble * dec(i); i += 1 }
+          } else if (kindCos) {
+            var dp = 0.0; var nq2 = 0.0; var nc = 0.0
+            var i = 0
+            while (i < dim) {
+              val a = q(i).toDouble
+              dp += a * dec(i); nq2 += a * a; nc += dec(i) * dec(i)
+              i += 1
+            }
+            d = 1.0 - dp / math.max(math.sqrt(nq2) * math.sqrt(nc), 1e-10)
+          } else {
+            // L2 partial sums are monotone: once d exceeds the current
+            // k-th-worst STRICTLY, the row cannot be admitted (equality
+            // still completes — the id tie-break may admit it), so the
+            // dim loop bails in 128-element blocks. Selection-neutral:
+            // only never-admitted rows are cut short.
+            val bound = buf.bound
+            var i = 0
+            var live = true
+            while (live && i < dim) {
+              val blockEnd = math.min(i + 128, dim)
+              while (i < blockEnd) {
+                val t = q(i).toDouble - dec(i)
+                d += t * t
+                i += 1
+              }
+              if (d > bound) live = false
+            }
+          }
+          buf.offer(d, id)
+          qi += 1
+        }
+      }
+      bufs
+    }
+    val src = packed
       .select(col("id").cast("long"), col("sq"))
       .as[(Long, Array[Byte])]
-      .mapPartitions { it =>
-        val qarr = bc.value
-        val nq = qarr.length
-        if (nq == 0 || !it.hasNext) Iterator.empty
-        else {
-          // bounded (distance, id) selector per query: sorted-array admits
-          // at serving k, max-heap past 256 slots (rerank candidate budgets
-          // — the O(k)-memmove-per-admit fix); identical admitted set
-          val bufs = Array.fill(nq)(new graft.index.TopBuffer(k))
-          val dim = mins.length
-          // validate once per partition what the declarative SqAdcDistance
-          // arm validates per row — same descriptive error, not a raw AIOOBE
-          var vq = 0
-          while (vq < nq) {
-            if (qarr(vq)._2.length != dim)
-              sqDimMismatch(dim, qarr(vq)._2.length, dim)
-            vq += 1
-          }
-          // decode each row ONCE per batch, not once per (row × query):
-          // at nq=1000 the affine decode would otherwise triple the FLOPs
-          // and re-read code bytes per query; the decoded row stays hot in
-          // L1 across the query loop. Same double arithmetic as
-          // [[SqKernel]] term for term — the declarative arm's distances
-          // (and therefore ties) are reproduced exactly (SqSpec pins it).
-          val dec = new Array[Double](dim)
-          while (it.hasNext) {
-            val (id, code) = it.next()
-            if (code.length != dim) sqDimMismatch(code.length, dim, dim)
-            var di = 0
-            while (di < dim) {
-              dec(di) = mins(di) + scales(di) * (code(di) & 0xFF)
-              di += 1
-            }
-            var qi = 0
-            while (qi < nq) {
-              val q = qarr(qi)._2
-              val buf = bufs(qi)
-              var d = 0.0
-              if (kindDot) {
-                var i = 0
-                while (i < dim) { d += q(i).toDouble * dec(i); i += 1 }
-              } else if (kindCos) {
-                var dp = 0.0; var nq2 = 0.0; var nc = 0.0
-                var i = 0
-                while (i < dim) {
-                  val a = q(i).toDouble
-                  dp += a * dec(i); nq2 += a * a; nc += dec(i) * dec(i)
-                  i += 1
-                }
-                d = 1.0 - dp / math.max(math.sqrt(nq2) * math.sqrt(nc), 1e-10)
-              } else {
-                // L2 partial sums are monotone: once d exceeds the current
-                // k-th-worst STRICTLY, the row cannot be admitted (equality
-                // still completes — the id tie-break may admit it), so the
-                // dim loop bails in 128-element blocks. Selection-neutral:
-                // only never-admitted rows are cut short.
-                val bound = buf.bound
-                var i = 0
-                var live = true
-                while (live && i < dim) {
-                  val blockEnd = math.min(i + 128, dim)
-                  while (i < blockEnd) {
-                    val t = q(i).toDouble - dec(i)
-                    d += t * t
-                    i += 1
-                  }
-                  if (d > bound) live = false
-                }
-              }
-              buf.offer(d, id)
-              qi += 1
-            }
-          }
-          Iterator.range(0, nq).flatMap { qi =>
+    if (CoarseMerge.eligible(qs.length, k)) {
+      // large candidate budgets: tree-merge the per-partition buffers —
+      // the aggregate path would shuffle P × nq × k partial rows
+      CoarseMerge.lastPath = "merge"
+      CoarseMerge.merge(spark, qs.map(_._1),
+        src.rdd.mapPartitions(it => Iterator.single(scanPartition(it))))
+    } else {
+      CoarseMerge.lastPath = "agg"
+      src.mapPartitions { it =>
+          val qarr = bc.value
+          val bufs = scanPartition(it)
+          Iterator.range(0, bufs.length).flatMap { qi =>
             val buf = bufs(qi)
             Iterator.range(0, buf.size).map(p =>
               (qarr(qi)._1, buf.idAt(p), buf.distAt(p)))
           }
         }
-      }
-      .toDF("query_id", "id", "distance")
-
-    partial
-      .groupBy("query_id")
-      .agg(TopK.topK(k)(col("id"), col("distance")).as("topk"))
-      .select(col("query_id"), explode(col("topk")).as("hit"))
-      .select(col("query_id"), col("hit.id").as("id"),
-        col("hit.distance").as("distance"))
+        .toDF("query_id", "id", "distance")
+        .groupBy("query_id")
+        .agg(TopK.topK(k)(col("id"), col("distance")).as("topk"))
+        .select(col("query_id"), explode(col("topk")).as("hit"))
+        .select(col("query_id"), col("hit.id").as("id"),
+          col("hit.distance").as("distance"))
+    }
   }
 
   /** Two-stage SQ8 serving: coarse top-`candidates` on the packed column,
@@ -321,84 +337,97 @@ object Sq {
     val kindDot = dist == "dot"
     val kindCos = dist == "cosine"
     val k = candidates
-    val partial = probedRows
-      .select(col("id").cast("long"), col("sq"), col("cluster").cast("long"))
-      .as[(Long, Array[Byte], Long)]
-      .mapPartitions { it =>
-        val qarr = bcQ.value
-        val qmap = bcMap.value
-        val nq = qarr.length
-        if (nq == 0 || !it.hasNext) Iterator.empty
-        else {
-          val bufs = Array.fill(nq)(new graft.index.TopBuffer(k))
-          val dim = mins.length
-          var vq = 0
-          while (vq < nq) {
-            if (qarr(vq)._2.length != dim)
-              sqDimMismatch(dim, qarr(vq)._2.length, dim)
-            vq += 1
+    def scanPartition(it: Iterator[(Long, Array[Byte], Long)])
+        : Array[graft.index.TopBuffer] = {
+      val qarr = bcQ.value
+      val qmap = bcMap.value
+      val nq = qarr.length
+      if (nq == 0 || !it.hasNext) return Array.empty
+      val bufs = Array.fill(nq)(new graft.index.TopBuffer(k))
+      val dim = mins.length
+      var vq = 0
+      while (vq < nq) {
+        if (qarr(vq)._2.length != dim)
+          sqDimMismatch(dim, qarr(vq)._2.length, dim)
+        vq += 1
+      }
+      val dec = new Array[Double](dim)
+      while (it.hasNext) {
+        val (id, code, cluster) = it.next()
+        val probers = qmap.getOrElse(cluster, null)
+        if (probers != null) {
+          if (code.length != dim) sqDimMismatch(code.length, dim, dim)
+          var di = 0
+          while (di < dim) {
+            dec(di) = mins(di) + scales(di) * (code(di) & 0xFF)
+            di += 1
           }
-          val dec = new Array[Double](dim)
-          while (it.hasNext) {
-            val (id, code, cluster) = it.next()
-            val probers = qmap.getOrElse(cluster, null)
-            if (probers != null) {
-              if (code.length != dim) sqDimMismatch(code.length, dim, dim)
-              var di = 0
-              while (di < dim) {
-                dec(di) = mins(di) + scales(di) * (code(di) & 0xFF)
-                di += 1
+          var pi = 0
+          while (pi < probers.length) {
+            val qi = probers(pi)
+            val q = qarr(qi)._2
+            val buf = bufs(qi)
+            var d = 0.0
+            if (kindDot) {
+              var i = 0
+              while (i < dim) { d += q(i).toDouble * dec(i); i += 1 }
+            } else if (kindCos) {
+              var dp = 0.0; var nq2 = 0.0; var nc = 0.0
+              var i = 0
+              while (i < dim) {
+                val a = q(i).toDouble
+                dp += a * dec(i); nq2 += a * a; nc += dec(i) * dec(i)
+                i += 1
               }
-              var pi = 0
-              while (pi < probers.length) {
-                val qi = probers(pi)
-                val q = qarr(qi)._2
-                val buf = bufs(qi)
-                var d = 0.0
-                if (kindDot) {
-                  var i = 0
-                  while (i < dim) { d += q(i).toDouble * dec(i); i += 1 }
-                } else if (kindCos) {
-                  var dp = 0.0; var nq2 = 0.0; var nc = 0.0
-                  var i = 0
-                  while (i < dim) {
-                    val a = q(i).toDouble
-                    dp += a * dec(i); nq2 += a * a; nc += dec(i) * dec(i)
-                    i += 1
-                  }
-                  d = 1.0 - dp / math.max(math.sqrt(nq2) * math.sqrt(nc), 1e-10)
-                } else {
-                  val bound = buf.bound
-                  var i = 0
-                  var live = true
-                  while (live && i < dim) {
-                    val blockEnd = math.min(i + 128, dim)
-                    while (i < blockEnd) {
-                      val t = q(i).toDouble - dec(i)
-                      d += t * t
-                      i += 1
-                    }
-                    if (d > bound) live = false
-                  }
+              d = 1.0 - dp / math.max(math.sqrt(nq2) * math.sqrt(nc), 1e-10)
+            } else {
+              val bound = buf.bound
+              var i = 0
+              var live = true
+              while (live && i < dim) {
+                val blockEnd = math.min(i + 128, dim)
+                while (i < blockEnd) {
+                  val t = q(i).toDouble - dec(i)
+                  d += t * t
+                  i += 1
                 }
-                buf.offer(d, id)
-                pi += 1
+                if (d > bound) live = false
               }
             }
-          }
-          Iterator.range(0, nq).flatMap { qi =>
-            val buf = bufs(qi)
-            Iterator.range(0, buf.size).map(p =>
-              (qarr(qi)._1, buf.idAt(p), buf.distAt(p)))
+            buf.offer(d, id)
+            pi += 1
           }
         }
       }
-      .toDF("query_id", "id", "distance")
-    partial
-      .groupBy("query_id")
-      .agg(TopK.topK(k)(col("id"), col("distance")).as("topk"))
-      .select(col("query_id"), explode(col("topk")).as("hit"))
-      .select(col("query_id"), col("hit.id").as("id"))
+      bufs
+    }
+    val src = probedRows
+      .select(col("id").cast("long"), col("sq"), col("cluster").cast("long"))
+      .as[(Long, Array[Byte], Long)]
+    val hits =
+      if (CoarseMerge.eligible(qs.length, k)) {
+        CoarseMerge.lastPath = "merge"
+        CoarseMerge.merge(spark, qs.map(_._1),
+          src.rdd.mapPartitions(it => Iterator.single(scanPartition(it))))
+      } else {
+        CoarseMerge.lastPath = "agg"
+        src.mapPartitions { it =>
+            val qarr = bcQ.value
+            val bufs = scanPartition(it)
+            Iterator.range(0, bufs.length).flatMap { qi =>
+              val buf = bufs(qi)
+              Iterator.range(0, buf.size).map(p =>
+                (qarr(qi)._1, buf.idAt(p), buf.distAt(p)))
+            }
+          }
+          .toDF("query_id", "id", "distance")
+          .groupBy("query_id")
+          .agg(TopK.topK(k)(col("id"), col("distance")).as("topk"))
+          .select(col("query_id"), explode(col("topk")).as("hit"))
+          .select(col("query_id"), col("hit.id").as("id"),
+            col("hit.distance").as("distance"))
+      }
+    hits.select(col("query_id"), col("id"))
   }
 
   /** Driver-side probe selection for a collected query batch: the `np`

@@ -196,9 +196,20 @@ class BqSpec extends SparkTestBase {
       .select($"id".as("query_id"), $"vec".as("query_vec"))
     val a = Bq.hammingTopK(big, q2, k = 300)
       .orderBy("query_id", "hamming", "id").collect().toSeq
+    // default gate: the tree-merged driver path (no partial-row shuffle)
     val b = Bq.hammingBroadcast(big, q2, k = 300)
       .orderBy("query_id", "hamming", "id").collect().toSeq
+    assert(graft.operators.CoarseMerge.lastPath == "merge")
     assert(a == b)
+    // forced-shut gate: the aggregate path over the same heap buffers
+    val savedGate = graft.operators.CoarseMerge.maxBytes
+    val c = try {
+      graft.operators.CoarseMerge.maxBytes = 1L
+      Bq.hammingBroadcast(big, q2, k = 300)
+        .orderBy("query_id", "hamming", "id").collect().toSeq
+    } finally graft.operators.CoarseMerge.maxBytes = savedGate
+    assert(graft.operators.CoarseMerge.lastPath == "agg")
+    assert(a == c)
   }
 
   test("searchIvf: exhaustive probes + candidates equal exact KNN; partitioned layout agrees and prunes") {

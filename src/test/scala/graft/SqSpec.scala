@@ -109,12 +109,23 @@ class SqSpec extends SparkTestBase {
       .select(col("id").as("query_id"), col("vec").as("query_vec"))
     val m = Sq.train(df)
     val packed = Sq.encode(df, m).select(col("id"), col("sq")).cache()
+    val savedGate = graft.operators.CoarseMerge.maxBytes
     for (dist <- Seq("l2sqr", "cosine")) {
       val a = Sq.coarseTopK(packed, q, m, k = 300, dist = dist)
         .orderBy("query_id", "distance", "id").collect().toSeq
+      // default gate: the tree-merged driver path (no partial-row shuffle)
       val b = Sq.serveBroadcastPacked(packed, q, m, k = 300, dist = dist)
         .orderBy("query_id", "distance", "id").collect().toSeq
-      assert(a == b, s"arms disagree for $dist at k=300")
+      assert(graft.operators.CoarseMerge.lastPath == "merge")
+      assert(a == b, s"merge path disagrees for $dist at k=300")
+      // forced-shut gate: the aggregate path over the same heap buffers
+      val c = try {
+        graft.operators.CoarseMerge.maxBytes = 1L
+        Sq.serveBroadcastPacked(packed, q, m, k = 300, dist = dist)
+          .orderBy("query_id", "distance", "id").collect().toSeq
+      } finally graft.operators.CoarseMerge.maxBytes = savedGate
+      assert(graft.operators.CoarseMerge.lastPath == "agg")
+      assert(a == c, s"agg path disagrees for $dist at k=300")
     }
     packed.unpersist(); df.unpersist()
   }
