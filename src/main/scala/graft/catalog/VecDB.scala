@@ -156,6 +156,26 @@ class VecDB(spark: SparkSession, root: String) {
   @volatile private var tables: Map[String, TableEntry] = loadBrief()
   @volatile private var cached: Map[String, DataFrame] = Map.empty
 
+  /** Pre-listed sidecar DataFrames, keyed by `path@stamp` where the stamp
+    * folds (created, version, nextId) — any mutation rebuilds the sidecar
+    * AND changes the stamp, so stale indexes are unreachable. Listing a
+    * cluster-partitioned layout is a per-`read.parquet`-call driver cost
+    * (~1.3 s at kc=512, measured): a serving deployment pays it once per
+    * index generation, not once per query batch. Inserting a new stamp
+    * evicts the path's older generations (bounded growth). */
+  @volatile private var sidecarCached: Map[String, DataFrame] = Map.empty
+  private def sidecarDf(path: String, e: TableEntry): DataFrame = {
+    val key = s"$path@c${e.created}v${e.version}n${e.nextId}"
+    sidecarCached.getOrElse(key, {
+      val df = spark.read.parquet(path)
+      catalogLock.synchronized {
+        sidecarCached = sidecarCached.filterNot(_._1.startsWith(path + "@")) +
+          (key -> df)
+      }
+      df
+    })
+  }
+
   /** Intra-process guard for every read-modify-write of `tables` +
     * `saveBrief()`. The exclusive `db.lock` only fences OTHER processes; a
     * search thread healing a degraded table concurrently with another
@@ -1368,16 +1388,18 @@ class VecDB(spark: SparkSession, root: String) {
             // float layout (same assignment as the codes): both stages
             // partition-prune, so a batch touches (np/kc) of the codes
             // AND (np/kc) of the floats — the full-table `filtered` base
-            // would stream the whole float corpus per batch
-            val floatBase = spark.read
-              .parquet(ivfDir(e).resolve("data").toString)
-            Sq.searchIvfPartitioned(sqDir(e).resolve("ivf").toString,
+            // would stream the whole float corpus per batch. Both reads
+            // come pre-listed from the sidecar cache (listing a kc-way
+            // layout per batch would dominate the pruned read).
+            val floatBase = sidecarDf(ivfDir(e).resolve("data").toString, e)
+            Sq.searchIvfPartitionedDf(
+              sidecarDf(sqDir(e).resolve("ivf").resolve("data").toString, e),
               floatBase, ivfModel, model, queries, k, candidates,
               nProbes = None, dist = e.dist,
               baseClusterCol = Some("cluster"))
           } else {
             lastServedArm = "sq_rerank_serve"
-            val packed = spark.read.parquet(sqDir(e).resolve("codes").toString)
+            val packed = sidecarDf(sqDir(e).resolve("codes").toString, e)
             Sq.searchRerankPacked(packed, filtered, queries, model, k,
               candidates, dist = e.dist)
           }
@@ -1398,16 +1420,17 @@ class VecDB(spark: SparkSession, root: String) {
             // rerank against the IVF sidecar's OWN cluster-partitioned
             // float layout (same assignment as the packed words): both
             // stages partition-prune — the sq_ivf arm's argument, at 1/32
-            // the coarse bytes instead of 1/4
-            val floatBase = spark.read
-              .parquet(ivfDir(e).resolve("data").toString)
-            Bq.searchIvfPartitioned(bqDir(e).resolve("ivf").toString,
+            // the coarse bytes instead of 1/4; reads pre-listed (sidecar
+            // cache) like the sq_ivf arm
+            val floatBase = sidecarDf(ivfDir(e).resolve("data").toString, e)
+            Bq.searchIvfPartitionedDf(
+              sidecarDf(bqDir(e).resolve("ivf").resolve("data").toString, e),
               floatBase, ivfModel, loadBqModel(e), queries, k, candidates,
               nProbes = None, dist = e.dist,
               baseClusterCol = Some("cluster"))
           } else {
             lastServedArm = "bq_rerank_serve"
-            val packed = spark.read.parquet(bqDir(e).resolve("packed").toString)
+            val packed = sidecarDf(bqDir(e).resolve("packed").toString, e)
             Bq.searchRerankPacked(packed, filtered, queries, k,
               candidates, dist = e.dist, model = loadBqModel(e))
           }

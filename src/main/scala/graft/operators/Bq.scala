@@ -460,6 +460,29 @@ object Bq extends Serializable {
       vecCol: String = "vec",
       queryIdCol: String = "query_id",
       queryVecCol: String = "query_vec",
+      baseClusterCol: Option[String] = None): DataFrame =
+    searchIvfPartitionedDf(base.sparkSession.read.parquet(s"$path/data"),
+      base, ivfModel, bqModel, queries, k, candidates, nProbes, dist,
+      idCol, vecCol, queryIdCol, queryVecCol, baseClusterCol)
+
+  /** [[searchIvfPartitioned]] over a PRE-LISTED packed DataFrame — see
+    * [[Sq.searchIvfPartitionedDf]]: partition-layout listing is a
+    * per-`read.parquet`-call driver cost a deployment pays once, not per
+    * batch. */
+  def searchIvfPartitionedDf(
+      packed: DataFrame,
+      base: DataFrame,
+      ivfModel: graft.operators.IvfModel,
+      bqModel: Option[BqModel],
+      queries: DataFrame,
+      k: Int,
+      candidates: Int,
+      nProbes: Option[Int] = None,
+      dist: String = "l2sqr",
+      idCol: String = "id",
+      vecCol: String = "vec",
+      queryIdCol: String = "query_id",
+      queryVecCol: String = "query_vec",
       baseClusterCol: Option[String] = None): DataFrame = {
     require(candidates >= k, s"candidates ($candidates) must be >= k ($k)")
     val np = math.max(1, nProbes.getOrElse(ivfModel.defaultNProbes))
@@ -472,7 +495,7 @@ object Bq extends Serializable {
     val qsPacked = qs.map { case (qid, v) =>
       (qid, bqModel.fold(BqKernel.pack(v))(m => BqKernel.packCentered(v, m.thresholds)))
     }
-    val probedRows = spark.read.parquet(s"$path/data")
+    val probedRows = packed
       .filter(col("cluster").isin(probed.map(Int.box): _*)) // partition-pruned
       .select(col("id").cast("long").as("id"), col("bq"),
         col("cluster").cast("long").as("cluster"))

@@ -42,11 +42,23 @@ private[graft] object CoarseMerge {
     * observability for the specs; not public surface. */
   @volatile private[graft] var lastPath: String = ""
 
+  /** Winner-ROW cap: past ~1M rows the driver materialization (building
+    * and broadcasting an nq × k LocalRelation per batch) costs more than
+    * the distributed aggregate it replaces — measured on the 1M BQ rerank
+    * (nq=1000 × c=2000 = 2M winners: agg 106 q/s vs merge 79). Merge is
+    * for SMALL-batch × large-budget serving, where the aggregate's
+    * P × nq × k partial-row shuffle is pure overhead. Override with
+    * `-Dgraft.coarse.merge.max.rows`. */
+  @volatile var maxRows: Long =
+    sys.props.get("graft.coarse.merge.max.rows").map(_.toLong)
+      .getOrElse(1L << 20)
+
   /** Driver-merge pays only past the heap threshold — below it the partial
     * row volume is small and the aggregate path's shuffle is cheaper than
     * shipping P × nq buffer objects. */
   def eligible(nq: Int, k: Int): Boolean =
-    k > TopBuffer.HeapThreshold && nq.toLong * k * 16L <= maxBytes
+    k > TopBuffer.HeapThreshold && nq.toLong * k <= maxRows &&
+      nq.toLong * k * 16L <= maxBytes
 
   private val outSchema = StructType(Seq(
     StructField("query_id", LongType, nullable = false),

@@ -533,6 +533,33 @@ object Sq extends Serializable {
       vecCol: String = "vec",
       queryIdCol: String = "query_id",
       queryVecCol: String = "query_vec",
+      baseClusterCol: Option[String] = None): DataFrame =
+    searchIvfPartitionedDf(base.sparkSession.read.parquet(s"$path/data"),
+      base, ivfModel, sqModel, queries, k, candidates, nProbes, dist,
+      idCol, vecCol, queryIdCol, queryVecCol, baseClusterCol)
+
+  /** [[searchIvfPartitioned]] over a PRE-LISTED codes DataFrame (a
+    * `spark.read.parquet(path/data)` created once and reused). Listing a
+    * kc-way partitioned layout is a per-`read.parquet`-call driver cost —
+    * measured ~1.3 s at kc=512 — that a serving deployment pays ONCE (its
+    * catalog table holds the file index) while a per-batch re-read pays
+    * per query batch and swallows the pruned-bytes win. The probed-cluster
+    * filter still prunes partitions at planning time against the reused
+    * index. */
+  def searchIvfPartitionedDf(
+      codes: DataFrame,
+      base: DataFrame,
+      ivfModel: graft.operators.IvfModel,
+      sqModel: SqModel,
+      queries: DataFrame,
+      k: Int,
+      candidates: Int,
+      nProbes: Option[Int] = None,
+      dist: String = "l2sqr",
+      idCol: String = "id",
+      vecCol: String = "vec",
+      queryIdCol: String = "query_id",
+      queryVecCol: String = "query_vec",
       baseClusterCol: Option[String] = None): DataFrame = {
     require(candidates >= k, s"candidates ($candidates) must be >= k ($k)")
     val np = math.max(1, nProbes.getOrElse(ivfModel.defaultNProbes))
@@ -542,7 +569,7 @@ object Sq extends Serializable {
       .select(col(queryIdCol).cast("long"), col(queryVecCol))
       .as[(Long, Array[Float])].collect()
     val (clusterToQ, probed) = probePlan(qs, ivfModel, np)
-    val probedRows = spark.read.parquet(s"$path/data")
+    val probedRows = codes
       .filter(col("cluster").isin(probed.map(Int.box): _*)) // partition-pruned
       .select(col("id").cast("long").as("id"), col("sq"),
         col("cluster").cast("long").as("cluster"))
