@@ -549,7 +549,11 @@ object Bench {
           name -> (perRep(i): Seq[Double])
         }.toMap
         ws.zipWithIndex.foreach { case ((name, _, _), i) =>
-          sustainedRebuild += name -> (perRb(i): Seq[Double])
+          // ACCUMULATE (not replace): the volatile family runs three grid
+          // passes under the same row names, and sustained_rebuild_ms must
+          // stay aligned with the concatenated sustained_spread
+          sustainedRebuild += name ->
+            (sustainedRebuild.getOrElse(name, Vector.empty) ++ perRb(i))
         }
         (med, spread)
       } finally pool.shutdown()

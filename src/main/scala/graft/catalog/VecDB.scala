@@ -156,25 +156,50 @@ class VecDB(spark: SparkSession, root: String) {
   @volatile private var tables: Map[String, TableEntry] = loadBrief()
   @volatile private var cached: Map[String, DataFrame] = Map.empty
 
-  /** Pre-listed sidecar DataFrames, keyed by `path@stamp` where the stamp
-    * folds (created, version, nextId) — any mutation rebuilds the sidecar
-    * AND changes the stamp, so stale indexes are unreachable. Listing a
+  /** Pre-listed sidecar DataFrames (and loaded sidecar models), keyed by
+    * `path@stamp` where the stamp folds (created, version, nextId) AND a
+    * per-table index GENERATION counter bumped by every index build/clear
+    * — (created, version, nextId) alone is blind to clear+rebuild cycles
+    * (they rewrite the sidecar without touching data or ids), which would
+    * serve a stale file index over deleted part files. Listing a
     * cluster-partitioned layout is a per-`read.parquet`-call driver cost
-    * (~1.3 s at kc=512, measured): a serving deployment pays it once per
-    * index generation, not once per query batch. Inserting a new stamp
-    * evicts the path's older generations (bounded growth). */
-  @volatile private var sidecarCached: Map[String, DataFrame] = Map.empty
-  private def sidecarDf(path: String, e: TableEntry): DataFrame = {
-    val key = s"$path@c${e.created}v${e.version}n${e.nextId}"
-    sidecarCached.getOrElse(key, {
-      val df = spark.read.parquet(path)
-      catalogLock.synchronized {
-        sidecarCached = sidecarCached.filterNot(_._1.startsWith(path + "@")) +
-          (key -> df)
-      }
-      df
-    })
+    * (~1.3 s at kc=512, measured); the model loads are 1-3 extra driver
+    * jobs per batch: a serving deployment pays both once per index
+    * generation, not once per query batch. Inserting a new stamp evicts
+    * the path's older generations; [[invalidateSidecars]] purges a whole
+    * table's entries on clear/delete (no retention of dead listings). */
+  @volatile private var sidecarCached: Map[String, AnyRef] = Map.empty
+  private val sidecarGen =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]
+  private def sidecarStamp(e: TableEntry): String = {
+    val g = sidecarGen.getOrDefault(e.filename, 0L)
+    s"c${e.created}v${e.version}n${e.nextId}g$g"
   }
+  /** Bump the table's index generation and purge its cached entries —
+    * called by every index build/clear and by table delete. */
+  private def invalidateSidecars(filename: String): Unit = {
+    sidecarGen.merge(filename, 1L, (a, b) => a + b)
+    val prefix = rootPath.resolve(filename).toString
+    catalogLock.synchronized {
+      sidecarCached = sidecarCached.filterNot(_._1.startsWith(prefix))
+    }
+  }
+  private def sidecarCachedAs[T <: AnyRef](path: String, e: TableEntry)
+      (load: => T): T = {
+    val key = s"$path@${sidecarStamp(e)}"
+    sidecarCached.get(key) match {
+      case Some(v) => v.asInstanceOf[T]
+      case None =>
+        val v = load
+        catalogLock.synchronized {
+          sidecarCached = sidecarCached
+            .filterNot(_._1.startsWith(path + "@")) + (key -> v)
+        }
+        v
+    }
+  }
+  private def sidecarDf(path: String, e: TableEntry): DataFrame =
+    sidecarCachedAs[DataFrame](path, e)(spark.read.parquet(path))
 
   /** Intra-process guard for every read-modify-write of `tables` +
     * `saveBrief()`. The exclusive `db.lock` only fences OTHER processes; a
@@ -322,6 +347,7 @@ class VecDB(spark: SparkSession, root: String) {
         // then lose its just-written data to the removal below
         reservedFilenames += x.filename
         saveBrief()
+        invalidateSidecars(x.filename)
       }
       (e, c)
     }
@@ -998,6 +1024,7 @@ class VecDB(spark: SparkSession, root: String) {
     val (model, assigned) = Ivf.build(df.select(col("id"), col("vec")), k,
       e.dist, trainFraction = trainProportion)
     Ivf.writePartitioned(assigned, model, ivfDir(e).toString)
+    invalidateSidecars(e.filename)
     catalogLock.synchronized {
       tables += key -> entry(key).copy(ivf = Some(IvfInfo(k, defaultNProbes)))
       saveBrief()
@@ -1017,7 +1044,10 @@ class VecDB(spark: SparkSession, root: String) {
         Some(e)
       } else None
     }
-    cleared.foreach(e => deleteRecursively(ivfDir(e)))
+    cleared.foreach { e =>
+      invalidateSidecars(e.filename)
+      deleteRecursively(ivfDir(e))
+    }
   }
 
   def hasIvfIndex(key: String): Boolean = entry(key).ivf.isDefined
@@ -1054,6 +1084,7 @@ class VecDB(spark: SparkSession, root: String) {
     import spark.implicits._
     Seq((model.mins.toSeq, model.scales.toSeq)).toDF("mins", "scales")
       .write.mode("overwrite").parquet(sqDir(e).resolve("model").toString)
+    invalidateSidecars(e.filename)
     catalogLock.synchronized {
       tables += key -> entry(key).copy(sq = Some(SqInfo(routed)))
       saveBrief()
@@ -1069,7 +1100,10 @@ class VecDB(spark: SparkSession, root: String) {
         Some(e)
       } else None
     }
-    cleared.foreach(e => deleteRecursively(sqDir(e)))
+    cleared.foreach { e =>
+      invalidateSidecars(e.filename)
+      deleteRecursively(sqDir(e))
+    }
   }
 
   def hasSqIndex(key: String): Boolean = entry(key).sq.isDefined
@@ -1112,6 +1146,7 @@ class VecDB(spark: SparkSession, root: String) {
       import spark.implicits._
       Seq(model.fold(Seq.empty[Double])(_.thresholds.toSeq)).toDF("thresholds")
         .write.mode("overwrite").parquet(bqDir(e).resolve("model").toString)
+      invalidateSidecars(e.filename)
       catalogLock.synchronized {
         tables += key -> entry(key).copy(bq = Some(BqInfo(centered, routed)))
         saveBrief()
@@ -1127,7 +1162,10 @@ class VecDB(spark: SparkSession, root: String) {
         Some(e)
       } else None
     }
-    cleared.foreach(e => deleteRecursively(bqDir(e)))
+    cleared.foreach { e =>
+      invalidateSidecars(e.filename)
+      deleteRecursively(bqDir(e))
+    }
   }
 
   def hasBqIndex(key: String): Boolean = entry(key).bq.isDefined
@@ -1154,6 +1192,7 @@ class VecDB(spark: SparkSession, root: String) {
       } else None
     }
     cleared.foreach { e =>
+      invalidateSidecars(e.filename)
       Pq.invalidateCaches(pqDir(e).toString)
       deleteRecursively(pqDir(e))
     }
@@ -1373,7 +1412,10 @@ class VecDB(spark: SparkSession, root: String) {
       // EXACT re-ranked distances, so P3 semantics are preserved.
       case (efOpt, _) if e.sq.isDefined && !e.hasHnsw && pattern.isEmpty =>
         val info = e.sq.get
-        val model = loadSqModel(e)
+        // model + centroid loads cached per index generation (1-3 extra
+        // driver jobs per batch otherwise — the latency-regime floor)
+        val model = sidecarCachedAs[Sq.SqModel](
+          sqDir(e).resolve("model").toString, e)(loadSqModel(e))
         val candidates = math.max(k,
           efOpt.getOrElse(Bq.autoCandidates(e.nextId, k)))
         val hits =
@@ -1382,8 +1424,10 @@ class VecDB(spark: SparkSession, root: String) {
               s"table '$key': routed SQ sidecar without an IVF index " +
                 "(clearIvfIndex cascades — this brief was edited externally)")
             lastServedArm = "sq_ivf"
-            val ivfModel = Ivf.readModel(spark, ivfDir(e).toString, e.dist,
-              e.ivf.get.defaultNProbes)
+            val ivfModel = sidecarCachedAs[graft.operators.IvfModel](
+              ivfDir(e).resolve("centroids").toString, e)(
+              Ivf.readModel(spark, ivfDir(e).toString, e.dist,
+                e.ivf.get.defaultNProbes))
             // rerank against the IVF sidecar's OWN cluster-partitioned
             // float layout (same assignment as the codes): both stages
             // partition-prune, so a batch touches (np/kc) of the codes
@@ -1415,8 +1459,10 @@ class VecDB(spark: SparkSession, root: String) {
               s"table '$key': routed BQ sidecar without an IVF index " +
                 "(clearIvfIndex cascades — this brief was edited externally)")
             lastServedArm = "bq_ivf"
-            val ivfModel = Ivf.readModel(spark, ivfDir(e).toString, e.dist,
-              e.ivf.get.defaultNProbes)
+            val ivfModel = sidecarCachedAs[graft.operators.IvfModel](
+              ivfDir(e).resolve("centroids").toString, e)(
+              Ivf.readModel(spark, ivfDir(e).toString, e.dist,
+                e.ivf.get.defaultNProbes))
             // rerank against the IVF sidecar's OWN cluster-partitioned
             // float layout (same assignment as the packed words): both
             // stages partition-prune — the sq_ivf arm's argument, at 1/32
@@ -1425,14 +1471,18 @@ class VecDB(spark: SparkSession, root: String) {
             val floatBase = sidecarDf(ivfDir(e).resolve("data").toString, e)
             Bq.searchIvfPartitionedDf(
               sidecarDf(bqDir(e).resolve("ivf").resolve("data").toString, e),
-              floatBase, ivfModel, loadBqModel(e), queries, k, candidates,
+              floatBase, ivfModel, sidecarCachedAs[Option[Bq.BqModel]](
+                bqDir(e).resolve("model").toString, e)(loadBqModel(e)),
+              queries, k, candidates,
               nProbes = None, dist = e.dist,
               baseClusterCol = Some("cluster"))
           } else {
             lastServedArm = "bq_rerank_serve"
             val packed = sidecarDf(bqDir(e).resolve("packed").toString, e)
             Bq.searchRerankPacked(packed, filtered, queries, k,
-              candidates, dist = e.dist, model = loadBqModel(e))
+              candidates, dist = e.dist,
+              model = sidecarCachedAs[Option[Bq.BqModel]](
+                bqDir(e).resolve("model").toString, e)(loadBqModel(e)))
           }
         if (ub == Double.PositiveInfinity) hits
         else hits.filter(col("distance") <= lit(ub))

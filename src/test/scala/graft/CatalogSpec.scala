@@ -270,6 +270,42 @@ class CatalogSpec extends SparkTestBase {
     db2.close()
   }
 
+  test("sidecar cache: clear+rebuild cycles never serve a stale file index") {
+    // (created, version, nextId) are all UNCHANGED by an index
+    // clear+rebuild, so the cache must key on an index generation too —
+    // otherwise the second search plans against the overwritten parquet's
+    // deleted part files (FileNotFoundException) or stale codes
+    val db = freshDb()
+    db.createTableIfNotExists("t", 8, "l2sqr")
+    val rnd = new scala.util.Random(31)
+    val vecs = (0 until 50).map(_ => Array.fill(8)(rnd.nextFloat()))
+    db.batchAdd("t", vecs, vecs.indices.map(i => Map("i" -> i.toString)))
+    val flat = db.search("t", vecs(5), 5)
+    db.buildSqIndex("t")
+    assert(db.search("t", vecs(5), 5, ef = Some(200)) == flat) // caches DFs
+    db.clearSqIndex("t")
+    db.buildSqIndex("t") // same path, same (created, version, nextId)
+    assert(db.search("t", vecs(5), 5, ef = Some(200)) == flat)
+    // the routed generation too: IVF + BQ rebuilt under the same stamp
+    // (SQ outranks BQ in the dispatch — drop it so the bq_ivf arm serves)
+    db.clearSqIndex("t")
+    db.buildIvfIndex("t", k = 4, defaultNProbes = 4)
+    db.buildBqIndex("t")
+    import spark.implicits._
+    val q = Seq((0L, vecs(5))).toDF("query_id", "query_vec")
+    assert(db.searchBatch("t", q, 5, ef = Some(200)).count() == 5)
+    db.clearIvfIndex("t") // cascades BQ
+    db.buildIvfIndex("t", k = 4, defaultNProbes = 4)
+    db.buildBqIndex("t")
+    val got = db.searchBatch("t", q, 5, ef = Some(200))
+      .orderBy("distance", "id").collect()
+      .map(r => (Option(r.getAs[Map[String, String]]("meta")).getOrElse(Map.empty),
+        r.getAs[Double]("distance"))).toSeq
+    assert(db.lastServedArm == "bq_ivf")
+    assert(got == flat)
+    db.close()
+  }
+
   test("broadcast gates are byte-based: high-dim big tables are ineligible") {
     // rows × dim decides, not rows alone — the row gate let a 1M × d960
     // index (~4 GB of vectors) through the broadcast path
