@@ -1092,7 +1092,7 @@ object Bench {
       // rerank source — the artifact's kernel-speedup evidence
       def mkSqIvf1mDecl() = graft.operators.Sq.searchIvfDeclarative(sqIvf1m,
         vec1mDisk, model1m, sqModel1m, q1m, k = 10, candidates = 100,
-        nProbes = Some(1))
+        nProbes = Some(1), nqHint = Some(nq.toLong))
       withAqeOff(serve(mkSqIvf1m())); withAqeOff(serve(mkSqIvf1mDecl()))
       withAqeOff(serve(mkSqIvfPart1m()))
       val truth1m = truthSets(vec1m, q1m, 10)

@@ -167,8 +167,19 @@ class VecDB(spark: SparkSession, root: String) {
     * jobs per batch: a serving deployment pays both once per index
     * generation, not once per query batch. Inserting a new stamp evicts
     * the path's older generations; [[invalidateSidecars]] purges a whole
-    * table's entries on clear/delete (no retention of dead listings). */
-  @volatile private var sidecarCached: Map[String, AnyRef] = Map.empty
+    * table's entries on clear/delete (no retention of dead listings).
+    *
+    * BYTE-BUDGETED (the shared [[graft.index.HnswGraphCache.ByteLru]]
+    * machinery): a catalog serving hundreds of tables would otherwise
+    * accumulate an unbounded map of file indexes and model arrays on the
+    * driver. Entry sizes are estimates ([[sidecarBytes]] — file-count ×
+    * per-status overhead for listings, array payloads for models); past
+    * `graft.cache.sidecar.maxBytes` (default 256 MiB) the least-recently-
+    * served entries evict, and a later batch re-lists/re-loads them —
+    * correctness never depends on residency. */
+  private val sidecarCached =
+    new graft.index.HnswGraphCache.ByteLru[String, AnyRef](
+      () => VecDB.sidecarCacheMaxBytes)
   private val sidecarGen =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]
   private def sidecarStamp(e: TableEntry): String = {
@@ -176,13 +187,26 @@ class VecDB(spark: SparkSession, root: String) {
     s"c${e.created}v${e.version}n${e.nextId}g$g"
   }
   /** Bump the table's index generation and purge its cached entries —
-    * called by every index build/clear and by table delete. */
+    * called by every index build/clear and by table delete. The purge
+    * prefix ends at a path-separator boundary so a table filename that
+    * prefixes another ('t' vs 't2') never evicts the sibling's entries. */
   private def invalidateSidecars(filename: String): Unit = {
     sidecarGen.merge(filename, 1L, (a, b) => a + b)
-    val prefix = rootPath.resolve(filename).toString
-    catalogLock.synchronized {
-      sidecarCached = sidecarCached.filterNot(_._1.startsWith(prefix))
-    }
+    val prefix =
+      rootPath.resolve(filename).toString + java.io.File.separator
+    sidecarCached.removeIf(_.startsWith(prefix))
+  }
+  /** Driver-memory estimate of a cached sidecar entry. DataFrame entries
+    * hold an InMemoryFileIndex (one FileStatus + path per leaf file);
+    * model entries hold their primitive arrays. */
+  private def sidecarBytes(v: AnyRef): Long = v match {
+    case df: DataFrame => 256L + 512L * df.inputFiles.length
+    case m: Sq.SqModel => 64L + 16L * m.dim
+    case m: graft.operators.IvfModel =>
+      64L + m.centroids.length.toLong *
+        (32L + 4L * (if (m.centroids.isEmpty) 0 else m.centroids(0).length))
+    case Some(m: Bq.BqModel) => 64L + 8L * m.dim
+    case _ => 64L
   }
   private def sidecarCachedAs[T <: AnyRef](path: String, e: TableEntry)
       (load: => T): T = {
@@ -191,15 +215,16 @@ class VecDB(spark: SparkSession, root: String) {
       case Some(v) => v.asInstanceOf[T]
       case None =>
         val v = load
-        catalogLock.synchronized {
-          sidecarCached = sidecarCached
-            .filterNot(_._1.startsWith(path + "@")) + (key -> v)
-        }
+        sidecarCached.removeIf(_.startsWith(path + "@"))
+        sidecarCached.put(key, v, sidecarBytes(v))
         v
     }
   }
   private def sidecarDf(path: String, e: TableEntry): DataFrame =
     sidecarCachedAs[DataFrame](path, e)(spark.read.parquet(path))
+  /** Cache observability for the eviction spec; not public surface. */
+  private[graft] def sidecarCacheEntries: Int = sidecarCached.size
+  private[graft] def sidecarCacheBytes: Long = sidecarCached.currentBytes
 
   /** Intra-process guard for every read-modify-write of `tables` +
     * `saveBrief()`. The exclusive `db.lock` only fences OTHER processes; a
@@ -1672,6 +1697,14 @@ object VecDB {
     * small fixtures) via `-Dgraft.broadcast.max.bytes=N`. */
   private[graft] def BroadcastMaxBytes: Long =
     sys.props.get("graft.broadcast.max.bytes").map(_.toLong).getOrElse(1L << 30)
+
+  /** Driver byte budget for the per-catalog sidecar cache (pre-listed
+    * file indexes + loaded quantizer/centroid models). Volatile so the
+    * eviction spec can force a tiny budget; override per deployment with
+    * `-Dgraft.cache.sidecar.maxBytes=N`. */
+  @volatile private[graft] var sidecarCacheMaxBytes: Long =
+    sys.props.get("graft.cache.sidecar.maxBytes").map(_.toLong)
+      .getOrElse(256L << 20)
 
   /** Estimated broadcast footprint of an HNSW sidecar: packed f32 vectors
     * plus adjacency (m=16 ints at level 0, geometric upper levels) plus

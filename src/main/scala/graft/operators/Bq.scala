@@ -191,8 +191,30 @@ object Bq extends Serializable {
 
   /** [[hammingBroadcastPacked]] over an already-collected, already-PACKED
     * query batch — the shared entry for callers that need the batch on
-    * the driver anyway (probe planning, rerank byte-gating). */
+    * the driver anyway (probe planning, rerank byte-gating).
+    *
+    * Task-memory gate: every scanned partition holds nq × k × 16 B of
+    * [[graft.index.TopBuffer]] slots for the whole pass — 3.2 GB/task at
+    * nq=10k × candidates=20k, an OOM at any executor size. The batch is
+    * chunked to [[CoarseMerge.spans]] (default 256 MiB of slots per task)
+    * and the chunk results union — exact by construction (selection is
+    * per-query), each chunk one more pass over the packed scan. */
   private[graft] def hammingBroadcastPackedArr(
+      packed: DataFrame,
+      qs: Array[(Long, Array[Long])],
+      k: Int): DataFrame = {
+    val spans = CoarseMerge.spans(qs.length, k)
+    val hits = spans.map { case (s, e) =>
+      hammingChunk(packed, if (s == 0 && e == qs.length) qs else qs.slice(s, e), k)
+    }.reduce(_ union _)
+    CoarseMerge.lastChunks = spans.length
+    hits.select(col("query_id"), col("id"),
+      col("distance").cast("long").as("hamming"))
+  }
+
+  /** One task-memory chunk of [[hammingBroadcastPackedArr]]: the full
+    * coarse scan for a query sub-batch. Output: (query_id, id, distance). */
+  private def hammingChunk(
       packed: DataFrame,
       qs: Array[(Long, Array[Long])],
       k: Int): DataFrame = {
@@ -248,8 +270,7 @@ object Bq extends Serializable {
           .select(col("query_id"), col("hit.id").as("id"),
             col("hit.distance").as("distance"))
       }
-    hits.select(col("query_id"), col("id"),
-      col("distance").cast("long").as("hamming"))
+    hits
   }
 
   /** Two-stage BQ serving: Hamming top-`candidates` coarse pass on the
@@ -385,6 +406,38 @@ object Bq extends Serializable {
     hits.select(col("query_id"), col("id"))
   }
 
+  /** Task-memory-gated IVF coarse stage shared by [[searchIvf]] /
+    * [[searchIvfPartitionedDf]]: chunk the query batch to
+    * [[CoarseMerge.spans]] (bounding each task's TopBuffer state, the
+    * nq × candidates × 16 B OOM), plan probes PER CHUNK (a chunk's probe
+    * union is a subset of the batch's — over the partitioned layout each
+    * chunk pass reads only ITS clusters, so chunking tightens pruning
+    * rather than multiplying full passes), and union the exact per-query
+    * winners. Returns the coarse (query_id, id) set and the probe union
+    * across chunks (the rerank's partition filter). */
+  private def coarseIvfChunked(
+      buildProbedRows: Array[Int] => DataFrame,
+      qs: Array[(Long, Array[Float])],
+      bqModel: Option[BqModel],
+      ivfModel: graft.operators.IvfModel,
+      np: Int,
+      candidates: Int): (DataFrame, Array[Int]) = {
+    val spans = CoarseMerge.spans(qs.length, candidates)
+    val allProbed = scala.collection.mutable.SortedSet.empty[Int]
+    val chunks = spans.map { case (s, e) =>
+      val qsC = if (s == 0 && e == qs.length) qs else qs.slice(s, e)
+      val (clusterToQ, probed) = Sq.probePlan(qsC, ivfModel, np)
+      allProbed ++= probed
+      val qsPacked = qsC.map { case (qid, v) =>
+        (qid, bqModel.fold(BqKernel.pack(v))(m =>
+          BqKernel.packCentered(v, m.thresholds)))
+      }
+      coarseIvfKernel(buildProbedRows(probed), qsPacked, clusterToQ, candidates)
+    }
+    CoarseMerge.lastChunks = spans.length
+    (chunks.reduce(_ union _), allProbed.toArray)
+  }
+
   /** IVF-routed BQ (the composition [[Sq.searchIvf]] already serves for
     * byte codes, on 1-bit words): per query, probe the `nProbes` nearest
     * clusters (driver-side exact double distances, [[Sq.probePlan]]), scan
@@ -425,15 +478,13 @@ object Bq extends Serializable {
     val qs = queries
       .select(col(queryIdCol).cast("long"), col(queryVecCol))
       .as[(Long, Array[Float])].collect()
-    val (clusterToQ, probed) = Sq.probePlan(qs, ivfModel, np)
-    val qsPacked = qs.map { case (qid, v) =>
-      (qid, bqModel.fold(BqKernel.pack(v))(m => BqKernel.packCentered(v, m.thresholds)))
-    }
-    val probedRows = assignedPacked
-      .select(col(idCol).cast("long").as("id"), col("bq"),
-        col("cluster").cast("long").as("cluster"))
-      .filter(col("cluster").isInCollection(probed.map(c => Long.box(c.toLong)).toSeq))
-    val coarse = coarseIvfKernel(probedRows, qsPacked, clusterToQ, candidates)
+    val (coarse, _) = coarseIvfChunked(
+      probed => assignedPacked
+        .select(col(idCol).cast("long").as("id"), col("bq"),
+          col("cluster").cast("long").as("cluster"))
+        .filter(col("cluster").isInCollection(
+          probed.map(c => Long.box(c.toLong)).toSeq)),
+      qs, bqModel, ivfModel, np, candidates)
     Rerank.exact(coarse, base, queries, k, dist, idCol, vecCol,
       queryIdCol, queryVecCol, estRows = qs.length.toLong * candidates)
   }
@@ -491,17 +542,14 @@ object Bq extends Serializable {
     val qs = queries
       .select(col(queryIdCol).cast("long"), col(queryVecCol))
       .as[(Long, Array[Float])].collect()
-    val (clusterToQ, probed) = Sq.probePlan(qs, ivfModel, np)
-    val qsPacked = qs.map { case (qid, v) =>
-      (qid, bqModel.fold(BqKernel.pack(v))(m => BqKernel.packCentered(v, m.thresholds)))
-    }
-    val probedRows = packed
-      .filter(col("cluster").isin(probed.map(Int.box): _*)) // partition-pruned
-      .select(col("id").cast("long").as("id"), col("bq"),
-        col("cluster").cast("long").as("cluster"))
-    val coarse = coarseIvfKernel(probedRows, qsPacked, clusterToQ, candidates)
+    val (coarse, allProbed) = coarseIvfChunked(
+      probed => packed
+        .filter(col("cluster").isin(probed.map(Int.box): _*)) // partition-pruned
+        .select(col("id").cast("long").as("id"), col("bq"),
+          col("cluster").cast("long").as("cluster")),
+      qs, bqModel, ivfModel, np, candidates)
     val rerankBase = baseClusterCol.fold(base)(c =>
-      base.filter(col(c).isin(probed.map(Int.box): _*)))
+      base.filter(col(c).isin(allProbed.map(Int.box): _*)))
     Rerank.exact(coarse, rerankBase, queries, k, dist, idCol, vecCol,
       queryIdCol, queryVecCol, estRows = qs.length.toLong * candidates)
   }

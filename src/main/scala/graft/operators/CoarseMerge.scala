@@ -6,7 +6,8 @@ import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType
 
 import graft.index.TopBuffer
 
-/** Driver/tree-merged bounded selection for the quantized coarse passes.
+/** Driver/tree-merged bounded selection for the quantized coarse passes,
+  * plus the per-task memory gate (query-batch chunking) they share.
   *
   * The default merge of per-partition top-k partials is a row explosion:
   * every partition emits nq × k (query_id, id, distance) rows into a
@@ -18,6 +19,14 @@ import graft.index.TopBuffer
   * log₂(P) rounds of bounded-union [[TopBuffer.absorb]], no row shuffle,
   * no aggregate — and the winners materialize as a LocalRelation the
   * rerank join broadcasts without an extra job.
+  *
+  * NOTE on laziness: [[merge]] runs its `treeReduce` EAGERLY, so the
+  * public coarse entry points (`Bq.hammingBroadcastPacked`,
+  * `Sq.serveBroadcastPacked`, the two-stage searches) execute the coarse
+  * scan at DataFrame-CONSTRUCTION time whenever the merge gate is open.
+  * Callers that plan without executing should close the gate
+  * (`-Dgraft.coarse.merge.max.rows=0`) or treat those entry points as
+  * actions.
   *
   * Selection is identical to the aggregate path: absorb re-offers every
   * element under the same strict (distance, id) admits, so a merge tree of
@@ -33,14 +42,43 @@ private[graft] object CoarseMerge {
   /** Driver budget for the merged winner set (nq × k × 16 B estimate).
     * 128 MiB keeps the treeReduce's final collect (up to ~√P partial
     * arrays of this size) under Spark's default 1g driver.maxResultSize.
-    * Override with `-Dgraft.coarse.merge.max.bytes` (volatile for tests). */
+    * Override with `-Dgraft.coarse.merge.max.bytes` (volatile for tests;
+    * toggle sequentially — it is process-wide). */
   @volatile var maxBytes: Long =
     sys.props.get("graft.coarse.merge.max.bytes").map(_.toLong)
       .getOrElse(128L << 20)
 
-  /** Path the last eligible-kernel call took ("merge" | "agg") —
-    * observability for the specs; not public surface. */
-  @volatile private[graft] var lastPath: String = ""
+  /** EXECUTOR-TASK budget for the coarse kernels' per-task selection
+    * state: every scanned partition holds nq × k × 16 B of [[TopBuffer]]
+    * slots for the whole pass, so an ungated nq=10k × candidates=20k
+    * batch allocates 3.2 GB PER TASK — an OOM at any executor size, and
+    * the one scale exposure the rerank-join gate doesn't cover. The
+    * kernels chunk the query batch to [[spans]] under this budget and
+    * union the chunk results (selection is per-query, so chunking is
+    * exact by construction; each chunk is one more pass over the pruned
+    * scan — memory is bounded by trading passes). Override with
+    * `-Dgraft.coarse.task.max.bytes`. */
+  @volatile var taskMaxBytes: Long =
+    sys.props.get("graft.coarse.task.max.bytes").map(_.toLong)
+      .getOrElse(256L << 20)
+
+  /** Path the last eligible-kernel call took on THIS thread ("merge" |
+    * "agg") — observability for the specs; not public surface. Thread-
+    * local: gate decisions happen at plan-construction time on the
+    * calling thread, so concurrent searches (the bench's 4-wide sustained
+    * pool) don't interleave writes. */
+  private val lastPathTl: ThreadLocal[String] =
+    ThreadLocal.withInitial(() => "")
+  private[graft] def lastPath: String = lastPathTl.get()
+  private[graft] def lastPath_=(v: String): Unit = lastPathTl.set(v)
+
+  /** Chunk count of the last kernel call on THIS thread — observability
+    * for the task-memory-gate specs. */
+  private val lastChunksTl: ThreadLocal[Integer] =
+    ThreadLocal.withInitial(() => Integer.valueOf(1))
+  private[graft] def lastChunks: Int = lastChunksTl.get().intValue
+  private[graft] def lastChunks_=(v: Int): Unit =
+    lastChunksTl.set(Integer.valueOf(v))
 
   /** Winner-ROW cap: past ~1M rows the driver materialization (building
     * and broadcasting an nq × k LocalRelation per batch) costs more than
@@ -60,15 +98,32 @@ private[graft] object CoarseMerge {
     k > TopBuffer.HeapThreshold && nq.toLong * k <= maxRows &&
       nq.toLong * k * 16L <= maxBytes
 
+  /** Contiguous, balanced query-index spans `[start, end)` such that each
+    * chunk's per-task selection state (span × k × 16 B) fits
+    * [[taskMaxBytes]]. One span (the whole batch) in the common case;
+    * `(0, 0)` for an empty batch so callers always have a span to map. */
+  def spans(nq: Int, k: Int): Seq[(Int, Int)] = {
+    if (nq <= 0) return Seq((0, 0))
+    val perQ = math.max(16L, k.toLong * 16L)
+    val maxQ = math.min(nq.toLong, math.max(1L, taskMaxBytes / perQ))
+    val n = ((nq + maxQ - 1) / maxQ).toInt
+    (0 until n).map(i =>
+      ((i.toLong * nq / n).toInt, ((i + 1).toLong * nq / n).toInt))
+  }
+
   private val outSchema = StructType(Seq(
     StructField("query_id", LongType, nullable = false),
     StructField("id", LongType, nullable = false),
     StructField("distance", DoubleType, nullable = false)))
 
   /** Tree-merge per-partition buffer arrays and materialize the winners as
-    * a local (query_id, id, distance) DataFrame. `partials` emits ONE
-    * array per partition: nq-length for a scanned partition, EMPTY for a
-    * row-less one (so empty partitions cost no nq × k allocation). */
+    * a local (query_id, id, distance) DataFrame, per-query ascending
+    * (distance, id) — the same row order as the aggregate path's sorted
+    * top-k materialization, so the physical gate never changes what a
+    * row-order-sensitive consumer sees. `partials` emits ONE array per
+    * partition: nq-length for a scanned partition, EMPTY for a row-less
+    * one (so empty partitions cost no nq × k allocation). EAGER: the
+    * treeReduce runs now, not at the consumer's first action. */
   def merge(spark: SparkSession, qids: Array[Long],
       partials: RDD[Array[TopBuffer]]): DataFrame = {
     val merged =
@@ -88,9 +143,14 @@ private[graft] object CoarseMerge {
     var qi = 0
     while (qi < merged.length) {
       val buf = merged(qi)
+      // heap/layout order → the engine's standard (distance, id) ascending
+      val order = Array.range(0, buf.size).sortWith { (a, b) =>
+        val da = buf.distAt(a); val db = buf.distAt(b)
+        da < db || (da == db && buf.idAt(a) < buf.idAt(b))
+      }
       var p = 0
-      while (p < buf.size) {
-        rows.add(Row(qids(qi), buf.idAt(p), buf.distAt(p)))
+      while (p < order.length) {
+        rows.add(Row(qids(qi), buf.idAt(order(p)), buf.distAt(order(p))))
         p += 1
       }
       qi += 1

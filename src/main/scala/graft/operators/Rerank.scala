@@ -32,9 +32,15 @@ private[graft] object Rerank {
     sys.props.get("graft.rerank.broadcast.max.bytes").map(_.toLong)
       .getOrElse(512L << 20)
 
-  /** Physical shape the last [[exact]] call took ("broadcast" |
-    * "shuffle") — observability for the gate specs; not public surface. */
-  @volatile private[graft] var lastJoin: String = ""
+  /** Physical shape the last [[exact]] call took on THIS thread
+    * ("broadcast" | "shuffle") — observability for the gate specs; not
+    * public surface. Thread-local: the gate decides at plan-construction
+    * time on the calling thread, so concurrent searches (the bench's
+    * 4-wide sustained pool) don't interleave writes. */
+  private val lastJoinTl: ThreadLocal[String] =
+    ThreadLocal.withInitial(() => "")
+  private[graft] def lastJoin: String = lastJoinTl.get()
+  private[graft] def lastJoin_=(v: String): Unit = lastJoinTl.set(v)
 
   /** @param estRows exact upper bound on `coarseIds` rows (nq × candidates
     *                — both driver-known at every call site). */

@@ -162,8 +162,32 @@ object Sq extends Serializable {
 
   /** [[serveBroadcastPacked]] over an already-collected query batch — the
     * shared entry for callers that need the batch on the driver anyway
-    * (probe planning, rerank byte-gating). */
+    * (probe planning, rerank byte-gating).
+    *
+    * Task-memory gate: every scanned partition holds nq × k × 16 B of
+    * [[graft.index.TopBuffer]] slots for the whole pass — 3.2 GB/task at
+    * nq=10k × candidates=20k, an OOM at any executor size. The batch is
+    * chunked to [[CoarseMerge.spans]] (default 256 MiB of slots per task)
+    * and the chunk results union — exact by construction (selection is
+    * per-query), each chunk one more pass over the packed scan. */
   private[graft] def serveBroadcastPackedArr(
+      packed: DataFrame,
+      qs: Array[(Long, Array[Float])],
+      model: SqModel,
+      k: Int,
+      dist: String): DataFrame = {
+    val spans = CoarseMerge.spans(qs.length, k)
+    val hits = spans.map { case (s, e) =>
+      serveChunk(packed,
+        if (s == 0 && e == qs.length) qs else qs.slice(s, e), model, k, dist)
+    }.reduce(_ union _)
+    CoarseMerge.lastChunks = spans.length
+    hits
+  }
+
+  /** One task-memory chunk of [[serveBroadcastPackedArr]]: the full coarse
+    * scan for a query sub-batch. Output: (query_id, id, distance). */
+  private def serveChunk(
       packed: DataFrame,
       qs: Array[(Long, Array[Float])],
       model: SqModel,
@@ -430,6 +454,36 @@ object Sq extends Serializable {
     hits.select(col("query_id"), col("id"))
   }
 
+  /** Task-memory-gated IVF coarse stage shared by [[searchIvf]] /
+    * [[searchIvfPartitionedDf]] ([[graft.operators.Bq]]'s twin): chunk the
+    * query batch to [[CoarseMerge.spans]] (bounding each task's TopBuffer
+    * state, the nq × candidates × 16 B OOM), plan probes PER CHUNK (a
+    * chunk's probe union is a subset of the batch's — over the partitioned
+    * layout each chunk pass reads only ITS clusters, so chunking tightens
+    * pruning rather than multiplying full passes), and union the exact
+    * per-query winners. Returns the coarse (query_id, id) set and the
+    * probe union across chunks (the rerank's partition filter). */
+  private def coarseIvfChunked(
+      buildProbedRows: Array[Int] => DataFrame,
+      qs: Array[(Long, Array[Float])],
+      ivfModel: graft.operators.IvfModel,
+      np: Int,
+      sqModel: SqModel,
+      candidates: Int,
+      dist: String): (DataFrame, Array[Int]) = {
+    val spans = CoarseMerge.spans(qs.length, candidates)
+    val allProbed = scala.collection.mutable.SortedSet.empty[Int]
+    val chunks = spans.map { case (s, e) =>
+      val qsC = if (s == 0 && e == qs.length) qs else qs.slice(s, e)
+      val (clusterToQ, probed) = probePlan(qsC, ivfModel, np)
+      allProbed ++= probed
+      coarseIvfKernel(buildProbedRows(probed), qsC, clusterToQ, sqModel,
+        candidates, dist)
+    }
+    CoarseMerge.lastChunks = spans.length
+    (chunks.reduce(_ union _), allProbed.toArray)
+  }
+
   /** Driver-side probe selection for a collected query batch: the `np`
     * nearest centroids per query ([[Ivf.probeList]] — exact doubles, ties
     * → lowest cluster, the same order as the declarative TopK pass) plus
@@ -487,13 +541,13 @@ object Sq extends Serializable {
     val qs = queries
       .select(col(queryIdCol).cast("long"), col(queryVecCol))
       .as[(Long, Array[Float])].collect()
-    val (clusterToQ, probed) = probePlan(qs, ivfModel, np)
-    val probedRows = assignedPacked
-      .select(col(idCol).cast("long").as("id"), col("sq"),
-        col("cluster").cast("long").as("cluster"))
-      .filter(col("cluster").isInCollection(probed.map(c => Long.box(c.toLong)).toSeq))
-    val coarse = coarseIvfKernel(probedRows, qs, clusterToQ, sqModel,
-      candidates, dist)
+    val (coarse, _) = coarseIvfChunked(
+      probed => assignedPacked
+        .select(col(idCol).cast("long").as("id"), col("sq"),
+          col("cluster").cast("long").as("cluster"))
+        .filter(col("cluster").isInCollection(
+          probed.map(c => Long.box(c.toLong)).toSeq)),
+      qs, ivfModel, np, sqModel, candidates, dist)
     Rerank.exact(coarse, base, queries, k, dist, idCol, vecCol,
       queryIdCol, queryVecCol, estRows = qs.length.toLong * candidates)
   }
@@ -568,22 +622,26 @@ object Sq extends Serializable {
     val qs = queries
       .select(col(queryIdCol).cast("long"), col(queryVecCol))
       .as[(Long, Array[Float])].collect()
-    val (clusterToQ, probed) = probePlan(qs, ivfModel, np)
-    val probedRows = codes
-      .filter(col("cluster").isin(probed.map(Int.box): _*)) // partition-pruned
-      .select(col("id").cast("long").as("id"), col("sq"),
-        col("cluster").cast("long").as("cluster"))
-    val coarse = coarseIvfKernel(probedRows, qs, clusterToQ, sqModel,
-      candidates, dist)
+    val (coarse, allProbed) = coarseIvfChunked(
+      probed => codes
+        .filter(col("cluster").isin(probed.map(Int.box): _*)) // partition-pruned
+        .select(col("id").cast("long").as("id"), col("sq"),
+          col("cluster").cast("long").as("cluster")),
+      qs, ivfModel, np, sqModel, candidates, dist)
     val rerankBase = baseClusterCol.fold(base)(c =>
-      base.filter(col(c).isin(probed.map(Int.box): _*)))
+      base.filter(col(c).isin(allProbed.map(Int.box): _*)))
     Rerank.exact(coarse, rerankBase, queries, k, dist, idCol, vecCol,
       queryIdCol, queryVecCol, estRows = qs.length.toLong * candidates)
   }
 
   /** The r14 declarative probed scan (per-(row×query) codegen decode) —
     * kept as the A/B twin for the kernel arm (bench `sq_ivf_kernel_ab`):
-    * same logical result as [[searchIvf]], slower physical shape. */
+    * same logical result as [[searchIvf]], slower physical shape.
+    *
+    * @param nqHint caller-known query count, used to price the rerank
+    *               broadcast gate without an extra count job per call
+    *               (this twin deliberately never collects the batch;
+    *               `None` falls back to one bounded `count()`). */
   def searchIvfDeclarative(
       assignedPacked: DataFrame,
       base: DataFrame,
@@ -597,7 +655,8 @@ object Sq extends Serializable {
       idCol: String = "id",
       vecCol: String = "vec",
       queryIdCol: String = "query_id",
-      queryVecCol: String = "query_vec"): DataFrame = {
+      queryVecCol: String = "query_vec",
+      nqHint: Option[Long] = None): DataFrame = {
     require(candidates >= k, s"candidates ($candidates) must be >= k ($k)")
     val np = math.max(1, nProbes.getOrElse(ivfModel.defaultNProbes))
     val spark = assignedPacked.sparkSession
@@ -626,11 +685,9 @@ object Sq extends Serializable {
       .agg(TopK.topK(candidates)(col("__id"), col("__dist")).as("topk"))
       .select(col("query_id"), explode(col("topk")).as("hit"))
       .select(col("query_id"), col("hit.id").as("id"))
-    // the A/B twin never collects the batch — one bounded count prices
-    // the rerank gate (this arm exists for bench comparisons only)
     Rerank.exact(coarse, base, queries, k, dist, idCol, vecCol,
       queryIdCol, queryVecCol,
-      estRows = queries.count() * candidates)
+      estRows = nqHint.getOrElse(queries.count()) * candidates)
   }
 
   /** [[searchRerankPacked]] with train+encode inline (convenience for the

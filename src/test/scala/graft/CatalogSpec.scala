@@ -306,6 +306,36 @@ class CatalogSpec extends SparkTestBase {
     db.close()
   }
 
+  test("sidecar cache: byte-budgeted LRU evicts under a forced tiny budget, serving stays correct") {
+    // a catalog serving hundreds of tables must not accumulate file
+    // indexes + model arrays without bound on the driver — the cache
+    // rides the shared ByteLru; residency is a latency optimization only
+    val db = freshDb()
+    db.createTableIfNotExists("t", 8, "l2sqr")
+    val rnd = new scala.util.Random(41)
+    val vecs = (0 until 50).map(_ => Array.fill(8)(rnd.nextFloat()))
+    db.batchAdd("t", vecs, vecs.indices.map(i => Map("i" -> i.toString)))
+    val flat = db.search("t", vecs(5), 5)
+    db.buildIvfIndex("t", k = 4, defaultNProbes = 4)
+    db.buildSqIndex("t") // routed arm: 2 pre-listed DFs + 2 models cached
+    val saved = VecDB.sidecarCacheMaxBytes
+    try {
+      VecDB.sidecarCacheMaxBytes = 1L // every insert evicts everything else
+      (0 until 3).foreach { _ =>
+        assert(db.search("t", vecs(5), 5, ef = Some(200)) == flat)
+        assert(db.lastServedArm == "sq_ivf")
+      }
+      // the oversized-entry rule keeps only the most recent insert
+      assert(db.sidecarCacheEntries <= 1,
+        s"entries=${db.sidecarCacheEntries} bytes=${db.sidecarCacheBytes}")
+    } finally VecDB.sidecarCacheMaxBytes = saved
+    // budget restored: the working set repopulates and serving is unchanged
+    assert(db.search("t", vecs(5), 5, ef = Some(200)) == flat)
+    assert(db.sidecarCacheEntries >= 2 &&
+      db.sidecarCacheBytes <= VecDB.sidecarCacheMaxBytes)
+    db.close()
+  }
+
   test("broadcast gates are byte-based: high-dim big tables are ineligible") {
     // rows × dim decides, not rows alone — the row gate let a 1M × d960
     // index (~4 GB of vectors) through the broadcast path

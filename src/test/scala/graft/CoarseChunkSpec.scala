@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Bq, CoarseMerge, Ivf, Sq}
+
+/** Task-memory gate of the quantized coarse kernels: the query batch
+  * chunks under `CoarseMerge.taskMaxBytes` (bounding each scan task's
+  * nq × k × 16 B of TopBuffer slots — the nq10k × c20k OOM), and a
+  * multi-chunk execution returns exactly the single-chunk rows on every
+  * kernel (flat BQ, flat SQ, IVF-routed partitioned both). */
+class CoarseChunkSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val base = Tables.vectors(spark, sf0001).select("id", "vec").cache()
+  private lazy val qs = base.filter($"id" < 6)
+    .select($"id".as("query_id"), $"vec".as("query_vec"))
+
+  private def rows(d: org.apache.spark.sql.DataFrame) =
+    d.select(col("query_id"), col("id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  private def withTaskBudget[T](bytes: Long)(body: => T): T = {
+    val saved = CoarseMerge.taskMaxBytes
+    try { CoarseMerge.taskMaxBytes = bytes; body }
+    finally CoarseMerge.taskMaxBytes = saved
+  }
+
+  test("spans: balanced contiguous cover under the byte budget") {
+    // default budget: one span
+    assert(CoarseMerge.spans(1000, 2000) == Seq((0, 1000)))
+    assert(CoarseMerge.spans(0, 10) == Seq((0, 0)))
+    val saved = CoarseMerge.taskMaxBytes
+    try {
+      CoarseMerge.taskMaxBytes = 100L * 16L // 100 slot-queries at k=16... k*16 per q
+      val s = CoarseMerge.spans(1000, 10) // perQ = 160 B -> maxQ = 10 -> 100 chunks
+      assert(s.length == 100)
+      assert(s.head._1 == 0 && s.last._2 == 1000)
+      // contiguous, nonempty, each within budget
+      s.sliding(2).foreach { case Seq((_, e1), (s2, _)) => assert(e1 == s2) }
+      s.foreach { case (a, b) =>
+        assert(b > a && (b - a).toLong * 10 * 16 <= CoarseMerge.taskMaxBytes)
+      }
+    } finally CoarseMerge.taskMaxBytes = saved
+  }
+
+  test("flat BQ hamming: multi-chunk == single-chunk (both merge and agg paths)") {
+    val k = 300 // heap-layout budget, merge-eligible at nq=6
+    val one = Bq.hammingBroadcast(base, qs, k = k)
+      .orderBy("query_id", "hamming", "id").collect().toSeq
+    assert(CoarseMerge.lastChunks == 1)
+    val many = withTaskBudget(2L * k * 16L) { // 2 queries per chunk -> 3 chunks
+      val r = Bq.hammingBroadcast(base, qs, k = k)
+        .orderBy("query_id", "hamming", "id").collect().toSeq
+      assert(CoarseMerge.lastChunks == 3, s"chunks=${CoarseMerge.lastChunks}")
+      r
+    }
+    assert(many == one)
+    // agg path too (merge gate shut): chunking is orthogonal to the merge gate
+    val savedGate = CoarseMerge.maxBytes
+    val aggMany = try {
+      CoarseMerge.maxBytes = 1L
+      withTaskBudget(2L * k * 16L) {
+        Bq.hammingBroadcast(base, qs, k = k)
+          .orderBy("query_id", "hamming", "id").collect().toSeq
+      }
+    } finally CoarseMerge.maxBytes = savedGate
+    assert(CoarseMerge.lastPath == "agg")
+    assert(aggMany == one)
+  }
+
+  test("flat SQ coarse: multi-chunk == single-chunk") {
+    val model = Sq.train(base)
+    val packed = Sq.encode(base, model).select("id", "sq").cache()
+    val one = Sq.serveBroadcastPacked(packed, qs, model, k = 7)
+      .orderBy("query_id", "distance", "id").collect().toSeq
+    assert(CoarseMerge.lastChunks == 1)
+    val many = withTaskBudget(7L * 16L) { // 1 query per chunk -> 6 chunks
+      val r = Sq.serveBroadcastPacked(packed, qs, model, k = 7)
+        .orderBy("query_id", "distance", "id").collect().toSeq
+      assert(CoarseMerge.lastChunks == 6, s"chunks=${CoarseMerge.lastChunks}")
+      r
+    }
+    assert(many == one)
+    packed.unpersist()
+  }
+
+  test("IVF-routed SQ + BQ over the partitioned layout: multi-chunk == single-chunk, still pruned") {
+    val (ivfModel, assigned) = Ivf.build(base.select(col("id"), col("vec")), k = 8)
+    val sqModel = Sq.train(base)
+    val sqPacked = Sq.encode(assigned, sqModel).select("id", "sq", "cluster")
+    val bqModel = Bq.train(base)
+    val bqPacked = Bq.encodeCentered(assigned, bqModel)
+      .select(col("id"), col("bq"), col("cluster"))
+    val dir = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "chunk_ivf").toString
+    Sq.writeIvfPartitioned(sqPacked, s"$dir/sq")
+    Bq.writeIvfPartitioned(bqPacked, s"$dir/bq")
+    val floatDir = s"$dir/float"
+    Ivf.writePartitioned(assigned, ivfModel, floatDir)
+    val floats = spark.read.parquet(s"$floatDir/data")
+    def sqSearch() = Sq.searchIvfPartitioned(s"$dir/sq", floats, ivfModel,
+      sqModel, qs, k = 5, candidates = 24, nProbes = Some(3),
+      baseClusterCol = Some("cluster"))
+    def bqSearch() = Bq.searchIvfPartitioned(s"$dir/bq", floats, ivfModel,
+      Some(bqModel), qs, k = 5, candidates = 24, nProbes = Some(3),
+      baseClusterCol = Some("cluster"))
+    val sqOne = rows(sqSearch()); assert(CoarseMerge.lastChunks == 1)
+    val bqOne = rows(bqSearch()); assert(CoarseMerge.lastChunks == 1)
+    withTaskBudget(2L * 24L * 16L) { // 2 queries per chunk -> 3 chunks
+      val sqManyDf = sqSearch()
+      assert(CoarseMerge.lastChunks == 3, s"chunks=${CoarseMerge.lastChunks}")
+      // per-chunk probe plans still reach the parquet scans as partition
+      // filters (chunking must tighten pruning, not drop it)
+      val plan = sqManyDf.queryExecution.executedPlan.toString
+      assert("PartitionFilters: \\[cluster".r.findAllMatchIn(plan).size >= 2,
+        s"expected partition filters on chunked scans:\n$plan")
+      assert(rows(sqManyDf) == sqOne)
+      val bqManyDf = bqSearch()
+      assert(CoarseMerge.lastChunks == 3)
+      assert(rows(bqManyDf) == bqOne)
+    }
+  }
+}
