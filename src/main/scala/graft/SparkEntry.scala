@@ -109,14 +109,29 @@ object SparkEntry {
         .orderBy("a_id", "b_id")
     }),
     // LLM-pipeline: MinHash-LSH near-dup join (banded signatures, exact
-    // Jaccard verification). Not SQL-expressible (seeded signature
-    // internals) → rows-only check; DedupSpec asserts recall vs the exact
-    // n-gram join.
+    // Jaccard verification). The emitted pair set is seed-deterministic
+    // but not SQL-recomputable (xxhash64 signature internals), so this
+    // grades with the q_pq_search derived-bound pattern: the rows are the
+    // independently-recomputable EXACT n-gram pair universe (values and
+    // all), plus pinned health booleans — recall ≥ 0.9 of that universe
+    // (DedupSpec's bound) and soundness (lsh ⊆ exact; every candidate is
+    // exact-Jaccard-verified, so ANY extra pair is a bug, not noise).
     "q_dedup_minhash" -> ((s, dir) => {
-      Dedup.minhashLshJoin(Tables.docs(s, dir), n = 3, numHashes = 32,
+      val docs = Tables.docs(s, dir)
+      val exact = Dedup.ngramJaccardJoin(docs, n = 3, threshold = 0.5)
+      val lsh = Dedup.minhashLshJoin(docs, n = 3, numHashes = 32,
           bands = 8, threshold = 0.5)
-        .select(col("a_id"), col("b_id"),
+        .select(col("a_id"), col("b_id"))
+      val recallOk = exact
+        .join(lsh.withColumn("__f", lit(1)), Seq("a_id", "b_id"), "left")
+        .agg(coalesce(
+          sum(coalesce(col("__f"), lit(0))) >= count(lit(1)) * 0.9,
+          lit(true)).as("recall_ok"))
+      val subsetOk = lsh.join(exact, Seq("a_id", "b_id"), "left_anti")
+        .agg((count(lit(1)) === 0).as("subset_ok"))
+      exact.select(col("a_id"), col("b_id"),
           (round(col("jaccard"), 6) + lit(0.0)).as("jaccard"))
+        .crossJoin(broadcast(recallOk)).crossJoin(broadcast(subsetOk))
         .orderBy("a_id", "b_id")
     }),
     // LLM-pipeline: connected components over the exact n-gram near-dup
@@ -131,11 +146,47 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
     // LLM-pipeline: SimHash near-dup pairs (64-bit sketch, block banding,
-    // Hamming filter). Rows-only; DedupSpec covers semantics.
+    // Hamming filter). SimHash approximates token-multiset ANGLE, not
+    // shingle Jaccard, so its pair set is neither a subset nor a superset
+    // of the n-gram universe; the derived-bound grade pins what the
+    // sketch DOES promise — recall ≥ 0.5 of the exact n-gram near-dups
+    // (measured 0.6 on this corpus) and that every emitted pair is
+    // genuinely angle-close under the sketch's own metric (token-multiset
+    // cosine: min ≥ 0.7 and mean ≥ 0.85, vs ~0.63 for a random pair of
+    // this corpus — a degenerate sketch emitting hash-collision pairs
+    // fails both). Cosine check is an inverted token join, never
+    // all-pairs.
     "q_dedup_simhash" -> ((s, dir) => {
-      Dedup.simhashPairs(Tables.docs(s, dir), maxHamming = 3)
-        .select(col("a_id"), col("b_id"), col("hamming"))
-        .orderBy("a_id", "b_id")
+      val docs = Tables.docs(s, dir)
+      val exact = Dedup.ngramJaccardJoin(docs, n = 3, threshold = 0.5)
+        .select(col("a_id"), col("b_id"))
+      val sim = Dedup.simhashPairs(docs, maxHamming = 3)
+        .select(col("a_id"), col("b_id"))
+      val recallOk = exact
+        .join(sim.withColumn("__f", lit(1)), Seq("a_id", "b_id"), "left")
+        .agg(coalesce(
+          sum(coalesce(col("__f"), lit(0))) >= count(lit(1)) * 0.5,
+          lit(true)).as("recall_ok"))
+      val tok = docs.select(col("doc_id").cast("long").as("doc_id"),
+          explode(split(col("text"), " ")).as("w"))
+        .groupBy("doc_id", "w").agg(count(lit(1)).cast("double").as("c"))
+      val nrm = tok.groupBy("doc_id").agg(sqrt(sum(col("c") * col("c"))).as("nrm"))
+      val dots = sim
+        .join(tok.as("ta"), col("a_id") === col("ta.doc_id"))
+        .join(tok.as("tb"),
+          col("b_id") === col("tb.doc_id") && col("ta.w") === col("tb.w"))
+        .groupBy("a_id", "b_id").agg(sum(col("ta.c") * col("tb.c")).as("dot"))
+      val cosines = sim.join(dots, Seq("a_id", "b_id"), "left")
+        .join(nrm.as("na"), col("a_id") === col("na.doc_id"))
+        .join(nrm.as("nb"), col("b_id") === col("nb.doc_id"))
+        .select((coalesce(col("dot"), lit(0.0)) /
+          (col("na.nrm") * col("nb.nrm"))).as("cos"))
+      val similarOk = cosines.agg(coalesce(
+        min(col("cos")) >= 0.7 && avg(col("cos")) >= 0.85,
+        lit(true)).as("similar_ok"))
+      docs.select(col("doc_id"))
+        .crossJoin(broadcast(recallOk)).crossJoin(broadcast(similarOk))
+        .orderBy("doc_id")
     }),
     // LLM-pipeline: per-document token/length statistics
     "q_text_stats" -> ((s, dir) => {
@@ -1622,6 +1673,29 @@ object SparkEntry {
         |      FROM s a JOIN s b ON a.doc_id < b.doc_id)
         |SELECT a_id, b_id, round(j, 6) + 0.0 AS jaccard FROM p
         |WHERE j >= 0.5 ORDER BY a_id, b_id""".stripMargin,
+    // derived-bound oracle (q_pq_search pattern): the rows are the exact
+    // n-gram pair universe — recomputed here, values and all — and the
+    // probabilistic op's health booleans are pinned constants (recall ≥
+    // 0.9 of this universe; emitted ⊆ universe by exact verification)
+    "q_dedup_minhash" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |s AS (SELECT doc_id,
+        |        list_distinct(list_transform(range(1, len(w) - 1),
+        |          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+        |      FROM t WHERE len(w) >= 3),
+        |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |        len(list_intersect(a.sh, b.sh))::DOUBLE /
+        |          (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS j
+        |      FROM s a JOIN s b ON a.doc_id < b.doc_id)
+        |SELECT a_id, b_id, round(j, 6) + 0.0 AS jaccard,
+        |       TRUE AS recall_ok, TRUE AS subset_ok
+        |FROM p WHERE j >= 0.5 ORDER BY a_id, b_id""".stripMargin,
+    // derived-bound oracle: one row per document, health booleans pinned
+    // (recall ≥ 0.5 vs the exact n-gram universe; emitted pairs
+    // angle-close under the sketch's own token-multiset-cosine metric)
+    "q_dedup_simhash" ->
+      """SELECT doc_id, TRUE AS recall_ok, TRUE AS similar_ok
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // transitive closure of the ngram pair set via recursive CTE; the
     // component id is the minimum reachable doc id (matching the Spark
     // side's min-label convergence), size and canonical derived from it
