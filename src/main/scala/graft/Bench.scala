@@ -474,6 +474,16 @@ object Bench {
     // sustainedGrid — reported as `sustained_rebuild_ms`): nonzero values
     // here mean the row's q/s is measuring cache churn, not the kernel
     var sustainedRebuild = Map.empty[String, Seq[Double]]
+    // per-rep GC / process-CPU / host-steal deltas of every sustained row,
+    // aligned with sustained_spread (r16 Wrong #2/#5: the bq_rerank_1m
+    // sustained inversion and the 4M bimodal collapse both lacked a named
+    // thief — rebuild_ms was 0 and nothing else was sampled on the
+    // sustained grid; these are timeInterleaved's attribution columns on
+    // the pipelined rows, so a collapsed rep names GC, off-JVM steal, or
+    // flat-CPU host scheduling from the artifact alone)
+    var sustainedGc = Map.empty[String, Seq[Double]]
+    var sustainedCpu = Map.empty[String, Seq[Double]]
+    var sustainedSteal = Map.empty[String, Seq[Double]]
     def gcMillis(): Long = {
       import scala.jdk.CollectionConverters._
       java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
@@ -521,6 +531,9 @@ object Bench {
       try {
         val perRep = Array.fill(ws.length)(Vector.empty[Double])
         val perRb = Array.fill(ws.length)(Vector.empty[Double])
+        val perGc = Array.fill(ws.length)(Vector.empty[Double])
+        val perCpu = Array.fill(ws.length)(Vector.empty[Double])
+        val perSteal = Array.fill(ws.length)(Vector.empty[Double])
         // TWO untimed warm rounds first: the first pipelined pass per
         // workload is 2-6× cold (JIT of the submit path, pool spin-up, GC
         // ramp — visible in the r11 shakedown's rep spread), and with only
@@ -531,6 +544,8 @@ object Bench {
           ws.zipWithIndex.foreach { case ((_, mk, nqPlan), i) =>
             System.gc()
             val t0 = System.nanoTime(); val r0 = rebuildMillis()
+            val g0 = gcMillis(); val c0 = processCpuMillis()
+            val s0 = hostStealMillis()
             Await.result(
               Future.sequence((0 until batches).map(_ => Future(serve(mk())))),
               Duration.Inf)
@@ -538,6 +553,9 @@ object Bench {
             if (round > 0) {
               perRep(i) :+= batches.toLong * nqPlan / sec
               perRb(i) :+= (rebuildMillis() - r0).toDouble
+              perGc(i) :+= (gcMillis() - g0).toDouble
+              perCpu(i) :+= (processCpuMillis() - c0).toDouble
+              perSteal(i) :+= (hostStealMillis() - s0).toDouble
             }
           }
         }
@@ -550,10 +568,16 @@ object Bench {
         }.toMap
         ws.zipWithIndex.foreach { case ((name, _, _), i) =>
           // ACCUMULATE (not replace): the volatile family runs three grid
-          // passes under the same row names, and sustained_rebuild_ms must
-          // stay aligned with the concatenated sustained_spread
+          // passes under the same row names, and the attribution columns
+          // must stay aligned with the concatenated sustained_spread
           sustainedRebuild += name ->
             (sustainedRebuild.getOrElse(name, Vector.empty) ++ perRb(i))
+          sustainedGc += name ->
+            (sustainedGc.getOrElse(name, Vector.empty) ++ perGc(i))
+          sustainedCpu += name ->
+            (sustainedCpu.getOrElse(name, Vector.empty) ++ perCpu(i))
+          sustainedSteal += name ->
+            (sustainedSteal.getOrElse(name, Vector.empty) ++ perSteal(i))
         }
         (med, spread)
       } finally pool.shutdown()
@@ -873,6 +897,9 @@ object Bench {
     // measured probe-union coverage of the kc=512 IVFSQ prune demo
     // (fractions of partitions a batch actually reads, driver-computed)
     var sqIvfKc512 = Map.empty[String, Double]
+    // proof-of-gating observables for the task-memory-bounded rows (r17):
+    // chunk counts + which rerank join shape the gated arms actually took
+    var taskGate = Map.empty[String, Double]
     // matched-recall calibration detail (target, chosen efs, landed
     // recalls) — the rows themselves use stable ef-free names
     var matched1m = Map.empty[String, Double]
@@ -1226,6 +1253,31 @@ object Bench {
         rounds = 3, batches = 4)
       sustained1m ++= s1mQ
       sustainedSpread1m ++= sp1mQ
+      // r17 (verdict item 1 closure): the nq10k two-stage BQ batch that was
+      // the standing OOM-class exposure — ungated it allocates nq ×
+      // candidates × 16 B = 320 MB of TopBuffer slots PER SCAN TASK (×32
+      // concurrent tasks ≈ 10 GB); the task-memory gate chunks the batch
+      // (2 passes at the 256 MiB default) and the rerank byte gate routes
+      // the 20M-row winner join onto the shuffle-hash shape. Single timed
+      // run — the row is the scale-exposure proof, not a headline (the
+      // aggregate path exchanges P × nq × candidates partial rows, so a
+      // deployment would sub-batch; the gates ship in `task_gate`).
+      try {
+        def mkBqRerank1mNq10k() = graft.operators.Bq.searchRerankPacked(
+          bq1m, vec1mDisk, q1m10k, k = 10,
+          candidates = graft.operators.Bq.autoCandidates(n1m, 10),
+          model = Some(bqModel1m))
+        val t0 = System.nanoTime()
+        withAqeOff(serve(mkBqRerank1mNq10k()))
+        results1m = results1m :+
+          (("bq_rerank_1m_d960_nq10k_batch", (System.nanoTime() - t0) / 1e9))
+        taskGate += "bq_rerank_1m_nq10k_chunks" ->
+          graft.operators.CoarseMerge.lastChunks.toDouble
+        taskGate += "bq_rerank_1m_nq10k_shuffle_join" ->
+          (if (graft.operators.Rerank.lastJoin == "shuffle") 1.0 else 0.0)
+      } catch { case e: Throwable =>
+        errors += "bq_rerank_1m_nq10k" -> errString(e)
+      }
 
       // ---- IVFSQ batch-regime partition-prune demo (r16 verdict item 1) --
       // kc=32 voids the BATCH prune: a 1000-query np1 probe union covers
@@ -1344,6 +1396,73 @@ object Bench {
               () => withAqeOff(serve(part1k()))),
             ("sq_ivf_1m_kc512_np1_batch",
               () => withAqeOff(serve(mem1k())))))
+          // r17 (verdict item 5): the BQ twin of the kc512 demo — packed
+          // words are 1/8 the SQ code bytes (15 longs vs 960 bytes/row),
+          // so the pruned coarse read is smaller still; the rerank reads
+          // the SAME pruned float layout. Same three comparators at
+          // nq=100, same mpb sizing; candidates = autoCandidates(n) (the
+          // Hamming sketch ranks near-randomly WITHIN a cluster — the
+          // fixed-budget recall cliff of the 1M rerank row's scaladoc).
+          val bq512 = dir512.resolve("bq_ivf").toString
+          if (!java.nio.file.Files.exists(
+              java.nio.file.Paths.get(bq512, "data", "_SUCCESS")))
+            graft.operators.Bq.writeIvfPartitioned(
+              graft.operators.Bq.encodeCentered(
+                Ivf.assign(vec1mDisk, model512), bqModel1m)
+                .select(col("id"), col("bq"), col("cluster"))
+                .repartition(kc512, col("cluster")), bq512)
+          val bq512Flat = dir512.resolve("bq_flat").toString
+          if (!java.nio.file.Files.exists(
+              java.nio.file.Paths.get(bq512Flat, "_SUCCESS")))
+            graft.operators.Bq.encodeCentered(
+              Ivf.assign(vec1mDisk, model512), bqModel1m)
+              .select(col("id"), col("bq"), col("cluster"))
+              .write.mode("overwrite").parquet(bq512Flat)
+          val bqIvf512 = graft.operators.Bq.encodeCentered(
+            Ivf.assign(vec1m, model512), bqModel1m)
+            .select(col("id"), col("bq"), col("cluster"))
+            .repartition(nCores).cache()
+          bqIvf512.count()
+          val bq512Df = spark.read.parquet(s"$bq512/data")
+          val bq512FlatDf = spark.read.parquet(bq512Flat)
+          val cand512 = graft.operators.Bq.autoCandidates(n1m, 10)
+          def mkBqIvfPart512(q: DataFrame) = () =>
+            graft.operators.Bq.searchIvfPartitionedDf(bq512Df, float512Df,
+              model512, Some(bqModel1m), q, k = 10, candidates = cand512,
+              nProbes = Some(1), baseClusterCol = Some("cluster"))
+          def mkBqIvf512(q: DataFrame) = () => graft.operators.Bq.searchIvf(
+            bqIvf512, vec1mDisk, model512, Some(bqModel1m), q, k = 10,
+            candidates = cand512, nProbes = Some(1))
+          def mkBqIvf512Disk(q: DataFrame) = () => graft.operators.Bq.searchIvf(
+            bq512FlatDf, vec1mDisk, model512, Some(bqModel1m), q, k = 10,
+            candidates = cand512, nProbes = Some(1))
+          val bqPart100 = mkBqIvfPart512(q1m100)
+          val bqMem100 = mkBqIvf512(q1m100)
+          val bqDisk100 = mkBqIvf512Disk(q1m100)
+          Seq(bqPart100, bqMem100, bqDisk100)
+            .foreach(mk => withAqeOff(serve(mk())))
+          recalls1m += "bq_ivf_part_1m_kc512_np1_nq100_batch" ->
+            recallOf(bqPart100(), truth100)
+          recalls1m += "bq_ivf_1m_kc512_np1_nq100_batch" ->
+            recallOf(bqMem100(), truth100)
+          results1m = results1m ++ timeInterleaved(Seq[(String, () => Long)](
+            ("bq_ivf_part_1m_kc512_np1_nq100_batch",
+              () => withAqeOff(serve(bqPart100()))),
+            ("bq_ivf_1m_kc512_np1_nq100_batch",
+              () => withAqeOff(serve(bqMem100()))),
+            ("bq_ivf_flatdisk_1m_kc512_np1_nq100_batch",
+              () => withAqeOff(serve(bqDisk100())))))
+          // sustained (pipelined warm) rows for the PARTITIONED kc512 arms
+          // (r16 Missing #3): the batch rows carry the whole per-job floor;
+          // these are the steady-state numbers of the byte-prune layout.
+          // batches=4, rounds=3 like the other slow quantized 1M arms.
+          val (s512, sp512) = sustainedGrid(Seq(
+            ("sq_ivf_part_1m_kc512_np1_nq100_sustained", part100, 100),
+            ("bq_ivf_part_1m_kc512_np1_nq100_sustained", bqPart100, 100)),
+            rounds = 3, batches = 4)
+          sustained1m ++= s512
+          sustainedSpread1m ++= sp512
+          bqIvf512.unpersist()
         } finally spark.conf.set(mpbKey, mpbPrev)
         sqIvf512.unpersist()
         q1m100.unpersist()
@@ -1351,6 +1470,12 @@ object Bench {
       bq1m.unpersist()
       sq1m.unpersist()
       sqIvf1m.unpersist()
+      // drop the 1M query fixtures too (r16 Wrong #5: the late-run 4M BQ
+      // sustained collapse had no named thief; every block the 1M section
+      // leaves cached is heap the 4M grid then fights for)
+      q1m10k.unpersist()
+      q1m1.unpersist()
+      q1m.unpersist()
     } catch { case e: Throwable =>
       errors += "bench_1m" ->
         errString(e)
@@ -1694,6 +1819,9 @@ object Bench {
     val sqIvfKc512Json = sqIvfKc512.toSeq.sortBy(_._1)
       .map { case (k, v) => jstr(k) + ":" + f"$v%.4f" }
       .mkString("{", ",", "}")
+    val taskGateJson = taskGate.toSeq.sortBy(_._1)
+      .map { case (k, v) => jstr(k) + ":" + f"$v%.4f" }
+      .mkString("{", ",", "}")
     // per-rep q/s of every sustained row (r10 verdict item 2): regressions
     // on these rows are only adjudicable with the run-to-run spread visible
     val sustainedSpreadJson =
@@ -1731,6 +1859,9 @@ object Bench {
     val cpuJson = msArrJson(repCpu)
     val stealJson = msArrJson(repSteal)
     val sustainedRebuildJson = msArrJson(sustainedRebuild)
+    val sustainedGcJson = msArrJson(sustainedGc)
+    val sustainedCpuJson = msArrJson(sustainedCpu)
+    val sustainedStealJson = msArrJson(sustainedSteal)
     def sweepArr(s: Seq[(Int, Double, Double)]): String =
       s.map { case (ef, r, q) =>
         s"""{"ef":$ef,"recall":${f"$r%.4f"},"qps":${f"$q%.1f"}}"""
@@ -1738,7 +1869,7 @@ object Bench {
     val sweepJson = sweepArr(sweep)
     val total = results.map(_._2).sum
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"qps":$qps,"recall":$recallJson,"sustained_qps":$sustainedJson,"sustained_samples":$sustainedSamplesJson,"sustained_n_samples":3,"sq_ivf_kc512":$sqIvfKc512Json,"sustained_spread":$sustainedSpreadJson$sanityJson,"rep_spread":$spreadJson,"rep_gc_ms":$gcJson,"rep_rebuild_ms":$rebuildJson,"rep_jit_ms":$jitJson,"rep_cpu_ms":$cpuJson,"rep_steal_ms":$stealJson,"sustained_rebuild_ms":$sustainedRebuildJson,"build_scale":$buildScaleJson,"matched_recall":$matchedJson,"hnsw_d960_ef_sweep":$sweepJson,"pq_d960_ef_sweep":${sweepArr(pqSweep)},"hnsw_pq_walk_d960_ef_sweep":${sweepArr(hnswPqSweep)},"errors":$errJson,"nq":$nq,"n_vec":$nVec,"cpus":$nCores,"smoke":$isSmoke,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"qps":$qps,"recall":$recallJson,"sustained_qps":$sustainedJson,"sustained_samples":$sustainedSamplesJson,"sustained_n_samples":3,"sq_ivf_kc512":$sqIvfKc512Json,"sustained_spread":$sustainedSpreadJson$sanityJson,"rep_spread":$spreadJson,"rep_gc_ms":$gcJson,"rep_rebuild_ms":$rebuildJson,"rep_jit_ms":$jitJson,"rep_cpu_ms":$cpuJson,"rep_steal_ms":$stealJson,"sustained_rebuild_ms":$sustainedRebuildJson,"sustained_gc_ms":$sustainedGcJson,"sustained_cpu_ms":$sustainedCpuJson,"sustained_steal_ms":$sustainedStealJson,"task_gate":$taskGateJson,"build_scale":$buildScaleJson,"matched_recall":$matchedJson,"hnsw_d960_ef_sweep":$sweepJson,"pq_d960_ef_sweep":${sweepArr(pqSweep)},"hnsw_pq_walk_d960_ef_sweep":${sweepArr(hnswPqSweep)},"errors":$errJson,"nq":$nq,"n_vec":$nVec,"cpus":$nCores,"smoke":$isSmoke,"sf":"$sfDir"}"""
     // DURABLE artifact (r10 verdict item 1): the driver captures only the
     // TAIL of stdout, and the full line above has been truncated two rounds
     // running — losing the np grid and the rep spread it carried. The file
