@@ -12,76 +12,66 @@ package graft.index
   *
   *  - k ≤ 256: sorted insertion arrays (binary search +
   *    `System.arraycopy`). The memmove window is small enough that the
-  *    straight-line copy beats heap pointer-chasing; this is the serving
+  *    straight-line copy beats anything amortized; this is the serving
   *    path for top-k/ef-sized budgets and preserves the r15 kernels'
   *    measured shape.
-  *  - k > 256: a bounded MAX-heap on (distance, id), O(log k) per admit.
-  *    At rerank candidate budgets (2,000–20,000) the sorted array's O(k)
-  *    memmove per admit dominates the coarse scan — every early row
-  *    admits until the buffer fills, so a 1M-row pass pays ~k/2 moves per
-  *    admission while the buffer is young. The heap cuts that to
-  *    O(log k) with the SAME admitted set.
+  *  - k > 256 (rerank candidate budgets, 2k–20k): a LOOSE buffer of
+  *    capacity 2k with quickselect tightening. Admits append in O(1);
+  *    when the buffer fills, one (distance, id) quickselect keeps the
+  *    exact k smallest and tightens the admission bound to the k-th
+  *    element. The r16 bounded max-heap paid an O(log k) random-access
+  *    sift per admit — ~k·ln(rows/k) admits per query, each a cache
+  *    miss across a 32 KB heap, measured at ~10× the hamming arithmetic
+  *    on the nq10k coarse pass (KernelMicro). Amortized tighten cost is
+  *    O(cap) per k appends ≈ O(1) per offered row.
   *
   * Both layouts keep exactly the k smallest elements under strict
-  * (distance, id) comparison — admission, and therefore every downstream
-  * tie-break, is identical. Only the internal order of [[distAt]] /
-  * [[idAt]] differs (sorted vs heap order); every consumer feeds a
-  * re-sorting bounded aggregate ([[graft.operators.TopK]]), so the
-  * emitted partials' order is immaterial.
+  * (distance, id) comparison — an element is admitted iff fewer than k
+  * are (logically) held or it strictly precedes the current k-th; the
+  * loose layout holds a superset between tightens and [[seal]]s to the
+  * exact set before any external read, so admission, and therefore every
+  * downstream tie-break, is identical to the sorted layout's. Only the
+  * internal order of [[distAt]] / [[idAt]] differs (sorted vs arbitrary
+  * post-quickselect order); every consumer re-sorts (bounded aggregate,
+  * [[graft.operators.CoarseMerge]]'s per-query sort).
+  *
+  * Serialization (the distributed-merge shuffle) is compact: seal, then
+  * write only the n kept (distance, id) pairs — never the capacity.
   */
-final class TopBuffer(k: Int) extends Serializable {
+final class TopBuffer(val k: Int) extends Serializable {
   require(k > 0, s"TopBuffer needs k > 0 (got $k)")
-  private[this] val heap = k > TopBuffer.HeapThreshold
-  private[this] val ds = new Array[Double](k)
-  private[this] val ids = new Array[Long](k)
-  private[this] var n = 0
+  @transient private[this] var loose = k > TopBuffer.HeapThreshold
+  @transient private[this] var ds =
+    new Array[Double](if (k > TopBuffer.HeapThreshold) 2 * k else k)
+  @transient private[this] var ids =
+    new Array[Long](if (k > TopBuffer.HeapThreshold) 2 * k else k)
+  @transient private[this] var n = 0
+  // exact k-th (distance, id) once a tighten has run; +∞ before — a
+  // STALE (looser) bound between tightens only admits extra superset
+  // elements, never loses one
+  @transient private[this] var boundD = Double.PositiveInfinity
+  @transient private[this] var boundI = Long.MaxValue
 
-  /** Elements currently held (≤ k). */
-  def size: Int = n
+  /** Elements currently held (≤ k; seals the loose layout first). */
+  def size: Int = { seal(); n }
 
-  /** Admission bound: the worst kept distance when full, +∞ otherwise.
-    * Usable directly as the L2 partial-sum early-exit bound — a strictly
-    * larger partial sum can never be admitted (equality still completes:
-    * the id tie-break may admit it). */
+  /** Admission bound: the worst kept distance when k are held, +∞
+    * otherwise. Usable directly as the L2 partial-sum early-exit bound —
+    * a strictly larger partial sum can never be admitted (equality still
+    * completes: the id tie-break may admit it). Loose layout: the bound
+    * as of the last tighten (stale-looser is safe, see above). */
   def bound: Double =
-    if (n == k) ds(if (heap) 0 else k - 1) else Double.PositiveInfinity
+    if (loose) boundD
+    else if (n == k) ds(k - 1) else Double.PositiveInfinity
 
-  /** Offer one element; kept iff fewer than k are held or (d, id)
-    * strictly precedes the current worst under (distance, id) order. */
+  /** Offer one element; logically kept iff fewer than k are held or
+    * (d, id) strictly precedes the current worst under (distance, id). */
   def offer(d: Double, id: Long): Unit =
-    if (heap) {
-      if (n < k) {
-        // push + sift up under (distance, id) MAX-order
-        var i = n
-        ds(i) = d; ids(i) = id
+    if (loose) {
+      if (d < boundD || (d == boundD && id < boundI)) {
+        if (n == ds.length) tighten()
+        ds(n) = d; ids(n) = id
         n += 1
-        var live = true
-        while (live && i > 0) {
-          val p = (i - 1) >>> 1
-          if (ds(p) < ds(i) || (ds(p) == ds(i) && ids(p) < ids(i))) {
-            val td = ds(p); ds(p) = ds(i); ds(i) = td
-            val ti = ids(p); ids(p) = ids(i); ids(i) = ti
-            i = p
-          } else live = false
-        }
-      } else if (d < ds(0) || (d == ds(0) && id < ids(0))) {
-        // replace root + sift down
-        ds(0) = d; ids(0) = id
-        var i = 0
-        var live = true
-        while (live) {
-          val l = 2 * i + 1
-          val r = l + 1
-          var m = i
-          if (l < n && (ds(l) > ds(m) || (ds(l) == ds(m) && ids(l) > ids(m)))) m = l
-          if (r < n && (ds(r) > ds(m) || (ds(r) == ds(m) && ids(r) > ids(m)))) m = r
-          if (m == i) live = false
-          else {
-            val td = ds(m); ds(m) = ds(i); ds(i) = td
-            val ti = ids(m); ids(m) = ids(i); ids(i) = ti
-            i = m
-          }
-        }
       }
     } else {
       if (n < k || d < ds(n - 1) || (d == ds(n - 1) && id < ids(n - 1))) {
@@ -99,30 +89,117 @@ final class TopBuffer(k: Int) extends Serializable {
       }
     }
 
+  /** Quickselect the exact k smallest (distance, id) into [0, k), drop
+    * the rest, and tighten the admission bound to the new k-th. */
+  private def tighten(): Unit = if (n > k) {
+    var lo = 0
+    var hi = n - 1
+    var seed = (n * 0x9E3779B9L) ^ java.lang.Double.doubleToLongBits(boundD)
+    while (lo < hi) {
+      // random-ish pivot: absorb feeds already-selected (clustered) data,
+      // the classic quickselect worst case for a fixed pivot choice
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      val p = lo + (((seed >>> 33) % (hi - lo + 1)).toInt)
+      val pd = ds(p); val pi = ids(p)
+      // move pivot to hi
+      ds(p) = ds(hi); ids(p) = ids(hi); ds(hi) = pd; ids(hi) = pi
+      var store = lo
+      var i = lo
+      while (i < hi) {
+        if (ds(i) < pd || (ds(i) == pd && ids(i) < pi)) {
+          val td = ds(i); ds(i) = ds(store); ds(store) = td
+          val ti = ids(i); ids(i) = ids(store); ids(store) = ti
+          store += 1
+        }
+        i += 1
+      }
+      ds(hi) = ds(store); ids(hi) = ids(store); ds(store) = pd; ids(store) = pi
+      if (store == k - 1) { lo = hi } // done: [0,k) are the k smallest
+      else if (store < k - 1) lo = store + 1
+      else hi = store - 1
+    }
+    n = k
+    // the k-th kept = the lexicographic max of [0, k)
+    var bD = ds(0); var bI = ids(0)
+    var j = 1
+    while (j < k) {
+      if (ds(j) > bD || (ds(j) == bD && ids(j) > bI)) { bD = ds(j); bI = ids(j) }
+      j += 1
+    }
+    boundD = bD; boundI = bI
+  }
+
+  /** Trim the loose layout to the exact k smallest (no-op when ≤ k are
+    * held, and always for the sorted layout). Called by every external
+    * read path ([[size]], serialization). */
+  private def seal(): Unit = if (loose && n > k) tighten()
+
   /** Distance at position p (0 until size; layout order, NOT sorted in
-    * heap mode — consumers re-sort via the bounded aggregate). */
+    * loose mode — consumers re-sort). */
   def distAt(p: Int): Double = ds(p)
 
   /** Id at position p (0 until size; layout order). */
   def idAt(p: Int): Long = ids(p)
 
   /** Merge another buffer's elements into this one (bounded union — the
-    * treeReduce combine of the driver-merged coarse selection). Offers are
+    * tree/distributed merge combine of the coarse selection). Offers are
     * the same strict (distance, id) admits, so a merge tree of any shape
     * lands on the exact global top-k. */
   def absorb(other: TopBuffer): TopBuffer = {
+    val m = other.size // seals other
     var p = 0
-    while (p < other.size) {
+    while (p < m) {
       offer(other.distAt(p), other.idAt(p))
       p += 1
     }
     this
   }
+
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject() // the non-transient `k`
+    seal()
+    out.writeInt(n)
+    var i = 0
+    while (i < n) { out.writeDouble(ds(i)); i += 1 }
+    i = 0
+    while (i < n) { out.writeLong(ids(i)); i += 1 }
+  }
+
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject() // the non-transient `k`
+    loose = k > TopBuffer.HeapThreshold
+    val m = in.readInt()
+    ds = new Array[Double](if (loose) 2 * k else k)
+    ids = new Array[Long](if (loose) 2 * k else k)
+    n = m
+    var i = 0
+    while (i < m) { ds(i) = in.readDouble(); i += 1 }
+    i = 0
+    while (i < m) { ids(i) = in.readLong(); i += 1 }
+    // restore the exact bound (a sealed buffer holds ≤ k entries)
+    if (n == k) {
+      if (loose) {
+        var bD = ds(0); var bI = ids(0)
+        var j = 1
+        while (j < n) {
+          if (ds(j) > bD || (ds(j) == bD && ids(j) > bI)) { bD = ds(j); bI = ids(j) }
+          j += 1
+        }
+        boundD = bD; boundI = bI
+      }
+    } else {
+      boundD = Double.PositiveInfinity; boundI = Long.MaxValue
+    }
+  }
 }
 
 object TopBuffer {
-  /** Layout crossover: measured at d960 the sorted-array memmove beats the
-    * heap below ~256 slots (serving top-k/ef budgets) and loses above
+  /** Layout crossover: the sorted-array memmove wins below ~256 slots
+    * (serving top-k/ef budgets); the loose quickselect buffer wins above
     * (rerank candidate budgets, 2k–20k). */
   val HeapThreshold = 256
+
+  /** Per-(query × slot) task-memory estimate for [[graft.operators.CoarseMerge.spans]]:
+    * the loose layout holds 2k slots of 16 B. */
+  def slotBytes(k: Int): Long = if (k > HeapThreshold) 32L else 16L
 }

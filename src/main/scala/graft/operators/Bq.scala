@@ -231,11 +231,24 @@ object Bq extends Serializable {
       val nq = qarr.length
       if (nq == 0 || !it.hasNext) return Array.empty
       val bufs = Array.fill(nq)(new graft.index.TopBuffer(k))
+      // dense per-query admission bounds (nq × 8 B, cache-resident): at
+      // big-batch × rerank budgets the buffers alone are 100s of MB per
+      // task, so letting every rejected offer touch a random buffer is a
+      // guaranteed cache miss per (row, query) — the measured bound of
+      // the nq10k coarse pass. Steady state skips the buffer entirely
+      // unless the row can actually be admitted (d == bound still offers:
+      // the id tie-break may admit).
+      val bounds = Array.fill(nq)(Double.PositiveInfinity)
       while (it.hasNext) {
         val (id, bq) = it.next()
         var qi = 0
         while (qi < nq) {
-          bufs(qi).offer(BqKernel.hamming(qarr(qi)._2, bq).toDouble, id)
+          val d = BqKernel.hamming(qarr(qi)._2, bq).toDouble
+          if (d <= bounds(qi)) {
+            val buf = bufs(qi)
+            buf.offer(d, id)
+            bounds(qi) = buf.bound
+          }
           qi += 1
         }
       }
@@ -252,6 +265,13 @@ object Bq extends Serializable {
         CoarseMerge.lastPath = "merge"
         CoarseMerge.merge(spark, qs.map(_._1),
           src.rdd.mapPartitions(it => Iterator.single(scanPartition(it))))
+      } else if (CoarseMerge.distEligible(qs.length, k)) {
+        // past the driver cap: shard-keyed distributed buffer merge — the
+        // same winners as P × shards primitive-array records instead of
+        // P × nq × k shuffled rows
+        CoarseMerge.lastPath = "dist"
+        CoarseMerge.mergeDistributed(spark, qs.map(_._1),
+          src.rdd.mapPartitions(it => Iterator.single(scanPartition(it))), k)
       } else {
         CoarseMerge.lastPath = "agg"
         src.mapPartitions { it =>
@@ -363,6 +383,8 @@ object Bq extends Serializable {
       val nq = qarr.length
       if (nq == 0 || !it.hasNext) return Array.empty
       val bufs = Array.fill(nq)(new graft.index.TopBuffer(k))
+      // dense admission bounds — see the flat kernel's rationale
+      val bounds = Array.fill(nq)(Double.PositiveInfinity)
       while (it.hasNext) {
         val (id, bq, cluster) = it.next()
         val probers = qmap.getOrElse(cluster, null)
@@ -370,7 +392,12 @@ object Bq extends Serializable {
           var pi = 0
           while (pi < probers.length) {
             val qi = probers(pi)
-            bufs(qi).offer(BqKernel.hamming(qarr(qi)._2, bq).toDouble, id)
+            val d = BqKernel.hamming(qarr(qi)._2, bq).toDouble
+            if (d <= bounds(qi)) {
+              val buf = bufs(qi)
+              buf.offer(d, id)
+              bounds(qi) = buf.bound
+            }
             pi += 1
           }
         }
@@ -385,6 +412,10 @@ object Bq extends Serializable {
         CoarseMerge.lastPath = "merge"
         CoarseMerge.merge(spark, qsPacked.map(_._1),
           src.rdd.mapPartitions(it => Iterator.single(scanPartition(it))))
+      } else if (CoarseMerge.distEligible(qsPacked.length, k)) {
+        CoarseMerge.lastPath = "dist"
+        CoarseMerge.mergeDistributed(spark, qsPacked.map(_._1),
+          src.rdd.mapPartitions(it => Iterator.single(scanPartition(it))), k)
       } else {
         CoarseMerge.lastPath = "agg"
         src.mapPartitions { it =>

@@ -98,13 +98,26 @@ private[graft] object CoarseMerge {
     k > TopBuffer.HeapThreshold && nq.toLong * k <= maxRows &&
       nq.toLong * k * 16L <= maxBytes
 
+  /** Distributed-merge gate: the BIG-batch regime past the driver cap.
+    * Above [[maxRows]] winners the driver merge would blow
+    * driver.maxResultSize and the row-aggregate path shuffles
+    * P × nq × k individual partial ROWS (640M records at nq=10k,
+    * k=2000, P=32 — the measured bound of the nq10k proof row);
+    * [[mergeDistributed]] ships the same information as P × shards
+    * primitive-array records instead. Disable with
+    * `-Dgraft.coarse.dist.merge=false` (volatile for the A/B bench). */
+  @volatile var distMerge: Boolean =
+    sys.props.get("graft.coarse.dist.merge").forall(_.toBoolean)
+  def distEligible(nq: Int, k: Int): Boolean =
+    distMerge && k > TopBuffer.HeapThreshold && nq.toLong * k > maxRows
+
   /** Contiguous, balanced query-index spans `[start, end)` such that each
     * chunk's per-task selection state (span × k × 16 B) fits
     * [[taskMaxBytes]]. One span (the whole batch) in the common case;
     * `(0, 0)` for an empty batch so callers always have a span to map. */
   def spans(nq: Int, k: Int): Seq[(Int, Int)] = {
     if (nq <= 0) return Seq((0, 0))
-    val perQ = math.max(16L, k.toLong * 16L)
+    val perQ = math.max(16L, k.toLong * TopBuffer.slotBytes(k))
     val maxQ = math.min(nq.toLong, math.max(1L, taskMaxBytes / perQ))
     val n = ((nq + maxQ - 1) / maxQ).toInt
     (0 until n).map(i =>
@@ -115,6 +128,61 @@ private[graft] object CoarseMerge {
     StructField("query_id", LongType, nullable = false),
     StructField("id", LongType, nullable = false),
     StructField("distance", DoubleType, nullable = false)))
+
+  /** Distributed bounded merge for the big-batch regime: split each scan
+    * partition's nq-length buffer array into `shards` contiguous
+    * query-range shards, `reduceByKey` the shards with elementwise
+    * [[TopBuffer.absorb]] (map-side combined — a reducer holds at most
+    * two shard arrays at a time), and emit the merged winners per-query
+    * ascending (distance, id). Selection is identical to both other
+    * paths (absorb re-offers under the same strict admits).
+    *
+    * Shuffle shape vs the row-aggregate path: the SAME winner
+    * information moves as P × shards primitive-array records instead of
+    * P × nq × k row records — at nq=10k, k=2000, P=32 that is ~1k
+    * records vs 640M, removing the per-record shuffle overhead that
+    * bounded the nq10k proof row. Per-reducer memory is
+    * (nq/shards) × k × 16 B, held under [[taskMaxBytes]] by the shard
+    * count; parallelism stays at `defaultParallelism` when the byte
+    * bound would allow fewer shards. 100 TB shape: every stage is
+    * executor-distributed — nothing scales with nq × k on the driver. */
+  def mergeDistributed(spark: SparkSession, qids: Array[Long],
+      partials: RDD[Array[TopBuffer]], k: Int): DataFrame = {
+    val nq = qids.length
+    val byBytes = (nq.toLong * k * TopBuffer.slotBytes(k) + taskMaxBytes - 1) /
+      taskMaxBytes
+    val r = math.max(1L, math.min(nq.toLong,
+      math.max(byBytes, spark.sparkContext.defaultParallelism.toLong))).toInt
+    val sharded = partials.flatMap { bufs =>
+      if (bufs.length == 0) Iterator.empty
+      else Iterator.range(0, r).map { si =>
+        val s = (si.toLong * bufs.length / r).toInt
+        val e = ((si + 1).toLong * bufs.length / r).toInt
+        (si, bufs.slice(s, e))
+      }
+    }
+    val merged = sharded.reduceByKey(
+      new org.apache.spark.HashPartitioner(r),
+      (a: Array[TopBuffer], b: Array[TopBuffer]) => {
+        var i = 0
+        while (i < a.length) { a(i).absorb(b(i)); i += 1 }
+        a
+      })
+    val bcQids = spark.sparkContext.broadcast(qids)
+    val rows = merged.flatMap { case (si, bufs) =>
+      val ids = bcQids.value
+      val s = (si.toLong * ids.length / r).toInt
+      bufs.iterator.zipWithIndex.flatMap { case (buf, off) =>
+        val order = Array.range(0, buf.size).sortWith { (x, y) =>
+          val dx = buf.distAt(x); val dy = buf.distAt(y)
+          dx < dy || (dx == dy && buf.idAt(x) < buf.idAt(y))
+        }
+        order.iterator.map(p =>
+          Row(ids(s + off), buf.idAt(p), buf.distAt(p)))
+      }
+    }
+    spark.createDataFrame(rows, outSchema)
+  }
 
   /** Tree-merge per-partition buffer arrays and materialize the winners as
     * a local (query_id, id, distance) DataFrame, per-query ascending

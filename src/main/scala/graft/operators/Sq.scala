@@ -212,6 +212,12 @@ object Sq extends Serializable {
       val qarr = bc.value
       val nq = qarr.length
       val bufs = Array.fill(nq)(new graft.index.TopBuffer(k))
+      // dense per-query admission bounds (nq × 8 B): at big-batch ×
+      // rerank budgets the buffers are 100s of MB per task, so reading
+      // `buf.bound` (and rejected offers) costs a cache miss per
+      // (row, query) — see Bq's flat kernel. The dim-loop early exit and
+      // the offer gate both read this array; it updates on every admit.
+      val bounds = Array.fill(nq)(Double.PositiveInfinity)
       val dim = mins.length
       // validate once per partition what the declarative SqAdcDistance
       // arm validates per row — same descriptive error, not a raw AIOOBE
@@ -239,7 +245,7 @@ object Sq extends Serializable {
         var qi = 0
         while (qi < nq) {
           val q = qarr(qi)._2
-          val buf = bufs(qi)
+          val bound = bounds(qi)
           var d = 0.0
           if (kindDot) {
             var i = 0
@@ -259,7 +265,6 @@ object Sq extends Serializable {
             // still completes — the id tie-break may admit it), so the
             // dim loop bails in 128-element blocks. Selection-neutral:
             // only never-admitted rows are cut short.
-            val bound = buf.bound
             var i = 0
             var live = true
             while (live && i < dim) {
@@ -272,7 +277,11 @@ object Sq extends Serializable {
               if (d > bound) live = false
             }
           }
-          buf.offer(d, id)
+          if (d <= bound) {
+            val buf = bufs(qi)
+            buf.offer(d, id)
+            bounds(qi) = buf.bound
+          }
           qi += 1
         }
       }
@@ -287,6 +296,11 @@ object Sq extends Serializable {
       CoarseMerge.lastPath = "merge"
       CoarseMerge.merge(spark, qs.map(_._1),
         src.rdd.mapPartitions(it => Iterator.single(scanPartition(it))))
+    } else if (CoarseMerge.distEligible(qs.length, k)) {
+      // past the driver cap: shard-keyed distributed buffer merge
+      CoarseMerge.lastPath = "dist"
+      CoarseMerge.mergeDistributed(spark, qs.map(_._1),
+        src.rdd.mapPartitions(it => Iterator.single(scanPartition(it))), k)
     } else {
       CoarseMerge.lastPath = "agg"
       src.mapPartitions { it =>
@@ -368,6 +382,8 @@ object Sq extends Serializable {
       val nq = qarr.length
       if (nq == 0 || !it.hasNext) return Array.empty
       val bufs = Array.fill(nq)(new graft.index.TopBuffer(k))
+      // dense admission bounds — see serveChunk's rationale
+      val bounds = Array.fill(nq)(Double.PositiveInfinity)
       val dim = mins.length
       var vq = 0
       while (vq < nq) {
@@ -390,7 +406,7 @@ object Sq extends Serializable {
           while (pi < probers.length) {
             val qi = probers(pi)
             val q = qarr(qi)._2
-            val buf = bufs(qi)
+            val bound = bounds(qi)
             var d = 0.0
             if (kindDot) {
               var i = 0
@@ -405,7 +421,6 @@ object Sq extends Serializable {
               }
               d = 1.0 - dp / math.max(math.sqrt(nq2) * math.sqrt(nc), 1e-10)
             } else {
-              val bound = buf.bound
               var i = 0
               var live = true
               while (live && i < dim) {
@@ -418,7 +433,11 @@ object Sq extends Serializable {
                 if (d > bound) live = false
               }
             }
-            buf.offer(d, id)
+            if (d <= bound) {
+              val buf = bufs(qi)
+              buf.offer(d, id)
+              bounds(qi) = buf.bound
+            }
             pi += 1
           }
         }
@@ -433,6 +452,10 @@ object Sq extends Serializable {
         CoarseMerge.lastPath = "merge"
         CoarseMerge.merge(spark, qs.map(_._1),
           src.rdd.mapPartitions(it => Iterator.single(scanPartition(it))))
+      } else if (CoarseMerge.distEligible(qs.length, k)) {
+        CoarseMerge.lastPath = "dist"
+        CoarseMerge.mergeDistributed(spark, qs.map(_._1),
+          src.rdd.mapPartitions(it => Iterator.single(scanPartition(it))), k)
       } else {
         CoarseMerge.lastPath = "agg"
         src.mapPartitions { it =>

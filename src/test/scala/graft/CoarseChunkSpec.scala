@@ -48,7 +48,8 @@ class CoarseChunkSpec extends SparkTestBase {
     val one = Bq.hammingBroadcast(base, qs, k = k)
       .orderBy("query_id", "hamming", "id").collect().toSeq
     assert(CoarseMerge.lastChunks == 1)
-    val many = withTaskBudget(2L * k * 16L) { // 2 queries per chunk -> 3 chunks
+    val many = withTaskBudget(
+        2L * k * graft.index.TopBuffer.slotBytes(k)) { // 2 q/chunk -> 3 chunks
       val r = Bq.hammingBroadcast(base, qs, k = k)
         .orderBy("query_id", "hamming", "id").collect().toSeq
       assert(CoarseMerge.lastChunks == 3, s"chunks=${CoarseMerge.lastChunks}")
@@ -59,7 +60,7 @@ class CoarseChunkSpec extends SparkTestBase {
     val savedGate = CoarseMerge.maxBytes
     val aggMany = try {
       CoarseMerge.maxBytes = 1L
-      withTaskBudget(2L * k * 16L) {
+      withTaskBudget(2L * k * graft.index.TopBuffer.slotBytes(k)) {
         Bq.hammingBroadcast(base, qs, k = k)
           .orderBy("query_id", "hamming", "id").collect().toSeq
       }
@@ -81,6 +82,51 @@ class CoarseChunkSpec extends SparkTestBase {
       r
     }
     assert(many == one)
+    packed.unpersist()
+  }
+
+  test("distributed merge (big-batch regime past the driver cap) == merge-path rows") {
+    val k = 300 // heap layout; nq=6 × k=300 = 1800 winners
+    val want = Bq.hammingBroadcast(base, qs, k = k)
+      .orderBy("query_id", "hamming", "id").collect().toSeq
+    assert(CoarseMerge.lastPath == "merge") // default gates: driver merge
+    val savedRows = CoarseMerge.maxRows
+    val dist = try {
+      CoarseMerge.maxRows = 1L // below nq×k: driver-ineligible, dist-eligible
+      val r = Bq.hammingBroadcast(base, qs, k = k)
+        .orderBy("query_id", "hamming", "id").collect().toSeq
+      assert(CoarseMerge.lastPath == "dist", s"path=${CoarseMerge.lastPath}")
+      r
+    } finally CoarseMerge.maxRows = savedRows
+    assert(dist == want)
+    // kill switch: dist disabled falls through to the aggregate path
+    val savedFlag = CoarseMerge.distMerge
+    val agg = try {
+      CoarseMerge.maxRows = 1L
+      CoarseMerge.distMerge = false
+      val r = Bq.hammingBroadcast(base, qs, k = k)
+        .orderBy("query_id", "hamming", "id").collect().toSeq
+      assert(CoarseMerge.lastPath == "agg")
+      r
+    } finally {
+      CoarseMerge.maxRows = savedRows
+      CoarseMerge.distMerge = savedFlag
+    }
+    assert(agg == want)
+    // SQ serving kernel through the dist path too (TopBuffer arrays cross a
+    // real shuffle: local[4] serializes them between stages)
+    val model = Sq.train(base)
+    val packed = Sq.encode(base, model).select("id", "sq").cache()
+    val sqWant = Sq.serveBroadcastPacked(packed, qs, model, k = 300)
+      .orderBy("query_id", "distance", "id").collect().toSeq
+    val sqDist = try {
+      CoarseMerge.maxRows = 1L
+      val r = Sq.serveBroadcastPacked(packed, qs, model, k = 300)
+        .orderBy("query_id", "distance", "id").collect().toSeq
+      assert(CoarseMerge.lastPath == "dist")
+      r
+    } finally CoarseMerge.maxRows = savedRows
+    assert(sqDist == sqWant)
     packed.unpersist()
   }
 
