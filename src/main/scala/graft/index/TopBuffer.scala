@@ -36,10 +36,21 @@ package graft.index
   * [[graft.operators.CoarseMerge]]'s per-query sort).
   *
   * Serialization (the distributed-merge shuffle) is compact: seal, then
-  * write only the n kept (distance, id) pairs — never the capacity.
+  * write only the n kept (distance, id) pairs — never the capacity. Both
+  * serializer families Spark can put on that shuffle are handled: Java
+  * (`writeObject`/`readObject`) and Kryo ([[com.esotericsoftware.kryo.KryoSerializable]]
+  * — without it Kryo's FieldSerializer would skip every @transient field
+  * and never call `writeObject`, so buffers would arrive with null arrays
+  * under `spark.serializer=KryoSerializer`, a common deployment setting on
+  * the caller-supplied sessions this library serves).
   */
-final class TopBuffer(val k: Int) extends Serializable {
-  require(k > 0, s"TopBuffer needs k > 0 (got $k)")
+final class TopBuffer(private var k0: Int)
+    extends Serializable with com.esotericsoftware.kryo.KryoSerializable {
+  require(k0 > 0, s"TopBuffer needs k > 0 (got $k0)")
+
+  /** Selection budget (fixed at construction; var only so the Kryo read
+    * path — which instantiates without a constructor — can restore it). */
+  def k: Int = k0
   @transient private[this] var loose = k > TopBuffer.HeapThreshold
   @transient private[this] var ds =
     new Array[Double](if (k > TopBuffer.HeapThreshold) 2 * k else k)
@@ -65,10 +76,17 @@ final class TopBuffer(val k: Int) extends Serializable {
     else if (n == k) ds(k - 1) else Double.PositiveInfinity
 
   /** Offer one element; logically kept iff fewer than k are held or
-    * (d, id) strictly precedes the current worst under (distance, id). */
+    * (d, id) strictly precedes the current worst under (distance, id).
+    * The explicit `n < k` arm in loose mode (redundant against a +∞ bound
+    * for real distances) keeps NaN admission identical to the sorted
+    * layout while under-filled: NaN fails every comparison, so without it
+    * a NaN distance would be rejected even into an EMPTY loose buffer —
+    * and k ≤ 256 vs k > 256 would select differently on NaN inputs.
+    * (Loose n < k implies no tighten has run — tighten always leaves
+    * n == k — so the under-filled phases of the two layouts coincide.) */
   def offer(d: Double, id: Long): Unit =
     if (loose) {
-      if (d < boundD || (d == boundD && id < boundI)) {
+      if (n < k || d < boundD || (d == boundD && id < boundI)) {
         if (n == ds.length) tighten()
         ds(n) = d; ids(n) = id
         n += 1
@@ -156,7 +174,7 @@ final class TopBuffer(val k: Int) extends Serializable {
   }
 
   private def writeObject(out: java.io.ObjectOutputStream): Unit = {
-    out.defaultWriteObject() // the non-transient `k`
+    out.defaultWriteObject() // the non-transient `k0`
     seal()
     out.writeInt(n)
     var i = 0
@@ -166,17 +184,53 @@ final class TopBuffer(val k: Int) extends Serializable {
   }
 
   private def readObject(in: java.io.ObjectInputStream): Unit = {
-    in.defaultReadObject() // the non-transient `k`
-    loose = k > TopBuffer.HeapThreshold
+    in.defaultReadObject() // the non-transient `k0`
     val m = in.readInt()
-    ds = new Array[Double](if (loose) 2 * k else k)
-    ids = new Array[Long](if (loose) 2 * k else k)
-    n = m
+    allocate(m)
     var i = 0
     while (i < m) { ds(i) = in.readDouble(); i += 1 }
     i = 0
     while (i < m) { ids(i) = in.readLong(); i += 1 }
-    // restore the exact bound (a sealed buffer holds ≤ k entries)
+    restoreBound()
+  }
+
+  /** Kryo mirror of [[writeObject]] — same sealed compact wire format. */
+  override def write(kryo: com.esotericsoftware.kryo.Kryo,
+      out: com.esotericsoftware.kryo.io.Output): Unit = {
+    seal()
+    out.writeInt(k0)
+    out.writeInt(n)
+    var i = 0
+    while (i < n) { out.writeDouble(ds(i)); i += 1 }
+    i = 0
+    while (i < n) { out.writeLong(ids(i)); i += 1 }
+  }
+
+  /** Kryo mirror of [[readObject]]; Kryo instantiates without running the
+    * constructor, so every field (including k0) restores here. */
+  override def read(kryo: com.esotericsoftware.kryo.Kryo,
+      in: com.esotericsoftware.kryo.io.Input): Unit = {
+    k0 = in.readInt()
+    val m = in.readInt()
+    allocate(m)
+    var i = 0
+    while (i < m) { ds(i) = in.readDouble(); i += 1 }
+    i = 0
+    while (i < m) { ids(i) = in.readLong(); i += 1 }
+    restoreBound()
+  }
+
+  /** Deserialization restore, step 1: layout + arrays for m held entries. */
+  private def allocate(m: Int): Unit = {
+    loose = k > TopBuffer.HeapThreshold
+    ds = new Array[Double](if (loose) 2 * k else k)
+    ids = new Array[Long](if (loose) 2 * k else k)
+    n = m
+  }
+
+  /** Deserialization restore, step 2: the exact admission bound (a sealed
+    * buffer holds ≤ k entries, so full ⇒ bound = lexicographic max). */
+  private def restoreBound(): Unit =
     if (n == k) {
       if (loose) {
         var bD = ds(0); var bI = ids(0)
@@ -190,7 +244,6 @@ final class TopBuffer(val k: Int) extends Serializable {
     } else {
       boundD = Double.PositiveInfinity; boundI = Long.MaxValue
     }
-  }
 }
 
 object TopBuffer {

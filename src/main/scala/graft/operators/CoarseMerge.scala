@@ -185,44 +185,59 @@ private[graft] object CoarseMerge {
   }
 
   /** Tree-merge per-partition buffer arrays and materialize the winners as
-    * a local (query_id, id, distance) DataFrame, per-query ascending
+    * a driver-local (query_id, id, distance) DataFrame, per-query ascending
     * (distance, id) — the same row order as the aggregate path's sorted
     * top-k materialization, so the physical gate never changes what a
     * row-order-sensitive consumer sees. `partials` emits ONE array per
     * partition: nq-length for a scanned partition, EMPTY for a row-less
-    * one (so empty partitions cost no nq × k allocation). EAGER: the
-    * treeReduce runs now, not at the consumer's first action. */
+    * one (so empty partitions cost no nq × k allocation).
+    *
+    * LAZY (r18, closing the r17 laziness wart): the treeReduce is deferred
+    * behind a [[graft.plans.LazyLocalRelation]] — it runs at the
+    * consumer's first EXECUTION, not at DataFrame construction, so the
+    * public coarse entry points keep the DataFrame laziness contract
+    * (`.explain` plans without scanning; an unexecuted plan costs
+    * nothing). The broadcast economics are unchanged: the exec node's
+    * `executeCollect` hands the merged rows to a BroadcastExchange with no
+    * extra job, exactly as the old eager LocalRelation did. The merge runs
+    * at most once per call (memoized) however many Datasets reuse it. */
   def merge(spark: SparkSession, qids: Array[Long],
-      partials: RDD[Array[TopBuffer]]): DataFrame = {
-    val merged =
-      try partials.treeReduce { (a, b) =>
-        if (a.length == 0) b
-        else if (b.length == 0) a
-        else {
-          var i = 0
-          while (i < a.length) { a(i).absorb(b(i)); i += 1 }
-          a
+      partials: RDD[Array[TopBuffer]], k: Int): DataFrame = {
+    lazy val materialized: Array[org.apache.spark.sql.catalyst.InternalRow] = {
+      val merged =
+        try partials.treeReduce { (a, b) =>
+          if (a.length == 0) b
+          else if (b.length == 0) a
+          else {
+            var i = 0
+            while (i < a.length) { a(i).absorb(b(i)); i += 1 }
+            a
+          }
+        } catch { case _: UnsupportedOperationException =>
+          // zero-partition input (empty relation): no winners
+          Array.empty[TopBuffer]
         }
-      } catch { case _: UnsupportedOperationException =>
-        // zero-partition input (empty relation): no winners
-        Array.empty[TopBuffer]
+      val rows = new java.util.ArrayList[
+        org.apache.spark.sql.catalyst.InternalRow]()
+      var qi = 0
+      while (qi < merged.length) {
+        val buf = merged(qi)
+        // layout order → the engine's standard (distance, id) ascending
+        val order = Array.range(0, buf.size).sortWith { (a, b) =>
+          val da = buf.distAt(a); val db = buf.distAt(b)
+          da < db || (da == db && buf.idAt(a) < buf.idAt(b))
+        }
+        var p = 0
+        while (p < order.length) {
+          rows.add(new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+            Array[Any](qids(qi), buf.idAt(order(p)), buf.distAt(order(p)))))
+          p += 1
+        }
+        qi += 1
       }
-    val rows = new java.util.ArrayList[Row]()
-    var qi = 0
-    while (qi < merged.length) {
-      val buf = merged(qi)
-      // heap/layout order → the engine's standard (distance, id) ascending
-      val order = Array.range(0, buf.size).sortWith { (a, b) =>
-        val da = buf.distAt(a); val db = buf.distAt(b)
-        da < db || (da == db && buf.idAt(a) < buf.idAt(b))
-      }
-      var p = 0
-      while (p < order.length) {
-        rows.add(Row(qids(qi), buf.idAt(order(p)), buf.distAt(order(p))))
-        p += 1
-      }
-      qi += 1
+      rows.toArray(new Array[org.apache.spark.sql.catalyst.InternalRow](0))
     }
-    spark.createDataFrame(rows, outSchema)
+    graft.plans.LazyLocal.ofThunk(spark, outSchema, () => materialized,
+      estBytes = qids.length.toLong * k * 24L)
   }
 }

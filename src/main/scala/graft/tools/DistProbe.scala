@@ -11,11 +11,15 @@ import org.apache.spark.sql.functions._
 object DistProbe {
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    // NOTE: heap must come from the LAUNCHING JVM (SBT_OPTS/JAVA_OPTS
+    // -Xmx, as the bench scripts set it) — spark.driver.memory set
+    // programmatically in local mode is a no-op because the driver JVM
+    // has already started. The probe reproduces a multi-GB per-task
+    // working set; run it under the same -Xmx as the bench.
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-dist-probe")
       .config("spark.sql.shuffle.partitions", cpus.toString)
-      .config("spark.driver.memory", "100g")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

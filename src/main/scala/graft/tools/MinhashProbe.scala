@@ -12,7 +12,8 @@ object MinhashProbe {
     val spark = SparkSession.builder()
       .appName("minhash-probe").master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
-      .config("spark.driver.memory", "16g")
+      // heap comes from the launching JVM (SBT_OPTS -Xmx) — programmatic
+      // spark.driver.memory is a no-op once the local-mode JVM is up
       .config("spark.ui.enabled", false)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

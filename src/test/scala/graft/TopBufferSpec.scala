@@ -82,4 +82,46 @@ class TopBufferSpec extends AnyFunSuite {
       assert(drain(down) == want, s"k=$k descending")
     }
   }
+
+  test("NaN admission while under-filled is identical across layouts") {
+    // a NaN distance fails every comparison; both layouts must still admit
+    // it while fewer than k are held (the sorted layout always did via its
+    // n < k arm — the loose layout's bound test alone would reject it even
+    // into an EMPTY buffer, silently changing selection between k <= 256
+    // and k > 256 on NaN inputs, e.g. NaN vectors through the SQ kernel)
+    for (k <- Seq(4, 300)) {
+      val buf = new TopBuffer(k)
+      buf.offer(Double.NaN, 7L)
+      buf.offer(1.0, 1L)
+      buf.offer(Double.NaN, 8L)
+      val kept = drain(buf)
+      assert(kept.size == 3, s"k=$k: under-filled offers dropped ($kept)")
+      assert(kept.exists { case (d, id) => d.isNaN && id == 7L }, s"k=$k")
+      assert(kept.exists { case (d, id) => d.isNaN && id == 8L }, s"k=$k")
+      assert(kept.contains((1.0, 1L)), s"k=$k")
+    }
+  }
+
+  test("Kryo round-trip (spark.serializer=KryoSerializer shuffles) restores both layouts") {
+    // the dist-merge reduceByKey and the tree-merge task results cross the
+    // spark.serializer boundary; under Kryo the @transient payload fields
+    // only survive via the KryoSerializable implementation
+    val ser = new org.apache.spark.serializer.KryoSerializer(
+      new org.apache.spark.SparkConf()).newInstance()
+    for (k <- Seq(5, 300)) {
+      val buf = new TopBuffer(k)
+      val xs = (0 until 3 * k).map(i => ((i * 31 % 100).toDouble, i.toLong))
+      xs.foreach { case (d, id) => buf.offer(d, id) }
+      val back = ser.deserialize[TopBuffer](ser.serialize(buf))
+      assert(back.k == k, s"k=$k: capacity lost")
+      assert(drain(back) == drain(buf), s"k=$k: contents changed")
+      assert(back.bound == buf.bound, s"k=$k: bound changed")
+      // the restored buffer keeps selecting correctly (absorb path)
+      back.offer(-1.0, 999L)
+      assert(drain(back).contains((-1.0, 999L)), s"k=$k: dead after revive")
+      // and merges: absorb into a fresh buffer lands on the global top-k
+      val merged = new TopBuffer(k).absorb(back)
+      assert(drain(merged) == drain(back), s"k=$k: absorb mismatch")
+    }
+  }
 }
