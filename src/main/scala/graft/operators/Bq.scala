@@ -264,7 +264,7 @@ object Bq extends Serializable {
         // at nq=1000, k=2000, P=32 — the measured bound of the 1M rerank)
         CoarseMerge.lastPath = "merge"
         CoarseMerge.merge(spark, qs.map(_._1),
-          src.rdd.mapPartitions(it => Iterator.single(scanPartition(it))))
+          src.rdd.mapPartitions(it => Iterator.single(scanPartition(it))), k)
       } else if (CoarseMerge.distEligible(qs.length, k)) {
         // past the driver cap: shard-keyed distributed buffer merge — the
         // same winners as P × shards primitive-array records instead of
@@ -340,15 +340,28 @@ object Bq extends Serializable {
     val qs = queries
       .select(col(queryIdCol).cast("long"), col(queryVecCol))
       .as[(Long, Array[Float])].collect()
-    val qsPacked = qs.map { case (qid, v) =>
-      (qid, model.fold(BqKernel.pack(v))(m => BqKernel.packCentered(v, m.thresholds)))
-    }
-    val coarse = hammingBroadcastPackedArr(packed, qsPacked, candidates)
-      .select(col("query_id"), col("id"))
-    // one id-pruned pass over the float column — the shared, byte-gated
-    // exact re-rank stage ([[Rerank.exact]])
-    Rerank.exact(coarse, base, queries, k, dist, idCol, vecCol,
-      queryIdCol, queryVecCol, estRows = qs.length.toLong * candidates)
+    // chunk the batch under the task-memory gate and re-rank PER CHUNK
+    // (r18): each chunk's (chunk_nq × candidates) winner set feeds its own
+    // byte-gated [[Rerank.exact]] pass over the float column, and the
+    // reranked top-k union — exact because chunks partition the queries
+    // and both stages are per-query. The r17 shape paid the whole batch's
+    // winner join as ONE stage (20M rows at nq10k × c2000 — its measured
+    // bound); per-chunk the join shrinks by the chunk factor, usually back
+    // under the broadcast budget, and pipelines with the next chunk's scan.
+    val spans = CoarseMerge.spans(qs.length, candidates)
+    val hits = spans.map { case (s, e) =>
+      val qsC = if (s == 0 && e == qs.length) qs else qs.slice(s, e)
+      val qsPacked = qsC.map { case (qid, v) =>
+        (qid, model.fold(BqKernel.pack(v))(m => BqKernel.packCentered(v, m.thresholds)))
+      }
+      val coarse = hammingChunk(packed, qsPacked, candidates)
+        .select(col("query_id"), col("id"))
+      Rerank.exact(coarse, base, Rerank.queriesDf(spark, qsC), k, dist,
+        idCol, vecCol, "query_id", "query_vec",
+        estRows = qsC.length.toLong * candidates)
+    }.reduce(_ union _)
+    CoarseMerge.lastChunks = spans.length
+    hits
   }
 
   /** Persist `(id, bq, cluster)` as the physical IVF-BQ layout: cluster-
@@ -411,7 +424,7 @@ object Bq extends Serializable {
       if (CoarseMerge.eligible(qsPacked.length, k)) {
         CoarseMerge.lastPath = "merge"
         CoarseMerge.merge(spark, qsPacked.map(_._1),
-          src.rdd.mapPartitions(it => Iterator.single(scanPartition(it))))
+          src.rdd.mapPartitions(it => Iterator.single(scanPartition(it))), k)
       } else if (CoarseMerge.distEligible(qsPacked.length, k)) {
         CoarseMerge.lastPath = "dist"
         CoarseMerge.mergeDistributed(spark, qsPacked.map(_._1),
@@ -437,36 +450,49 @@ object Bq extends Serializable {
     hits.select(col("query_id"), col("id"))
   }
 
-  /** Task-memory-gated IVF coarse stage shared by [[searchIvf]] /
-    * [[searchIvfPartitionedDf]]: chunk the query batch to
+  /** Task-memory-gated, rerank-pipelined IVF search core shared by
+    * [[searchIvf]] / [[searchIvfPartitionedDf]]: chunk the query batch to
     * [[CoarseMerge.spans]] (bounding each task's TopBuffer state, the
     * nq × candidates × 16 B OOM), plan probes PER CHUNK (a chunk's probe
     * union is a subset of the batch's — over the partitioned layout each
     * chunk pass reads only ITS clusters, so chunking tightens pruning
-    * rather than multiplying full passes), and union the exact per-query
-    * winners. Returns the coarse (query_id, id) set and the probe union
-    * across chunks (the rerank's partition filter). */
-  private def coarseIvfChunked(
+    * rather than multiplying full passes), and rerank PER CHUNK (r18):
+    * each chunk's coarse winners feed their own exact [[Rerank.exact]]
+    * against a float base pruned to the CHUNK's probed clusters, and the
+    * reranked top-k union. Exact by construction — chunks partition the
+    * query set, and both stages are per-query — while the big-batch
+    * winner join shrinks by the chunk factor (nq10k × c2000 paid ONE
+    * 20M-row shuffle-hash join in r17, the measured bound of that row;
+    * per-chunk the join is chunk_nq × c and pipelines with the next
+    * chunk's coarse scan inside one job DAG). */
+  private def searchIvfChunked(
       buildProbedRows: Array[Int] => DataFrame,
+      rerankBaseFor: Array[Int] => DataFrame,
       qs: Array[(Long, Array[Float])],
       bqModel: Option[BqModel],
       ivfModel: graft.operators.IvfModel,
       np: Int,
-      candidates: Int): (DataFrame, Array[Int]) = {
+      k: Int,
+      candidates: Int,
+      dist: String,
+      idCol: String,
+      vecCol: String): DataFrame = {
     val spans = CoarseMerge.spans(qs.length, candidates)
-    val allProbed = scala.collection.mutable.SortedSet.empty[Int]
     val chunks = spans.map { case (s, e) =>
       val qsC = if (s == 0 && e == qs.length) qs else qs.slice(s, e)
       val (clusterToQ, probed) = Sq.probePlan(qsC, ivfModel, np)
-      allProbed ++= probed
       val qsPacked = qsC.map { case (qid, v) =>
         (qid, bqModel.fold(BqKernel.pack(v))(m =>
           BqKernel.packCentered(v, m.thresholds)))
       }
-      coarseIvfKernel(buildProbedRows(probed), qsPacked, clusterToQ, candidates)
+      val coarse =
+        coarseIvfKernel(buildProbedRows(probed), qsPacked, clusterToQ, candidates)
+      Rerank.exact(coarse, rerankBaseFor(probed),
+        Rerank.queriesDf(coarse.sparkSession, qsC), k, dist, idCol, vecCol,
+        "query_id", "query_vec", estRows = qsC.length.toLong * candidates)
     }
     CoarseMerge.lastChunks = spans.length
-    (chunks.reduce(_ union _), allProbed.toArray)
+    chunks.reduce(_ union _)
   }
 
   /** IVF-routed BQ (the composition [[Sq.searchIvf]] already serves for
@@ -509,15 +535,14 @@ object Bq extends Serializable {
     val qs = queries
       .select(col(queryIdCol).cast("long"), col(queryVecCol))
       .as[(Long, Array[Float])].collect()
-    val (coarse, _) = coarseIvfChunked(
+    searchIvfChunked(
       probed => assignedPacked
         .select(col(idCol).cast("long").as("id"), col("bq"),
           col("cluster").cast("long").as("cluster"))
         .filter(col("cluster").isInCollection(
           probed.map(c => Long.box(c.toLong)).toSeq)),
-      qs, bqModel, ivfModel, np, candidates)
-    Rerank.exact(coarse, base, queries, k, dist, idCol, vecCol,
-      queryIdCol, queryVecCol, estRows = qs.length.toLong * candidates)
+      _ => base,
+      qs, bqModel, ivfModel, np, k, candidates, dist, idCol, vecCol)
   }
 
   /** [[searchIvf]] over the cluster-partitioned packed layout: the probed
@@ -551,6 +576,15 @@ object Bq extends Serializable {
     * [[Sq.searchIvfPartitionedDf]]: partition-layout listing is a
     * per-`read.parquet`-call driver cost a deployment pays once, not per
     * batch. */
+  /** @param flatPacked optional UNPARTITIONED (id, bq, cluster) twin of
+    *                    `packed` — the coverage-aware dispatch target (see
+    *                    [[Sq.searchIvfPartitionedDf]]: when a chunk's probe
+    *                    union covers ≥ [[CoarseMerge.coverageFlatThreshold]]
+    *                    of the clusters, directory pruning is void and the
+    *                    flat copy scans instead; same rows, same per-query
+    *                    probe restriction, identical results).
+    * @param flatBase    the flat float twin the RERANK reads in the same
+    *                    regime. */
   def searchIvfPartitionedDf(
       packed: DataFrame,
       base: DataFrame,
@@ -565,7 +599,9 @@ object Bq extends Serializable {
       vecCol: String = "vec",
       queryIdCol: String = "query_id",
       queryVecCol: String = "query_vec",
-      baseClusterCol: Option[String] = None): DataFrame = {
+      baseClusterCol: Option[String] = None,
+      flatPacked: Option[DataFrame] = None,
+      flatBase: Option[DataFrame] = None): DataFrame = {
     require(candidates >= k, s"candidates ($candidates) must be >= k ($k)")
     val np = math.max(1, nProbes.getOrElse(ivfModel.defaultNProbes))
     val spark = base.sparkSession
@@ -573,15 +609,29 @@ object Bq extends Serializable {
     val qs = queries
       .select(col(queryIdCol).cast("long"), col(queryVecCol))
       .as[(Long, Array[Float])].collect()
-    val (coarse, allProbed) = coarseIvfChunked(
-      probed => packed
-        .filter(col("cluster").isin(probed.map(Int.box): _*)) // partition-pruned
-        .select(col("id").cast("long").as("id"), col("bq"),
-          col("cluster").cast("long").as("cluster")),
-      qs, bqModel, ivfModel, np, candidates)
-    val rerankBase = baseClusterCol.fold(base)(c =>
-      base.filter(col(c).isin(allProbed.map(Int.box): _*)))
-    Rerank.exact(coarse, rerankBase, queries, k, dist, idCol, vecCol,
-      queryIdCol, queryVecCol, estRows = qs.length.toLong * candidates)
+    val kc = ivfModel.centroids.length
+    def prunes(probed: Array[Int]): Boolean = {
+      val flat = flatPacked.isDefined &&
+        probed.length.toDouble / kc >= CoarseMerge.coverageFlatThreshold
+      CoarseMerge.lastCoverageArm = if (flat) "flat" else "partitioned"
+      !flat
+    }
+    searchIvfChunked(
+      probed =>
+        (if (prunes(probed))
+           packed.filter(col("cluster").isin(probed.map(Int.box): _*)) // partition-pruned
+         else flatPacked.get)
+          .select(col("id").cast("long").as("id"), col("bq"),
+            col("cluster").cast("long").as("cluster")),
+      // per-CHUNK probed clusters — a tighter rerank partition filter than
+      // the batch union (every chunk candidate comes from a chunk-probed
+      // cluster, so pruning cannot drop one); flat regime reranks against
+      // the (superset) flat base
+      probed =>
+        if (prunes(probed))
+          baseClusterCol.fold(base)(c =>
+            base.filter(col(c).isin(probed.map(Int.box): _*)))
+        else flatBase.getOrElse(base),
+      qs, bqModel, ivfModel, np, k, candidates, dist, idCol, vecCol)
   }
 }

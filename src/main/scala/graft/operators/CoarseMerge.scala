@@ -20,13 +20,11 @@ import graft.index.TopBuffer
   * no aggregate — and the winners materialize as a LocalRelation the
   * rerank join broadcasts without an extra job.
   *
-  * NOTE on laziness: [[merge]] runs its `treeReduce` EAGERLY, so the
-  * public coarse entry points (`Bq.hammingBroadcastPacked`,
-  * `Sq.serveBroadcastPacked`, the two-stage searches) execute the coarse
-  * scan at DataFrame-CONSTRUCTION time whenever the merge gate is open.
-  * Callers that plan without executing should close the gate
-  * (`-Dgraft.coarse.merge.max.rows=0`) or treat those entry points as
-  * actions.
+  * Laziness: [[merge]] defers its `treeReduce` behind a
+  * [[graft.plans.LazyLocalRelation]], so the public coarse entry points
+  * (`Bq.hammingBroadcastPacked`, `Sq.serveBroadcastPacked`, the two-stage
+  * searches) keep the DataFrame laziness contract — the coarse scan fires
+  * at the consumer's first execution, never at construction or `.explain`.
   *
   * Selection is identical to the aggregate path: absorb re-offers every
   * element under the same strict (distance, id) admits, so a merge tree of
@@ -71,6 +69,38 @@ private[graft] object CoarseMerge {
     ThreadLocal.withInitial(() => "")
   private[graft] def lastPath: String = lastPathTl.get()
   private[graft] def lastPath_=(v: String): Unit = lastPathTl.set(v)
+
+  /** Coverage-aware dispatch threshold for the PARTITIONED quantized
+    * layouts (r18, closing the r17 prune-void gap): when a chunk's probe
+    * union covers at least this fraction of the clusters, directory
+    * pruning is void — the batch reads (almost) every cluster directory
+    * anyway, paying the partitioned layout's per-directory file/footer
+    * overhead for nothing (measured at kc=32, nq=1000, np=1: coverage
+    * 1.0 served 142.9 q/s partitioned vs 270.5 for the full-scan twin) —
+    * so the dispatch serves the UNPARTITIONED flat sidecar instead when
+    * the caller ships one. Pure physical routing: the same (id, code,
+    * cluster) rows scan under the same per-query probe restriction, so
+    * results are bit-identical. The probe union is driver-known BEFORE
+    * any scan, so the decision costs nothing. Override with
+    * `-Dgraft.coarse.coverage.flat.threshold` (volatile for specs);
+    * > 1.0 disables. */
+  @volatile var coverageFlatThreshold: Double =
+    sys.props.get("graft.coarse.coverage.flat.threshold").map(_.toDouble)
+      .getOrElse(0.5)
+
+  /** Scan arm the last coverage-dispatched chunk took on THIS thread
+    * ("partitioned" | "flat"; "" before any dispatched call) —
+    * observability for the dispatch specs and the bench artifact. */
+  private val lastCoverageArmTl: ThreadLocal[String] =
+    ThreadLocal.withInitial(() => "")
+  private[graft] def lastCoverageArm: String = lastCoverageArmTl.get()
+  private[graft] def lastCoverageArm_=(v: String): Unit =
+    lastCoverageArmTl.set(v)
+
+  /** Number of times a deferred [[merge]] thunk has actually RUN its
+    * treeReduce (process-wide) — observability for the laziness spec: a
+    * constructed-but-unexecuted merge plan must not move this. */
+  private[graft] val mergeExecutions = new java.util.concurrent.atomic.AtomicLong(0)
 
   /** Chunk count of the last kernel call on THIS thread — observability
     * for the task-memory-gate specs. */
@@ -204,6 +234,7 @@ private[graft] object CoarseMerge {
   def merge(spark: SparkSession, qids: Array[Long],
       partials: RDD[Array[TopBuffer]], k: Int): DataFrame = {
     lazy val materialized: Array[org.apache.spark.sql.catalyst.InternalRow] = {
+      mergeExecutions.incrementAndGet()
       val merged =
         try partials.treeReduce { (a, b) =>
           if (a.length == 0) b

@@ -42,6 +42,17 @@ private[graft] object Rerank {
   private[graft] def lastJoin: String = lastJoinTl.get()
   private[graft] def lastJoin_=(v: String): Unit = lastJoinTl.set(v)
 
+  /** A collected query batch (or chunk of one) as a (query_id, query_vec)
+    * DataFrame — a LocalRelation, so the rerank's query-side broadcast
+    * costs no job. Used by the per-chunk rerank callers: each chunk
+    * reranks against ITS queries only, keeping the broadcast at chunk
+    * size instead of re-shipping the whole batch per chunk. */
+  def queriesDf(spark: org.apache.spark.sql.SparkSession,
+      qs: Array[(Long, Array[Float])]): DataFrame = {
+    import spark.implicits._
+    spark.createDataset(qs.toIndexedSeq).toDF("query_id", "query_vec")
+  }
+
   /** @param estRows exact upper bound on `coarseIds` rows (nq × candidates
     *                — both driver-known at every call site). */
   def exact(

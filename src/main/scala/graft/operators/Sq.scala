@@ -295,7 +295,7 @@ object Sq extends Serializable {
       // the aggregate path would shuffle P × nq × k partial rows
       CoarseMerge.lastPath = "merge"
       CoarseMerge.merge(spark, qs.map(_._1),
-        src.rdd.mapPartitions(it => Iterator.single(scanPartition(it))))
+        src.rdd.mapPartitions(it => Iterator.single(scanPartition(it))), k)
     } else if (CoarseMerge.distEligible(qs.length, k)) {
       // past the driver cap: shard-keyed distributed buffer merge
       CoarseMerge.lastPath = "dist"
@@ -344,10 +344,21 @@ object Sq extends Serializable {
     val qs = queries
       .select(col(queryIdCol).cast("long"), col(queryVecCol))
       .as[(Long, Array[Float])].collect()
-    val coarse = serveBroadcastPackedArr(packed, qs, model, candidates, dist)
-      .select(col("query_id"), col("id"))
-    Rerank.exact(coarse, base, queries, k, dist, idCol, vecCol,
-      queryIdCol, queryVecCol, estRows = qs.length.toLong * candidates)
+    // per-chunk rerank under the task-memory gate (r18) — see
+    // [[Bq.searchRerankPacked]]: the winner join shrinks by the chunk
+    // factor and pipelines with the next chunk's coarse scan; exact
+    // because chunks partition the queries and both stages are per-query
+    val spans = CoarseMerge.spans(qs.length, candidates)
+    val hits = spans.map { case (s, e) =>
+      val qsC = if (s == 0 && e == qs.length) qs else qs.slice(s, e)
+      val coarse = serveChunk(packed, qsC, model, candidates, dist)
+        .select(col("query_id"), col("id"))
+      Rerank.exact(coarse, base, Rerank.queriesDf(spark, qsC), k, dist,
+        idCol, vecCol, "query_id", "query_vec",
+        estRows = qsC.length.toLong * candidates)
+    }.reduce(_ union _)
+    CoarseMerge.lastChunks = spans.length
+    hits
   }
 
   /** Probed coarse pass in the SERVING kernel shape: stream the probed
@@ -451,7 +462,7 @@ object Sq extends Serializable {
       if (CoarseMerge.eligible(qs.length, k)) {
         CoarseMerge.lastPath = "merge"
         CoarseMerge.merge(spark, qs.map(_._1),
-          src.rdd.mapPartitions(it => Iterator.single(scanPartition(it))))
+          src.rdd.mapPartitions(it => Iterator.single(scanPartition(it))), k)
       } else if (CoarseMerge.distEligible(qs.length, k)) {
         CoarseMerge.lastPath = "dist"
         CoarseMerge.mergeDistributed(spark, qs.map(_._1),
@@ -477,34 +488,38 @@ object Sq extends Serializable {
     hits.select(col("query_id"), col("id"))
   }
 
-  /** Task-memory-gated IVF coarse stage shared by [[searchIvf]] /
-    * [[searchIvfPartitionedDf]] ([[graft.operators.Bq]]'s twin): chunk the
-    * query batch to [[CoarseMerge.spans]] (bounding each task's TopBuffer
-    * state, the nq × candidates × 16 B OOM), plan probes PER CHUNK (a
-    * chunk's probe union is a subset of the batch's — over the partitioned
-    * layout each chunk pass reads only ITS clusters, so chunking tightens
-    * pruning rather than multiplying full passes), and union the exact
-    * per-query winners. Returns the coarse (query_id, id) set and the
-    * probe union across chunks (the rerank's partition filter). */
-  private def coarseIvfChunked(
+  /** Task-memory-gated, rerank-pipelined IVF search core shared by
+    * [[searchIvf]] / [[searchIvfPartitionedDf]] ([[graft.operators.Bq]]'s
+    * twin — see [[Bq]]'s searchIvfChunked scaladoc for the full argument):
+    * chunk the query batch to [[CoarseMerge.spans]], plan probes PER CHUNK
+    * (chunking tightens partition pruning), and rerank PER CHUNK against a
+    * float base pruned to the chunk's probed clusters (r18) — exact by
+    * construction, with the big-batch winner join shrunk by the chunk
+    * factor and pipelined with the next chunk's coarse scan. */
+  private def searchIvfChunked(
       buildProbedRows: Array[Int] => DataFrame,
+      rerankBaseFor: Array[Int] => DataFrame,
       qs: Array[(Long, Array[Float])],
       ivfModel: graft.operators.IvfModel,
       np: Int,
       sqModel: SqModel,
+      k: Int,
       candidates: Int,
-      dist: String): (DataFrame, Array[Int]) = {
+      dist: String,
+      idCol: String,
+      vecCol: String): DataFrame = {
     val spans = CoarseMerge.spans(qs.length, candidates)
-    val allProbed = scala.collection.mutable.SortedSet.empty[Int]
     val chunks = spans.map { case (s, e) =>
       val qsC = if (s == 0 && e == qs.length) qs else qs.slice(s, e)
       val (clusterToQ, probed) = probePlan(qsC, ivfModel, np)
-      allProbed ++= probed
-      coarseIvfKernel(buildProbedRows(probed), qsC, clusterToQ, sqModel,
-        candidates, dist)
+      val coarse = coarseIvfKernel(buildProbedRows(probed), qsC, clusterToQ,
+        sqModel, candidates, dist)
+      Rerank.exact(coarse, rerankBaseFor(probed),
+        Rerank.queriesDf(coarse.sparkSession, qsC), k, dist, idCol, vecCol,
+        "query_id", "query_vec", estRows = qsC.length.toLong * candidates)
     }
     CoarseMerge.lastChunks = spans.length
-    (chunks.reduce(_ union _), allProbed.toArray)
+    chunks.reduce(_ union _)
   }
 
   /** Driver-side probe selection for a collected query batch: the `np`
@@ -564,15 +579,14 @@ object Sq extends Serializable {
     val qs = queries
       .select(col(queryIdCol).cast("long"), col(queryVecCol))
       .as[(Long, Array[Float])].collect()
-    val (coarse, _) = coarseIvfChunked(
+    searchIvfChunked(
       probed => assignedPacked
         .select(col(idCol).cast("long").as("id"), col("sq"),
           col("cluster").cast("long").as("cluster"))
         .filter(col("cluster").isInCollection(
           probed.map(c => Long.box(c.toLong)).toSeq)),
-      qs, ivfModel, np, sqModel, candidates, dist)
-    Rerank.exact(coarse, base, queries, k, dist, idCol, vecCol,
-      queryIdCol, queryVecCol, estRows = qs.length.toLong * candidates)
+      _ => base,
+      qs, ivfModel, np, sqModel, k, candidates, dist, idCol, vecCol)
   }
 
   /** Persist `(id, sq, cluster)` as the physical IVFSQ layout: cluster-
@@ -623,6 +637,17 @@ object Sq extends Serializable {
     * per query batch and swallows the pruned-bytes win. The probed-cluster
     * filter still prunes partitions at planning time against the reused
     * index. */
+  /** @param flatCodes optional UNPARTITIONED (id, sq, cluster) twin of
+    *                   `codes` — the coverage-aware dispatch target: when
+    *                   a chunk's probe union covers ≥
+    *                   [[CoarseMerge.coverageFlatThreshold]] of the
+    *                   clusters, directory pruning is void and the flat
+    *                   copy scans instead (one contiguous parquet vs kc
+    *                   directories' file/footer overhead — same rows, same
+    *                   per-query probe restriction, identical results).
+    * @param flatBase   the flat float twin the RERANK reads in the same
+    *                   regime (the partitioned float read is equally
+    *                   prune-void there). */
   def searchIvfPartitionedDf(
       codes: DataFrame,
       base: DataFrame,
@@ -637,7 +662,9 @@ object Sq extends Serializable {
       vecCol: String = "vec",
       queryIdCol: String = "query_id",
       queryVecCol: String = "query_vec",
-      baseClusterCol: Option[String] = None): DataFrame = {
+      baseClusterCol: Option[String] = None,
+      flatCodes: Option[DataFrame] = None,
+      flatBase: Option[DataFrame] = None): DataFrame = {
     require(candidates >= k, s"candidates ($candidates) must be >= k ($k)")
     val np = math.max(1, nProbes.getOrElse(ivfModel.defaultNProbes))
     val spark = base.sparkSession
@@ -645,16 +672,30 @@ object Sq extends Serializable {
     val qs = queries
       .select(col(queryIdCol).cast("long"), col(queryVecCol))
       .as[(Long, Array[Float])].collect()
-    val (coarse, allProbed) = coarseIvfChunked(
-      probed => codes
-        .filter(col("cluster").isin(probed.map(Int.box): _*)) // partition-pruned
-        .select(col("id").cast("long").as("id"), col("sq"),
-          col("cluster").cast("long").as("cluster")),
-      qs, ivfModel, np, sqModel, candidates, dist)
-    val rerankBase = baseClusterCol.fold(base)(c =>
-      base.filter(col(c).isin(allProbed.map(Int.box): _*)))
-    Rerank.exact(coarse, rerankBase, queries, k, dist, idCol, vecCol,
-      queryIdCol, queryVecCol, estRows = qs.length.toLong * candidates)
+    val kc = ivfModel.centroids.length
+    def prunes(probed: Array[Int]): Boolean = {
+      val flat = flatCodes.isDefined &&
+        probed.length.toDouble / kc >= CoarseMerge.coverageFlatThreshold
+      CoarseMerge.lastCoverageArm = if (flat) "flat" else "partitioned"
+      !flat
+    }
+    searchIvfChunked(
+      probed =>
+        (if (prunes(probed))
+           codes.filter(col("cluster").isin(probed.map(Int.box): _*)) // partition-pruned
+         else flatCodes.get)
+          .select(col("id").cast("long").as("id"), col("sq"),
+            col("cluster").cast("long").as("cluster")),
+      // per-CHUNK probed clusters — tighter than the batch union; every
+      // chunk candidate comes from a chunk-probed cluster, so pruning
+      // cannot drop one. In the flat regime the rerank base is a SUPERSET
+      // (unpruned), which selection cannot be changed by.
+      probed =>
+        if (prunes(probed))
+          baseClusterCol.fold(base)(c =>
+            base.filter(col(c).isin(probed.map(Int.box): _*)))
+        else flatBase.getOrElse(base),
+      qs, ivfModel, np, sqModel, k, candidates, dist, idCol, vecCol)
   }
 
   /** The r14 declarative probed scan (per-(row×query) codegen decode) —

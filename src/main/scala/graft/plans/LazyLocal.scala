@@ -34,7 +34,7 @@ import org.apache.spark.sql.types.StructType
   */
 case class LazyLocalRelation(
     output: Seq[Attribute],
-    thunk: () => Array[InternalRow],
+    @transient thunk: () => Array[InternalRow],
     estBytes: Long) extends LeafNode {
   override def computeStats(): Statistics =
     Statistics(sizeInBytes = math.max(1L, estBytes))
@@ -44,7 +44,13 @@ case class LazyLocalRelation(
   * first execution (never at planning/explain time). */
 case class LazyLocalScanExec(
     output: Seq[Attribute],
-    thunk: () => Array[InternalRow]) extends LeafExecNode {
+    // @transient: the thunk (and anything it captures — RDD lineage, the
+    // session) is DRIVER-ONLY. Spark serializes exec subtrees into task
+    // binaries on some paths (e.g. a SortExec inside a whole-stage codegen
+    // evaluator factory under AQE drags its canonicalized child chain
+    // along); by then doExecute/executeCollect have already run driver-side,
+    // so executors never need the thunk.
+    @transient thunk: () => Array[InternalRow]) extends LeafExecNode {
 
   // one materialization per exec node: executeCollect (broadcast) and
   // doExecute (distributed consumers) share it

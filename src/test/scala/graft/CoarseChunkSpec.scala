@@ -130,6 +130,67 @@ class CoarseChunkSpec extends SparkTestBase {
     packed.unpersist()
   }
 
+  test("flat two-stage BQ + SQ: per-chunk rerank == single global rerank") {
+    // r18: searchRerank* reranks each task-memory chunk's winners
+    // separately and unions the reranked top-k — must be row-identical to
+    // the unchunked execution (chunks partition the queries; both stages
+    // are per-query)
+    val cand = 24
+    def full(d: org.apache.spark.sql.DataFrame) =
+      d.select(col("query_id"), col("id"), col("distance"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val bqOne = full(Bq.searchRerank(base, qs, k = 5, candidates = cand))
+    assert(CoarseMerge.lastChunks == 1)
+    val sqOne = full(Sq.searchRerank(base, qs, k = 5, candidates = cand))
+    assert(CoarseMerge.lastChunks == 1)
+    withTaskBudget(2L * cand * graft.index.TopBuffer.slotBytes(cand)) {
+      val bqMany = full(Bq.searchRerank(base, qs, k = 5, candidates = cand))
+      assert(CoarseMerge.lastChunks == 3, s"chunks=${CoarseMerge.lastChunks}")
+      assert(bqMany == bqOne)
+      val sqMany = full(Sq.searchRerank(base, qs, k = 5, candidates = cand))
+      assert(CoarseMerge.lastChunks == 3)
+      assert(sqMany == sqOne)
+    }
+  }
+
+  test("merge path is LAZY: construction + planning run no treeReduce; rows unchanged; memoized") {
+    val k = 300 // merge-eligible at nq=6 (k > HeapThreshold, under row/byte caps)
+    val packed = Bq.encode(base).select("id", "bq").cache()
+    packed.count()
+    val qsArr = qs.select(col("query_id").cast("long"), col("query_vec"))
+      .as[(Long, Array[Float])].collect()
+      .map { case (qid, v) => (qid, graft.functions.BqKernel.pack(v)) }
+    val before = CoarseMerge.mergeExecutions.get()
+    // construction (pre-collected pre-packed batch: owes zero jobs)
+    val df = Bq.hammingBroadcastPackedArr(packed, qsArr, k)
+    assert(CoarseMerge.lastPath == "merge", s"path=${CoarseMerge.lastPath}")
+    assert(CoarseMerge.mergeExecutions.get() == before,
+      "treeReduce ran at DataFrame construction")
+    // planning/explain must not execute either — the r17 wart was exactly
+    // a .explain firing a corpus scan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LazyLocalScan"), s"expected lazy scan node:\n$plan")
+    assert(CoarseMerge.mergeExecutions.get() == before,
+      "treeReduce ran at planning time")
+    // first action materializes exactly once
+    val got = df.orderBy("query_id", "hamming", "id").collect().toSeq
+    assert(CoarseMerge.mergeExecutions.get() == before + 1)
+    // a second action over the same DataFrame reuses the memoized merge
+    assert(df.count() == got.size)
+    assert(CoarseMerge.mergeExecutions.get() == before + 1,
+      "merge re-ran on a second action")
+    // rows identical to the aggregate path (merge gate shut)
+    val savedGate = CoarseMerge.maxBytes
+    val agg = try {
+      CoarseMerge.maxBytes = 1L
+      Bq.hammingBroadcastPackedArr(packed, qsArr, k)
+        .orderBy("query_id", "hamming", "id").collect().toSeq
+    } finally CoarseMerge.maxBytes = savedGate
+    assert(CoarseMerge.lastPath == "agg")
+    assert(got == agg)
+    packed.unpersist()
+  }
+
   test("IVF-routed SQ + BQ over the partitioned layout: multi-chunk == single-chunk, still pruned") {
     val (ivfModel, assigned) = Ivf.build(base.select(col("id"), col("vec")), k = 8)
     val sqModel = Sq.train(base)
