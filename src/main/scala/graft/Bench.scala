@@ -894,6 +894,9 @@ object Bench {
     var results1m = Seq.empty[(String, Double)]
     var sustained1m = Map.empty[String, Double]
     var sustainedSpread1m = Map.empty[String, Seq[Double]]
+    // pass-medians of 1M sustained rows run under the 3-independent-pass
+    // policy (kc512 family, r18) — merged into `sustained_samples`
+    var sustainedSamples1m = Map.empty[String, Seq[Double]]
     // measured probe-union coverage of the kc=512 IVFSQ prune demo
     // (fractions of partitions a batch actually reads, driver-computed)
     var sqIvfKc512 = Map.empty[String, Double]
@@ -1089,6 +1092,17 @@ object Bench {
       if (!java.nio.file.Files.exists(
           java.nio.file.Paths.get(floatPartPath, "data", "_SUCCESS")))
         Ivf.writePartitioned(Ivf.assign(vec1m, model1m), model1m, floatPartPath)
+      // UNPARTITIONED flat codes twin (r18): the coverage-aware dispatch
+      // target. The nq=1000 batch's probe union covers all kc=32 clusters
+      // — directory pruning is void, and r17 measured the partitioned
+      // read serving 142.9 q/s vs 270.5 for the full-scan twin in exactly
+      // this regime; the dispatch now routes prune-void chunks to this
+      // flat copy (and the rerank to the flat float fixture).
+      val sqFlatPath = cacheDir.resolve("sq_flat").toString
+      if (!java.nio.file.Files.exists(
+          java.nio.file.Paths.get(sqFlatPath).resolve("_SUCCESS")))
+        sqIvf1m.write.mode("overwrite").parquet(sqFlatPath)
+      val sqFlatDf = spark.read.parquet(sqFlatPath)
       // pre-listed once (deployment shape): per-batch re-listing of the
       // partitioned layout is a fixed driver cost the operator's pruned
       // read should not be charged (see the kc=512 section)
@@ -1097,7 +1111,8 @@ object Bench {
       def mkSqIvfPart1m() = graft.operators.Sq.searchIvfPartitionedDf(
         sqIvfPartDf, floatPartDf, model1m,
         sqModel1m, q1m, k = 10, candidates = 100, nProbes = Some(1),
-        baseClusterCol = Some("cluster"))
+        baseClusterCol = Some("cluster"),
+        flatCodes = Some(sqFlatDf), flatBase = Some(vec1mDisk))
       // SINGLE-query pair: the 1000-query batch's probe UNION covers all
       // kc=32 clusters, so batch serving cannot partition-prune (the
       // nq1000 rows measure the amortized-scan regime). One query probes
@@ -1109,7 +1124,8 @@ object Bench {
       def mkSqIvfPart1mNq1() = graft.operators.Sq.searchIvfPartitionedDf(
         sqIvfPartDf, floatPartDf, model1m,
         sqModel1m, q1m1, k = 10, candidates = 100, nProbes = Some(1),
-        baseClusterCol = Some("cluster"))
+        baseClusterCol = Some("cluster"),
+        flatCodes = Some(sqFlatDf), flatBase = Some(vec1mDisk))
       def mkSqIvf1mNq1() = graft.operators.Sq.searchIvf(sqIvf1m, vec1mDisk,
         model1m, sqModel1m, q1m1, k = 10, candidates = 100, nProbes = Some(1))
       def mkSqIvf1m() = graft.operators.Sq.searchIvf(sqIvf1m, vec1mDisk,
@@ -1122,6 +1138,16 @@ object Bench {
         nProbes = Some(1), nqHint = Some(nq.toLong))
       withAqeOff(serve(mkSqIvf1m())); withAqeOff(serve(mkSqIvf1mDecl()))
       withAqeOff(serve(mkSqIvfPart1m()))
+      // which arm the coverage dispatch chose (1 = flat, 0 = partitioned):
+      // the nq1000 probe union covers all kc=32 clusters ⇒ expect flat;
+      // the single-query row prunes 1/32 ⇒ expect partitioned. The
+      // observable is set at plan construction (the coarse is lazy), so
+      // probing it costs no serve.
+      taskGate += "sq_ivf_part_1m_nq1000_flat_dispatch" ->
+        (if (graft.operators.CoarseMerge.lastCoverageArm == "flat") 1.0 else 0.0)
+      mkSqIvfPart1mNq1()
+      taskGate += "sq_ivf_part_1m_nq1_flat_dispatch" ->
+        (if (graft.operators.CoarseMerge.lastCoverageArm == "flat") 1.0 else 0.0)
       val truth1m = truthSets(vec1m, q1m, 10)
       recalls1m += "bq_hamming_1m_d960_batch" -> recallOf(mkBqHamming1m(), truth1m)
       recalls1m += "bq_rerank_1m_d960_batch" -> recallOf(mkBqRerank1m(), truth1m)
@@ -1351,15 +1377,19 @@ object Bench {
         // in the r16 first run.
         val codes512Df = spark.read.parquet(s"$codes512/data")
         val float512Df = spark.read.parquet(s"$float512/data")
+        val codes512FlatDf = spark.read.parquet(codes512Flat)
+        // flat twins wired in (r18): nq100 probes ~17% of the clusters ⇒
+        // the dispatch keeps the partitioned prune; nq1000 probes ~99% ⇒
+        // prune-void, the flat copy serves
         def mkSqIvfPart512(q: DataFrame) = () =>
           graft.operators.Sq.searchIvfPartitionedDf(codes512Df,
             float512Df, model512, sqModel1m,
             q, k = 10, candidates = 100, nProbes = Some(1),
-            baseClusterCol = Some("cluster"))
+            baseClusterCol = Some("cluster"),
+            flatCodes = Some(codes512FlatDf), flatBase = Some(vec1mDisk))
         def mkSqIvf512(q: DataFrame) = () => graft.operators.Sq.searchIvf(
           sqIvf512, vec1mDisk, model512, sqModel1m, q, k = 10,
           candidates = 100, nProbes = Some(1))
-        val codes512FlatDf = spark.read.parquet(codes512Flat)
         def mkSqIvf512Disk(q: DataFrame) = () => graft.operators.Sq.searchIvf(
           codes512FlatDf, vec1mDisk, model512, sqModel1m,
           q, k = 10, candidates = 100, nProbes = Some(1))
@@ -1380,6 +1410,13 @@ object Bench {
         try {
           Seq(part100, mem100, disk100, part1k, mem1k)
             .foreach(mk => withAqeOff(serve(mk())))
+          // dispatch-arm observables (plan construction only — coarse is lazy)
+          part100()
+          taskGate += "sq_ivf_part_kc512_nq100_flat_dispatch" ->
+            (if (graft.operators.CoarseMerge.lastCoverageArm == "flat") 1.0 else 0.0)
+          part1k()
+          taskGate += "sq_ivf_part_kc512_nq1000_flat_dispatch" ->
+            (if (graft.operators.CoarseMerge.lastCoverageArm == "flat") 1.0 else 0.0)
           val truth100 = truth1m.filter(_._1 < 100)
           recalls1m += "sq_ivf_part_1m_kc512_np1_nq100_batch" ->
             recallOf(part100(), truth100)
@@ -1425,11 +1462,16 @@ object Bench {
           bqIvf512.count()
           val bq512Df = spark.read.parquet(s"$bq512/data")
           val bq512FlatDf = spark.read.parquet(bq512Flat)
-          val cand512 = graft.operators.Bq.autoCandidates(n1m, 10)
+          // probe-pool-aware (r18): the scored pool at np1/kc512 is ~1953
+          // rows — half of it reranks at recall 1.00 (tools/CandProbe),
+          // while the corpus-scaled 2000 reranked the ENTIRE pool and the
+          // winner join dominated all three comparators equally
+          val cand512 = graft.operators.Bq.autoCandidates(n1m, 10, 1, kc512)
           def mkBqIvfPart512(q: DataFrame) = () =>
             graft.operators.Bq.searchIvfPartitionedDf(bq512Df, float512Df,
               model512, Some(bqModel1m), q, k = 10, candidates = cand512,
-              nProbes = Some(1), baseClusterCol = Some("cluster"))
+              nProbes = Some(1), baseClusterCol = Some("cluster"),
+              flatPacked = Some(bq512FlatDf), flatBase = Some(vec1mDisk))
           def mkBqIvf512(q: DataFrame) = () => graft.operators.Bq.searchIvf(
             bqIvf512, vec1mDisk, model512, Some(bqModel1m), q, k = 10,
             candidates = cand512, nProbes = Some(1))
@@ -1456,12 +1498,26 @@ object Bench {
           // (r16 Missing #3): the batch rows carry the whole per-job floor;
           // these are the steady-state numbers of the byte-prune layout.
           // batches=4, rounds=3 like the other slow quantized 1M arms.
-          val (s512, sp512) = sustainedGrid(Seq(
+          // r18 (r17 Wrong #2): this family showed 2.3×-collapsed outlier
+          // reps (in-JVM GC/CPU churn per the attribution columns) inside
+          // single 3-rep grids — same volatility class as the SQ/BQ 10k
+          // family, same fix: THREE independent grid passes, median of
+          // pass-medians committed, pass-medians in sustained_samples.
+          val kc512Ws: Seq[(String, () => DataFrame, Int)] = Seq(
             ("sq_ivf_part_1m_kc512_np1_nq100_sustained", part100, 100),
-            ("bq_ivf_part_1m_kc512_np1_nq100_sustained", bqPart100, 100)),
-            rounds = 3, batches = 4)
-          sustained1m ++= s512
-          sustainedSpread1m ++= sp512
+            ("bq_ivf_part_1m_kc512_np1_nq100_sustained", bqPart100, 100))
+          val kc512Passes =
+            (1 to 3).map(_ => sustainedGrid(kc512Ws, rounds = 3, batches = 4))
+          sustainedSamples1m ++= kc512Ws.map { case (n, _, _) =>
+            n -> (kc512Passes.map(_._1(n)): Seq[Double])
+          }.toMap
+          sustained1m ++= kc512Ws.map { case (n, _, _) =>
+            val ss = kc512Passes.map(_._1(n)).sorted
+            n -> ss(ss.length / 2)
+          }.toMap
+          sustainedSpread1m ++= kc512Ws.map { case (n, _, _) =>
+            n -> (kc512Passes.flatMap(_._2(n)): Seq[Double])
+          }.toMap
           bqIvf512.unpersist()
         } finally spark.conf.set(mpbKey, mpbPrev)
         sqIvf512.unpersist()
@@ -1806,12 +1862,24 @@ object Bench {
         jstr(k) + ":" + (if (v > 0) rowNqOf(k) / v else 0.0)
       }
       .mkString("{", ",", "}")
+    // stage labels (r17 verdict Wrong #4): the bq_hamming/sq_coarse rows
+    // publish SKETCH-stage recall by design (the rerank rows are the
+    // product arms) — mark them so the artifact cannot be read as a
+    // recall-0.12 product arm
+    val stageJson = {
+      val rowNames = results.map(_._1) ++
+        (sustained ++ sustained1m ++ sustained1mLr ++ sustained4m).keys
+      rowNames.distinct.sorted
+        .filter(n => n.startsWith("bq_hamming") || n.startsWith("sq_coarse"))
+        .map(n => jstr(n) + ":\"coarse_only\"")
+        .mkString("{", ",", "}")
+    }
     val sustainedJson = (sustained ++ sustained1m ++ sustained1mLr ++ sustained4m)
       .map { case (k, v) => jstr(k) + ":" + f"$v%.1f" }
       .mkString("{", ",", "}")
     // pass-medians of the volatile SQ/BQ 10k family (committed value =
     // median of these; r16 verdict item 5)
-    val sustainedSamplesJson = sustainedSamples
+    val sustainedSamplesJson = (sustainedSamples ++ sustainedSamples1m)
       .map { case (k, ss) =>
         jstr(k) + ":" + ss.map(v => f"$v%.1f").mkString("[", ",", "]")
       }
@@ -1869,7 +1937,7 @@ object Bench {
     val sweepJson = sweepArr(sweep)
     val total = results.map(_._2).sum
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"qps":$qps,"recall":$recallJson,"sustained_qps":$sustainedJson,"sustained_samples":$sustainedSamplesJson,"sustained_n_samples":3,"sq_ivf_kc512":$sqIvfKc512Json,"sustained_spread":$sustainedSpreadJson$sanityJson,"rep_spread":$spreadJson,"rep_gc_ms":$gcJson,"rep_rebuild_ms":$rebuildJson,"rep_jit_ms":$jitJson,"rep_cpu_ms":$cpuJson,"rep_steal_ms":$stealJson,"sustained_rebuild_ms":$sustainedRebuildJson,"sustained_gc_ms":$sustainedGcJson,"sustained_cpu_ms":$sustainedCpuJson,"sustained_steal_ms":$sustainedStealJson,"task_gate":$taskGateJson,"build_scale":$buildScaleJson,"matched_recall":$matchedJson,"hnsw_d960_ef_sweep":$sweepJson,"pq_d960_ef_sweep":${sweepArr(pqSweep)},"hnsw_pq_walk_d960_ef_sweep":${sweepArr(hnswPqSweep)},"errors":$errJson,"nq":$nq,"n_vec":$nVec,"cpus":$nCores,"smoke":$isSmoke,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"qps":$qps,"recall":$recallJson,"sustained_qps":$sustainedJson,"sustained_samples":$sustainedSamplesJson,"sustained_n_samples":3,"sq_ivf_kc512":$sqIvfKc512Json,"stage":$stageJson,"sustained_spread":$sustainedSpreadJson$sanityJson,"rep_spread":$spreadJson,"rep_gc_ms":$gcJson,"rep_rebuild_ms":$rebuildJson,"rep_jit_ms":$jitJson,"rep_cpu_ms":$cpuJson,"rep_steal_ms":$stealJson,"sustained_rebuild_ms":$sustainedRebuildJson,"sustained_gc_ms":$sustainedGcJson,"sustained_cpu_ms":$sustainedCpuJson,"sustained_steal_ms":$sustainedStealJson,"task_gate":$taskGateJson,"build_scale":$buildScaleJson,"matched_recall":$matchedJson,"hnsw_d960_ef_sweep":$sweepJson,"pq_d960_ef_sweep":${sweepArr(pqSweep)},"hnsw_pq_walk_d960_ef_sweep":${sweepArr(hnswPqSweep)},"errors":$errJson,"nq":$nq,"n_vec":$nVec,"cpus":$nCores,"smoke":$isSmoke,"sf":"$sfDir"}"""
     // DURABLE artifact (r10 verdict item 1): the driver captures only the
     // TAIL of stdout, and the full line above has been truncated two rounds
     // running — losing the np grid and the rep spread it carried. The file
@@ -1943,7 +2011,7 @@ object Bench {
     val floorJson = resMap.get("spark_job_floor")
       .map(s => f""""job_floor_sec":$s%.3f,""").getOrElse("")
     val headlineLine =
-      s"""{"metric":"headline",${floorJson}"sustained_qps":$sustainedJson,"qps":$headQps,"recall":$headRecall,"sustained_spread":$sustainedSpreadJson$sanityJson,"np_rep_spread":$headSpread,"full_json":${jstr(outPath)},"nq":$nq}"""
+      s"""{"metric":"headline",${floorJson}"sustained_qps":$sustainedJson,"qps":$headQps,"recall":$headRecall,"stage":$stageJson,"sustained_spread":$sustainedSpreadJson$sanityJson,"np_rep_spread":$headSpread,"full_json":${jstr(outPath)},"nq":$nq}"""
     println(headlineLine)
     try {
       java.nio.file.Files.write(

@@ -1098,10 +1098,17 @@ class VecDB(spark: SparkSession, root: String) {
     if (routed) {
       val ivfModel = Ivf.readModel(spark, ivfDir(e).toString, e.dist,
         e.ivf.get.defaultNProbes)
-      Sq.writeIvfPartitioned(
-        Sq.encode(Ivf.assign(df.select(col("id"), col("vec")), ivfModel), model)
-          .select(col("id"), col("sq"), col("cluster")),
-        sqDir(e).resolve("ivf").toString)
+      val assigned = Sq.encode(
+        Ivf.assign(df.select(col("id"), col("vec")), ivfModel), model)
+        .select(col("id"), col("sq"), col("cluster"))
+      Sq.writeIvfPartitioned(assigned, sqDir(e).resolve("ivf").toString)
+      // flat twin of the partitioned codes (one contiguous parquet, same
+      // rows): the coverage-aware dispatch target — when a batch's probe
+      // union approaches full coverage, directory pruning is void and the
+      // flat copy scans faster than kc directories. Costs one extra
+      // corpus/4 copy; serving reads exactly one of the two.
+      assigned.write.mode("overwrite")
+        .parquet(sqDir(e).resolve("flat").toString)
     } else {
       Sq.encode(df, model).select("id", "sq")
         .write.mode("overwrite").parquet(sqDir(e).resolve("codes").toString)
@@ -1160,10 +1167,13 @@ class VecDB(spark: SparkSession, root: String) {
       if (routed) {
         val ivfModel = Ivf.readModel(spark, ivfDir(e).toString, e.dist,
           e.ivf.get.defaultNProbes)
-        Bq.writeIvfPartitioned(
-          packed(Ivf.assign(df.select(col("id"), col("vec")), ivfModel))
-            .select(col("id"), col("bq"), col("cluster")),
-          bqDir(e).resolve("ivf").toString)
+        val assigned = packed(
+          Ivf.assign(df.select(col("id"), col("vec")), ivfModel))
+          .select(col("id"), col("bq"), col("cluster"))
+        Bq.writeIvfPartitioned(assigned, bqDir(e).resolve("ivf").toString)
+        // flat twin for the coverage-aware dispatch — see buildSqIndex
+        assigned.write.mode("overwrite")
+          .parquet(bqDir(e).resolve("flat").toString)
       } else {
         packed(df).select("id", "bq")
           .write.mode("overwrite").parquet(bqDir(e).resolve("packed").toString)
@@ -1441,8 +1451,6 @@ class VecDB(spark: SparkSession, root: String) {
         // driver jobs per batch otherwise — the latency-regime floor)
         val model = sidecarCachedAs[Sq.SqModel](
           sqDir(e).resolve("model").toString, e)(loadSqModel(e))
-        val candidates = math.max(k,
-          efOpt.getOrElse(Bq.autoCandidates(e.nextId, k)))
         val hits =
           if (info.routed) {
             if (e.ivf.isEmpty) throw new IllegalStateException(
@@ -1453,6 +1461,11 @@ class VecDB(spark: SparkSession, root: String) {
               ivfDir(e).resolve("centroids").toString, e)(
               Ivf.readModel(spark, ivfDir(e).toString, e.dist,
                 e.ivf.get.defaultNProbes))
+            // probe-pool-aware budget: the scored pool is ~np·N/kc rows,
+            // not the corpus (see Bq.autoCandidates' routed overload)
+            val candidates = math.max(k, efOpt.getOrElse(
+              Bq.autoCandidates(e.nextId, k, ivfModel.defaultNProbes,
+                ivfModel.centroids.length)))
             // rerank against the IVF sidecar's OWN cluster-partitioned
             // float layout (same assignment as the codes): both stages
             // partition-prune, so a batch touches (np/kc) of the codes
@@ -1461,13 +1474,25 @@ class VecDB(spark: SparkSession, root: String) {
             // come pre-listed from the sidecar cache (listing a kc-way
             // layout per batch would dominate the pruned read).
             val floatBase = sidecarDf(ivfDir(e).resolve("data").toString, e)
+            // flat twin (written by r18+ builds) enables the coverage-aware
+            // dispatch: prune-void batches scan one contiguous parquet
+            // instead of kc directories. Absent on pre-r18 sidecars — the
+            // dispatch then always serves the partitioned layout.
+            val flatDir = sqDir(e).resolve("flat")
+            val flat =
+              if (java.nio.file.Files.exists(flatDir))
+                Some(sidecarDf(flatDir.toString, e))
+              else None
             Sq.searchIvfPartitionedDf(
               sidecarDf(sqDir(e).resolve("ivf").resolve("data").toString, e),
               floatBase, ivfModel, model, queries, k, candidates,
               nProbes = None, dist = e.dist,
-              baseClusterCol = Some("cluster"))
+              baseClusterCol = Some("cluster"),
+              flatCodes = flat, flatBase = Some(filtered))
           } else {
             lastServedArm = "sq_rerank_serve"
+            val candidates = math.max(k,
+              efOpt.getOrElse(Bq.autoCandidates(e.nextId, k)))
             val packed = sidecarDf(sqDir(e).resolve("codes").toString, e)
             Sq.searchRerankPacked(packed, filtered, queries, model, k,
               candidates, dist = e.dist)
@@ -1476,8 +1501,6 @@ class VecDB(spark: SparkSession, root: String) {
         else hits.filter(col("distance") <= lit(ub))
       case (efOpt, _) if e.bq.isDefined && !e.hasHnsw && pattern.isEmpty =>
         val info = e.bq.get
-        val candidates = math.max(k,
-          efOpt.getOrElse(Bq.autoCandidates(e.nextId, k)))
         val hits =
           if (info.routed) {
             if (e.ivf.isEmpty) throw new IllegalStateException(
@@ -1488,21 +1511,34 @@ class VecDB(spark: SparkSession, root: String) {
               ivfDir(e).resolve("centroids").toString, e)(
               Ivf.readModel(spark, ivfDir(e).toString, e.dist,
                 e.ivf.get.defaultNProbes))
+            // probe-pool-aware budget (see the sq_ivf arm / Bq.autoCandidates)
+            val candidates = math.max(k, efOpt.getOrElse(
+              Bq.autoCandidates(e.nextId, k, ivfModel.defaultNProbes,
+                ivfModel.centroids.length)))
             // rerank against the IVF sidecar's OWN cluster-partitioned
             // float layout (same assignment as the packed words): both
             // stages partition-prune — the sq_ivf arm's argument, at 1/32
             // the coarse bytes instead of 1/4; reads pre-listed (sidecar
             // cache) like the sq_ivf arm
             val floatBase = sidecarDf(ivfDir(e).resolve("data").toString, e)
+            // coverage-aware dispatch twin — see the sq_ivf arm
+            val flatDir = bqDir(e).resolve("flat")
+            val flat =
+              if (java.nio.file.Files.exists(flatDir))
+                Some(sidecarDf(flatDir.toString, e))
+              else None
             Bq.searchIvfPartitionedDf(
               sidecarDf(bqDir(e).resolve("ivf").resolve("data").toString, e),
               floatBase, ivfModel, sidecarCachedAs[Option[Bq.BqModel]](
                 bqDir(e).resolve("model").toString, e)(loadBqModel(e)),
               queries, k, candidates,
               nProbes = None, dist = e.dist,
-              baseClusterCol = Some("cluster"))
+              baseClusterCol = Some("cluster"),
+              flatPacked = flat, flatBase = Some(filtered))
           } else {
             lastServedArm = "bq_rerank_serve"
+            val candidates = math.max(k,
+              efOpt.getOrElse(Bq.autoCandidates(e.nextId, k)))
             val packed = sidecarDf(bqDir(e).resolve("packed").toString, e)
             Bq.searchRerankPacked(packed, filtered, queries, k,
               candidates, dist = e.dist,

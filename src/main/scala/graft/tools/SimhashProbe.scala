@@ -1,0 +1,56 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** SimHash recall attribution (r17 verdict item 8): the q_dedup_simhash
+  * health boolean pins recall ≥ 0.5 of the exact 3-gram near-dup universe
+  * (measured 0.6). Recall is bounded by TWO stages — the banding (which
+  * exact pairs ever become candidates) and the Hamming cutoff (which
+  * candidates survive `hamming <= maxHamming`). This probe separates
+  * them: the Hamming histogram of the exact near-dup pairs says what any
+  * cutoff can reach; the 4×16 block-collision test says what the banding
+  * already surfaces at each distance. Run on the driver test data:
+  * `PROBE_SF_DIR=/root/testdata/sf0.01 runMain graft.tools.SimhashProbe`. */
+object SimhashProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .appName("graft-simhash-probe")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = sys.env.getOrElse("PROBE_SF_DIR", "/root/testdata/sf0.01")
+    val docs = graft.Tables.docs(spark, dir)
+    val sk = docs.select(col("doc_id").cast("long").as("doc_id"),
+      graft.operators.Dedup.simhash(col("text")).as("sk"))
+    val exact = graft.operators.Dedup.ngramJaccardJoin(docs, n = 3, threshold = 0.5)
+      .select("a_id", "b_id")
+    val withH = exact
+      .join(sk.select(col("doc_id").as("a_id"), col("sk").as("ska")), "a_id")
+      .join(sk.select(col("doc_id").as("b_id"), col("sk").as("skb")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        bit_count(col("ska").bitwiseXOR(col("skb"))).as("h"),
+        // does ANY of the 4 16-bit blocks agree? (the banding candidate test)
+        (0 until 4).map(i =>
+          (shiftright(col("ska"), i * 16).bitwiseAND(lit(0xFFFFL)) ===
+           shiftright(col("skb"), i * 16).bitwiseAND(lit(0xFFFFL))).cast("int"))
+          .reduce(_ + _).gt(lit(0)).as("banded4x16"))
+    val rows = withH.collect()
+    val total = rows.length
+    println(s"[probe] exact near-dup pairs: $total")
+    val hs = rows.map(_.getInt(2))
+    (0 to 16).foreach { h =>
+      val le = hs.count(_ <= h)
+      val bandedLe = rows.count(r => r.getInt(2) <= h && r.getBoolean(3))
+      println(f"[probe] hamming<=$h%2d: pairs=$le (recall=${le.toDouble / total}%.3f) banded4x16=$bandedLe")
+    }
+    println(f"[probe] max hamming among exact pairs: ${hs.max}")
+    // false-candidate pressure: how many candidate pairs does banding emit
+    // per cutoff (cost of raising maxHamming under the current banding)
+    val cand = graft.operators.Dedup.simhashPairs(docs, maxHamming = 64)
+    println(s"[probe] banded candidate pairs (any hamming): ${cand.count()}")
+    spark.stop()
+  }
+}

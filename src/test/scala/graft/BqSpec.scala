@@ -155,6 +155,20 @@ class BqSpec extends SparkTestBase {
     shifted.unpersist()
   }
 
+  test("routed autoCandidates: pool-derived budget, flat-arm cap, 10k floor, recall held") {
+    import graft.operators.Bq
+    // pool = np·N/kc; budget = 2/3 pool (CandProbe-calibrated), capped at
+    // the flat-arm budget, floored at 10·k
+    assert(Bq.autoCandidates(1000000L, 10, 1, 512) == 1302) // 2/3 of 1953
+    assert(Bq.autoCandidates(1000000L, 10, 1, 32) == 2000)  // cap: flat arm
+    assert(Bq.autoCandidates(1000000L, 10, 4, 512) == 2000) // np scales pool
+    assert(Bq.autoCandidates(10000L, 10, 1, 512) == 100)    // floor: 10·k
+    // the pool-aware budget serves the same rows as the corpus-scaled one
+    // when the floor makes both exhaustive over the probed pool (the
+    // small-fixture regime) — and never violates candidates >= k
+    assert(Bq.autoCandidates(1L, 10, 1, 1) == 100)
+  }
+
   test("candidates < k rejected; candidates >= n is exact") {
     intercept[IllegalArgumentException] {
       Bq.searchRerank(base, qs, k = 10, candidates = 5)

@@ -202,6 +202,64 @@ class CatalogSpec extends SparkTestBase {
     db.close()
   }
 
+  test("coverage-aware dispatch: prune-void batches serve the flat twin, forced-off serves partitioned, same rows") {
+    val root = Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "vecdb_cov").toString
+    val db = new VecDB(spark, root)
+    db.createTableIfNotExists("t", 8, "l2sqr")
+    val rnd = new scala.util.Random(23)
+    val vecs = (0 until 60).map(_ => Array.fill(8)(rnd.nextFloat()))
+    db.batchAdd("t", vecs, vecs.indices.map(i => Map("i" -> i.toString)))
+    db.buildIvfIndex("t", k = 4, defaultNProbes = 4)
+    db.buildSqIndex("t") // routed build writes the flat twin (r18)
+    import spark.implicits._
+    val q = Seq((0L, vecs(9))).toDF("query_id", "query_vec")
+    def served() = db.searchBatch("t", q, 5, ef = Some(200))
+      .orderBy("distance", "id").collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Double]("distance"))).toSeq
+    // np=4 of kc=4 ⇒ probe coverage 1.0 ≥ default threshold: flat twin
+    val viaFlat = served()
+    assert(db.lastServedArm == "sq_ivf")
+    assert(graft.operators.CoarseMerge.lastCoverageArm == "flat",
+      s"arm=${graft.operators.CoarseMerge.lastCoverageArm}")
+    // threshold forced past 1.0: the same search serves the partitioned
+    // layout — identical rows (the dispatch is purely physical)
+    val saved = graft.operators.CoarseMerge.coverageFlatThreshold
+    val viaPart = try {
+      graft.operators.CoarseMerge.coverageFlatThreshold = 2.0
+      served()
+    } finally graft.operators.CoarseMerge.coverageFlatThreshold = saved
+    assert(graft.operators.CoarseMerge.lastCoverageArm == "partitioned")
+    assert(viaPart == viaFlat)
+    // pre-r18 sidecar (no flat twin on disk): coverage 1.0 still serves
+    // the partitioned layout instead of failing
+    val flatDirs = {
+      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(root))
+      try s.filter(p => p.toString.endsWith("sq/flat"))
+        .toArray.map(_.asInstanceOf[java.nio.file.Path]).toSeq
+      finally s.close()
+    }
+    assert(flatDirs.nonEmpty, "routed SQ build did not write the flat twin")
+    flatDirs.foreach(deleteDir)
+    val viaOld = served()
+    assert(graft.operators.CoarseMerge.lastCoverageArm == "partitioned",
+      "missing flat twin must fall back to the partitioned layout")
+    assert(viaOld == viaFlat)
+    // BQ twin of the same dispatch (SQ outranks BQ in the matrix — clear it)
+    db.clearSqIndex("t")
+    db.buildBqIndex("t")
+    val bqFlat = served()
+    assert(db.lastServedArm == "bq_ivf")
+    assert(graft.operators.CoarseMerge.lastCoverageArm == "flat")
+    val bqPart = try {
+      graft.operators.CoarseMerge.coverageFlatThreshold = 2.0
+      served()
+    } finally graft.operators.CoarseMerge.coverageFlatThreshold = saved
+    assert(graft.operators.CoarseMerge.lastCoverageArm == "partitioned")
+    assert(bqPart == bqFlat)
+    db.close()
+  }
+
   test("bq sidecar: centered serving, exact at exhaustive candidates, delete clears, reopen persists") {
     val root = Files.createTempDirectory(
       java.nio.file.Paths.get("target"), "vecdb_bq").toString
