@@ -145,28 +145,37 @@ object SparkEntry {
           Dedup.ngramJaccardJoin(docs, n = 3, threshold = 0.5))
         .orderBy("doc_id")
     }),
-    // LLM-pipeline: SimHash near-dup pairs (64-bit sketch, block banding,
-    // Hamming filter). SimHash approximates token-multiset ANGLE, not
-    // shingle Jaccard, so its pair set is neither a subset nor a superset
-    // of the n-gram universe; the derived-bound grade pins what the
-    // sketch DOES promise — recall ≥ 0.5 of the exact n-gram near-dups
-    // (measured 0.6 on this corpus) and that every emitted pair is
-    // genuinely angle-close under the sketch's own metric (token-multiset
-    // cosine: min ≥ 0.7 and mean ≥ 0.85, vs ~0.63 for a random pair of
-    // this corpus — a degenerate sketch emitting hash-collision pairs
-    // fails both). Cosine check is an inverted token join, never
-    // all-pairs.
+    // LLM-pipeline: SimHash near-dup pairs (64-bit sketch, rotated block
+    // banding, Hamming filter). SimHash approximates token-multiset
+    // ANGLE, not shingle Jaccard, so its pair set is neither a subset nor
+    // a superset of the n-gram universe; the derived-bound grade pins
+    // what the sketch DOES promise — recall ≥ 0.7 of the exact n-gram
+    // near-dups (r18: Hamming cutoff 3→4 + a rotated second banding
+    // table; tools/SimhashProbe measured recall 0.82-0.88 across
+    // sf0.001/0.01/0.1 vs the old cutoff's hard 0.60 bound), that the
+    // emitted set is genuinely angle-close under the sketch's own metric
+    // (token-multiset cosine: 10th percentile ≥ 0.7 and mean ≥ 0.8 —
+    // measured p10 0.76-0.80, mean 0.84-0.94 across the three SFs, vs
+    // ~0.63 for a random pair; quantile floors because a MIN over
+    // thousands of emitted pairs flips on one marginal admit), and a
+    // MINIMUM EMITTED-PAIR floor (≥ half the exact universe; measured
+    // 1.3-6.6×) so an all-empty degenerate output FAILS instead of
+    // passing both other booleans vacuously. Cosine check is an inverted
+    // token join, never all-pairs.
     "q_dedup_simhash" -> ((s, dir) => {
       val docs = Tables.docs(s, dir)
       val exact = Dedup.ngramJaccardJoin(docs, n = 3, threshold = 0.5)
         .select(col("a_id"), col("b_id"))
-      val sim = Dedup.simhashPairs(docs, maxHamming = 3)
+      val sim = Dedup.simhashPairs(docs)
         .select(col("a_id"), col("b_id"))
       val recallOk = exact
         .join(sim.withColumn("__f", lit(1)), Seq("a_id", "b_id"), "left")
         .agg(coalesce(
-          sum(coalesce(col("__f"), lit(0))) >= count(lit(1)) * 0.5,
+          sum(coalesce(col("__f"), lit(0))) >= count(lit(1)) * 0.7,
           lit(true)).as("recall_ok"))
+      val emittedOk = sim.agg(count(lit(1)).as("__n"))
+        .crossJoin(broadcast(exact.agg((count(lit(1)) / 2).as("__floor"))))
+        .select((col("__n") >= col("__floor")).as("emitted_ok"))
       val tok = docs.select(col("doc_id").cast("long").as("doc_id"),
           explode(split(col("text"), " ")).as("w"))
         .groupBy("doc_id", "w").agg(count(lit(1)).cast("double").as("c"))
@@ -182,10 +191,11 @@ object SparkEntry {
         .select((coalesce(col("dot"), lit(0.0)) /
           (col("na.nrm") * col("nb.nrm"))).as("cos"))
       val similarOk = cosines.agg(coalesce(
-        min(col("cos")) >= 0.7 && avg(col("cos")) >= 0.85,
+        expr("percentile(cos, 0.1)") >= 0.7 && avg(col("cos")) >= 0.8,
         lit(true)).as("similar_ok"))
       docs.select(col("doc_id"))
         .crossJoin(broadcast(recallOk)).crossJoin(broadcast(similarOk))
+        .crossJoin(broadcast(emittedOk))
         .orderBy("doc_id")
     }),
     // LLM-pipeline: per-document token/length statistics
@@ -1691,10 +1701,13 @@ object SparkEntry {
         |       TRUE AS recall_ok, TRUE AS subset_ok
         |FROM p WHERE j >= 0.5 ORDER BY a_id, b_id""".stripMargin,
     // derived-bound oracle: one row per document, health booleans pinned
-    // (recall ≥ 0.5 vs the exact n-gram universe; emitted pairs
-    // angle-close under the sketch's own token-multiset-cosine metric)
+    // (recall ≥ 0.7 vs the exact n-gram universe; emitted pairs
+    // angle-close under the sketch's own token-multiset-cosine metric —
+    // p10/mean quantile floors; minimum emitted-pair count — the
+    // anti-degenerate floor)
     "q_dedup_simhash" ->
-      """SELECT doc_id, TRUE AS recall_ok, TRUE AS similar_ok
+      """SELECT doc_id, TRUE AS recall_ok, TRUE AS similar_ok,
+        |       TRUE AS emitted_ok
         |FROM documents ORDER BY doc_id""".stripMargin,
     // transitive closure of the ngram pair set via recursive CTE; the
     // component id is the minimum reachable doc id (matching the Spark

@@ -39,9 +39,25 @@ case class NearestCentroid(
     case _ => false
   }
 
+  // the row materialized ONCE per eval (not once per centroid): ArrayData
+  // element reads are virtual calls — at assign-pass scale (N × k × dim
+  // reads) they dominated the arithmetic; a single dim-length copy into a
+  // primitive array pays N × dim reads instead (r18, part of the 4M
+  // route-stage flattening)
+  @transient private lazy val rowBuf = new ThreadLocal[Array[Double]] {
+    override def initialValue(): Array[Double] =
+      new Array[Double](centroids(0).length)
+  }
+
   override def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
     val n = v.numElements()
+    val cosine = kind == "cosine"
+    var buf = rowBuf.get()
+    if (buf.length != n) { buf = new Array[Double](n); rowBuf.set(buf) }
+    var i = 0
+    if (isFloat) while (i < n) { buf(i) = v.getFloat(i).toDouble; i += 1 }
+    else while (i < n) { buf(i) = v.getDouble(i); i += 1 }
     var best = 0
     var bestD = Double.MaxValue
     var c = 0
@@ -50,21 +66,28 @@ case class NearestCentroid(
       require(cent.length == n,
         s"nearest_centroid: dimension mismatch ($n vs ${cent.length})")
       var d = 0.0
-      var i = 0
-      kind match {
-        case "cosine" =>
-          var dot = 0.0; var na = 0.0; var nb = 0.0
-          while (i < n) {
-            val x = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
-            val y = cent(i).toDouble
-            dot += x * y; na += x * x; nb += y * y; i += 1
+      i = 0
+      if (cosine) {
+        var dot = 0.0; var na = 0.0; var nb = 0.0
+        while (i < n) {
+          val x = buf(i)
+          val y = cent(i).toDouble
+          dot += x * y; na += x * x; nb += y * y; i += 1
+        }
+        d = 1.0 - dot / math.max(math.sqrt(na) * math.sqrt(nb), 1e-10)
+      } else { // l2sqr — partial sums are monotone: once d exceeds the
+        // current best STRICTLY the centroid cannot win (strict < keeps
+        // lowest id on ties either way), so bail in 128-element blocks.
+        // Selection-neutral: per-centroid summation order is unchanged
+        // and only never-winning centroids are cut short.
+        var live = true
+        while (live && i < n) {
+          val blockEnd = math.min(i + 128, n)
+          while (i < blockEnd) {
+            val diff = buf(i) - cent(i); d += diff * diff; i += 1
           }
-          d = 1.0 - dot / math.max(math.sqrt(na) * math.sqrt(nb), 1e-10)
-        case _ => // l2sqr
-          while (i < n) {
-            val x = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
-            val diff = x - cent(i); d += diff * diff; i += 1
-          }
+          if (d > bestD) live = false
+        }
       }
       if (d < bestD) { bestD = d; best = c } // strict < keeps lowest id on ties
       c += 1

@@ -41,6 +41,18 @@ object LocalKMeans {
     best
   }
 
+  /** Parallel loop over point indices (common ForkJoinPool). Only used
+    * where iterations write DISJOINT slots (per-point assignment/weight),
+    * so results are bit-identical to the sequential loop — every
+    * accumulation stays sequential in index order. The fit's hot loops
+    * are O(n·k·dim) driver-side work that scaled superlinearly with the
+    * build (kc grows with N): single-threaded they were the dominant
+    * term of the 4M route stage (r17 verdict Wrong #1; tools/RouteProbe
+    * attribution). */
+  private def parForeach(n: Int)(f: Int => Unit): Unit =
+    java.util.stream.IntStream.range(0, n).parallel()
+      .forEach(i => f(i))
+
   /** Draw an index with probability ∝ weight; all-zero → uniform. */
   private def weightedDraw(weights: Array[Double], rng: Random): Int = {
     val total = weights.sum
@@ -73,32 +85,36 @@ object LocalKMeans {
     val rng = new Random(seed)
     val d = dist(kind) _
 
-    // k-means++ seeding
+    // k-means++ seeding — weight updates are per-point independent, so
+    // they parallelize bit-identically; the draw (weights.sum + scan)
+    // stays sequential in index order
     val centroids = new Array[Array[Float]](k)
     centroids(0) = data(rng.nextInt(n)).clone()
     val weight = Array.fill(n)(Double.PositiveInfinity)
     var c = 1
     while (c < k) {
-      var i = 0
-      while (i < n) {
-        weight(i) = math.min(weight(i), d(centroids(c - 1), data(i)))
-        i += 1
-      }
+      val prev = centroids(c - 1)
+      parForeach(n)(i => weight(i) = math.min(weight(i), d(prev, data(i))))
       centroids(c) = data(weightedDraw(weight, rng)).clone()
       c += 1
     }
 
-    // Lloyd rounds
+    // Lloyd rounds — the O(n·k·dim) nearest-centroid search parallelizes
+    // over points (disjoint writes into `assign`); the O(n·dim)
+    // accumulation stays sequential in index order, so the sums (and
+    // therefore the centroids) are bit-identical to the sequential fit
     val sums = Array.ofDim[Double](k, dim)
     val counts = new Array[Int](k)
+    val assign = new Array[Int](n)
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
       java.util.Arrays.fill(counts, 0)
       sums.foreach(s => java.util.Arrays.fill(s, 0.0))
+      parForeach(n)(i => assign(i) = nearest(data(i), centroids, kind))
       var i = 0
       while (i < n) {
-        val ci = nearest(data(i), centroids, kind)
+        val ci = assign(i)
         counts(ci) += 1
         val s = sums(ci); val v = data(i)
         var j = 0

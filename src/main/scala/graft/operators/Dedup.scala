@@ -268,22 +268,40 @@ object Dedup {
     graft.functions.TextFunctions.simhash64(
       transform(split(text, " "), t => xxhash64(t)))
 
-  /** SimHash near-duplicate join: 4×16-bit block banding (two sketches with
-    * Hamming distance ≤ 3 must agree on ≥ 1 of 4 blocks — pigeonhole), then
-    * exact Hamming ≤ maxHamming filter via bit_count(xor).
+  /** SimHash near-duplicate join: `tables` cyclically-rotated 4×16-bit
+    * block-banding tables (table t cuts the sketch at bit offsets
+    * 8t, 8t+16, 8t+32, 8t+48), then exact Hamming ≤ maxHamming filter via
+    * bit_count(xor).
+    *
+    * Candidate guarantee: within EACH table, two sketches with Hamming
+    * distance ≤ 3 must agree on ≥ 1 of its 4 blocks (pigeonhole); pairs at
+    * Hamming 4..maxHamming are caught when any table's cut isolates their
+    * flipped bits into ≤ 3 blocks — rotating the cut by 8 bits per table
+    * makes the tables fail independently (r18 calibration,
+    * tools/SimhashProbe on the sf corpora: every exact 3-gram near-dup
+    * pair sits at Hamming ≤ 5; the old maxHamming=3 capped recall at
+    * 0.60; h≤4 with two tables measures recall 0.82-0.88 while keeping
+    * the emitted set angle-tight — p10 token-multiset cosine ≥ 0.76 at
+    * every SF; h≤5 reaches 1.00 recall but admits visibly looser pairs,
+    * min cosine 0.68 — so 4 is the default and 5 the recall-first dial).
     *
     * @return (a_id, b_id, hamming) with a_id < b_id
     */
   def simhashPairs(
       docs: DataFrame,
-      maxHamming: Int = 3,
+      maxHamming: Int = 4,
       idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text",
+      tables: Int = 2): DataFrame = {
+    require(tables >= 1 && tables <= 8, s"tables must be 1..8 (got $tables)")
     val sk = docs.select(col(idCol).cast("long").as("doc_id"),
       simhash(col(textCol)).as("sk"))
+    def rot(c: Column, r: Int): Column =
+      if (r == 0) c
+      else shiftrightunsigned(c, r).bitwiseOR(shiftleft(c, 64 - r))
     val blocks = sk.select(col("doc_id"), col("sk"),
-      posexplode(array((0 until 4).map(i =>
-        shiftright(col("sk"), i * 16).bitwiseAND(lit(0xFFFFL))): _*))
+      posexplode(array((for (t <- 0 until tables; i <- 0 until 4) yield
+        shiftright(rot(col("sk"), 8 * t), i * 16).bitwiseAND(lit(0xFFFFL))): _*))
         .as(Seq("blk", "bv")))
     blocks.as("a")
       .join(blocks.as("b"),

