@@ -239,32 +239,109 @@ object Bq extends Serializable {
     val bc = spark.sparkContext.broadcast(qs)
     // bounded (hamming, id) selector per query — integer hammings (≤ dim)
     // are exact in double, so (distance, id) order is the engine's
-    // standard tie-break bit for bit; heap layout past 256 slots (rerank
-    // candidate budgets — the O(k)-memmove fix)
+    // standard tie-break bit for bit. QUERY-OUTER blocked loop (r18): the
+    // r17 row-outer loop paid ~67 ns/pair — streaming the query-word
+    // array, a bounds array and a random buffer per (row, query) — while
+    // the arithmetic floor is ~15 ns/pair (tools/KernelMicro). Buffering
+    // ~4 MB of rows and looping queries OUTER keeps one query's words and
+    // its admission bound in registers and ONE TopBuffer hot per sweep:
+    // measured 20-31 ns/pair (15-word unroll / generic), 2.8× on the
+    // nq10k coarse pass. Selection identical — per query the rows offer
+    // in the same order, under the same integer bound (hammings are
+    // exact in int and double alike).
     def scanPartition(it: Iterator[(Long, Array[Long])])
         : Array[graft.index.TopBuffer] = {
       val qarr = bc.value
       val nq = qarr.length
       if (nq == 0 || !it.hasNext) return Array.empty
+      val words = qarr(0)._2.length
+      val qflat = new Array[Long](nq * words)
+      var vq = 0
+      while (vq < nq) {
+        val qw = qarr(vq)._2
+        if (qw.length != words) throw new IllegalArgumentException(
+          s"bq_hamming: word-count mismatch (${qw.length} vs $words)")
+        System.arraycopy(qw, 0, qflat, vq * words, words)
+        vq += 1
+      }
       val bufs = Array.fill(nq)(new graft.index.TopBuffer(k))
-      // dense per-query admission bounds (nq × 8 B, cache-resident): at
-      // big-batch × rerank budgets the buffers alone are 100s of MB per
-      // task, so letting every rejected offer touch a random buffer is a
-      // guaranteed cache miss per (row, query) — the measured bound of
-      // the nq10k coarse pass. Steady state skips the buffer entirely
-      // unless the row can actually be admitted (d == bound still offers:
-      // the id tie-break may admit).
-      val bounds = Array.fill(nq)(Double.PositiveInfinity)
+      // per-query integer admission bounds carried across row blocks
+      // (d == bound still offers: the id tie-break may admit)
+      val bounds = Array.fill(nq)(Int.MaxValue)
+      val blockRows = math.max(1, (4 << 20) / (words * 8))
+      val ids = new Array[Long](blockRows)
+      val rowsFlat = new Array[Long](blockRows * words)
       while (it.hasNext) {
-        val (id, bq) = it.next()
+        var m = 0
+        while (m < blockRows && it.hasNext) {
+          val (id, bq) = it.next()
+          if (bq.length != words) throw new IllegalArgumentException(
+            s"bq_hamming: word-count mismatch (${bq.length} vs $words)")
+          System.arraycopy(bq, 0, rowsFlat, m * words, words)
+          ids(m) = id
+          m += 1
+        }
         var qi = 0
         while (qi < nq) {
-          val d = BqKernel.hamming(qarr(qi)._2, bq).toDouble
-          if (d <= bounds(qi)) {
-            val buf = bufs(qi)
-            buf.offer(d, id)
-            bounds(qi) = buf.bound
+          val buf = bufs(qi)
+          var bound = bounds(qi)
+          val qoff = qi * words
+          import java.lang.Long.bitCount
+          if (words == 15) { // d=960: the reference dim — unrolled, query
+            // words pinned in registers (20-22 vs 28-31 ns/pair generic)
+            val q0 = qflat(qoff); val q1 = qflat(qoff + 1)
+            val q2 = qflat(qoff + 2); val q3 = qflat(qoff + 3)
+            val q4 = qflat(qoff + 4); val q5 = qflat(qoff + 5)
+            val q6 = qflat(qoff + 6); val q7 = qflat(qoff + 7)
+            val q8 = qflat(qoff + 8); val q9 = qflat(qoff + 9)
+            val q10 = qflat(qoff + 10); val q11 = qflat(qoff + 11)
+            val q12 = qflat(qoff + 12); val q13 = qflat(qoff + 13)
+            val q14 = qflat(qoff + 14)
+            var r = 0
+            var ro = 0
+            while (r < m) {
+              val acc = bitCount(rowsFlat(ro) ^ q0) +
+                bitCount(rowsFlat(ro + 1) ^ q1) +
+                bitCount(rowsFlat(ro + 2) ^ q2) +
+                bitCount(rowsFlat(ro + 3) ^ q3) +
+                bitCount(rowsFlat(ro + 4) ^ q4) +
+                bitCount(rowsFlat(ro + 5) ^ q5) +
+                bitCount(rowsFlat(ro + 6) ^ q6) +
+                bitCount(rowsFlat(ro + 7) ^ q7) +
+                bitCount(rowsFlat(ro + 8) ^ q8) +
+                bitCount(rowsFlat(ro + 9) ^ q9) +
+                bitCount(rowsFlat(ro + 10) ^ q10) +
+                bitCount(rowsFlat(ro + 11) ^ q11) +
+                bitCount(rowsFlat(ro + 12) ^ q12) +
+                bitCount(rowsFlat(ro + 13) ^ q13) +
+                bitCount(rowsFlat(ro + 14) ^ q14)
+              if (acc <= bound) {
+                buf.offer(acc.toDouble, ids(r))
+                val bb = buf.bound
+                bound = if (bb >= Int.MaxValue.toDouble) Int.MaxValue
+                        else bb.toInt
+              }
+              r += 1; ro += words
+            }
+          } else {
+            var r = 0
+            var ro = 0
+            while (r < m) {
+              var acc = 0
+              var w = 0
+              while (w < words) {
+                acc += bitCount(rowsFlat(ro + w) ^ qflat(qoff + w)); w += 1
+              }
+              if (acc <= bound) {
+                buf.offer(acc.toDouble, ids(r))
+                val bb = buf.bound
+                bound = if (bb >= Int.MaxValue.toDouble) Int.MaxValue
+                        else bb.toInt
+              }
+              r += 1; ro += words
+            }
           }
+          bounds(qi) = bound
           qi += 1
         }
       }
@@ -356,28 +433,23 @@ object Bq extends Serializable {
     val qs = queries
       .select(col(queryIdCol).cast("long"), col(queryVecCol))
       .as[(Long, Array[Float])].collect()
-    // chunk the batch under the task-memory gate and re-rank PER CHUNK
-    // (r18): each chunk's (chunk_nq × candidates) winner set feeds its own
-    // byte-gated [[Rerank.exact]] pass over the float column, and the
-    // reranked top-k union — exact because chunks partition the queries
-    // and both stages are per-query. The r17 shape paid the whole batch's
-    // winner join as ONE stage (20M rows at nq10k × c2000 — its measured
-    // bound); per-chunk the join shrinks by the chunk factor, usually back
-    // under the broadcast budget, and pipelines with the next chunk's scan.
-    val spans = CoarseMerge.spans(qs.length, candidates)
-    val hits = spans.map { case (s, e) =>
-      val qsC = if (s == 0 && e == qs.length) qs else qs.slice(s, e)
-      val qsPacked = qsC.map { case (qid, v) =>
-        (qid, model.fold(BqKernel.pack(v))(m => BqKernel.packCentered(v, m.thresholds)))
-      }
-      val coarse = hammingChunk(packed, qsPacked, candidates)
-        .select(col("query_id"), col("id"))
-      Rerank.exact(coarse, base, Rerank.queriesDf(spark, qsC), k, dist,
-        idCol, vecCol, "query_id", "query_vec",
-        estRows = qsC.length.toLong * candidates)
-    }.reduce(_ union _)
-    CoarseMerge.lastChunks = spans.length
-    hits
+    val qsPacked = qs.map { case (qid, v) =>
+      (qid, model.fold(BqKernel.pack(v))(m => BqKernel.packCentered(v, m.thresholds)))
+    }
+    // coarse is chunked under the task-memory gate; the rerank runs ONCE
+    // over the unioned winners. Per-chunk rerank was measured (r18,
+    // tools/DistProbe at nq10k × c2000 over 1M×960) and REJECTED for the
+    // flat path: the winner side is 16 B/row while the float base is
+    // ~3.8 KB/row, so shrinking the winner join by the chunk factor while
+    // re-scanning the full base per chunk trades ~300 MB of join input
+    // against ~7.6 GB of extra base reads — two_stage 35 s per-chunk vs
+    // ~24 s global. (The ROUTED twins DO rerank per chunk: their base is
+    // partition-pruned to each chunk's probed clusters, so there is no
+    // base-scan amplification and the pruning is tighter per chunk.)
+    val coarse = hammingBroadcastPackedArr(packed, qsPacked, candidates)
+      .select(col("query_id"), col("id"))
+    Rerank.exact(coarse, base, queries, k, dist, idCol, vecCol,
+      queryIdCol, queryVecCol, estRows = qs.length.toLong * candidates)
   }
 
   /** Persist `(id, bq, cluster)` as the physical IVF-BQ layout: cluster-

@@ -344,21 +344,15 @@ object Sq extends Serializable {
     val qs = queries
       .select(col(queryIdCol).cast("long"), col(queryVecCol))
       .as[(Long, Array[Float])].collect()
-    // per-chunk rerank under the task-memory gate (r18) — see
-    // [[Bq.searchRerankPacked]]: the winner join shrinks by the chunk
-    // factor and pipelines with the next chunk's coarse scan; exact
-    // because chunks partition the queries and both stages are per-query
-    val spans = CoarseMerge.spans(qs.length, candidates)
-    val hits = spans.map { case (s, e) =>
-      val qsC = if (s == 0 && e == qs.length) qs else qs.slice(s, e)
-      val coarse = serveChunk(packed, qsC, model, candidates, dist)
-        .select(col("query_id"), col("id"))
-      Rerank.exact(coarse, base, Rerank.queriesDf(spark, qsC), k, dist,
-        idCol, vecCol, "query_id", "query_vec",
-        estRows = qsC.length.toLong * candidates)
-    }.reduce(_ union _)
-    CoarseMerge.lastChunks = spans.length
-    hits
+    // coarse is chunked under the task-memory gate; the rerank runs ONCE
+    // over the unioned winners — per-chunk rerank re-scans the full float
+    // base per chunk, a measured net loss on the flat path (see
+    // [[Bq.searchRerankPacked]]; the ROUTED twins rerank per chunk
+    // against cluster-pruned bases)
+    val coarse = serveBroadcastPackedArr(packed, qs, model, candidates, dist)
+      .select(col("query_id"), col("id"))
+    Rerank.exact(coarse, base, queries, k, dist, idCol, vecCol,
+      queryIdCol, queryVecCol, estRows = qs.length.toLong * candidates)
   }
 
   /** Probed coarse pass in the SERVING kernel shape: stream the probed
