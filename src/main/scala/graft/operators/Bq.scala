@@ -228,6 +228,95 @@ object Bq extends Serializable {
       col("distance").cast("long").as("hamming"))
   }
 
+  /** One query's bounded sweep over a flat row-block run [from, until) —
+    * the 15-word (d960, the reference dim) unrolled variant: query words
+    * pinned in registers, the integer admission bound in a register, one
+    * TopBuffer hot for the whole run. Returns the updated bound.
+    * (tools/KernelMicro: 20-22 ns/pair vs 67-73 for the r17 row-outer
+    * loop whose per-pair cost was bound-array loads + query tuple derefs
+    * + a cold buffer touch.) */
+  private def scanRun15(rowsFlat: Array[Long], ids: Array[Long],
+      from: Int, until: Int, qflat: Array[Long], qoff: Int,
+      buf: graft.index.TopBuffer, bound0: Int): Int = {
+    import java.lang.Long.bitCount
+    val q0 = qflat(qoff); val q1 = qflat(qoff + 1)
+    val q2 = qflat(qoff + 2); val q3 = qflat(qoff + 3)
+    val q4 = qflat(qoff + 4); val q5 = qflat(qoff + 5)
+    val q6 = qflat(qoff + 6); val q7 = qflat(qoff + 7)
+    val q8 = qflat(qoff + 8); val q9 = qflat(qoff + 9)
+    val q10 = qflat(qoff + 10); val q11 = qflat(qoff + 11)
+    val q12 = qflat(qoff + 12); val q13 = qflat(qoff + 13)
+    val q14 = qflat(qoff + 14)
+    var bound = bound0
+    var r = from
+    var ro = from * 15
+    while (r < until) {
+      val acc = bitCount(rowsFlat(ro) ^ q0) +
+        bitCount(rowsFlat(ro + 1) ^ q1) +
+        bitCount(rowsFlat(ro + 2) ^ q2) +
+        bitCount(rowsFlat(ro + 3) ^ q3) +
+        bitCount(rowsFlat(ro + 4) ^ q4) +
+        bitCount(rowsFlat(ro + 5) ^ q5) +
+        bitCount(rowsFlat(ro + 6) ^ q6) +
+        bitCount(rowsFlat(ro + 7) ^ q7) +
+        bitCount(rowsFlat(ro + 8) ^ q8) +
+        bitCount(rowsFlat(ro + 9) ^ q9) +
+        bitCount(rowsFlat(ro + 10) ^ q10) +
+        bitCount(rowsFlat(ro + 11) ^ q11) +
+        bitCount(rowsFlat(ro + 12) ^ q12) +
+        bitCount(rowsFlat(ro + 13) ^ q13) +
+        bitCount(rowsFlat(ro + 14) ^ q14)
+      // d == bound still offers: the id tie-break may admit
+      if (acc <= bound) {
+        buf.offer(acc.toDouble, ids(r))
+        val bb = buf.bound
+        bound = if (bb >= Int.MaxValue.toDouble) Int.MaxValue else bb.toInt
+      }
+      r += 1; ro += 15
+    }
+    bound
+  }
+
+  /** [[scanRun15]] for any word count (generic loop: 28-31 ns/pair). */
+  private def scanRunGeneric(rowsFlat: Array[Long], ids: Array[Long],
+      from: Int, until: Int, qflat: Array[Long], qoff: Int, words: Int,
+      buf: graft.index.TopBuffer, bound0: Int): Int = {
+    import java.lang.Long.bitCount
+    var bound = bound0
+    var r = from
+    var ro = from * words
+    while (r < until) {
+      var acc = 0
+      var w = 0
+      while (w < words) {
+        acc += bitCount(rowsFlat(ro + w) ^ qflat(qoff + w)); w += 1
+      }
+      if (acc <= bound) {
+        buf.offer(acc.toDouble, ids(r))
+        val bb = buf.bound
+        bound = if (bb >= Int.MaxValue.toDouble) Int.MaxValue else bb.toInt
+      }
+      r += 1; ro += words
+    }
+    bound
+  }
+
+  /** Flatten a packed query batch into one contiguous word array
+    * (query-outer kernels read it with stride `words`). */
+  private def flattenQueries(qarr: Array[(Long, Array[Long])],
+      words: Int): Array[Long] = {
+    val qflat = new Array[Long](qarr.length * words)
+    var vq = 0
+    while (vq < qarr.length) {
+      val qw = qarr(vq)._2
+      if (qw.length != words) throw new IllegalArgumentException(
+        s"bq_hamming: word-count mismatch (${qw.length} vs $words)")
+      System.arraycopy(qw, 0, qflat, vq * words, words)
+      vq += 1
+    }
+    qflat
+  }
+
   /** One task-memory chunk of [[hammingBroadcastPackedArr]]: the full
     * coarse scan for a query sub-batch. Output: (query_id, id, distance). */
   private def hammingChunk(
@@ -255,18 +344,9 @@ object Bq extends Serializable {
       val nq = qarr.length
       if (nq == 0 || !it.hasNext) return Array.empty
       val words = qarr(0)._2.length
-      val qflat = new Array[Long](nq * words)
-      var vq = 0
-      while (vq < nq) {
-        val qw = qarr(vq)._2
-        if (qw.length != words) throw new IllegalArgumentException(
-          s"bq_hamming: word-count mismatch (${qw.length} vs $words)")
-        System.arraycopy(qw, 0, qflat, vq * words, words)
-        vq += 1
-      }
+      val qflat = flattenQueries(qarr, words)
       val bufs = Array.fill(nq)(new graft.index.TopBuffer(k))
       // per-query integer admission bounds carried across row blocks
-      // (d == bound still offers: the id tie-break may admit)
       val bounds = Array.fill(nq)(Int.MaxValue)
       val blockRows = math.max(1, (4 << 20) / (words * 8))
       val ids = new Array[Long](blockRows)
@@ -283,65 +363,12 @@ object Bq extends Serializable {
         }
         var qi = 0
         while (qi < nq) {
-          val buf = bufs(qi)
-          var bound = bounds(qi)
-          val qoff = qi * words
-          import java.lang.Long.bitCount
-          if (words == 15) { // d=960: the reference dim — unrolled, query
-            // words pinned in registers (20-22 vs 28-31 ns/pair generic)
-            val q0 = qflat(qoff); val q1 = qflat(qoff + 1)
-            val q2 = qflat(qoff + 2); val q3 = qflat(qoff + 3)
-            val q4 = qflat(qoff + 4); val q5 = qflat(qoff + 5)
-            val q6 = qflat(qoff + 6); val q7 = qflat(qoff + 7)
-            val q8 = qflat(qoff + 8); val q9 = qflat(qoff + 9)
-            val q10 = qflat(qoff + 10); val q11 = qflat(qoff + 11)
-            val q12 = qflat(qoff + 12); val q13 = qflat(qoff + 13)
-            val q14 = qflat(qoff + 14)
-            var r = 0
-            var ro = 0
-            while (r < m) {
-              val acc = bitCount(rowsFlat(ro) ^ q0) +
-                bitCount(rowsFlat(ro + 1) ^ q1) +
-                bitCount(rowsFlat(ro + 2) ^ q2) +
-                bitCount(rowsFlat(ro + 3) ^ q3) +
-                bitCount(rowsFlat(ro + 4) ^ q4) +
-                bitCount(rowsFlat(ro + 5) ^ q5) +
-                bitCount(rowsFlat(ro + 6) ^ q6) +
-                bitCount(rowsFlat(ro + 7) ^ q7) +
-                bitCount(rowsFlat(ro + 8) ^ q8) +
-                bitCount(rowsFlat(ro + 9) ^ q9) +
-                bitCount(rowsFlat(ro + 10) ^ q10) +
-                bitCount(rowsFlat(ro + 11) ^ q11) +
-                bitCount(rowsFlat(ro + 12) ^ q12) +
-                bitCount(rowsFlat(ro + 13) ^ q13) +
-                bitCount(rowsFlat(ro + 14) ^ q14)
-              if (acc <= bound) {
-                buf.offer(acc.toDouble, ids(r))
-                val bb = buf.bound
-                bound = if (bb >= Int.MaxValue.toDouble) Int.MaxValue
-                        else bb.toInt
-              }
-              r += 1; ro += words
-            }
-          } else {
-            var r = 0
-            var ro = 0
-            while (r < m) {
-              var acc = 0
-              var w = 0
-              while (w < words) {
-                acc += bitCount(rowsFlat(ro + w) ^ qflat(qoff + w)); w += 1
-              }
-              if (acc <= bound) {
-                buf.offer(acc.toDouble, ids(r))
-                val bb = buf.bound
-                bound = if (bb >= Int.MaxValue.toDouble) Int.MaxValue
-                        else bb.toInt
-              }
-              r += 1; ro += words
-            }
-          }
-          bounds(qi) = bound
+          bounds(qi) =
+            if (words == 15)
+              scanRun15(rowsFlat, ids, 0, m, qflat, qi * 15, bufs(qi), bounds(qi))
+            else
+              scanRunGeneric(rowsFlat, ids, 0, m, qflat, qi * words, words,
+                bufs(qi), bounds(qi))
           qi += 1
         }
       }
@@ -461,12 +488,16 @@ object Bq extends Serializable {
       .write.partitionBy("cluster").mode("overwrite").parquet(s"$path/data")
 
   /** Probed Hamming coarse pass in the serving kernel shape: stream the
-    * probed clusters' `(id, bq, cluster)` rows once through
-    * `mapPartitions`, score only the queries that probed that row's
-    * cluster (inverted cluster→queries map, broadcast) —
-    * [[Sq.coarseIvfKernel]]'s shape on packed words (XOR/popcount needs
-    * no decode and no early exit: 15 words at d960 cost less than the
-    * exit test). Output: (query_id, id) coarse winners. */
+    * probed clusters' `(id, bq, cluster)` rows through blocked,
+    * QUERY-OUTER sweeps — rows buffer into ~4 MB flat blocks, cluster
+    * RUNS within a block are detected (the partitioned layout delivers
+    * rows grouped by directory, so runs span whole file splits; the
+    * in-memory path degrades to shorter runs, still on flat arrays), and
+    * each run is swept once per PROBING query with that query's words and
+    * admission bound in registers ([[scanRun15]]/[[scanRunGeneric]] — the
+    * flat kernel's loop shape, 2-3× over the r17 row-outer form). Output:
+    * (query_id, id) coarse winners; selection identical (per query the
+    * rows offer in scan order under the same integer bound). */
   private def coarseIvfKernel(
       probedRows: DataFrame,
       qsPacked: Array[(Long, Array[Long])],
@@ -483,24 +514,46 @@ object Bq extends Serializable {
       val qmap = bcMap.value
       val nq = qarr.length
       if (nq == 0 || !it.hasNext) return Array.empty
+      val words = qarr(0)._2.length
+      val qflat = flattenQueries(qarr, words)
       val bufs = Array.fill(nq)(new graft.index.TopBuffer(k))
-      // dense admission bounds — see the flat kernel's rationale
-      val bounds = Array.fill(nq)(Double.PositiveInfinity)
+      val bounds = Array.fill(nq)(Int.MaxValue)
+      val blockRows = math.max(1, (4 << 20) / (words * 8))
+      val ids = new Array[Long](blockRows)
+      val clusters = new Array[Long](blockRows)
+      val rowsFlat = new Array[Long](blockRows * words)
       while (it.hasNext) {
-        val (id, bq, cluster) = it.next()
-        val probers = qmap.getOrElse(cluster, null)
-        if (probers != null) {
-          var pi = 0
-          while (pi < probers.length) {
-            val qi = probers(pi)
-            val d = BqKernel.hamming(qarr(qi)._2, bq).toDouble
-            if (d <= bounds(qi)) {
-              val buf = bufs(qi)
-              buf.offer(d, id)
-              bounds(qi) = buf.bound
+        var m = 0
+        while (m < blockRows && it.hasNext) {
+          val (id, bq, cluster) = it.next()
+          if (bq.length != words) throw new IllegalArgumentException(
+            s"bq_hamming: word-count mismatch (${bq.length} vs $words)")
+          System.arraycopy(bq, 0, rowsFlat, m * words, words)
+          ids(m) = id
+          clusters(m) = cluster
+          m += 1
+        }
+        var s = 0
+        while (s < m) {
+          val cl = clusters(s)
+          var e = s + 1
+          while (e < m && clusters(e) == cl) e += 1
+          val probers = qmap.getOrElse(cl, null)
+          if (probers != null) {
+            var pi = 0
+            while (pi < probers.length) {
+              val qi = probers(pi)
+              bounds(qi) =
+                if (words == 15)
+                  scanRun15(rowsFlat, ids, s, e, qflat, qi * 15,
+                    bufs(qi), bounds(qi))
+                else
+                  scanRunGeneric(rowsFlat, ids, s, e, qflat, qi * words,
+                    words, bufs(qi), bounds(qi))
+              pi += 1
             }
-            pi += 1
           }
+          s = e
         }
       }
       bufs
