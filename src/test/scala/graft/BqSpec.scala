@@ -155,6 +155,41 @@ class BqSpec extends SparkTestBase {
     shifted.unpersist()
   }
 
+  test("d960 (15-word unrolled query-outer kernel) == declarative hammingTopK; routed twin exact at full probes") {
+    // the sf fixtures are 64-dim (1 word), so the words==15 register
+    // unroll — the shape the bench's d960 rows serve — needs its own pin:
+    // flat serving kernel vs the declarative arm, and the routed blocked
+    // run-sweep vs exact KNN at exhaustive probes/candidates
+    import spark.implicits._
+    val rnd = new scala.util.Random(33)
+    val n = 300
+    val vecs = (0 until n).map(i =>
+      (i.toLong, Array.fill(960)(rnd.nextFloat() * 2f - 1f)))
+    val df = vecs.toDF("id", "vec").repartition(4).cache()
+    val q960 = vecs.take(4).map { case (i, v) => (i, v) }
+      .toSeq.toDF("query_id", "query_vec")
+    for (k <- Seq(20, 300)) { // sorted and loose buffer layouts
+      val serve = Bq.hammingBroadcast(df, q960, k = k)
+        .orderBy("query_id", "hamming", "id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      val decl = Bq.hammingTopK(df, q960, k = k)
+        .orderBy("query_id", "hamming", "id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(serve == decl, s"k=$k")
+    }
+    val (ivfModel, assigned) = graft.operators.Ivf.build(df, k = 4)
+    val bqModel = Bq.train(df)
+    val packed = Bq.encodeCentered(assigned, bqModel)
+      .select(col("id"), col("bq"), col("cluster"))
+    val routed = Bq.searchIvf(packed, df, ivfModel, Some(bqModel), q960,
+        k = 5, candidates = n, nProbes = Some(4))
+      .select("query_id", "id").as[(Long, Long)].collect().toSet
+    val exact = Knn.exact(df, q960, k = 5)
+      .select("query_id", "id").as[(Long, Long)].collect().toSet
+    assert(routed == exact)
+    df.unpersist()
+  }
+
   test("routed autoCandidates: pool-derived budget, flat-arm cap, 10k floor, recall held") {
     import graft.operators.Bq
     // pool = np·N/kc; budget = 2/3 pool (CandProbe-calibrated), capped at

@@ -15,6 +15,52 @@ class IvfSpec extends SparkTestBase {
     .select($"id".as("query_id"), $"vec".as("query_vec")).cache()
   private lazy val built = Ivf.build(base, k = 7, seed = 42L)
 
+  test("nearest_centroid above the 128-dim early-exit block equals brute argmin") {
+    // the r18 eval early-exits the L2 loop in 128-element blocks against
+    // the running best — the sf fixtures are 64-dim and never cross a
+    // block boundary, so this pins the d > 128 path against a
+    // same-summation-order brute argmin (bit-exact expectation)
+    val rnd = new scala.util.Random(91)
+    val dim = 300
+    val cents = Array.fill(40)(Array.fill(dim)(rnd.nextFloat() * 2f - 1f))
+    val rows = (0 until 150).map(i =>
+      (i.toLong, Array.fill(dim)(rnd.nextFloat() * 2f - 1f)))
+    def brute(v: Array[Float]): Int = {
+      var best = 0; var bestD = Double.MaxValue
+      var c = 0
+      while (c < cents.length) {
+        var d = 0.0; var j = 0
+        while (j < dim) {
+          val t = v(j).toDouble - cents(c)(j).toDouble; d += t * t; j += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      best
+    }
+    val got = rows.toDF("id", "vec")
+      .select(col("id"), Ivf.nearestCentroid(col("vec"), cents, "l2sqr").as("c"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    rows.foreach { case (id, v) =>
+      assert(got(id) == brute(v), s"row $id")
+    }
+  }
+
+  test("LocalKMeans: parallel fit is run-to-run deterministic per seed") {
+    // the r18 fit parallelizes its per-point loops (disjoint writes,
+    // sequential accumulation) — same seed must keep producing the same
+    // centroids across runs; a different seed must not (sanity)
+    val rnd = new scala.util.Random(7)
+    val data = Array.fill(3000)(Array.fill(300)(rnd.nextFloat()))
+    val a = graft.index.LocalKMeans.fit(data, 32, "l2sqr", 10, 1e-6, 42L)
+    val b = graft.index.LocalKMeans.fit(data, 32, "l2sqr", 10, 1e-6, 42L)
+    assert(a.length == b.length)
+    a.indices.foreach(i =>
+      assert(java.util.Arrays.equals(a(i), b(i)), s"centroid $i"))
+    val c = graft.index.LocalKMeans.fit(data, 32, "l2sqr", 10, 1e-6, 43L)
+    assert(a.indices.exists(i => !java.util.Arrays.equals(a(i), c(i))))
+  }
+
   test("probing all clusters equals Flat exact KNN (L2)") {
     val (model, assigned) = built
     val ivf = Ivf.search(assigned, model, queries, k = 6, nProbes = Some(7))
