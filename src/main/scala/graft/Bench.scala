@@ -513,6 +513,28 @@ object Bench {
       if (f.length > 8) f(8).toLong * 10L else 0L // USER_HZ=100 jiffies → ms
     } catch { case _: Throwable => 0L }
 
+    // r19 (verdict #4): steal-aware rep admission — the r18 driver re-run
+    // halved the quantized rows under 110-130 s of host CPU steal while
+    // the attribution columns watched it happen. A timed rep whose
+    // /proc/stat steal DELTA exceeds `stealFracMax` of its wall time is
+    // DISCARDED and re-run (bounded retries per rep; exhausted retries
+    // keep the contaminated rep — its steal column names the thief);
+    // discards ship in `steal_rejected` (row -> discarded wall seconds)
+    // so a noisy run documents what it threw away. Quiet-host calibration
+    // (r18 bench_full.json): steal/wall ≤ 3% on every row; the driver's
+    // contaminated reps sat at ≥ 300% (steal aggregates across all 32
+    // CPUs, so the fraction can exceed 1) — 0.15 separates cleanly.
+    val stealFracMax =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_STEAL_FRAC", "0.15").toDouble
+    val stealRetries =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_STEAL_RETRIES", "2").toInt
+    var stealRejected = Map.empty[String, Seq[Double]]
+    def stealContaminated(wallSec: Double, stealDeltaMs: Double): Boolean =
+      stealDeltaMs > stealFracMax * wallSec * 1000.0
+    def recordStealReject(name: String, wallSec: Double): Unit =
+      stealRejected += name ->
+        (stealRejected.getOrElse(name, Vector.empty) :+ wallSec)
+
     // 5 timed rounds (was 3): today's host shows sporadic single-round 5×
     // collapses with zero rebuild/GC/JIT attribution (external CPU steal —
     // see bench_out/ab_1m_code_vs_machine.md); a median of 5 stays on the
@@ -541,21 +563,31 @@ object Bench {
         // siblings on every 1M row (r14 full artifact: C2 tiering completes
         // during round 1) — burning one of the five timed reps per workload
         (-1 to rounds).foreach { round =>
-          ws.zipWithIndex.foreach { case ((_, mk, nqPlan), i) =>
-            System.gc()
-            val t0 = System.nanoTime(); val r0 = rebuildMillis()
-            val g0 = gcMillis(); val c0 = processCpuMillis()
-            val s0 = hostStealMillis()
-            Await.result(
-              Future.sequence((0 until batches).map(_ => Future(serve(mk())))),
-              Duration.Inf)
-            val sec = (System.nanoTime() - t0) / 1e9
-            if (round > 0) {
-              perRep(i) :+= batches.toLong * nqPlan / sec
-              perRb(i) :+= (rebuildMillis() - r0).toDouble
-              perGc(i) :+= (gcMillis() - g0).toDouble
-              perCpu(i) :+= (processCpuMillis() - c0).toDouble
-              perSteal(i) :+= (hostStealMillis() - s0).toDouble
+          ws.zipWithIndex.foreach { case ((name, mk, nqPlan), i) =>
+            var retries = stealRetries
+            var accepted = false
+            while (!accepted) {
+              System.gc()
+              val t0 = System.nanoTime(); val r0 = rebuildMillis()
+              val g0 = gcMillis(); val c0 = processCpuMillis()
+              val s0 = hostStealMillis()
+              Await.result(
+                Future.sequence((0 until batches).map(_ => Future(serve(mk())))),
+                Duration.Inf)
+              val sec = (System.nanoTime() - t0) / 1e9
+              val stealD = (hostStealMillis() - s0).toDouble
+              if (round <= 0) accepted = true // warm rounds aren't recorded
+              else if (stealContaminated(sec, stealD) && retries > 0) {
+                recordStealReject(name, sec)
+                retries -= 1 // steal-rejected: re-run this rep
+              } else {
+                accepted = true
+                perRep(i) :+= batches.toLong * nqPlan / sec
+                perRb(i) :+= (rebuildMillis() - r0).toDouble
+                perGc(i) :+= (gcMillis() - g0).toDouble
+                perCpu(i) :+= (processCpuMillis() - c0).toDouble
+                perSteal(i) :+= stealD
+              }
             }
           }
         }
@@ -794,21 +826,35 @@ object Bench {
         System.gc()
         // reps whose fn threw are dropped (a timed throw is not a
         // measurement); a row with zero clean reps reports NaN so it can't
-        // masquerade as a fast median next to its `errors` entry
-        val timesGc = (0 until reps).flatMap { _ =>
-          val t0 = System.nanoTime(); val g0 = gcMillis()
-          val r0 = rebuildMillis(); val j0 = jitMillis()
-          val c0 = processCpuMillis(); val s0 = hostStealMillis()
-          val ok = try { fn(); true }
-          catch { case e: Throwable =>
-            errors += name -> errString(e)
-            false
+        // masquerade as a fast median next to its `errors` entry.
+        // Steal-contaminated reps are discarded and re-run (bounded).
+        val timesGc = {
+          val buf = Vector.newBuilder[
+            (Double, Double, Double, Double, Double, Double)]
+          var done = 0; var retries = stealRetries
+          while (done < reps) {
+            val t0 = System.nanoTime(); val g0 = gcMillis()
+            val r0 = rebuildMillis(); val j0 = jitMillis()
+            val c0 = processCpuMillis(); val s0 = hostStealMillis()
+            val ok = try { fn(); true }
+            catch { case e: Throwable =>
+              errors += name -> errString(e)
+              false
+            }
+            val wall = (System.nanoTime() - t0) / 1e9
+            val stealD = (hostStealMillis() - s0).toDouble
+            if (!ok) done += 1
+            else if (stealContaminated(wall, stealD) && retries > 0) {
+              recordStealReject(name, wall); retries -= 1
+            } else {
+              done += 1
+              buf += ((wall, (gcMillis() - g0).toDouble,
+                (rebuildMillis() - r0).toDouble, (jitMillis() - j0).toDouble,
+                (processCpuMillis() - c0).toDouble, stealD))
+            }
           }
-          if (ok) Some(((System.nanoTime() - t0) / 1e9, (gcMillis() - g0).toDouble,
-            (rebuildMillis() - r0).toDouble, (jitMillis() - j0).toDouble,
-            (processCpuMillis() - c0).toDouble, (hostStealMillis() - s0).toDouble))
-          else None
-        }.sortBy(_._1)
+          buf.result().sortBy(_._1)
+        }
         val times = timesGc.map(_._1)
         if (name.contains("_1m")) {
           repSpread += name -> times
@@ -834,21 +880,32 @@ object Bench {
         Vector.empty[(Double, Double, Double, Double, Double, Double)])
       (0 to reps).foreach { round =>
         ws.zipWithIndex.foreach { case ((name, fn), i) =>
-          System.gc()
-          val t0 = System.nanoTime(); val g0 = gcMillis()
-          val r0 = rebuildMillis(); val j0 = jitMillis()
-          val c0 = processCpuMillis(); val s0 = hostStealMillis()
-          val ok = try { fn(); true }
-          catch { case e: Throwable =>
-            errors += name -> errString(e)
-            false
+          var retries = stealRetries
+          var accepted = false
+          while (!accepted) {
+            System.gc()
+            val t0 = System.nanoTime(); val g0 = gcMillis()
+            val r0 = rebuildMillis(); val j0 = jitMillis()
+            val c0 = processCpuMillis(); val s0 = hostStealMillis()
+            val ok = try { fn(); true }
+            catch { case e: Throwable =>
+              errors += name -> errString(e)
+              false
+            }
+            val wall = (System.nanoTime() - t0) / 1e9
+            val stealD = (hostStealMillis() - s0).toDouble
+            // failed reps are dropped, not timed — a throw's wall time says
+            // nothing about the workload; warm rounds aren't recorded
+            if (!ok || round == 0) accepted = true
+            else if (stealContaminated(wall, stealD) && retries > 0) {
+              recordStealReject(name, wall); retries -= 1
+            } else {
+              accepted = true
+              perRep(i) :+= ((wall, (gcMillis() - g0).toDouble,
+                (rebuildMillis() - r0).toDouble, (jitMillis() - j0).toDouble,
+                (processCpuMillis() - c0).toDouble, stealD))
+            }
           }
-          // failed reps are dropped, not timed — a throw's wall time says
-          // nothing about the workload
-          if (round > 0 && ok)
-            perRep(i) :+= (((System.nanoTime() - t0) / 1e9, (gcMillis() - g0).toDouble,
-              (rebuildMillis() - r0).toDouble, (jitMillis() - j0).toDouble,
-              (processCpuMillis() - c0).toDouble, (hostStealMillis() - s0).toDouble))
         }
       }
       ws.zipWithIndex.map { case ((name, _), i) =>
@@ -1303,6 +1360,35 @@ object Bench {
           (if (graft.operators.Rerank.lastJoin == "shuffle") 1.0 else 0.0)
       } catch { case e: Throwable =>
         errors += "bq_rerank_1m_nq10k" -> errString(e)
+      }
+
+      // r19 (verdict #2): the same nq10k batch through APPROXIMATE coarse
+      // selection — the batch-shape the VecDB dispatch now auto-routes
+      // here (nq ≥ CoarseMerge.approxNqThreshold, non-exhaustive budget).
+      // Each scan partition keeps top-⌈c/P⌉ per query and the union IS
+      // the rerank pool: no selection shuffle (the exact row above moves
+      // P × nq × c ≈ 640M partial entries ≈ 10 GB through the dist-merge
+      // — its probe-proven bound), and the per-task TopBuffer state drops
+      // by P×, collapsing the 3-chunk gate to 1 pass. Recall is measured
+      // IN-ARTIFACT on the truth1m query subset (the 660 q/s stretch
+      // target is graded at recall ≥ 0.95).
+      try {
+        def mkBqRerank1mNq10kApprox() = graft.operators.Bq.searchRerankPacked(
+          bq1m, vec1mDisk, q1m10k, k = 10,
+          candidates = graft.operators.Bq.autoCandidates(n1m, 10),
+          model = Some(bqModel1m), coarseSelect = "approx")
+        withAqeOff(serve(mkBqRerank1mNq10kApprox())) // warm (JIT of the new path)
+        val t0 = System.nanoTime()
+        withAqeOff(serve(mkBqRerank1mNq10kApprox()))
+        results1m = results1m :+
+          (("bq_rerank_1m_d960_nq10k_approx_batch", (System.nanoTime() - t0) / 1e9))
+        taskGate += "bq_rerank_1m_nq10k_approx_chunks" ->
+          graft.operators.CoarseMerge.lastChunks.toDouble
+        recalls1m += "bq_rerank_1m_d960_nq10k_approx_batch" ->
+          recallOf(mkBqRerank1mNq10kApprox().filter(col("query_id") < nq),
+            truth1m)
+      } catch { case e: Throwable =>
+        errors += "bq_rerank_1m_nq10k_approx" -> errString(e)
       }
 
       // ---- IVFSQ batch-regime partition-prune demo (r16 verdict item 1) --
@@ -1940,6 +2026,11 @@ object Bench {
     val jitJson = msArrJson(repJit)
     val cpuJson = msArrJson(repCpu)
     val stealJson = msArrJson(repSteal)
+    val stealRejectedJson = stealRejected
+      .map { case (k, ts) =>
+        jstr(k) + ":" + ts.map(t => f"$t%.2f").mkString("[", ",", "]")
+      }
+      .mkString("{", ",", "}")
     val sustainedRebuildJson = msArrJson(sustainedRebuild)
     val sustainedGcJson = msArrJson(sustainedGc)
     val sustainedCpuJson = msArrJson(sustainedCpu)
@@ -1951,7 +2042,7 @@ object Bench {
     val sweepJson = sweepArr(sweep)
     val total = results.map(_._2).sum
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"qps":$qps,"recall":$recallJson,"sustained_qps":$sustainedJson,"sustained_samples":$sustainedSamplesJson,"sustained_n_samples":3,"sq_ivf_kc512":$sqIvfKc512Json,"stage":$stageJson,"sustained_spread":$sustainedSpreadJson$sanityJson,"rep_spread":$spreadJson,"rep_gc_ms":$gcJson,"rep_rebuild_ms":$rebuildJson,"rep_jit_ms":$jitJson,"rep_cpu_ms":$cpuJson,"rep_steal_ms":$stealJson,"sustained_rebuild_ms":$sustainedRebuildJson,"sustained_gc_ms":$sustainedGcJson,"sustained_cpu_ms":$sustainedCpuJson,"sustained_steal_ms":$sustainedStealJson,"task_gate":$taskGateJson,"build_scale":$buildScaleJson,"matched_recall":$matchedJson,"hnsw_d960_ef_sweep":$sweepJson,"pq_d960_ef_sweep":${sweepArr(pqSweep)},"hnsw_pq_walk_d960_ef_sweep":${sweepArr(hnswPqSweep)},"errors":$errJson,"nq":$nq,"n_vec":$nVec,"cpus":$nCores,"smoke":$isSmoke,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"qps":$qps,"recall":$recallJson,"sustained_qps":$sustainedJson,"sustained_samples":$sustainedSamplesJson,"sustained_n_samples":3,"sq_ivf_kc512":$sqIvfKc512Json,"stage":$stageJson,"sustained_spread":$sustainedSpreadJson$sanityJson,"rep_spread":$spreadJson,"rep_gc_ms":$gcJson,"rep_rebuild_ms":$rebuildJson,"rep_jit_ms":$jitJson,"rep_cpu_ms":$cpuJson,"rep_steal_ms":$stealJson,"steal_rejected":$stealRejectedJson,"steal_frac_max":$stealFracMax,"sustained_rebuild_ms":$sustainedRebuildJson,"sustained_gc_ms":$sustainedGcJson,"sustained_cpu_ms":$sustainedCpuJson,"sustained_steal_ms":$sustainedStealJson,"task_gate":$taskGateJson,"build_scale":$buildScaleJson,"matched_recall":$matchedJson,"hnsw_d960_ef_sweep":$sweepJson,"pq_d960_ef_sweep":${sweepArr(pqSweep)},"hnsw_pq_walk_d960_ef_sweep":${sweepArr(hnswPqSweep)},"errors":$errJson,"nq":$nq,"n_vec":$nVec,"cpus":$nCores,"smoke":$isSmoke,"sf":"$sfDir"}"""
     // DURABLE artifact (r10 verdict item 1): the driver captures only the
     // TAIL of stdout, and the full line above has been truncated two rounds
     // running — losing the np grid and the rep spread it carried. The file

@@ -145,14 +145,15 @@ object SparkEntry {
           Dedup.ngramJaccardJoin(docs, n = 3, threshold = 0.5))
         .orderBy("doc_id")
     }),
-    // LLM-pipeline: SimHash near-dup pairs (64-bit sketch, rotated block
+    // LLM-pipeline: SimHash near-dup pairs (64-bit sketch, pigeonhole
     // banding, Hamming filter). SimHash approximates token-multiset
     // ANGLE, not shingle Jaccard, so its pair set is neither a subset nor
     // a superset of the n-gram universe; the derived-bound grade pins
     // what the sketch DOES promise — recall ≥ 0.7 of the exact n-gram
-    // near-dups (r18: Hamming cutoff 3→4 + a rotated second banding
-    // table; tools/SimhashProbe measured recall 0.82-0.88 across
-    // sf0.001/0.01/0.1 vs the old cutoff's hard 0.60 bound), that the
+    // near-dups (r19: maxHamming+1 = 5 pigeonhole bands make h ≤ 4
+    // capture STRUCTURAL — the emitted set is exactly all Hamming ≤ 4
+    // pairs, corpus-drift-proof, vs r18's two rotated tables at measured
+    // recall 0.82-0.88), that the
     // emitted set is genuinely angle-close under the sketch's own metric
     // (token-multiset cosine: 10th percentile ≥ 0.7 and mean ≥ 0.8 —
     // measured p10 0.76-0.80, mean 0.84-0.94 across the three SFs, vs
@@ -450,6 +451,80 @@ object SparkEntry {
     // near-uniform testdata is the hardest regime for a sign sketch:
     // candidates=200 measures n_common=5/5 for every query at the graded
     // sf0.01 and ≥3/5 at sf0.1 — DuckDB-verified on the fixed fixtures).
+    // T12 approximate big-batch selection (r19, verdict #2): the BQ
+    // two-stage with APPROX coarse selection — each scan partition keeps
+    // only top-⌈candidates/P⌉ per query and the union is the rerank pool
+    // (no selection shuffle; the big-batch serving mode, auto-dispatched
+    // past CoarseMerge.approxNqThreshold queries). Derived-bound grade,
+    // the q_pq_search pattern: recall ≥ 3/5 vs exact KNN per query, and
+    // DOMINATION — the pool is a corpus subset and the rerank computes
+    // true distances, so the approx hit at every rank is ≥ the exact hit
+    // at that rank, always. The base hash-repartitions to 8 so the
+    // per-partition cap genuinely binds on the small gate fixture
+    // (deterministic: hash on id, not round-robin).
+    "q_bq_approx" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val b = base(s, dir).repartition(8, col("id"))
+      val q = queryVectors(s, dir)
+      val approx = Bq.searchRerank(b, q, k = 5, candidates = 200,
+          coarseSelect = "approx")
+        .select(col("query_id"), col("id"), col("distance")).cache()
+      require(graft.operators.CoarseMerge.lastPath == "approx",
+        s"q_bq_approx: expected the approx coarse path, got " +
+          s"'${graft.operators.CoarseMerge.lastPath}'")
+      val exact = Knn.exact(b, q, k = 5, dist = "l2sqr")
+        .select(col("query_id"), col("id").as("e_id"),
+          col("distance").as("e_dist"))
+      val byRank = Window.partitionBy("query_id").orderBy(col("distance"), col("id"))
+      val eByRank = Window.partitionBy("query_id").orderBy(col("e_dist"), col("e_id"))
+      val ranked = approx.withColumn("rn", row_number().over(byRank))
+        .join(exact.withColumn("rn", row_number().over(eByRank)),
+          Seq("query_id", "rn"))
+      val common = approx.join(
+          exact.select(col("query_id"), col("e_id").as("id")), Seq("query_id", "id"))
+        .groupBy("query_id").agg(count(lit(1)).as("n_common"))
+      ranked.groupBy("query_id")
+        .agg(count(lit(1)).cast("long").as("n_hits"),
+          min(col("distance") >= col("e_dist") - lit(1e-9)).as("dominated"))
+        .join(common, Seq("query_id"), "left")
+        .select(col("query_id"), col("n_hits"),
+          (coalesce(col("n_common"), lit(0L)) >= lit(3L)).as("recall_ok"),
+          col("dominated"))
+        .orderBy("query_id")
+    }),
+    // T13 approximate big-batch selection — the SQ twin of q_bq_approx
+    // (same derived-bound grade over the decode-once byte-code kernel's
+    // approx path).
+    "q_sq_approx" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val b = base(s, dir).repartition(8, col("id"))
+      val q = queryVectors(s, dir)
+      val approx = Sq.searchRerank(b, q, k = 5, candidates = 200,
+          coarseSelect = "approx")
+        .select(col("query_id"), col("id"), col("distance")).cache()
+      require(graft.operators.CoarseMerge.lastPath == "approx",
+        s"q_sq_approx: expected the approx coarse path, got " +
+          s"'${graft.operators.CoarseMerge.lastPath}'")
+      val exact = Knn.exact(b, q, k = 5, dist = "l2sqr")
+        .select(col("query_id"), col("id").as("e_id"),
+          col("distance").as("e_dist"))
+      val byRank = Window.partitionBy("query_id").orderBy(col("distance"), col("id"))
+      val eByRank = Window.partitionBy("query_id").orderBy(col("e_dist"), col("e_id"))
+      val ranked = approx.withColumn("rn", row_number().over(byRank))
+        .join(exact.withColumn("rn", row_number().over(eByRank)),
+          Seq("query_id", "rn"))
+      val common = approx.join(
+          exact.select(col("query_id"), col("e_id").as("id")), Seq("query_id", "id"))
+        .groupBy("query_id").agg(count(lit(1)).as("n_common"))
+      ranked.groupBy("query_id")
+        .agg(count(lit(1)).cast("long").as("n_hits"),
+          min(col("distance") >= col("e_dist") - lit(1e-9)).as("dominated"))
+        .join(common, Seq("query_id"), "left")
+        .select(col("query_id"), col("n_hits"),
+          (coalesce(col("n_common"), lit(0L)) >= lit(3L)).as("recall_ok"),
+          col("dominated"))
+        .orderBy("query_id")
+    }),
     "q_bq_rerank" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val b = base(s, dir)
@@ -958,6 +1033,41 @@ object SparkEntry {
           .orderBy("distance", "id")
       } finally s.conf.unset(graft.plans.GraftSqlTopK.EfConf)
     }),
+    // §7.3 + T12 (r19): the SQL top-k rewrite through the BQ catalog arm —
+    // the last dispatch arm without a graded SQL path. Same shape as
+    // q_sql_topk_sq: EfConf = 2n is an exhaustive coarse candidate budget
+    // (every row reranked) ⇒ exact ⇒ the plain ORDER BY LIMIT oracle;
+    // lastServedArm pins that the 1-bit Hamming coarse + exact rerank arm
+    // actually served it.
+    "q_sql_topk_bq" -> ((s, dir) => {
+      val db = catalogIngest(s, dir, "vecdb_qsqlbq")
+      val n = db.getLen("emb").toInt
+      db.buildBqIndex("emb")
+      db.registerSql("emb", Some("sql_topk_bq_emb"))
+      val qv = Tables.vectors(s, dir).filter(col("id") === 0)
+        .head.getAs[scala.collection.Seq[Float]]("vec")
+      val lits = qv.map(f => f.toString + "D").mkString("array(", ", ", ")")
+      s.conf.set(graft.plans.GraftSqlTopK.EfConf, (2 * n).toString)
+      try {
+        val top = s.sql("SELECT id, vec_l2sq(vec, CAST(" + lits +
+          " AS array<float>)) AS d FROM sql_topk_bq_emb ORDER BY d LIMIT 50")
+        val fired = top.queryExecution.optimizedPlan.collect {
+          case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+            f.condition
+        }.exists(_.exists {
+          case org.apache.spark.sql.catalyst.expressions.In(_, vs) =>
+            vs.length == 50
+          case si: org.apache.spark.sql.catalyst.expressions.InSet =>
+            si.hset.size == 50
+          case _ => false
+        })
+        require(fired, "q_sql_topk_bq: the catalog rewrite did not fire")
+        require(db.lastServedArm == "bq_rerank_serve",
+          s"q_sql_topk_bq: expected the BQ serving arm, got '${db.lastServedArm}'")
+        top.select(col("id"), (round(col("d"), 6) + lit(0.0)).as("distance"))
+          .orderBy("distance", "id")
+      } finally s.conf.unset(graft.plans.GraftSqlTopK.EfConf)
+    }),
     // §7.3 batch arm (r13 verdict item 3): per-query-row top-k as SQL —
     // `row_number() OVER (PARTITION BY qid ORDER BY dist, id) <= k` over a
     // query-table × vector-table cross join. The rule runs the engine's
@@ -1280,6 +1390,15 @@ object SparkEntry {
          |top AS (SELECT id, d FROM scored ORDER BY d, id LIMIT 50)
          |SELECT id, round(d, 6) + 0.0 AS distance FROM top
          |ORDER BY distance, id""".stripMargin,
+    // BQ catalog arm: exhaustive coarse budget (ef = 2n) ⇒ exact, same
+    // selection as q_sql_topk
+    "q_sql_topk_bq" ->
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |scored AS (SELECT b.vec_id AS id, $l2Expr AS d
+         |           FROM q CROSS JOIN embeddings b),
+         |top AS (SELECT id, d FROM scored ORDER BY d, id LIMIT 50)
+         |SELECT id, round(d, 6) + 0.0 AS distance FROM top
+         |ORDER BY distance, id""".stripMargin,
     // batch arm: DuckDB's own rank-over-join window over the same parquet
     "q_sql_topk_batch" ->
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
@@ -1351,6 +1470,16 @@ object SparkEntry {
     // emits constants-when-healthy (hit count, recall floor, per-rank
     // domination vs its own exact twin); the oracle pins them
     "q_bq_rerank" ->
+      """SELECT vec_id AS query_id, CAST(5 AS BIGINT) AS n_hits,
+        |       TRUE AS recall_ok, TRUE AS dominated
+        |FROM embeddings WHERE vec_id < 8 ORDER BY query_id""".stripMargin,
+    // approximate big-batch selection arms (derived-bound, the q_pq_search
+    // pattern: SQL-recomputable query universe + pinned health booleans)
+    "q_bq_approx" ->
+      """SELECT vec_id AS query_id, CAST(5 AS BIGINT) AS n_hits,
+        |       TRUE AS recall_ok, TRUE AS dominated
+        |FROM embeddings WHERE vec_id < 8 ORDER BY query_id""".stripMargin,
+    "q_sq_approx" ->
       """SELECT vec_id AS query_id, CAST(5 AS BIGINT) AS n_hits,
         |       TRUE AS recall_ok, TRUE AS dominated
         |FROM embeddings WHERE vec_id < 8 ORDER BY query_id""".stripMargin,

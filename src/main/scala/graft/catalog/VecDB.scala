@@ -1494,8 +1494,16 @@ class VecDB(spark: SparkSession, root: String) {
             val candidates = math.max(k,
               efOpt.getOrElse(Bq.autoCandidates(e.nextId, k)))
             val packed = sidecarDf(sqDir(e).resolve("codes").toString, e)
+            // batch-shape-aware serving (r19): nq-large batches switch to
+            // approximate coarse selection ("auto" — per-partition top
+            // pool, no selection shuffle) UNLESS the caller's budget is
+            // exhaustive (candidates ≥ corpus ⇒ the exact-KNN contract,
+            // e.g. the SQL top-k rewrite at ef = 2n, must keep exact
+            // selection). Tables with an HNSW index never reach this arm
+            // — the graph serves big batches at ~10× these rates.
             Sq.searchRerankPacked(packed, filtered, queries, model, k,
-              candidates, dist = e.dist)
+              candidates, dist = e.dist,
+              coarseSelect = if (candidates < e.nextId) "auto" else "exact")
           }
         if (ub == Double.PositiveInfinity) hits
         else hits.filter(col("distance") <= lit(ub))
@@ -1540,10 +1548,14 @@ class VecDB(spark: SparkSession, root: String) {
             val candidates = math.max(k,
               efOpt.getOrElse(Bq.autoCandidates(e.nextId, k)))
             val packed = sidecarDf(bqDir(e).resolve("packed").toString, e)
+            // batch-shape-aware serving (r19) — see the sq_rerank_serve
+            // arm: approx coarse selection for nq-large, non-exhaustive
+            // batches; exhaustive budgets keep the exact-KNN contract
             Bq.searchRerankPacked(packed, filtered, queries, k,
               candidates, dist = e.dist,
               model = sidecarCachedAs[Option[Bq.BqModel]](
-                bqDir(e).resolve("model").toString, e)(loadBqModel(e)))
+                bqDir(e).resolve("model").toString, e)(loadBqModel(e)),
+              coarseSelect = if (candidates < e.nextId) "auto" else "exact")
           }
         if (ub == Double.PositiveInfinity) hits
         else hits.filter(col("distance") <= lit(ub))

@@ -156,6 +156,16 @@ final class HnswGraph(
 
   def size: Int = n
 
+  // ---- build-phase attribution (r19, verdict #5) -------------------------
+  // Per-graph nanosecond split of [[add]]: beam = greedy descent +
+  // per-level ef_construction searches (distance-eval bound), connect =
+  // heuristic selection + bidirectional link fix-up (distBetween +
+  // list surgery). Plain longs — a graph builds single-threaded — read by
+  // tools/InsertProbe and the build-stage reporters; two nanoTime calls
+  // per level per insert, noise next to the ~10^2 d960 evals they bracket.
+  var statBeamNs: Long = 0L
+  var statConnectNs: Long = 0L
+
   /** Approximate retained heap bytes (packed-vector capacity + adjacency
     * capacities + headers) — the budget unit [[HnswGraphCache]] evicts by.
     * O(nodes·levels) array-length walk; called once per cache insert,
@@ -452,13 +462,16 @@ final class HnswGraph(
       enterLevel = level; enterPoint = idx
       return idx
     }
+    var t0 = System.nanoTime()
     var curP =
       if (level < enterLevel) greedyUntilLevel(level, vec) else enterPoint
     var lv = math.min(level, enterLevel)
     while (lv >= 0) {
       val candidates = searchOnLevel(curP, lv, efConstruction, vec)
       curP = candidates.firstIdx
+      val t1 = System.nanoTime(); statBeamNs += t1 - t0
       connectNewLinks(idx, lv, candidates)
+      t0 = System.nanoTime(); statConnectNs += t0 - t1
       lv -= 1
     }
     if (level > enterLevel) { enterLevel = level; enterPoint = idx }

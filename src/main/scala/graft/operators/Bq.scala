@@ -218,10 +218,15 @@ object Bq extends Serializable {
   private[graft] def hammingBroadcastPackedArr(
       packed: DataFrame,
       qs: Array[(Long, Array[Long])],
-      k: Int): DataFrame = {
-    val spans = CoarseMerge.spans(qs.length, k)
+      k: Int,
+      approxPerPart: Int = 0): DataFrame = {
+    // approx mode: per-task state is nq × perPart slots, not nq × k —
+    // the chunking gate must size on what the task actually holds
+    val spans = CoarseMerge.spans(qs.length,
+      if (approxPerPart > 0) approxPerPart else k)
     val hits = spans.map { case (s, e) =>
-      hammingChunk(packed, if (s == 0 && e == qs.length) qs else qs.slice(s, e), k)
+      hammingChunk(packed, if (s == 0 && e == qs.length) qs else qs.slice(s, e),
+        k, approxPerPart)
     }.reduce(_ union _)
     CoarseMerge.lastChunks = spans.length
     hits.select(col("query_id"), col("id"),
@@ -322,10 +327,12 @@ object Bq extends Serializable {
   private def hammingChunk(
       packed: DataFrame,
       qs: Array[(Long, Array[Long])],
-      k: Int): DataFrame = {
+      k: Int,
+      approxPerPart: Int = 0): DataFrame = {
     val spark = packed.sparkSession
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(qs)
+    val bufCap = if (approxPerPart > 0) approxPerPart else k
     // bounded (hamming, id) selector per query — integer hammings (≤ dim)
     // are exact in double, so (distance, id) order is the engine's
     // standard tie-break bit for bit. QUERY-OUTER blocked loop (r18): the
@@ -345,7 +352,7 @@ object Bq extends Serializable {
       if (nq == 0 || !it.hasNext) return Array.empty
       val words = qarr(0)._2.length
       val qflat = flattenQueries(qarr, words)
-      val bufs = Array.fill(nq)(new graft.index.TopBuffer(k))
+      val bufs = Array.fill(nq)(new graft.index.TopBuffer(bufCap))
       // per-query integer admission bounds carried across row blocks
       val bounds = Array.fill(nq)(Int.MaxValue)
       val blockRows = math.max(1, (4 << 20) / (words * 8))
@@ -378,7 +385,28 @@ object Bq extends Serializable {
       .select(col("id").cast("long"), col("bq"))
       .as[(Long, Array[Long])]
     val hits =
-      if (CoarseMerge.eligible(qs.length, k)) {
+      if (approxPerPart > 0) {
+        // APPROXIMATE selection (r19, verdict #2): each partition's
+        // top-approxPerPart per query IS the candidate pool — no global
+        // top-c merge at all. Exactness of the final result is the
+        // rerank's job anyway (true distances + global top-k over the
+        // pool); what approximation changes is pool MEMBERSHIP only.
+        // Shuffle economics: the exact paths must move P × nq × c
+        // partial entries (640M ≈ 10 GB at nq=10k, c=2000, P=32 — the
+        // probe-proven bound of the nq10k row); this path moves the pool
+        // rows once, straight into the rerank join.
+        CoarseMerge.lastPath = "approx"
+        src.mapPartitions { it =>
+            val qarr = bc.value
+            val bufs = scanPartition(it)
+            Iterator.range(0, bufs.length).flatMap { qi =>
+              val buf = bufs(qi)
+              Iterator.range(0, buf.size).map(p =>
+                (qarr(qi)._1, buf.idAt(p), buf.distAt(p)))
+            }
+          }
+          .toDF("query_id", "id", "distance")
+      } else if (CoarseMerge.eligible(qs.length, k)) {
         // large candidate budgets: tree-merge the per-partition buffers —
         // the aggregate path would shuffle P × nq × k partial rows (64M
         // at nq=1000, k=2000, P=32 — the measured bound of the 1M rerank)
@@ -430,18 +458,27 @@ object Bq extends Serializable {
       vecCol: String = "vec",
       queryIdCol: String = "query_id",
       queryVecCol: String = "query_vec",
-      center: Boolean = true): DataFrame = {
+      center: Boolean = true,
+      coarseSelect: String = "exact"): DataFrame = {
     val ids = base.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
     val model = if (center) Some(train(ids)) else None
     val packed = model.fold(encode(ids))(m => encodeCentered(ids, m))
       .select(col("id"), col("bq"))
     searchRerankPacked(packed, base, queries, k, candidates, dist, idCol,
-      vecCol, queryIdCol, queryVecCol, model)
+      vecCol, queryIdCol, queryVecCol, model, coarseSelect)
   }
 
   /** [[searchRerank]] with the coarse pass over an ALREADY-PACKED corpus
     * (see [[hammingBroadcastPacked]]; pass the packing `model` so queries
-    * pack under the same thresholds). */
+    * pack under the same thresholds).
+    *
+    * @param coarseSelect coarse-pool selection mode: `"exact"` (default)
+    *   keeps the global Hamming top-`candidates` per query; `"approx"`
+    *   keeps each scan partition's top-⌈candidates/P⌉ and the union is
+    *   the pool — no selection shuffle (the big-batch serving mode; see
+    *   [[CoarseMerge.approxNqThreshold]]); `"auto"` picks approx iff the
+    *   batch has ≥ that many queries. Exhaustive-exact callers
+    *   (candidates ≥ corpus) must use `"exact"`. */
   def searchRerankPacked(
       packed: DataFrame,
       base: DataFrame,
@@ -453,7 +490,8 @@ object Bq extends Serializable {
       vecCol: String = "vec",
       queryIdCol: String = "query_id",
       queryVecCol: String = "query_vec",
-      model: Option[BqModel] = None): DataFrame = {
+      model: Option[BqModel] = None,
+      coarseSelect: String = "exact"): DataFrame = {
     require(candidates >= k, s"candidates ($candidates) must be >= k ($k)")
     val spark = packed.sparkSession
     import spark.implicits._
@@ -463,6 +501,8 @@ object Bq extends Serializable {
     val qsPacked = qs.map { case (qid, v) =>
       (qid, model.fold(BqKernel.pack(v))(m => BqKernel.packCentered(v, m.thresholds)))
     }
+    val approxPerPart = CoarseMerge.approxPerPart(coarseSelect, qs.length,
+      packed, k, candidates)
     // coarse is chunked under the task-memory gate; the rerank runs ONCE
     // over the unioned winners. Per-chunk rerank was measured (r18,
     // tools/DistProbe at nq10k × c2000 over 1M×960) and REJECTED for the
@@ -473,8 +513,9 @@ object Bq extends Serializable {
     // ~24 s global. (The ROUTED twins DO rerank per chunk: their base is
     // partition-pruned to each chunk's probed clusters, so there is no
     // base-scan amplification and the pruning is tighter per chunk.)
-    val coarse = hammingBroadcastPackedArr(packed, qsPacked, candidates)
-      .select(col("query_id"), col("id"))
+    val coarse =
+      hammingBroadcastPackedArr(packed, qsPacked, candidates, approxPerPart)
+        .select(col("query_id"), col("id"))
     Rerank.exact(coarse, base, queries, k, dist, idCol, vecCol,
       queryIdCol, queryVecCol, estRows = qs.length.toLong * candidates)
   }
@@ -598,17 +639,23 @@ object Bq extends Serializable {
     * union is a subset of the batch's — over the partitioned layout each
     * chunk pass reads only ITS clusters, so chunking tightens pruning
     * rather than multiplying full passes), and rerank PER CHUNK (r18):
-    * each chunk's coarse winners feed their own exact [[Rerank.exact]]
-    * against a float base pruned to the CHUNK's probed clusters, and the
-    * reranked top-k union. Exact by construction — chunks partition the
-    * query set, and both stages are per-query — while the big-batch
-    * winner join shrinks by the chunk factor (nq10k × c2000 paid ONE
-    * 20M-row shuffle-hash join in r17, the measured bound of that row;
-    * per-chunk the join is chunk_nq × c and pipelines with the next
-    * chunk's coarse scan inside one job DAG). */
+    * when the chunk's float base is PRUNED to the chunk's probed clusters
+    * (`rerankBaseFor` returns Some — the partitioned layouts), that
+    * chunk's coarse winners feed their own exact [[Rerank.exact]] and the
+    * reranked top-k union. When the base CANNOT be pruned per chunk
+    * (`rerankBaseFor` returns None — the in-memory arm, a partitioned
+    * codes layout over an unpartitioned float base, the coverage-void
+    * flat regime), the chunk's coarse winners are DEFERRED and rerank
+    * ONCE, globally, against `globalBase`: per-chunk reranking there
+    * re-scans the ~3.8 KB/row float corpus once per chunk — the exact
+    * amplification the flat path measured (35 s vs 24 s, winner side is
+    * 16 B/row) and rejected. Join shapes weigh BYTES PER SIDE, not rows.
+    * Exact by construction either way — chunks partition the query set,
+    * and both stages are per-query. */
   private def searchIvfChunked(
       buildProbedRows: Array[Int] => DataFrame,
-      rerankBaseFor: Array[Int] => DataFrame,
+      rerankBaseFor: Array[Int] => Option[DataFrame],
+      globalBase: DataFrame,
       qs: Array[(Long, Array[Float])],
       bqModel: Option[BqModel],
       ivfModel: graft.operators.IvfModel,
@@ -619,7 +666,10 @@ object Bq extends Serializable {
       idCol: String,
       vecCol: String): DataFrame = {
     val spans = CoarseMerge.spans(qs.length, candidates)
-    val chunks = spans.map { case (s, e) =>
+    val deferredCoarse = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    val deferredQs =
+      scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Float])]
+    val perChunk = spans.flatMap { case (s, e) =>
       val qsC = if (s == 0 && e == qs.length) qs else qs.slice(s, e)
       val (clusterToQ, probed) = Sq.probePlan(qsC, ivfModel, np)
       val qsPacked = qsC.map { case (qid, v) =>
@@ -628,12 +678,24 @@ object Bq extends Serializable {
       }
       val coarse =
         coarseIvfKernel(buildProbedRows(probed), qsPacked, clusterToQ, candidates)
-      Rerank.exact(coarse, rerankBaseFor(probed),
-        Rerank.queriesDf(coarse.sparkSession, qsC), k, dist, idCol, vecCol,
-        "query_id", "query_vec", estRows = qsC.length.toLong * candidates)
+      rerankBaseFor(probed) match {
+        case Some(prunedBase) =>
+          Some(Rerank.exact(coarse, prunedBase,
+            Rerank.queriesDf(coarse.sparkSession, qsC), k, dist, idCol,
+            vecCol, "query_id", "query_vec",
+            estRows = qsC.length.toLong * candidates))
+        case None =>
+          deferredCoarse += coarse; deferredQs ++= qsC; None
+      }
     }
     CoarseMerge.lastChunks = spans.length
-    chunks.reduce(_ union _)
+    val global =
+      if (deferredCoarse.isEmpty) None
+      else Some(Rerank.exact(deferredCoarse.reduce(_ union _), globalBase,
+        Rerank.queriesDf(globalBase.sparkSession, deferredQs.toArray), k,
+        dist, idCol, vecCol, "query_id", "query_vec",
+        estRows = deferredQs.length.toLong * candidates))
+    (perChunk ++ global).reduce(_ union _)
   }
 
   /** IVF-routed BQ (the composition [[Sq.searchIvf]] already serves for
@@ -682,7 +744,8 @@ object Bq extends Serializable {
           col("cluster").cast("long").as("cluster"))
         .filter(col("cluster").isInCollection(
           probed.map(c => Long.box(c.toLong)).toSeq)),
-      _ => base,
+      // in-memory base: not cluster-prunable per chunk -> ONE global rerank
+      _ => None, base,
       qs, bqModel, ivfModel, np, k, candidates, dist, idCol, vecCol)
   }
 
@@ -766,13 +829,17 @@ object Bq extends Serializable {
             col("cluster").cast("long").as("cluster")),
       // per-CHUNK probed clusters — a tighter rerank partition filter than
       // the batch union (every chunk candidate comes from a chunk-probed
-      // cluster, so pruning cannot drop one); flat regime reranks against
-      // the (superset) flat base
+      // cluster, so pruning cannot drop one). Prunable ONLY when the base
+      // is cluster-partitioned AND this chunk is in the pruning regime;
+      // otherwise (flat regime, or no baseClusterCol) defer to ONE global
+      // rerank — per-chunk passes over an unpruned float base multiply
+      // full corpus scans by the chunk count.
       probed =>
         if (prunes(probed))
-          baseClusterCol.fold(base)(c =>
+          baseClusterCol.map(c =>
             base.filter(col(c).isin(probed.map(Int.box): _*)))
-        else flatBase.getOrElse(base),
+        else None,
+      flatBase.getOrElse(base),
       qs, bqModel, ivfModel, np, k, candidates, dist, idCol, vecCol)
   }
 }

@@ -268,22 +268,26 @@ object Dedup {
     graft.functions.TextFunctions.simhash64(
       transform(split(text, " "), t => xxhash64(t)))
 
-  /** SimHash near-duplicate join: `tables` cyclically-rotated 4×16-bit
-    * block-banding tables (table t cuts the sketch at bit offsets
-    * 8t, 8t+16, 8t+32, 8t+48), then exact Hamming ≤ maxHamming filter via
-    * bit_count(xor).
+  /** SimHash near-duplicate join: the 64-bit sketch splits into
+    * `maxHamming + 1` contiguous bands (widths as even as 64 allows —
+    * e.g. 13,13,13,13,12 at the default maxHamming=4), candidates are
+    * pairs agreeing on ≥ 1 band, then exact Hamming ≤ maxHamming filter
+    * via bit_count(xor).
     *
-    * Candidate guarantee: within EACH table, two sketches with Hamming
-    * distance ≤ 3 must agree on ≥ 1 of its 4 blocks (pigeonhole); pairs at
-    * Hamming 4..maxHamming are caught when any table's cut isolates their
-    * flipped bits into ≤ 3 blocks — rotating the cut by 8 bits per table
-    * makes the tables fail independently (r18 calibration,
-    * tools/SimhashProbe on the sf corpora: every exact 3-gram near-dup
-    * pair sits at Hamming ≤ 5; the old maxHamming=3 capped recall at
-    * 0.60; h≤4 with two tables measures recall 0.82-0.88 while keeping
-    * the emitted set angle-tight — p10 token-multiset cosine ≥ 0.76 at
-    * every SF; h≤5 reaches 1.00 recall but admits visibly looser pairs,
-    * min cosine 0.68 — so 4 is the default and 5 the recall-first dial).
+    * Candidate guarantee is STRUCTURAL (pigeonhole): ≤ maxHamming flipped
+    * bits can touch at most maxHamming of the maxHamming+1 bands, so every
+    * pair within the Hamming cutoff shares an untouched band — the emitted
+    * set is exactly ALL pairs at Hamming ≤ maxHamming, independent of
+    * corpus drift. (The r18 shape — two rotated 4×16 tables — only
+    * guaranteed h ≤ 3 and measured 0.82-0.88 recall at h=4 on the sf
+    * fixtures; h=4 pairs whose flipped bits straddled both tables' cuts
+    * were silently missed. maxHamming ≥ 16 degenerates to sub-4-bit bands
+    * and is capped: bands = min(maxHamming+1, 16), structural only up to
+    * 15.) Calibration context, tools/SimhashProbe: every exact 3-gram
+    * near-dup pair on the sf corpora sits at Hamming ≤ 5; maxHamming=3
+    * capped recall at 0.60; h≤5 reaches 1.00 but admits visibly looser
+    * pairs (min cosine 0.68) — so 4 is the default and 5 the recall-first
+    * dial.
     *
     * @return (a_id, b_id, hamming) with a_id < b_id
     */
@@ -291,17 +295,21 @@ object Dedup {
       docs: DataFrame,
       maxHamming: Int = 4,
       idCol: String = "doc_id",
-      textCol: String = "text",
-      tables: Int = 2): DataFrame = {
-    require(tables >= 1 && tables <= 8, s"tables must be 1..8 (got $tables)")
+      textCol: String = "text"): DataFrame = {
+    require(maxHamming >= 0, s"maxHamming must be >= 0 (got $maxHamming)")
     val sk = docs.select(col(idCol).cast("long").as("doc_id"),
       simhash(col(textCol)).as("sk"))
-    def rot(c: Column, r: Int): Column =
-      if (r == 0) c
-      else shiftrightunsigned(c, r).bitwiseOR(shiftleft(c, 64 - r))
+    val nBands = math.min(maxHamming + 1, 16)
+    // even split of 64 bits: (64 mod nBands) bands get the extra bit
+    val widths = Array.tabulate(nBands)(i =>
+      64 / nBands + (if (i < 64 % nBands) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _)
     val blocks = sk.select(col("doc_id"), col("sk"),
-      posexplode(array((for (t <- 0 until tables; i <- 0 until 4) yield
-        shiftright(rot(col("sk"), 8 * t), i * 16).bitwiseAND(lit(0xFFFFL))): _*))
+      posexplode(array((0 until nBands).map { i =>
+        // JVM shifts are mod 64: a 64-bit band (maxHamming=0) needs -1L
+        val mask = if (widths(i) == 64) -1L else (1L << widths(i)) - 1
+        shiftrightunsigned(col("sk"), offsets(i)).bitwiseAND(lit(mask))
+      }: _*))
         .as(Seq("blk", "bv")))
     blocks.as("a")
       .join(blocks.as("b"),

@@ -175,11 +175,15 @@ object Sq extends Serializable {
       qs: Array[(Long, Array[Float])],
       model: SqModel,
       k: Int,
-      dist: String): DataFrame = {
-    val spans = CoarseMerge.spans(qs.length, k)
+      dist: String,
+      approxPerPart: Int = 0): DataFrame = {
+    // approx mode: per-task state is nq × perPart slots, not nq × k
+    val spans = CoarseMerge.spans(qs.length,
+      if (approxPerPart > 0) approxPerPart else k)
     val hits = spans.map { case (s, e) =>
       serveChunk(packed,
-        if (s == 0 && e == qs.length) qs else qs.slice(s, e), model, k, dist)
+        if (s == 0 && e == qs.length) qs else qs.slice(s, e), model, k, dist,
+        approxPerPart)
     }.reduce(_ union _)
     CoarseMerge.lastChunks = spans.length
     hits
@@ -192,10 +196,12 @@ object Sq extends Serializable {
       qs: Array[(Long, Array[Float])],
       model: SqModel,
       k: Int,
-      dist: String): DataFrame = {
+      dist: String,
+      approxPerPart: Int = 0): DataFrame = {
     val spark = packed.sparkSession
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(qs)
+    val bufCap = if (approxPerPart > 0) approxPerPart else k
     val mins = model.mins
     val scales = model.scales
     val kindDot = dist == "dot"
@@ -211,7 +217,7 @@ object Sq extends Serializable {
         else {
       val qarr = bc.value
       val nq = qarr.length
-      val bufs = Array.fill(nq)(new graft.index.TopBuffer(k))
+      val bufs = Array.fill(nq)(new graft.index.TopBuffer(bufCap))
       // dense per-query admission bounds (nq × 8 B): at big-batch ×
       // rerank budgets the buffers are 100s of MB per task, so reading
       // `buf.bound` (and rejected offers) costs a cache miss per
@@ -290,7 +296,22 @@ object Sq extends Serializable {
     val src = packed
       .select(col("id").cast("long"), col("sq"))
       .as[(Long, Array[Byte])]
-    if (CoarseMerge.eligible(qs.length, k)) {
+    if (approxPerPart > 0) {
+      // APPROXIMATE selection (r19, verdict #2) — per-partition
+      // top-approxPerPart union IS the rerank pool, no selection shuffle;
+      // see [[Bq]]'s twin branch for the economics.
+      CoarseMerge.lastPath = "approx"
+      src.mapPartitions { it =>
+          val qarr = bc.value
+          val bufs = scanPartition(it)
+          Iterator.range(0, bufs.length).flatMap { qi =>
+            val buf = bufs(qi)
+            Iterator.range(0, buf.size).map(p =>
+              (qarr(qi)._1, buf.idAt(p), buf.distAt(p)))
+          }
+        }
+        .toDF("query_id", "id", "distance")
+    } else if (CoarseMerge.eligible(qs.length, k)) {
       // large candidate budgets: tree-merge the per-partition buffers —
       // the aggregate path would shuffle P × nq × k partial rows
       CoarseMerge.lastPath = "merge"
@@ -337,19 +358,24 @@ object Sq extends Serializable {
       idCol: String = "id",
       vecCol: String = "vec",
       queryIdCol: String = "query_id",
-      queryVecCol: String = "query_vec"): DataFrame = {
+      queryVecCol: String = "query_vec",
+      coarseSelect: String = "exact"): DataFrame = {
     require(candidates >= k, s"candidates ($candidates) must be >= k ($k)")
     val spark = packed.sparkSession
     import spark.implicits._
     val qs = queries
       .select(col(queryIdCol).cast("long"), col(queryVecCol))
       .as[(Long, Array[Float])].collect()
+    // exact|approx|auto — see [[Bq.searchRerankPacked]]
+    val approxPerPart = CoarseMerge.approxPerPart(coarseSelect, qs.length,
+      packed, k, candidates)
     // coarse is chunked under the task-memory gate; the rerank runs ONCE
     // over the unioned winners — per-chunk rerank re-scans the full float
     // base per chunk, a measured net loss on the flat path (see
     // [[Bq.searchRerankPacked]]; the ROUTED twins rerank per chunk
     // against cluster-pruned bases)
-    val coarse = serveBroadcastPackedArr(packed, qs, model, candidates, dist)
+    val coarse = serveBroadcastPackedArr(packed, qs, model, candidates, dist,
+        approxPerPart)
       .select(col("query_id"), col("id"))
     Rerank.exact(coarse, base, queries, k, dist, idCol, vecCol,
       queryIdCol, queryVecCol, estRows = qs.length.toLong * candidates)
@@ -487,12 +513,18 @@ object Sq extends Serializable {
     * twin — see [[Bq]]'s searchIvfChunked scaladoc for the full argument):
     * chunk the query batch to [[CoarseMerge.spans]], plan probes PER CHUNK
     * (chunking tightens partition pruning), and rerank PER CHUNK against a
-    * float base pruned to the chunk's probed clusters (r18) — exact by
-    * construction, with the big-batch winner join shrunk by the chunk
-    * factor and pipelined with the next chunk's coarse scan. */
+    * float base pruned to the chunk's probed clusters when `rerankBaseFor`
+    * can prune (returns Some); chunks whose base is NOT prunable defer
+    * their coarse winners to ONE global rerank against `globalBase` —
+    * per-chunk passes over an unpruned ~3.8 KB/row float base multiply
+    * full corpus scans by the chunk count (the measured 35 s vs 24 s
+    * flat-path loss; the winner side is 16 B/row). Exact by construction
+    * either way — chunks partition the query set, both stages are
+    * per-query. */
   private def searchIvfChunked(
       buildProbedRows: Array[Int] => DataFrame,
-      rerankBaseFor: Array[Int] => DataFrame,
+      rerankBaseFor: Array[Int] => Option[DataFrame],
+      globalBase: DataFrame,
       qs: Array[(Long, Array[Float])],
       ivfModel: graft.operators.IvfModel,
       np: Int,
@@ -503,17 +535,32 @@ object Sq extends Serializable {
       idCol: String,
       vecCol: String): DataFrame = {
     val spans = CoarseMerge.spans(qs.length, candidates)
-    val chunks = spans.map { case (s, e) =>
+    val deferredCoarse = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    val deferredQs =
+      scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Float])]
+    val perChunk = spans.flatMap { case (s, e) =>
       val qsC = if (s == 0 && e == qs.length) qs else qs.slice(s, e)
       val (clusterToQ, probed) = probePlan(qsC, ivfModel, np)
       val coarse = coarseIvfKernel(buildProbedRows(probed), qsC, clusterToQ,
         sqModel, candidates, dist)
-      Rerank.exact(coarse, rerankBaseFor(probed),
-        Rerank.queriesDf(coarse.sparkSession, qsC), k, dist, idCol, vecCol,
-        "query_id", "query_vec", estRows = qsC.length.toLong * candidates)
+      rerankBaseFor(probed) match {
+        case Some(prunedBase) =>
+          Some(Rerank.exact(coarse, prunedBase,
+            Rerank.queriesDf(coarse.sparkSession, qsC), k, dist, idCol,
+            vecCol, "query_id", "query_vec",
+            estRows = qsC.length.toLong * candidates))
+        case None =>
+          deferredCoarse += coarse; deferredQs ++= qsC; None
+      }
     }
     CoarseMerge.lastChunks = spans.length
-    chunks.reduce(_ union _)
+    val global =
+      if (deferredCoarse.isEmpty) None
+      else Some(Rerank.exact(deferredCoarse.reduce(_ union _), globalBase,
+        Rerank.queriesDf(globalBase.sparkSession, deferredQs.toArray), k,
+        dist, idCol, vecCol, "query_id", "query_vec",
+        estRows = deferredQs.length.toLong * candidates))
+    (perChunk ++ global).reduce(_ union _)
   }
 
   /** Driver-side probe selection for a collected query batch: the `np`
@@ -579,7 +626,8 @@ object Sq extends Serializable {
           col("cluster").cast("long").as("cluster"))
         .filter(col("cluster").isInCollection(
           probed.map(c => Long.box(c.toLong)).toSeq)),
-      _ => base,
+      // in-memory base: not cluster-prunable per chunk -> ONE global rerank
+      _ => None, base,
       qs, ivfModel, np, sqModel, k, candidates, dist, idCol, vecCol)
   }
 
@@ -682,13 +730,15 @@ object Sq extends Serializable {
             col("cluster").cast("long").as("cluster")),
       // per-CHUNK probed clusters — tighter than the batch union; every
       // chunk candidate comes from a chunk-probed cluster, so pruning
-      // cannot drop one. In the flat regime the rerank base is a SUPERSET
-      // (unpruned), which selection cannot be changed by.
+      // cannot drop one. Prunable ONLY when the base is cluster-
+      // partitioned AND this chunk is in the pruning regime; otherwise
+      // (flat regime, or no baseClusterCol) defer to ONE global rerank.
       probed =>
         if (prunes(probed))
-          baseClusterCol.fold(base)(c =>
+          baseClusterCol.map(c =>
             base.filter(col(c).isin(probed.map(Int.box): _*)))
-        else flatBase.getOrElse(base),
+        else None,
+      flatBase.getOrElse(base),
       qs, ivfModel, np, sqModel, k, candidates, dist, idCol, vecCol)
   }
 
@@ -759,12 +809,13 @@ object Sq extends Serializable {
       idCol: String = "id",
       vecCol: String = "vec",
       queryIdCol: String = "query_id",
-      queryVecCol: String = "query_vec"): DataFrame = {
+      queryVecCol: String = "query_vec",
+      coarseSelect: String = "exact"): DataFrame = {
     val model = train(base, vecCol)
     searchRerankPacked(
       encode(base.select(col(idCol).cast("long").as("id"),
         col(vecCol).as("vec")), model).select(col("id"), col("sq")),
       base, queries, model, k, candidates, dist, idCol, vecCol,
-      queryIdCol, queryVecCol)
+      queryIdCol, queryVecCol, coarseSelect)
   }
 }

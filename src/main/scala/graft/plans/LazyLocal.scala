@@ -59,6 +59,18 @@ case class LazyLocalScanExec(
     thunk().map(r => proj(r).copy().asInstanceOf[InternalRow])
   }
 
+  /** Materialize on the MAIN driver thread, before any broadcast future
+    * exists. `SparkPlan.prepare()` prepares children before the parent's
+    * `doPrepare()`, so this runs before `BroadcastExchangeExec.doPrepare`
+    * submits its relation future — whose await is capped by
+    * `spark.sql.broadcastTimeout` (300 s default). Without this, a
+    * merge-eligible coarse scan over a large corpus ran INSIDE that future
+    * and a slow scan failed as a spurious broadcast timeout; here the
+    * future's `executeCollect` finds the memoized rows and returns
+    * instantly. Still lazy for planning/explain: `prepare()` only runs on
+    * the execution path. */
+  protected override def doPrepare(): Unit = { unsafeRows; () }
+
   protected override def doExecute(): RDD[InternalRow] = {
     val rows = unsafeRows
     val slices = math.max(1,

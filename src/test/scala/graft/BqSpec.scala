@@ -100,6 +100,63 @@ class BqSpec extends SparkTestBase {
     assert(recall >= 0.8, s"BQ rerank recall@$k = $recall (candidates=200)")
   }
 
+  test("approx coarse selection: dominated, recall holds, exhaustive == exact KNN") {
+    val k = 10
+    val b8 = base.repartition(8, $"id")
+    val n = b8.count().toInt
+    // forced approx path: per-partition top-⌈200/8⌉ pool, no selection
+    // shuffle
+    val approx = Bq.searchRerank(b8, qs, k = k, candidates = 200,
+      coarseSelect = "approx")
+    assert(graft.operators.CoarseMerge.lastPath == "approx")
+    val approxRows = approx.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("id"),
+        r.getAs[Double]("distance")))
+    val exactRows = Knn.exact(b8, qs, k = k).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("id"),
+        r.getAs[Double]("distance")))
+    // DOMINATION: the pool is a corpus subset and the rerank is exact, so
+    // at every rank the approx distance is >= the exact distance
+    val byQ = approxRows.groupBy(_._1).view
+      .mapValues(_.sortBy(t => (t._3, t._2))).toMap
+    val eByQ = exactRows.groupBy(_._1).view
+      .mapValues(_.sortBy(t => (t._3, t._2))).toMap
+    for ((qid, rs) <- byQ; (r, i) <- rs.zipWithIndex if i < eByQ(qid).length)
+      assert(r._3 >= eByQ(qid)(i)._3 - 1e-9,
+        s"query $qid rank $i: approx ${r._3} < exact ${eByQ(qid)(i)._3}")
+    // recall floor on the hard 64-dim near-uniform fixture (exact-200
+    // measures 0.967 here; the per-partition cap costs a little pool
+    // membership, never distance correctness)
+    val eSets = exactRows.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recall = eSets.keys.toSeq.map { qid =>
+      (byQ(qid).map(_._2).toSet & eSets(qid)).size.toDouble / k
+    }.sum / eSets.size
+    assert(recall >= 0.5, s"approx recall@$k = $recall")
+    // exhaustive budget: cap = ⌈2n/8⌉ >= any partition's rows => the pool
+    // is the whole corpus and approx selection IS exact KNN
+    val exhaustive = Bq.searchRerank(b8, qs, k = k, candidates = 2 * n,
+        coarseSelect = "approx")
+      .orderBy("query_id", "distance", "id").collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("id")))
+    val exactSorted = exactRows.sortBy(t => (t._1, t._3, t._2))
+      .map(t => (t._1, t._2))
+    assert(exhaustive.toSeq == exactSorted.toSeq)
+  }
+
+  test("auto coarse selection switches at the nq threshold") {
+    val old = graft.operators.CoarseMerge.approxNqThreshold
+    try {
+      // batch (6 queries) below threshold: exact selection
+      graft.operators.CoarseMerge.approxNqThreshold = 1000
+      Bq.searchRerank(base, qs, k = 5, candidates = 50, coarseSelect = "auto")
+      assert(graft.operators.CoarseMerge.lastPath != "approx")
+      // threshold at/below the batch: approx selection
+      graft.operators.CoarseMerge.approxNqThreshold = 6
+      Bq.searchRerank(base, qs, k = 5, candidates = 50, coarseSelect = "auto")
+      assert(graft.operators.CoarseMerge.lastPath == "approx")
+    } finally graft.operators.CoarseMerge.approxNqThreshold = old
+  }
+
   test("train: exact per-dim means; centered pack bits split on the mean") {
     val df = Seq(
       (0L, Array(1f, 10f)),

@@ -191,6 +191,34 @@ class CoarseChunkSpec extends SparkTestBase {
     packed.unpersist()
   }
 
+  test("lazy scan materializes in doPrepare — a slow thunk beats broadcastTimeout") {
+    // r19 ADVICE: the deferred merge used to run INSIDE the consumer's
+    // BroadcastExchange relation future, so spark.sql.broadcastTimeout
+    // capped the whole coarse scan. LazyLocalScanExec.doPrepare now runs
+    // the thunk on the main driver thread BEFORE the exchange's future
+    // exists (children prepare first), so a scan slower than the timeout
+    // still broadcasts. Regression shape: thunk sleeps past a 1 s
+    // timeout; the broadcast-join collect must succeed.
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("id", LongType, nullable = false)))
+    val thunk = () => {
+      Thread.sleep(1800)
+      Array.tabulate(3)(i => InternalRow(i.toLong): InternalRow)
+    }
+    val lazyDf = graft.plans.LazyLocal.ofThunk(spark, schema, thunk, 48L)
+    val other = spark.range(3).select(col("id"))
+    val saved = spark.conf.getOption("spark.sql.broadcastTimeout")
+    try {
+      spark.conf.set("spark.sql.broadcastTimeout", "1")
+      val joined = other.join(broadcast(lazyDf), "id").collect()
+      assert(joined.length == 3)
+    } finally saved match {
+      case Some(v) => spark.conf.set("spark.sql.broadcastTimeout", v)
+      case None => spark.conf.unset("spark.sql.broadcastTimeout")
+    }
+  }
+
   test("IVF-routed SQ + BQ over the partitioned layout: multi-chunk == single-chunk, still pruned") {
     val (ivfModel, assigned) = Ivf.build(base.select(col("id"), col("vec")), k = 8)
     val sqModel = Sq.train(base)

@@ -154,6 +154,35 @@ class SqSpec extends SparkTestBase {
     df.unpersist()
   }
 
+  test("approx coarse selection: dominated by exact; exhaustive budget == exact KNN") {
+    val data = randVecs(300, 10, seed = 17)
+    val df = data.toDF("id", "vec").repartition(4, col("id")).cache()
+    val q = df.filter(col("id") < 5)
+      .select(col("id").as("query_id"), col("vec").as("query_vec"))
+    val approx = Sq.searchRerank(df, q, k = 5, candidates = 40,
+      coarseSelect = "approx")
+    assert(graft.operators.CoarseMerge.lastPath == "approx")
+    val a = approx.orderBy("query_id", "distance", "id").collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Double]("distance")))
+    val e = Knn.exact(df, q, k = 5, dist = "l2sqr")
+      .orderBy("query_id", "distance", "id").collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Double]("distance")))
+    // domination at every rank (pool ⊆ corpus, rerank exact)
+    a.zip(e).foreach { case ((qa, da), (qe, de)) =>
+      assert(qa == qe); assert(da >= de - 1e-9)
+    }
+    // exhaustive: per-partition cap ≥ partition rows ⇒ exact KNN
+    val exhaustive = Sq.searchRerank(df, q, k = 5, candidates = 600,
+        coarseSelect = "approx")
+      .orderBy("query_id", "distance", "id").collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("id")))
+    val want = Knn.exact(df, q, k = 5, dist = "l2sqr")
+      .orderBy("query_id", "distance", "id").collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("id")))
+    assert(exhaustive.toSeq == want.toSeq)
+    df.unpersist()
+  }
+
   test("searchRerank with candidates >= n equals exact KNN") {
     val data = randVecs(300, 10, seed = 3)
     val df = data.toDF("id", "vec").repartition(4).cache()
