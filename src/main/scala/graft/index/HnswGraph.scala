@@ -147,6 +147,13 @@ final class HnswGraph(
 
   /** Packed vectors: row i occupies [i*dim, (i+1)*dim). */
   private var packed = new Array[Float](dim * 256)
+  /** Cached ‖row‖² (double accumulation) — the BUILD distance identity
+    * ‖a−b‖² = ‖a‖² + ‖b‖² − 2a·b halves the per-eval FLOP streams
+    * (dot-only fma vs sub+fma) on the insert hot path, the reference's
+    * own build trick (`hnsw_index.rs:136-141`). Search-time traversal
+    * keeps the direct kernels (and results are exact-rescored anyway);
+    * r19 InsertProbe measured beam = 81-75% of build CPU. 8 B/row. */
+  private var norms = new Array[Double](256)
   private var n = 0
   private val vecLevel = new IntList(256)
   // links(node)(level) — growable adjacency per level 0..vecLevel(node)
@@ -171,7 +178,8 @@ final class HnswGraph(
     * O(nodes·levels) array-length walk; called once per cache insert,
     * which itself cost O(nodes·dim). */
   def byteSize: Long = {
-    var b = packed.length.toLong * 4 + vecLevel.retainedBytes + 96
+    var b = packed.length.toLong * 4 + norms.length.toLong * 8 +
+      vecLevel.retainedBytes + 96
     var i = 0
     while (i < links.length) {
       val ls = links(i)
@@ -187,7 +195,10 @@ final class HnswGraph(
     require(vec.length == dim, s"HNSW: dimension mismatch (${vec.length} vs $dim)")
     if ((n + 1) * dim > packed.length)
       packed = java.util.Arrays.copyOf(packed, math.max(packed.length * 2, (n + 1) * dim))
+    if (n + 1 > norms.length)
+      norms = java.util.Arrays.copyOf(norms, math.max(norms.length * 2, n + 1))
     System.arraycopy(vec, 0, packed, n * dim, dim)
+    norms(n) = Simd.dot(vec, vec)
     n += 1
   }
 
@@ -199,9 +210,23 @@ final class HnswGraph(
     if (isCosine) Simd.cosineOff(q, packed, idx * dim)
     else Simd.l2sqOff(q, packed, idx * dim)
 
+  /** BUILD-path node distance: the cached-norm identity when a query
+    * norm is supplied (L2 only — cosine is already dot-shaped), the
+    * direct kernel otherwise. One predictable branch per eval; the
+    * identity's cancellation error only perturbs near-ties in an
+    * already-approximate graph construction (search results are
+    * exact-rescored). */
+  @inline private def distTo(idx: Int, q: Array[Float], qNorm: Double): Double =
+    if (isCosine) Simd.cosineOff(q, packed, idx * dim)
+    else if (java.lang.Double.isNaN(qNorm)) Simd.l2sqOff(q, packed, idx * dim)
+    else norms(idx) + qNorm - 2.0 * Simd.dotOff(q, packed, idx * dim)
+
+  /** Node-node distance — BUILD-ONLY call sites (heuristic selection +
+    * link fix-up), so L2 always takes the cached-norm identity. */
   @inline private def distBetween(i: Int, j: Int): Double =
     if (isCosine) Simd.cosineOff2(packed, i * dim, packed, j * dim, dim)
-    else Simd.l2sqOff2(packed, i * dim, packed, j * dim, dim)
+    else norms(i) + norms(j) -
+      2.0 * Simd.dotOff2(packed, i * dim, packed, j * dim, dim)
 
   /** Double-accumulation distance matching the Spark-side `VecDistance`. */
   @inline private def exactDistTo(idx: Int, q: Array[Float]): Double =
@@ -282,13 +307,14 @@ final class HnswGraph(
   }
 
   private def searchOnLevel(
-      enter: Int, level: Int, ef: Int, q: Array[Float]): ResultSet = {
+      enter: Int, level: Int, ef: Int, q: Array[Float],
+      qNorm: Double = Double.NaN): ResultSet = {
     val ctx = HnswGraph.ctxTL.get()
     ctx.begin(n)
     val queue = ctx.heap
     val result = new ResultSet(ef)
     ctx.mark(enter)
-    val d0 = distTo(enter, q)
+    val d0 = distTo(enter, q, qNorm)
     result.add(d0, enter)
     queue.push(d0, enter)
     var continue = true
@@ -302,7 +328,7 @@ final class HnswGraph(
           val p = nbrs(i)
           if (!ctx.seen(p)) {
             ctx.mark(p)
-            val nd = distTo(p, q)
+            val nd = distTo(p, q, qNorm)
             result.add(nd, p)
             queue.push(nd, p)
           }
@@ -378,9 +404,10 @@ final class HnswGraph(
     curP
   }
 
-  private def greedyOnLevel(level: Int, enter: Int, q: Array[Float]): Int = {
+  private def greedyOnLevel(level: Int, enter: Int, q: Array[Float],
+      qNorm: Double = Double.NaN): Int = {
     var curP = enter
-    var curD = distTo(curP, q)
+    var curD = distTo(curP, q, qNorm)
     var improved = true
     while (improved) {
       improved = false
@@ -388,7 +415,7 @@ final class HnswGraph(
       var i = 0
       while (i < nbrs.size) {
         val p = nbrs(i)
-        val nd = distTo(p, q)
+        val nd = distTo(p, q, qNorm)
         if (nd < curD) { curD = nd; curP = p; improved = true }
         i += 1
       }
@@ -396,11 +423,12 @@ final class HnswGraph(
     curP
   }
 
-  private def greedyUntilLevel(targetLevel: Int, q: Array[Float]): Int = {
+  private def greedyUntilLevel(targetLevel: Int, q: Array[Float],
+      qNorm: Double = Double.NaN): Int = {
     var level = enterLevel
     var curP = enterPoint
     while (level > targetLevel) {
-      curP = greedyOnLevel(level, curP, q)
+      curP = greedyOnLevel(level, curP, q, qNorm)
       level -= 1
     }
     curP
@@ -437,9 +465,12 @@ final class HnswGraph(
 
   /** Drop growth slack in the packed-vector matrix (post-load; see
     * [[HnswGraph.fromNodes]]). */
-  private[index] def trimToSize(): Unit =
+  private[index] def trimToSize(): Unit = {
     if (packed.length > n * dim)
       packed = java.util.Arrays.copyOf(packed, n * dim)
+    if (norms.length > n)
+      norms = java.util.Arrays.copyOf(norms, n)
+  }
 
   /** Append a node with precomputed structure (deserialization path — does
     * not search or mutate other nodes' links). */
@@ -463,11 +494,14 @@ final class HnswGraph(
       return idx
     }
     var t0 = System.nanoTime()
+    // the cached-norm build identity: this row's norm was just appended
+    val qNorm = if (isCosine) Double.NaN else norms(idx)
     var curP =
-      if (level < enterLevel) greedyUntilLevel(level, vec) else enterPoint
+      if (level < enterLevel) greedyUntilLevel(level, vec, qNorm)
+      else enterPoint
     var lv = math.min(level, enterLevel)
     while (lv >= 0) {
-      val candidates = searchOnLevel(curP, lv, efConstruction, vec)
+      val candidates = searchOnLevel(curP, lv, efConstruction, vec, qNorm)
       curP = candidates.firstIdx
       val t1 = System.nanoTime(); statBeamNs += t1 - t0
       connectNewLinks(idx, lv, candidates)

@@ -158,6 +158,61 @@ object Simd {
     1.0 - d / math.max(math.sqrt(na) * math.sqrt(nb), 1e-10)
   }
 
+  /** dot(q, row) against a packed matrix row — the cached-norm build
+    * identity's kernel: one fma stream per lane vs l2sqOff's sub+fma
+    * (~1.5-2× fewer ops at the same memory traffic). 4× unrolled like
+    * l2sqOff2. */
+  def dotOff(a: Array[Float], b: Array[Float], off: Int): Double = {
+    val n = a.length
+    val L = FS.length()
+    val upper4 = n - n % (4 * L)
+    var acc0 = FloatVector.zero(FS); var acc1 = FloatVector.zero(FS)
+    var acc2 = FloatVector.zero(FS); var acc3 = FloatVector.zero(FS)
+    var i = 0
+    while (i < upper4) {
+      acc0 = FloatVector.fromArray(FS, a, i).fma(FloatVector.fromArray(FS, b, off + i), acc0)
+      acc1 = FloatVector.fromArray(FS, a, i + L).fma(FloatVector.fromArray(FS, b, off + i + L), acc1)
+      acc2 = FloatVector.fromArray(FS, a, i + 2 * L).fma(FloatVector.fromArray(FS, b, off + i + 2 * L), acc2)
+      acc3 = FloatVector.fromArray(FS, a, i + 3 * L).fma(FloatVector.fromArray(FS, b, off + i + 3 * L), acc3)
+      i += 4 * L
+    }
+    val upper = n - n % L
+    while (i < upper) {
+      acc0 = FloatVector.fromArray(FS, a, i).fma(FloatVector.fromArray(FS, b, off + i), acc0)
+      i += L
+    }
+    var s = acc0.add(acc1).add(acc2.add(acc3))
+      .reduceLanes(VectorOperators.ADD).toDouble
+    while (i < n) { s += a(i).toDouble * b(off + i); i += 1 }
+    s
+  }
+
+  /** dot between two rows of packed matrices ([[dotOff]]'s two-offset
+    * twin). */
+  def dotOff2(a: Array[Float], offA: Int, b: Array[Float], offB: Int, dim: Int): Double = {
+    val L = FS.length()
+    val upper4 = dim - dim % (4 * L)
+    var acc0 = FloatVector.zero(FS); var acc1 = FloatVector.zero(FS)
+    var acc2 = FloatVector.zero(FS); var acc3 = FloatVector.zero(FS)
+    var i = 0
+    while (i < upper4) {
+      acc0 = FloatVector.fromArray(FS, a, offA + i).fma(FloatVector.fromArray(FS, b, offB + i), acc0)
+      acc1 = FloatVector.fromArray(FS, a, offA + i + L).fma(FloatVector.fromArray(FS, b, offB + i + L), acc1)
+      acc2 = FloatVector.fromArray(FS, a, offA + i + 2 * L).fma(FloatVector.fromArray(FS, b, offB + i + 2 * L), acc2)
+      acc3 = FloatVector.fromArray(FS, a, offA + i + 3 * L).fma(FloatVector.fromArray(FS, b, offB + i + 3 * L), acc3)
+      i += 4 * L
+    }
+    val upper = dim - dim % L
+    while (i < upper) {
+      acc0 = FloatVector.fromArray(FS, a, offA + i).fma(FloatVector.fromArray(FS, b, offB + i), acc0)
+      i += L
+    }
+    var s = acc0.add(acc1).add(acc2.add(acc3))
+      .reduceLanes(VectorOperators.ADD).toDouble
+    while (i < dim) { s += a(offA + i).toDouble * b(offB + i); i += 1 }
+    s
+  }
+
   /** l2sq between two rows of packed matrices. */
   def l2sqOff2(a: Array[Float], offA: Int, b: Array[Float], offB: Int, dim: Int): Double = {
     val L = FS.length()
