@@ -534,6 +534,24 @@ object Bench {
     def recordStealReject(name: String, wallSec: Double): Unit =
       stealRejected += name ->
         (stealRejected.getOrElse(name, Vector.empty) :+ wallSec)
+    /** Single-timed row under the same steal admission — for the
+      * hand-timed scale-proof rows (the nq10k pair) that run once rather
+      * than through a rep grid; the r19 artifact's exact row read 44.6 s
+      * (vs 27.7 same-code same-day) off one steal-hit measurement while
+      * every grid row around it was retry-protected. */
+    def timeOnceStealAware(name: String)(f: => Unit): Double = {
+      var retries = stealRetries
+      var out = -1.0
+      while (out < 0) {
+        val t0 = System.nanoTime(); val s0 = hostStealMillis()
+        f
+        val wall = (System.nanoTime() - t0) / 1e9
+        val stealD = (hostStealMillis() - s0).toDouble
+        if (!stealContaminated(wall, stealD) || retries == 0) out = wall
+        else { recordStealReject(name, wall); retries -= 1 }
+      }
+      out
+    }
 
     // 5 timed rounds (was 3): today's host shows sporadic single-round 5×
     // collapses with zero rebuild/GC/JIT attribution (external CPU steal —
@@ -1350,10 +1368,10 @@ object Bench {
           bq1m, vec1mDisk, q1m10k, k = 10,
           candidates = graft.operators.Bq.autoCandidates(n1m, 10),
           model = Some(bqModel1m))
-        val t0 = System.nanoTime()
-        withAqeOff(serve(mkBqRerank1mNq10k()))
-        results1m = results1m :+
-          (("bq_rerank_1m_d960_nq10k_batch", (System.nanoTime() - t0) / 1e9))
+        val sec = timeOnceStealAware("bq_rerank_1m_d960_nq10k_batch") {
+          withAqeOff(serve(mkBqRerank1mNq10k())); ()
+        }
+        results1m = results1m :+ (("bq_rerank_1m_d960_nq10k_batch", sec))
         taskGate += "bq_rerank_1m_nq10k_chunks" ->
           graft.operators.CoarseMerge.lastChunks.toDouble
         taskGate += "bq_rerank_1m_nq10k_shuffle_join" ->
@@ -1378,10 +1396,11 @@ object Bench {
           candidates = graft.operators.Bq.autoCandidates(n1m, 10),
           model = Some(bqModel1m), coarseSelect = "approx")
         withAqeOff(serve(mkBqRerank1mNq10kApprox())) // warm (JIT of the new path)
-        val t0 = System.nanoTime()
-        withAqeOff(serve(mkBqRerank1mNq10kApprox()))
+        val sec = timeOnceStealAware("bq_rerank_1m_d960_nq10k_approx_batch") {
+          withAqeOff(serve(mkBqRerank1mNq10kApprox())); ()
+        }
         results1m = results1m :+
-          (("bq_rerank_1m_d960_nq10k_approx_batch", (System.nanoTime() - t0) / 1e9))
+          (("bq_rerank_1m_d960_nq10k_approx_batch", sec))
         taskGate += "bq_rerank_1m_nq10k_approx_chunks" ->
           graft.operators.CoarseMerge.lastChunks.toDouble
         recalls1m += "bq_rerank_1m_d960_nq10k_approx_batch" ->
