@@ -528,6 +528,23 @@ object Bench {
       sys.env.getOrElse("SPARK_GRAFT_BENCH_STEAL_FRAC", "0.15").toDouble
     val stealRetries =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_STEAL_RETRIES", "2").toInt
+    // r20 (verdict #3): anchor-relative admission for the sustained grids —
+    // the steal gate only names hypervisor theft, and the r19 driver re-run
+    // showed the 1mLR sustained family at 0.69-0.72× of same-code committed
+    // values with ZERO steal flagged (frequency/cache-class host noise).
+    // Each sustainedGrid round re-times ONE pinned anchor (a single serve
+    // of the section's first workload) before the round's reps; when the
+    // anchor departs the section's in-run fastest anchor by more than
+    // `anchorSlack` (>20% per the verdict), the round is held back and the
+    // anchor re-timed under the same bounded retry budget — exhausted
+    // retries proceed (visible in the spread), discards ship in
+    // `steal_rejected` under "<head>@anchor". In-run-relative by design:
+    // a run that is uniformly slow end-to-end stays adjudicated by the
+    // cross-round host band, but a mid-run degradation window (the driver
+    // case: batch twins at ~0.95×, sustained at ~0.7× in the SAME run) now
+    // rejects instead of silently becoming the of-record number.
+    val anchorSlack =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_ANCHOR_SLACK", "1.25").toDouble
     var stealRejected = Map.empty[String, Seq[Double]]
     def stealContaminated(wallSec: Double, stealDeltaMs: Double): Boolean =
       stealDeltaMs > stealFracMax * wallSec * 1000.0
@@ -574,6 +591,26 @@ object Bench {
         val perGc = Array.fill(ws.length)(Vector.empty[Double])
         val perCpu = Array.fill(ws.length)(Vector.empty[Double])
         val perSteal = Array.fill(ws.length)(Vector.empty[Double])
+        // per-round anchor re-time (r20, verdict #3 — see anchorSlack):
+        // the floor is the fastest single serve of ws.head observed in
+        // THIS grid (warm rounds included, so JIT lands before the floor
+        // binds); a timed round whose anchor exceeds floor × anchorSlack
+        // re-times up to the steal retry budget before proceeding
+        val anchorMk = ws.head._2
+        val anchorName = ws.head._1 + "@anchor"
+        var anchorFloor = Double.PositiveInfinity
+        def anchorGate(timedRound: Boolean): Unit = {
+          var retries = if (timedRound) stealRetries else 0
+          var ok = false
+          while (!ok) {
+            val t0 = System.nanoTime()
+            serve(anchorMk())
+            val sec = (System.nanoTime() - t0) / 1e9
+            anchorFloor = math.min(anchorFloor, sec)
+            if (sec <= anchorFloor * anchorSlack || retries == 0) ok = true
+            else { recordStealReject(anchorName, sec); retries -= 1 }
+          }
+        }
         // TWO untimed warm rounds first: the first pipelined pass per
         // workload is 2-6× cold (JIT of the submit path, pool spin-up, GC
         // ramp — visible in the r11 shakedown's rep spread), and with only
@@ -581,6 +618,7 @@ object Bench {
         // siblings on every 1M row (r14 full artifact: C2 tiering completes
         // during round 1) — burning one of the five timed reps per workload
         (-1 to rounds).foreach { round =>
+          anchorGate(round > 0)
           ws.zipWithIndex.foreach { case ((name, mk, nqPlan), i) =>
             var retries = stealRetries
             var accepted = false
@@ -978,6 +1016,10 @@ object Bench {
     // proof-of-gating observables for the task-memory-bounded rows (r17):
     // chunk counts + which rerank join shape the gated arms actually took
     var taskGate = Map.empty[String, Double]
+    // (mult, sec, qps, recall) rows of the approx per-partition-budget
+    // sweep (r20, verdict #6): the evidence behind the approxCapMult=1.0
+    // default and the 4096 auto threshold
+    var approxSweep = Seq.empty[(Double, Double, Double, Double)]
     // matched-recall calibration detail (target, chosen efs, landed
     // recalls) — the rows themselves use stable ef-free names
     var matched1m = Map.empty[String, Double]
@@ -1406,8 +1448,71 @@ object Bench {
         recalls1m += "bq_rerank_1m_d960_nq10k_approx_batch" ->
           recallOf(mkBqRerank1mNq10kApprox().filter(col("query_id") < nq),
             truth1m)
+        // r20 (verdict #6): per-partition-budget sweep — the reference's
+        // bench emits (ef, recall, time) curves (examples/bench.rs:369-455);
+        // this is the analogous calibration for the approx mode's ONE free
+        // parameter, the ⌈c/P⌉ cap multiplier. One timed serve per point
+        // (the row above is the of-record mult=1.0 measurement); recall on
+        // the truth subset. Ships as `approx_budget_sweep` so the default
+        // and the 4096 auto threshold rest on in-artifact evidence.
+        for (mult <- Seq(0.25, 0.5, 1.0, 2.0)) {
+          val saved = graft.operators.CoarseMerge.approxCapMult
+          try {
+            graft.operators.CoarseMerge.approxCapMult = mult
+            val sec = timeOnceStealAware(f"bq_approx_sweep_mult$mult%.2f") {
+              withAqeOff(serve(mkBqRerank1mNq10kApprox())); ()
+            }
+            val rec = recallOf(
+              mkBqRerank1mNq10kApprox().filter(col("query_id") < nq), truth1m)
+            approxSweep :+= ((mult, sec, 10000.0 / sec, rec))
+          } finally graft.operators.CoarseMerge.approxCapMult = saved
+        }
       } catch { case e: Throwable =>
         errors += "bq_rerank_1m_nq10k_approx" -> errString(e)
+      }
+
+      // r20 (verdict #4): the ROUTED nq10k pair — IVFSQ over the
+      // partitioned fixture at the big-batch operating point, exact coarse
+      // selection vs the approx mode now plumbed through searchIvfChunked.
+      // At nq=10k the np1 probe union covers all kc=32 clusters (prune-void
+      // — the coverage dispatch serves the flat twins), so the pair
+      // isolates SELECTION economics: exact aggregates P × nq × c partial
+      // rows (32M at c=100 — k=100 is under the merge paths' heap
+      // threshold, so the row-aggregate shuffle is the bound); approx
+      // streams each partition's top-max(k, ⌈c/P⌉) straight into the one
+      // rerank. Cap ≥ k means every partition still surfaces a full final
+      // top-k, so the pool keeps the probed scan's exact top-k members —
+      // recall parity is expected and measured in-artifact.
+      try {
+        def mkSqIvfPart1mNq10k(mode: String) =
+          graft.operators.Sq.searchIvfPartitionedDf(
+            sqIvfPartDf, floatPartDf, model1m, sqModel1m, q1m10k, k = 10,
+            candidates = 100, nProbes = Some(1),
+            baseClusterCol = Some("cluster"),
+            flatCodes = Some(sqFlatDf), flatBase = Some(vec1mDisk),
+            coarseSelect = mode)
+        withAqeOff(serve(mkSqIvfPart1mNq10k("exact"))) // warm
+        val secExact = timeOnceStealAware("sq_ivf_part_1m_d960_np1_nq10k_batch") {
+          withAqeOff(serve(mkSqIvfPart1mNq10k("exact"))); ()
+        }
+        results1m = results1m :+
+          (("sq_ivf_part_1m_d960_np1_nq10k_batch", secExact))
+        val secApprox = timeOnceStealAware(
+            "sq_ivf_part_1m_d960_np1_nq10k_approx_batch") {
+          withAqeOff(serve(mkSqIvfPart1mNq10k("approx"))); ()
+        }
+        results1m = results1m :+
+          (("sq_ivf_part_1m_d960_np1_nq10k_approx_batch", secApprox))
+        taskGate += "sq_ivf_part_1m_nq10k_approx_path" ->
+          (if (graft.operators.CoarseMerge.lastPath == "approx") 1.0 else 0.0)
+        recalls1m += "sq_ivf_part_1m_d960_np1_nq10k_batch" ->
+          recallOf(mkSqIvfPart1mNq10k("exact").filter(col("query_id") < nq),
+            truth1m)
+        recalls1m += "sq_ivf_part_1m_d960_np1_nq10k_approx_batch" ->
+          recallOf(mkSqIvfPart1mNq10k("approx").filter(col("query_id") < nq),
+            truth1m)
+      } catch { case e: Throwable =>
+        errors += "sq_ivf_part_1m_nq10k" -> errString(e)
       }
 
       // ---- IVFSQ batch-regime partition-prune demo (r16 verdict item 1) --
@@ -2059,9 +2164,12 @@ object Bench {
         s"""{"ef":$ef,"recall":${f"$r%.4f"},"qps":${f"$q%.1f"}}"""
       }.mkString("[", ",", "]")
     val sweepJson = sweepArr(sweep)
+    val approxSweepJson = approxSweep.map { case (m, sec, q, r) =>
+      s"""{"cap_mult":$m,"sec":${f"$sec%.2f"},"qps":${f"$q%.1f"},"recall":${f"$r%.4f"}}"""
+    }.mkString("[", ",", "]")
     val total = results.map(_._2).sum
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"qps":$qps,"recall":$recallJson,"sustained_qps":$sustainedJson,"sustained_samples":$sustainedSamplesJson,"sustained_n_samples":3,"sq_ivf_kc512":$sqIvfKc512Json,"stage":$stageJson,"sustained_spread":$sustainedSpreadJson$sanityJson,"rep_spread":$spreadJson,"rep_gc_ms":$gcJson,"rep_rebuild_ms":$rebuildJson,"rep_jit_ms":$jitJson,"rep_cpu_ms":$cpuJson,"rep_steal_ms":$stealJson,"steal_rejected":$stealRejectedJson,"steal_frac_max":$stealFracMax,"sustained_rebuild_ms":$sustainedRebuildJson,"sustained_gc_ms":$sustainedGcJson,"sustained_cpu_ms":$sustainedCpuJson,"sustained_steal_ms":$sustainedStealJson,"task_gate":$taskGateJson,"build_scale":$buildScaleJson,"matched_recall":$matchedJson,"hnsw_d960_ef_sweep":$sweepJson,"pq_d960_ef_sweep":${sweepArr(pqSweep)},"hnsw_pq_walk_d960_ef_sweep":${sweepArr(hnswPqSweep)},"errors":$errJson,"nq":$nq,"n_vec":$nVec,"cpus":$nCores,"smoke":$isSmoke,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"qps":$qps,"recall":$recallJson,"sustained_qps":$sustainedJson,"sustained_samples":$sustainedSamplesJson,"sustained_n_samples":3,"sq_ivf_kc512":$sqIvfKc512Json,"stage":$stageJson,"sustained_spread":$sustainedSpreadJson$sanityJson,"rep_spread":$spreadJson,"rep_gc_ms":$gcJson,"rep_rebuild_ms":$rebuildJson,"rep_jit_ms":$jitJson,"rep_cpu_ms":$cpuJson,"rep_steal_ms":$stealJson,"steal_rejected":$stealRejectedJson,"steal_frac_max":$stealFracMax,"anchor_slack":$anchorSlack,"approx_budget_sweep":$approxSweepJson,"sustained_rebuild_ms":$sustainedRebuildJson,"sustained_gc_ms":$sustainedGcJson,"sustained_cpu_ms":$sustainedCpuJson,"sustained_steal_ms":$sustainedStealJson,"task_gate":$taskGateJson,"build_scale":$buildScaleJson,"matched_recall":$matchedJson,"hnsw_d960_ef_sweep":$sweepJson,"pq_d960_ef_sweep":${sweepArr(pqSweep)},"hnsw_pq_walk_d960_ef_sweep":${sweepArr(hnswPqSweep)},"errors":$errJson,"nq":$nq,"n_vec":$nVec,"cpus":$nCores,"smoke":$isSmoke,"sf":"$sfDir"}"""
     // DURABLE artifact (r10 verdict item 1): the driver captures only the
     // TAIL of stdout, and the full line above has been truncated two rounds
     // running — losing the np grid and the rep spread it carried. The file

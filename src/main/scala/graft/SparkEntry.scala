@@ -26,6 +26,35 @@ object SparkEntry {
     base(s, dir).filter(col("id") < n)
       .select(col("id").as("query_id"), col("vec").as("query_vec"))
 
+  /** Derived-bound grade for the approximate selection arms (the
+    * q_pq_search pattern): per-query hit count, recall@5 ≥ 3/5 vs the
+    * exact twin, and per-rank DOMINATION — the pool is a corpus subset and
+    * the rerank computes true distances, so the approx hit at every rank
+    * is ≥ the exact hit at that rank, always. `approx` must carry
+    * (query_id, id, distance); `exact` is the exact-KNN twin in the same
+    * shape. */
+  private def approxGrade(approx: DataFrame, exact: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = exact.select(col("query_id"), col("id").as("e_id"),
+      col("distance").as("e_dist"))
+    val byRank = Window.partitionBy("query_id").orderBy(col("distance"), col("id"))
+    val eByRank = Window.partitionBy("query_id").orderBy(col("e_dist"), col("e_id"))
+    val ranked = approx.withColumn("rn", row_number().over(byRank))
+      .join(e.withColumn("rn", row_number().over(eByRank)),
+        Seq("query_id", "rn"))
+    val common = approx.join(
+        e.select(col("query_id"), col("e_id").as("id")), Seq("query_id", "id"))
+      .groupBy("query_id").agg(count(lit(1)).as("n_common"))
+    ranked.groupBy("query_id")
+      .agg(count(lit(1)).cast("long").as("n_hits"),
+        min(col("distance") >= col("e_dist") - lit(1e-9)).as("dominated"))
+      .join(common, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_hits"),
+        (coalesce(col("n_common"), lit(0L)) >= lit(3L)).as("recall_ok"),
+        col("dominated"))
+      .orderBy("query_id")
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // T3/J1/T1: exact batch KNN, L2Sqr (flagship; FlatIndex::knn)
@@ -524,6 +553,92 @@ object SparkEntry {
           (coalesce(col("n_common"), lit(0L)) >= lit(3L)).as("recall_ok"),
           col("dominated"))
         .orderBy("query_id")
+    }),
+    // T12/T9 approximate selection over the ROUTED kernel (r20, verdict
+    // #4): IVF-routed BQ with APPROX coarse selection — inside the probed
+    // scan each partition keeps only top-⌈candidates/P⌉ per query and the
+    // union streams straight into the ONE exact rerank (no selection
+    // shuffle). Exhaustive probes (np = kc) make pool membership the only
+    // approximation; the derived-bound grade pins hit count, the recall
+    // floor and per-rank domination, and the approx kernel path is pinned
+    // via CoarseMerge.lastPath. The packed layout hash-repartitions to 8
+    // so the per-partition cap genuinely binds.
+    "q_bq_approx_routed" -> ((s, dir) => {
+      val b = base(s, dir)
+      val q = queryVectors(s, dir)
+      val (ivfModel, assigned) = Ivf.build(b, k = 8)
+      val model = Bq.train(b)
+      val packed = Bq.encodeCentered(assigned, model)
+        .select(col("id"), col("bq"), col("cluster"))
+        .repartition(8, col("id"))
+      val approx = Bq.searchIvf(packed, b, ivfModel, Some(model), q,
+          k = 5, candidates = 200, nProbes = Some(8),
+          coarseSelect = "approx")
+        .select(col("query_id"), col("id"), col("distance")).cache()
+      require(graft.operators.CoarseMerge.lastPath == "approx",
+        s"q_bq_approx_routed: expected the approx coarse path, got " +
+          s"'${graft.operators.CoarseMerge.lastPath}'")
+      approxGrade(approx, Knn.exact(b, q, k = 5, dist = "l2sqr"))
+    }),
+    // T13/T6 — the SQ twin of q_bq_approx_routed (approx selection inside
+    // the probed decode-once byte-code kernel).
+    "q_sq_approx_routed" -> ((s, dir) => {
+      val b = base(s, dir)
+      val q = queryVectors(s, dir)
+      val (ivfModel, assigned) = Ivf.build(b, k = 8)
+      val sqModel = Sq.train(b)
+      val packed = Sq.encode(assigned, sqModel)
+        .select(col("id"), col("sq"), col("cluster"))
+        .repartition(8, col("id"))
+      val approx = Sq.searchIvf(packed, b, ivfModel, sqModel, q,
+          k = 5, candidates = 200, nProbes = Some(8),
+          coarseSelect = "approx")
+        .select(col("query_id"), col("id"), col("distance")).cache()
+      require(graft.operators.CoarseMerge.lastPath == "approx",
+        s"q_sq_approx_routed: expected the approx coarse path, got " +
+          s"'${graft.operators.CoarseMerge.lastPath}'")
+      approxGrade(approx, Knn.exact(b, q, k = 5, dist = "l2sqr"))
+    }),
+    // §2.11 dispatch + T12 approx as a CATALOG citizen (r20, verdict #5):
+    // the auto rule (nq ≥ CoarseMerge.approxNqThreshold AND candidates <
+    // live corpus) must route a big-enough batch through searchBatch's
+    // bq_rerank_serve arm INTO the approx path — and must NOT when the
+    // budget is exhaustive. Both directions pinned in-query: the approx
+    // call requires (lastServedArm, lastPath) == (bq_rerank_serve, approx);
+    // the exhaustive twin at ef = 2n requires lastPath != approx. The
+    // threshold is lowered to the fixture's batch size for the duration of
+    // the two dispatch calls (volatile knob, restored in finally — plan
+    // construction resolves the mode eagerly, so later execution is
+    // unaffected).
+    "q_bq_approx_catalog" -> ((s, dir) => {
+      val db = catalogIngest(s, dir, "vecdb_qbqapprox")
+      val n = db.getLen("emb").toInt
+      db.buildBqIndex("emb")
+      val q = queryVectors(s, dir)
+      val saved = graft.operators.CoarseMerge.approxNqThreshold
+      val approx =
+        try {
+          graft.operators.CoarseMerge.approxNqThreshold = 8
+          val out = db.searchBatch("emb", q, k = 5, ef = Some(200))
+            .select(col("query_id"), col("id"), col("distance")).cache()
+          require(db.lastServedArm == "bq_rerank_serve",
+            s"q_bq_approx_catalog: expected the BQ serving arm, " +
+              s"dispatched '${db.lastServedArm}'")
+          require(graft.operators.CoarseMerge.lastPath == "approx",
+            s"q_bq_approx_catalog: expected the auto rule to pick approx " +
+              s"at nq=8 ≥ threshold, got " +
+              s"'${graft.operators.CoarseMerge.lastPath}'")
+          // the negative direction: an exhaustive budget (candidates ≥
+          // live corpus) must keep exact selection even past the nq
+          // threshold — the exact-KNN contract of ef = 2n callers
+          db.searchBatch("emb", q, k = 5, ef = Some(2 * n)).count()
+          require(graft.operators.CoarseMerge.lastPath != "approx",
+            "q_bq_approx_catalog: exhaustive ef=2n batch was auto-routed " +
+              "to approx selection — the exact-KNN contract is broken")
+          out
+        } finally graft.operators.CoarseMerge.approxNqThreshold = saved
+      approxGrade(approx,
+        Knn.exact(base(s, dir), q, k = 5, dist = "l2sqr"))
     }),
     "q_bq_rerank" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
@@ -1480,6 +1595,21 @@ object SparkEntry {
         |       TRUE AS recall_ok, TRUE AS dominated
         |FROM embeddings WHERE vec_id < 8 ORDER BY query_id""".stripMargin,
     "q_sq_approx" ->
+      """SELECT vec_id AS query_id, CAST(5 AS BIGINT) AS n_hits,
+        |       TRUE AS recall_ok, TRUE AS dominated
+        |FROM embeddings WHERE vec_id < 8 ORDER BY query_id""".stripMargin,
+    // routed approx arms (r20) + the catalog auto-dispatch grade — same
+    // derived-bound pattern: SQL-recomputable query universe + pinned
+    // health booleans (hit count, recall floor, per-rank domination)
+    "q_bq_approx_routed" ->
+      """SELECT vec_id AS query_id, CAST(5 AS BIGINT) AS n_hits,
+        |       TRUE AS recall_ok, TRUE AS dominated
+        |FROM embeddings WHERE vec_id < 8 ORDER BY query_id""".stripMargin,
+    "q_sq_approx_routed" ->
+      """SELECT vec_id AS query_id, CAST(5 AS BIGINT) AS n_hits,
+        |       TRUE AS recall_ok, TRUE AS dominated
+        |FROM embeddings WHERE vec_id < 8 ORDER BY query_id""".stripMargin,
+    "q_bq_approx_catalog" ->
       """SELECT vec_id AS query_id, CAST(5 AS BIGINT) AS n_hits,
         |       TRUE AS recall_ok, TRUE AS dominated
         |FROM embeddings WHERE vec_id < 8 ORDER BY query_id""".stripMargin,

@@ -74,7 +74,13 @@ case class TableEntry(
     // alone are NOT unique across delete-table + recreate (both restart at
     // 0), and a recreated table of the same size would otherwise collide
     // with executor-cached graphs of its deleted namesake on a cluster
-    created: Long = 0L)
+    created: Long = 0L,
+    // LIVE row count, maintained on add/delete (r20, closing the ADVICE
+    // gap: `nextId` exceeds the live count after deletes, so guards like
+    // "candidates >= corpus ⇒ exact" compared against it could auto-route
+    // an exhaustive-exact caller to approximate selection). −1 = unknown
+    // (pre-r20 brief) — readers fall back to nextId, the pre-r20 behavior
+    rows: Long = -1L)
 
 /** The database catalog — the reference's `VecDBManager` + Python `VecDB`
   * surface (`/root/reference/src/database/mod.rs:291-521`,
@@ -301,6 +307,16 @@ class VecDB(spark: SparkSession, root: String) {
   private def entry(key: String): TableEntry =
     tables.getOrElse(key, throw new NoSuchElementException(s"no such table: $key"))
 
+  /** Live row count of a table: the maintained [[TableEntry.rows]] counter
+    * (add/delete keep it exact), falling back to `nextId` on pre-r20
+    * briefs where it is unknown. Exhaustiveness guards (candidates ≥
+    * corpus ⇒ the exact-KNN contract) must compare against THIS, not
+    * `nextId` — after deletes nextId overstates the corpus and a caller
+    * passing candidates ≥ live rows could be silently auto-routed to
+    * approximate selection. */
+  private def liveRows(e: TableEntry): Long =
+    if (e.rows >= 0L) e.rows else e.nextId
+
   private def dataDir(e: TableEntry): String =
     rootPath.resolve(e.filename).resolve(s"v${e.version}").toString
   private def pqDir(e: TableEntry): Path =
@@ -344,7 +360,7 @@ class VecDB(spark: SparkSession, root: String) {
       try {
         val e = TableEntry(fname, dim, dist, version = 0,
           nextId = 0L, hasHnsw = false, efConstruction = 200, pq = None,
-          created = System.currentTimeMillis())
+          created = System.currentTimeMillis(), rows = 0L)
         // data dir FIRST, catalog entry second: a crash in between leaves
         // an orphan directory behind a never-published name (reclaimed by
         // the failure cleanup below on a plain error), never a published
@@ -467,7 +483,8 @@ class VecDB(spark: SparkSession, root: String) {
       val (e, start) = catalogLock.synchronized {
         val healed = healMissingSidecars(key)
         val s = healed.nextId
-        tables += key -> healed.copy(nextId = s + vecs.length)
+        tables += key -> healed.copy(nextId = s + vecs.length,
+          rows = liveRows(healed) + vecs.length)
         saveBrief()
         (healed, s)
       }
@@ -526,7 +543,8 @@ class VecDB(spark: SparkSession, root: String) {
         val (e, start) = catalogLock.synchronized {
           val healed = healMissingSidecars(key)
           val s = healed.nextId
-          tables += key -> healed.copy(nextId = s + n)
+          tables += key -> healed.copy(nextId = s + n,
+            rows = liveRows(healed) + n)
           saveBrief()
           (healed, s)
         }
@@ -564,7 +582,8 @@ class VecDB(spark: SparkSession, root: String) {
             catalogLock.synchronized {
               val cur = entry(key)
               if (cur.nextId == start + n) {
-                tables += key -> cur.copy(nextId = start)
+                tables += key -> cur.copy(nextId = start,
+                  rows = math.max(0L, liveRows(cur) - n))
                 saveBrief()
               }
             }
@@ -853,7 +872,9 @@ class VecDB(spark: SparkSession, root: String) {
         df.filter(!matchCond).write.mode("overwrite")
           .parquet(dataDir(e.copy(version = e.version + 1)))
         catalogLock.synchronized {
-          tables += key -> entry(key).copy(version = e.version + 1)
+          val cur = entry(key)
+          tables += key -> cur.copy(version = e.version + 1,
+            rows = math.max(0L, liveRows(cur) - removed))
           saveBrief()
         }
         invalidateCache(key)
@@ -1488,7 +1509,11 @@ class VecDB(spark: SparkSession, root: String) {
               floatBase, ivfModel, model, queries, k, candidates,
               nProbes = None, dist = e.dist,
               baseClusterCol = Some("cluster"),
-              flatCodes = flat, flatBase = Some(filtered))
+              flatCodes = flat, flatBase = Some(filtered),
+              // batch-shape-aware routed serving (r20): nq-large,
+              // non-exhaustive batches switch to approx coarse selection
+              // inside the probed scan — see the sq_rerank_serve arm
+              coarseSelect = if (candidates < liveRows(e)) "auto" else "exact")
           } else {
             lastServedArm = "sq_rerank_serve"
             val candidates = math.max(k,
@@ -1503,7 +1528,7 @@ class VecDB(spark: SparkSession, root: String) {
             // — the graph serves big batches at ~10× these rates.
             Sq.searchRerankPacked(packed, filtered, queries, model, k,
               candidates, dist = e.dist,
-              coarseSelect = if (candidates < e.nextId) "auto" else "exact")
+              coarseSelect = if (candidates < liveRows(e)) "auto" else "exact")
           }
         if (ub == Double.PositiveInfinity) hits
         else hits.filter(col("distance") <= lit(ub))
@@ -1542,7 +1567,9 @@ class VecDB(spark: SparkSession, root: String) {
               queries, k, candidates,
               nProbes = None, dist = e.dist,
               baseClusterCol = Some("cluster"),
-              flatPacked = flat, flatBase = Some(filtered))
+              flatPacked = flat, flatBase = Some(filtered),
+              // batch-shape-aware routed serving (r20) — see the sq_ivf arm
+              coarseSelect = if (candidates < liveRows(e)) "auto" else "exact")
           } else {
             lastServedArm = "bq_rerank_serve"
             val candidates = math.max(k,
@@ -1555,7 +1582,7 @@ class VecDB(spark: SparkSession, root: String) {
               candidates, dist = e.dist,
               model = sidecarCachedAs[Option[Bq.BqModel]](
                 bqDir(e).resolve("model").toString, e)(loadBqModel(e)),
-              coarseSelect = if (candidates < e.nextId) "auto" else "exact")
+              coarseSelect = if (candidates < liveRows(e)) "auto" else "exact")
           }
         if (ub == Double.PositiveInfinity) hits
         else hits.filter(col("distance") <= lit(ub))

@@ -543,12 +543,15 @@ object Bq extends Serializable {
       probedRows: DataFrame,
       qsPacked: Array[(Long, Array[Long])],
       clusterToQ: Map[Long, Array[Int]],
-      candidates: Int): DataFrame = {
+      candidates: Int,
+      approxPerPart: Int = 0): DataFrame = {
     val spark = probedRows.sparkSession
     import spark.implicits._
     val bcQ = spark.sparkContext.broadcast(qsPacked)
     val bcMap = spark.sparkContext.broadcast(clusterToQ)
     val k = candidates
+    // approx mode: per-task state is nq × approxPerPart slots, not nq × k
+    val bufCap = if (approxPerPart > 0) approxPerPart else k
     def scanPartition(it: Iterator[(Long, Array[Long], Long)])
         : Array[graft.index.TopBuffer] = {
       val qarr = bcQ.value
@@ -557,7 +560,7 @@ object Bq extends Serializable {
       if (nq == 0 || !it.hasNext) return Array.empty
       val words = qarr(0)._2.length
       val qflat = flattenQueries(qarr, words)
-      val bufs = Array.fill(nq)(new graft.index.TopBuffer(k))
+      val bufs = Array.fill(nq)(new graft.index.TopBuffer(bufCap))
       val bounds = Array.fill(nq)(Int.MaxValue)
       val blockRows = math.max(1, (4 << 20) / (words * 8))
       val ids = new Array[Long](blockRows)
@@ -603,7 +606,28 @@ object Bq extends Serializable {
       .select(col("id").cast("long"), col("bq"), col("cluster").cast("long"))
       .as[(Long, Array[Long], Long)]
     val hits =
-      if (CoarseMerge.eligible(qsPacked.length, k)) {
+      if (approxPerPart > 0) {
+        // APPROXIMATE selection (r20, extending the r19 flat mode to the
+        // routed kernel per the verdict): each scanned partition's
+        // top-approxPerPart per query IS the candidate pool — the union
+        // streams straight into the (partition-pruned or global) exact
+        // rerank with no selection shuffle. The probe plans still prune
+        // the scan; approximation changes pool MEMBERSHIP only, and the
+        // rerank computes true distances over the pool. Reference analog:
+        // the ef-bounded approximate selection of `flat_index.rs:84-104`
+        // composed with the probe economics of `ivf_index.rs:143-155`.
+        CoarseMerge.lastPath = "approx"
+        src.mapPartitions { it =>
+            val qarr = bcQ.value
+            val bufs = scanPartition(it)
+            Iterator.range(0, bufs.length).flatMap { qi =>
+              val buf = bufs(qi)
+              Iterator.range(0, buf.size).map(p =>
+                (qarr(qi)._1, buf.idAt(p), buf.distAt(p)))
+            }
+          }
+          .toDF("query_id", "id", "distance")
+      } else if (CoarseMerge.eligible(qsPacked.length, k)) {
         CoarseMerge.lastPath = "merge"
         CoarseMerge.merge(spark, qsPacked.map(_._1),
           src.rdd.mapPartitions(it => Iterator.single(scanPartition(it))), k)
@@ -664,20 +688,46 @@ object Bq extends Serializable {
       candidates: Int,
       dist: String,
       idCol: String,
-      vecCol: String): DataFrame = {
-    val spans = CoarseMerge.spans(qs.length, candidates)
+      vecCol: String,
+      coarseSelect: String = "exact"): DataFrame = {
+    // APPROX coarse selection over the routed kernel (r20): the per-chunk
+    // cap comes from the chunk's OWN pruned scan's partition count (the
+    // probed directories, not the full layout — a layout-wide P would
+    // shrink the pool below ≈ candidates whenever pruning leaves fewer
+    // splits). The batch probe plan is computed once up front so the chunk
+    // gate can size on what approx tasks actually hold (nq × cap slots,
+    // not nq × candidates) and is reused verbatim as the single chunk's
+    // plan in the common 1-chunk case.
+    val approxOn = CoarseMerge.approxActive(coarseSelect, qs.length)
+    val batchPlan =
+      if (!approxOn) None
+      else {
+        val (c2q, probed) = Sq.probePlan(qs, ivfModel, np)
+        val rows = buildProbedRows(probed)
+        Some((c2q, probed, rows, CoarseMerge.capFor(rows, k, candidates)))
+      }
+    val spans = CoarseMerge.spans(qs.length,
+      batchPlan.map(_._4).getOrElse(candidates))
     val deferredCoarse = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     val deferredQs =
       scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Float])]
     val perChunk = spans.flatMap { case (s, e) =>
       val qsC = if (s == 0 && e == qs.length) qs else qs.slice(s, e)
-      val (clusterToQ, probed) = Sq.probePlan(qsC, ivfModel, np)
+      val (clusterToQ, probed, probedRows, cap) = batchPlan match {
+        case Some(b) if spans.length == 1 => b
+        case _ =>
+          val (c2q, p) = Sq.probePlan(qsC, ivfModel, np)
+          val rows = buildProbedRows(p)
+          (c2q, p, rows,
+            if (approxOn) CoarseMerge.capFor(rows, k, candidates) else 0)
+      }
       val qsPacked = qsC.map { case (qid, v) =>
         (qid, bqModel.fold(BqKernel.pack(v))(m =>
           BqKernel.packCentered(v, m.thresholds)))
       }
       val coarse =
-        coarseIvfKernel(buildProbedRows(probed), qsPacked, clusterToQ, candidates)
+        coarseIvfKernel(probedRows, qsPacked, clusterToQ, candidates,
+          approxPerPart = if (approxOn) cap else 0)
       rerankBaseFor(probed) match {
         case Some(prunedBase) =>
           Some(Rerank.exact(coarse, prunedBase,
@@ -730,7 +780,8 @@ object Bq extends Serializable {
       idCol: String = "id",
       vecCol: String = "vec",
       queryIdCol: String = "query_id",
-      queryVecCol: String = "query_vec"): DataFrame = {
+      queryVecCol: String = "query_vec",
+      coarseSelect: String = "exact"): DataFrame = {
     require(candidates >= k, s"candidates ($candidates) must be >= k ($k)")
     val np = math.max(1, nProbes.getOrElse(ivfModel.defaultNProbes))
     val spark = assignedPacked.sparkSession
@@ -746,7 +797,8 @@ object Bq extends Serializable {
           probed.map(c => Long.box(c.toLong)).toSeq)),
       // in-memory base: not cluster-prunable per chunk -> ONE global rerank
       _ => None, base,
-      qs, bqModel, ivfModel, np, k, candidates, dist, idCol, vecCol)
+      qs, bqModel, ivfModel, np, k, candidates, dist, idCol, vecCol,
+      coarseSelect)
   }
 
   /** [[searchIvf]] over the cluster-partitioned packed layout: the probed
@@ -771,10 +823,12 @@ object Bq extends Serializable {
       vecCol: String = "vec",
       queryIdCol: String = "query_id",
       queryVecCol: String = "query_vec",
-      baseClusterCol: Option[String] = None): DataFrame =
+      baseClusterCol: Option[String] = None,
+      coarseSelect: String = "exact"): DataFrame =
     searchIvfPartitionedDf(base.sparkSession.read.parquet(s"$path/data"),
       base, ivfModel, bqModel, queries, k, candidates, nProbes, dist,
-      idCol, vecCol, queryIdCol, queryVecCol, baseClusterCol)
+      idCol, vecCol, queryIdCol, queryVecCol, baseClusterCol,
+      coarseSelect = coarseSelect)
 
   /** [[searchIvfPartitioned]] over a PRE-LISTED packed DataFrame — see
     * [[Sq.searchIvfPartitionedDf]]: partition-layout listing is a
@@ -805,7 +859,8 @@ object Bq extends Serializable {
       queryVecCol: String = "query_vec",
       baseClusterCol: Option[String] = None,
       flatPacked: Option[DataFrame] = None,
-      flatBase: Option[DataFrame] = None): DataFrame = {
+      flatBase: Option[DataFrame] = None,
+      coarseSelect: String = "exact"): DataFrame = {
     require(candidates >= k, s"candidates ($candidates) must be >= k ($k)")
     val np = math.max(1, nProbes.getOrElse(ivfModel.defaultNProbes))
     val spark = base.sparkSession
@@ -840,6 +895,7 @@ object Bq extends Serializable {
             base.filter(col(c).isin(probed.map(Int.box): _*)))
         else None,
       flatBase.getOrElse(base),
-      qs, bqModel, ivfModel, np, k, candidates, dist, idCol, vecCol)
+      qs, bqModel, ivfModel, np, k, candidates, dist, idCol, vecCol,
+      coarseSelect)
   }
 }

@@ -128,6 +128,38 @@ private[graft] object CoarseMerge {
     sys.props.get("graft.coarse.approx.nq.threshold").map(_.toInt)
       .getOrElse(4096)
 
+  /** Per-partition-cap multiplier for the approximate selection modes
+    * (calibration dial for the `approx_budget_sweep` bench section and a
+    * production knob): cap = max(k, ⌈mult × candidates/P⌉). 1.0 keeps the
+    * pool ≈ nq × candidates; > 1 buys recall margin with per-task slots;
+    * < 1 trades recall for state. Override with
+    * `-Dgraft.coarse.approx.cap.mult` (volatile for the sweep — toggle
+    * sequentially, it is process-wide). */
+  @volatile var approxCapMult: Double =
+    sys.props.get("graft.coarse.approx.cap.mult").map(_.toDouble)
+      .getOrElse(1.0)
+
+  /** Does `mode` resolve to approximate selection at this batch size?
+    * `"approx"` always, `"auto"` at ≥ [[approxNqThreshold]] queries,
+    * `"exact"` never; anything else is a caller bug. */
+  private[graft] def approxActive(mode: String, nq: Int): Boolean =
+    mode match {
+      case "exact" => false
+      case "approx" => true
+      case "auto" => nq >= approxNqThreshold
+      case other => throw new IllegalArgumentException(
+        s"coarseSelect must be exact|approx|auto (got '$other')")
+    }
+
+  /** Per-partition buffer cap for an ACTIVE approximate selection over
+    * `scan`: max(k, ⌈[[approxCapMult]] × candidates/P⌉) with P the scan's
+    * actual partition count — the pool stays ≈ nq × candidates rows while
+    * every partition can still surface a full final top-k on its own. */
+  private[graft] def capFor(scan: DataFrame, k: Int, candidates: Int): Int = {
+    val p = math.max(1, scan.rdd.getNumPartitions)
+    math.max(k, math.ceil(approxCapMult * candidates / p).toInt)
+  }
+
   /** Resolve a coarse-selection mode string to the per-partition buffer
     * cap the kernels take (0 = exact selection). `"approx"` forces it,
     * `"auto"` switches at [[approxNqThreshold]] queries, `"exact"` never.
@@ -138,17 +170,8 @@ private[graft] object CoarseMerge {
     * recall floor and the bench's in-artifact recall watch exactly
     * that). */
   private[graft] def approxPerPart(mode: String, nq: Int, packed: DataFrame,
-      k: Int, candidates: Int): Int = mode match {
-    case "exact" => 0
-    case "approx" | "auto" =>
-      if (mode == "auto" && nq < approxNqThreshold) 0
-      else {
-        val p = math.max(1, packed.rdd.getNumPartitions)
-        math.max(k, (candidates + p - 1) / p)
-      }
-    case other => throw new IllegalArgumentException(
-      s"coarseSelect must be exact|approx|auto (got '$other')")
-  }
+      k: Int, candidates: Int): Int =
+    if (!approxActive(mode, nq)) 0 else capFor(packed, k, candidates)
 
   /** Winner-ROW cap: past ~1M rows the driver materialization (building
     * and broadcasting an nq × k LocalRelation per batch) costs more than

@@ -281,9 +281,10 @@ object Dedup {
     * corpus drift. (The r18 shape — two rotated 4×16 tables — only
     * guaranteed h ≤ 3 and measured 0.82-0.88 recall at h=4 on the sf
     * fixtures; h=4 pairs whose flipped bits straddled both tables' cuts
-    * were silently missed. maxHamming ≥ 16 degenerates to sub-4-bit bands
-    * and is capped: bands = min(maxHamming+1, 16), structural only up to
-    * 15.) Calibration context, tools/SimhashProbe: every exact 3-gram
+    * were silently missed. maxHamming is REQUIRED ≤ 15 — see
+    * [[simhashCandidates]] — since 16 bands of 4 bits are the narrowest
+    * structural split and larger cutoffs degenerate toward all-pairs.)
+    * Calibration context, tools/SimhashProbe: every exact 3-gram
     * near-dup pair on the sf corpora sits at Hamming ≤ 5; maxHamming=3
     * capped recall at 0.60; h≤5 reaches 1.00 but admits visibly looser
     * pairs (min cosine 0.68) — so 4 is the default and 5 the recall-first
@@ -295,11 +296,37 @@ object Dedup {
       docs: DataFrame,
       maxHamming: Int = 4,
       idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    simhashCandidates(docs, maxHamming, idCol, textCol)
+      .filter(col("hamming") <= maxHamming)
+
+  /** The banding stage of [[simhashPairs]] WITHOUT the final Hamming
+    * filter: every distinct pair agreeing on ≥ 1 of the `maxHamming + 1`
+    * pigeonhole bands, with its exact Hamming attached. Exposed for
+    * calibration (tools/SimhashProbe measures the production banding's
+    * false-candidate pressure — candidates emitted per true pair — from
+    * this stage directly, instead of a near-cross-join maxHamming=64
+    * call).
+    *
+    * `maxHamming` is capped at 15: 16 bands of 64 bits are the narrowest
+    * split (4 bits each) where the pigeonhole argument is still the one
+    * documented here, and values in 16..63 would silently keep pairs
+    * BEYOND the h ≤ 15 structural coverage while the band join degenerates
+    * toward all-pairs — neither structural nor calibrated, so they are
+    * rejected rather than served loosely (ADVICE r19). */
+  private[graft] def simhashCandidates(
+      docs: DataFrame,
+      maxHamming: Int = 4,
+      idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    require(maxHamming >= 0, s"maxHamming must be >= 0 (got $maxHamming)")
+    require(maxHamming >= 0 && maxHamming <= 15,
+      s"maxHamming must be in 0..15 (got $maxHamming): the pigeonhole " +
+        "banding is structural only up to 15 — larger cutoffs would keep " +
+        "pairs beyond the guarantee while the candidate join degenerates " +
+        "toward all-pairs")
     val sk = docs.select(col(idCol).cast("long").as("doc_id"),
       simhash(col(textCol)).as("sk"))
-    val nBands = math.min(maxHamming + 1, 16)
+    val nBands = maxHamming + 1
     // even split of 64 bits: (64 mod nBands) bands get the extra bit
     val widths = Array.tabulate(nBands)(i =>
       64 / nBands + (if (i < 64 % nBands) 1 else 0))
@@ -318,7 +345,6 @@ object Dedup {
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
         bit_count(col("a.sk").bitwiseXOR(col("b.sk"))).as("hamming"))
       .distinct()
-      .filter(col("hamming") <= maxHamming)
   }
 
   // --------------------------------------------- semantic (embedding) dedup

@@ -396,7 +396,8 @@ object Sq extends Serializable {
       clusterToQ: Map[Long, Array[Int]],
       model: SqModel,
       candidates: Int,
-      dist: String): DataFrame = {
+      dist: String,
+      approxPerPart: Int = 0): DataFrame = {
     val spark = probedRows.sparkSession
     import spark.implicits._
     val bcQ = spark.sparkContext.broadcast(qs)
@@ -406,13 +407,15 @@ object Sq extends Serializable {
     val kindDot = dist == "dot"
     val kindCos = dist == "cosine"
     val k = candidates
+    // approx mode: per-task state is nq × approxPerPart slots, not nq × k
+    val bufCap = if (approxPerPart > 0) approxPerPart else k
     def scanPartition(it: Iterator[(Long, Array[Byte], Long)])
         : Array[graft.index.TopBuffer] = {
       val qarr = bcQ.value
       val qmap = bcMap.value
       val nq = qarr.length
       if (nq == 0 || !it.hasNext) return Array.empty
-      val bufs = Array.fill(nq)(new graft.index.TopBuffer(k))
+      val bufs = Array.fill(nq)(new graft.index.TopBuffer(bufCap))
       // dense admission bounds — see serveChunk's rationale
       val bounds = Array.fill(nq)(Double.PositiveInfinity)
       val dim = mins.length
@@ -479,7 +482,22 @@ object Sq extends Serializable {
       .select(col("id").cast("long"), col("sq"), col("cluster").cast("long"))
       .as[(Long, Array[Byte], Long)]
     val hits =
-      if (CoarseMerge.eligible(qs.length, k)) {
+      if (approxPerPart > 0) {
+        // APPROXIMATE selection (r20) — each scanned partition's
+        // top-approxPerPart per query IS the rerank pool, no selection
+        // shuffle; see [[Bq]]'s routed twin branch for the economics.
+        CoarseMerge.lastPath = "approx"
+        src.mapPartitions { it =>
+            val qarr = bcQ.value
+            val bufs = scanPartition(it)
+            Iterator.range(0, bufs.length).flatMap { qi =>
+              val buf = bufs(qi)
+              Iterator.range(0, buf.size).map(p =>
+                (qarr(qi)._1, buf.idAt(p), buf.distAt(p)))
+            }
+          }
+          .toDF("query_id", "id", "distance")
+      } else if (CoarseMerge.eligible(qs.length, k)) {
         CoarseMerge.lastPath = "merge"
         CoarseMerge.merge(spark, qs.map(_._1),
           src.rdd.mapPartitions(it => Iterator.single(scanPartition(it))), k)
@@ -533,16 +551,39 @@ object Sq extends Serializable {
       candidates: Int,
       dist: String,
       idCol: String,
-      vecCol: String): DataFrame = {
-    val spans = CoarseMerge.spans(qs.length, candidates)
+      vecCol: String,
+      coarseSelect: String = "exact"): DataFrame = {
+    // approx coarse selection over the routed kernel (r20) — see
+    // [[Bq]]'s searchIvfChunked twin: the per-chunk cap comes from the
+    // chunk's own pruned scan's partition count, the batch plan is
+    // computed once and reused verbatim in the common 1-chunk case, and
+    // the chunk gate sizes on nq × cap (what approx tasks actually hold)
+    val approxOn = CoarseMerge.approxActive(coarseSelect, qs.length)
+    val batchPlan =
+      if (!approxOn) None
+      else {
+        val (c2q, probed) = probePlan(qs, ivfModel, np)
+        val rows = buildProbedRows(probed)
+        Some((c2q, probed, rows, CoarseMerge.capFor(rows, k, candidates)))
+      }
+    val spans = CoarseMerge.spans(qs.length,
+      batchPlan.map(_._4).getOrElse(candidates))
     val deferredCoarse = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     val deferredQs =
       scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Float])]
     val perChunk = spans.flatMap { case (s, e) =>
       val qsC = if (s == 0 && e == qs.length) qs else qs.slice(s, e)
-      val (clusterToQ, probed) = probePlan(qsC, ivfModel, np)
-      val coarse = coarseIvfKernel(buildProbedRows(probed), qsC, clusterToQ,
-        sqModel, candidates, dist)
+      val (clusterToQ, probed, probedRows, cap) = batchPlan match {
+        case Some(b) if spans.length == 1 => b
+        case _ =>
+          val (c2q, p) = probePlan(qsC, ivfModel, np)
+          val rows = buildProbedRows(p)
+          (c2q, p, rows,
+            if (approxOn) CoarseMerge.capFor(rows, k, candidates) else 0)
+      }
+      val coarse = coarseIvfKernel(probedRows, qsC, clusterToQ,
+        sqModel, candidates, dist,
+        approxPerPart = if (approxOn) cap else 0)
       rerankBaseFor(probed) match {
         case Some(prunedBase) =>
           Some(Rerank.exact(coarse, prunedBase,
@@ -612,7 +653,8 @@ object Sq extends Serializable {
       idCol: String = "id",
       vecCol: String = "vec",
       queryIdCol: String = "query_id",
-      queryVecCol: String = "query_vec"): DataFrame = {
+      queryVecCol: String = "query_vec",
+      coarseSelect: String = "exact"): DataFrame = {
     require(candidates >= k, s"candidates ($candidates) must be >= k ($k)")
     val np = math.max(1, nProbes.getOrElse(ivfModel.defaultNProbes))
     val spark = assignedPacked.sparkSession
@@ -628,7 +670,8 @@ object Sq extends Serializable {
           probed.map(c => Long.box(c.toLong)).toSeq)),
       // in-memory base: not cluster-prunable per chunk -> ONE global rerank
       _ => None, base,
-      qs, ivfModel, np, sqModel, k, candidates, dist, idCol, vecCol)
+      qs, ivfModel, np, sqModel, k, candidates, dist, idCol, vecCol,
+      coarseSelect)
   }
 
   /** Persist `(id, sq, cluster)` as the physical IVFSQ layout: cluster-
@@ -666,10 +709,12 @@ object Sq extends Serializable {
       vecCol: String = "vec",
       queryIdCol: String = "query_id",
       queryVecCol: String = "query_vec",
-      baseClusterCol: Option[String] = None): DataFrame =
+      baseClusterCol: Option[String] = None,
+      coarseSelect: String = "exact"): DataFrame =
     searchIvfPartitionedDf(base.sparkSession.read.parquet(s"$path/data"),
       base, ivfModel, sqModel, queries, k, candidates, nProbes, dist,
-      idCol, vecCol, queryIdCol, queryVecCol, baseClusterCol)
+      idCol, vecCol, queryIdCol, queryVecCol, baseClusterCol,
+      coarseSelect = coarseSelect)
 
   /** [[searchIvfPartitioned]] over a PRE-LISTED codes DataFrame (a
     * `spark.read.parquet(path/data)` created once and reused). Listing a
@@ -706,7 +751,8 @@ object Sq extends Serializable {
       queryVecCol: String = "query_vec",
       baseClusterCol: Option[String] = None,
       flatCodes: Option[DataFrame] = None,
-      flatBase: Option[DataFrame] = None): DataFrame = {
+      flatBase: Option[DataFrame] = None,
+      coarseSelect: String = "exact"): DataFrame = {
     require(candidates >= k, s"candidates ($candidates) must be >= k ($k)")
     val np = math.max(1, nProbes.getOrElse(ivfModel.defaultNProbes))
     val spark = base.sparkSession
@@ -739,7 +785,8 @@ object Sq extends Serializable {
             base.filter(col(c).isin(probed.map(Int.box): _*)))
         else None,
       flatBase.getOrElse(base),
-      qs, ivfModel, np, sqModel, k, candidates, dist, idCol, vecCol)
+      qs, ivfModel, np, sqModel, k, candidates, dist, idCol, vecCol,
+      coarseSelect)
   }
 
   /** The r14 declarative probed scan (per-(row×query) codegen decode) —

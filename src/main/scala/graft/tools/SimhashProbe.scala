@@ -47,10 +47,15 @@ object SimhashProbe {
       println(f"[probe] hamming<=$h%2d: pairs=$le (recall=${le.toDouble / total}%.3f) banded4x16=$bandedLe")
     }
     println(f"[probe] max hamming among exact pairs: ${hs.max}")
-    // false-candidate pressure: how many candidate pairs does banding emit
-    // per cutoff (cost of raising maxHamming under the current banding)
-    val cand = graft.operators.Dedup.simhashPairs(docs, maxHamming = 64)
-    println(s"[probe] banded candidate pairs (any hamming): ${cand.count()}")
+    // false-candidate pressure of the PRODUCTION banding (r19 ADVICE: the
+    // old maxHamming=64 call degenerated to a near cross-join and measured
+    // nothing about the default banding): candidate pairs the default
+    // maxHamming=4 pigeonhole bands emit BEFORE the Hamming filter —
+    // banding join cost per true pair at this SF
+    val candDefault =
+      graft.operators.Dedup.simhashCandidates(docs, maxHamming = 4).count()
+    println(s"[probe] banded candidate pairs (maxH=4 banding, pre-filter): " +
+      s"$candDefault")
     // production defaults: measured recall + angle floors + exact-dup
     // subset (the graded booleans' actual values at this SF)
     val maxH = sys.env.getOrElse("PROBE_MAXH", "5").toInt

@@ -381,6 +381,75 @@ class BqSpec extends SparkTestBase {
     } finally graft.operators.Rerank.broadcastMaxBytes = saved
   }
 
+  test("routed approx selection: dominated, recall holds, exhaustive per-partition budget == exact KNN") {
+    val k = 10
+    val n = base.count().toInt
+    val (ivfModel, assigned) = graft.operators.Ivf.build(
+      base.select(col("id"), col("vec")), k = 8)
+    val model = Bq.train(base)
+    val packed = Bq.encodeCentered(assigned, model)
+      .select(col("id"), col("bq"), col("cluster"))
+      .repartition(8, $"id").cache()
+    // forced approx inside the probed scan (np = kc ⇒ pool membership is
+    // the only approximation): per-partition top-⌈200/8⌉, the union IS the
+    // rerank pool
+    val approx = Bq.searchIvf(packed, base, ivfModel, Some(model), qs,
+      k = k, candidates = 200, nProbes = Some(8), coarseSelect = "approx")
+    assert(graft.operators.CoarseMerge.lastPath == "approx")
+    val approxRows = approx.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("id"),
+        r.getAs[Double]("distance")))
+    val exactRows = Knn.exact(base, qs, k = k).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("id"),
+        r.getAs[Double]("distance")))
+    // DOMINATION at every rank (pool ⊆ corpus + exact rerank)
+    val byQ = approxRows.groupBy(_._1).view
+      .mapValues(_.sortBy(t => (t._3, t._2))).toMap
+    val eByQ = exactRows.groupBy(_._1).view
+      .mapValues(_.sortBy(t => (t._3, t._2))).toMap
+    for ((qid, rs) <- byQ; (r, i) <- rs.zipWithIndex if i < eByQ(qid).length)
+      assert(r._3 >= eByQ(qid)(i)._3 - 1e-9,
+        s"query $qid rank $i: approx ${r._3} < exact ${eByQ(qid)(i)._3}")
+    val eSets = exactRows.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recall = eSets.keys.toSeq.map { qid =>
+      (byQ(qid).map(_._2).toSet & eSets(qid)).size.toDouble / k
+    }.sum / eSets.size
+    assert(recall >= 0.5, s"routed approx recall@$k = $recall")
+    // exhaustive per-partition budget (cap = ⌈2n/P⌉ ≥ any partition's
+    // rows) at full probes ⇒ the pool is the whole corpus ⇒ exact KNN
+    val exhaustive = Bq.searchIvf(packed, base, ivfModel, Some(model), qs,
+        k = k, candidates = 2 * n, nProbes = Some(8),
+        coarseSelect = "approx")
+      .orderBy("query_id", "distance", "id").collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("id")))
+    val exactSorted = exactRows.sortBy(t => (t._1, t._3, t._2))
+      .map(t => (t._1, t._2))
+    assert(exhaustive.toSeq == exactSorted.toSeq)
+    // PARTITIONED layout under pruned probes: the approx path must hold
+    // the same invariants when the scan partition count comes from the
+    // probed directories (pool membership differs physically — no
+    // equality with the in-memory twin is claimed, domination + hit
+    // count are)
+    val dir = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "bq_ivf_approx").toString
+    Bq.writeIvfPartitioned(packed, dir)
+    val part = Bq.searchIvfPartitioned(dir, base, ivfModel, Some(model),
+      qs, k = k, candidates = 200, nProbes = Some(8),
+      coarseSelect = "approx")
+    assert(graft.operators.CoarseMerge.lastPath == "approx")
+    val pByQ = part.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("id"),
+        r.getAs[Double]("distance")))
+      .groupBy(_._1).view.mapValues(_.sortBy(t => (t._3, t._2))).toMap
+    for ((qid, rs) <- pByQ) {
+      assert(rs.length == k, s"query $qid: ${rs.length} hits")
+      for ((r, i) <- rs.zipWithIndex if i < eByQ(qid).length)
+        assert(r._3 >= eByQ(qid)(i)._3 - 1e-9,
+          s"partitioned query $qid rank $i")
+    }
+    packed.unpersist()
+  }
+
   test("SQL surface: bq_pack / bq_hamming registered and match the kernel") {
     graft.functions.VectorFunctions.register(spark)
     val v = Array(1f, -2f, 3f, -4f)

@@ -328,6 +328,49 @@ class CatalogSpec extends SparkTestBase {
     db2.close()
   }
 
+  test("exhaustive-exact guard compares against LIVE rows, not nextId, after deletes") {
+    // r19 ADVICE: nextId exceeds the live count after deletes, so a caller
+    // passing candidates >= live corpus (the exact-KNN contract) could be
+    // auto-routed to approx selection on an nq-large batch. The guard now
+    // reads the maintained live-row counter.
+    val root = Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "vecdb_live").toString
+    val db = new VecDB(spark, root)
+    db.createTableIfNotExists("t", 8, "l2sqr")
+    val rnd = new scala.util.Random(31)
+    val vecs = (0 until 100).map(_ => Array.fill(8)(rnd.nextFloat() - 0.5f))
+    db.batchAdd("t", vecs, vecs.indices.map(i =>
+      Map("kept" -> (if (i < 50) "yes" else "no"), "i" -> i.toString)))
+    // delete half: live = 50, nextId = 100
+    assert(db.delete("t", Map("kept" -> "no")) == 50L)
+    assert(db.getLen("t") == 50L)
+    db.buildBqIndex("t")
+    import spark.implicits._
+    val q = (0 until 4).map(i => (i.toLong, vecs(i))).toDF("query_id", "query_vec")
+    val saved = graft.operators.CoarseMerge.approxNqThreshold
+    try {
+      graft.operators.CoarseMerge.approxNqThreshold = 4
+      // candidates = 60: >= live corpus (50) but < nextId (100) — the
+      // exact-KNN contract applies and the dispatch must NOT pick approx
+      db.searchBatch("t", q, 5, ef = Some(60)).count()
+      assert(db.lastServedArm == "bq_rerank_serve")
+      assert(graft.operators.CoarseMerge.lastPath != "approx",
+        "exhaustive budget (candidates >= live rows) was auto-routed to approx")
+      // below the live corpus the auto rule applies as before
+      db.searchBatch("t", q, 5, ef = Some(20)).count()
+      assert(graft.operators.CoarseMerge.lastPath == "approx")
+    } finally graft.operators.CoarseMerge.approxNqThreshold = saved
+    // the counter survives reopen (persisted in the brief)
+    db.close()
+    val db2 = new VecDB(spark, root)
+    try {
+      graft.operators.CoarseMerge.approxNqThreshold = 4
+      db2.searchBatch("t", q, 5, ef = Some(60)).count()
+      assert(graft.operators.CoarseMerge.lastPath != "approx")
+    } finally graft.operators.CoarseMerge.approxNqThreshold = saved
+    db2.close()
+  }
+
   test("sidecar cache: clear+rebuild cycles never serve a stale file index") {
     // (created, version, nextId) are all UNCHANGED by an index
     // clear+rebuild, so the cache must key on an index generation too —

@@ -143,6 +143,18 @@ class DedupSpec extends SparkTestBase {
     assert(pairs.contains((3L, 4L, 0)))
   }
 
+  test("simhash: maxHamming beyond the structural band range is rejected") {
+    // 16 bands of 4 bits are the narrowest pigeonhole split; 16..63 would
+    // silently keep pairs beyond the h <= 15 guarantee while the candidate
+    // join degenerates toward all-pairs (r19 ADVICE)
+    val e = intercept[IllegalArgumentException] {
+      Dedup.simhashPairs(fixture, maxHamming = 16)
+    }
+    assert(e.getMessage.contains("0..15"))
+    // the boundary value still serves
+    assert(Dedup.simhashPairs(fixture, maxHamming = 15).count() >= 2L)
+  }
+
   test("semanticPairs equals the brute-force all-pairs threshold join") {
     val vecs = Tables.vectors(spark, sf0001).select("id", "vec").cache()
     val t2 = 1.3

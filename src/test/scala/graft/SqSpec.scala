@@ -254,6 +254,56 @@ class SqSpec extends SparkTestBase {
     df.unpersist()
   }
 
+  test("routed approx selection: dominated, recall holds, exhaustive per-partition budget == exact KNN") {
+    val k = 5
+    val data = randVecs(400, 10, seed = 23)
+    val df = data.toDF("id", "vec").repartition(8, col("id")).cache()
+    val q = df.filter(col("id") < 5)
+      .select(col("id").as("query_id"), col("vec").as("query_vec"))
+    val (ivfModel, assigned) = graft.operators.Ivf.build(df, k = 8)
+    val sqModel = Sq.train(df)
+    val packed = Sq.encode(assigned, sqModel)
+      .select(col("id"), col("sq"), col("cluster"))
+      .repartition(8, col("id")).cache()
+    // forced approx inside the probed scan (np = kc ⇒ pool membership is
+    // the only approximation)
+    val approx = Sq.searchIvf(packed, df, ivfModel, sqModel, q, k = k,
+      candidates = 100, nProbes = Some(8), coarseSelect = "approx")
+    assert(graft.operators.CoarseMerge.lastPath == "approx")
+    val approxRows = approx.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("id"),
+        r.getAs[Double]("distance")))
+    val exactRows = Knn.exact(df, q, k = k).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("id"),
+        r.getAs[Double]("distance")))
+    val byQ = approxRows.groupBy(_._1).view
+      .mapValues(_.sortBy(t => (t._3, t._2))).toMap
+    val eByQ = exactRows.groupBy(_._1).view
+      .mapValues(_.sortBy(t => (t._3, t._2))).toMap
+    // DOMINATION at every rank + full hit counts
+    for ((qid, rs) <- byQ) {
+      assert(rs.length == k, s"query $qid: ${rs.length} hits")
+      for ((r, i) <- rs.zipWithIndex if i < eByQ(qid).length)
+        assert(r._3 >= eByQ(qid)(i)._3 - 1e-9,
+          s"query $qid rank $i: approx ${r._3} < exact ${eByQ(qid)(i)._3}")
+    }
+    val eSets = exactRows.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recall = eSets.keys.toSeq.map { qid =>
+      (byQ(qid).map(_._2).toSet & eSets(qid)).size.toDouble / k
+    }.sum / eSets.size
+    assert(recall >= 0.5, s"routed approx recall@$k = $recall")
+    // exhaustive per-partition budget at full probes ⇒ exact KNN
+    val exhaustive = Sq.searchIvf(packed, df, ivfModel, sqModel, q, k = k,
+        candidates = 800, nProbes = Some(8), coarseSelect = "approx")
+      .orderBy("query_id", "distance", "id").collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("id")))
+    val exactSorted = exactRows.sortBy(t => (t._1, t._3, t._2))
+      .map(t => (t._1, t._2))
+    assert(exhaustive.toSeq == exactSorted.toSeq)
+    packed.unpersist()
+    df.unpersist()
+  }
+
   test("searchIvf kernel == declarative twin == partitioned layout; scan prunes") {
     val data = randVecs(600, 24, seed = 29)
     val df = data.toDF("id", "vec").repartition(4).cache()
