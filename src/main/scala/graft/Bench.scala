@@ -1023,6 +1023,50 @@ object Bench {
     // matched-recall calibration detail (target, chosen efs, landed
     // recalls) — the rows themselves use stable ef-free names
     var matched1m = Map.empty[String, Double]
+    // r20 (verdict #1): SECOND build-scale curve at CONSTANT ~8k rows/cell
+    // (kc = n/8000). InsertProbe named the fixed-31k-rows/cell curve's
+    // rising per-insert cost as CELL DENSITY; BuildKcProbe then measured
+    // the fix on a 1M proxy carrying the 4M fixture's density (250
+    // centers, 4000 rows/center): 31k rows/cell builds at 2,279 rows/s,
+    // 7.8k at 7,208 (3.2×), 2k at 7,122 (route cost eats the gain and np1
+    // recall drops 0.96 → 0.81) — with np1 recall IMPROVING at 7.8k
+    // (0.9568 → 0.9627). ~8k rows/cell is the knee. The original curve is
+    // kept for cross-round continuity; these points share its protocol
+    // (cached under bench_cache keyed by kc, route/graphs split, rows/s).
+    var buildKcRows = Map.empty[String, Long]
+    var buildKcTotals = Map.empty[String, Double]
+    def kcScaledBuildPoint(label: String, vecDf: DataFrame, n: Long)
+        : (graft.operators.IvfModel, DataFrame, Int) = {
+      val kc = math.max(16L, n / 8000L).toInt
+      val cacheDir = java.nio.file.Paths.get("bench_cache",
+        s"bench${label}_${n}_$kc")
+      val donePath = cacheDir.resolve("_done")
+      val idxPath = cacheDir.resolve("idx").toString
+      val name = s"ivf_hnsw_${label}_kc${kc}_build"
+      if (!java.nio.file.Files.exists(donePath)) {
+        val t0 = System.nanoTime()
+        val (model, idx) = IvfHnsw.buildIndex(vecDf, kc,
+          trainFraction = Some(math.min(0.5, 20000.0 / n)))
+        val tRoute = (System.nanoTime() - t0) / 1e9
+        idx.write.mode("overwrite").parquet(idxPath)
+        Ivf.centroidsDf(spark, model).write.mode("overwrite")
+          .parquet(cacheDir.resolve("centroids").toString)
+        val total = (System.nanoTime() - t0) / 1e9
+        buildStages += name -> (tRoute, total - tRoute)
+        buildKcTotals += name -> total
+        java.nio.file.Files.write(donePath,
+          s"$total $tRoute ${total - tRoute}".getBytes("UTF-8"))
+      } else {
+        val toks = scala.util.Try(new String(
+          java.nio.file.Files.readAllBytes(donePath), "UTF-8")
+          .trim.split("\\s+").map(_.toDouble)).getOrElse(Array.empty[Double])
+        if (toks.nonEmpty) buildKcTotals += name -> toks(0)
+        if (toks.length >= 3) buildStages += name -> (toks(1), toks(2))
+      }
+      buildKcRows += name -> n
+      (Ivf.readModel(spark, cacheDir.toString, "l2sqr"),
+        spark.read.parquet(idxPath), kc)
+    }
     if (n1m > 0) try {
       val kc = 32 // ~n/32 rows per cluster ⇒ 32-task walk parallelism
       // repo-root cache dir (gitignored), NOT target/: an `sbt clean` must
@@ -1068,6 +1112,9 @@ object Bench {
       }
       val model1m = Ivf.readModel(spark, cacheDir.toString, "l2sqr")
       val idx1m = spark.read.parquet(idxPath)
+      // second build-scale point at ~8k rows/cell (r20 — build only; the
+      // serving rows keep the kc=32 fixture for cross-round continuity)
+      kcScaledBuildPoint("1m", vec1m, n1m)
       val ck1m = Some(s"bench1m_${n1m}_$kc")
       // fresh plan per rep (see the serving-factory scaladoc: reusing one
       // DataFrame reuses its shuffle-map outputs and skips the walk); the
@@ -1704,6 +1751,43 @@ object Bench {
               () => withAqeOff(serve(bqMem100()))),
             ("bq_ivf_flatdisk_1m_kc512_np1_nq100_batch",
               () => withAqeOff(serve(bqDisk100())))))
+          // r20 (verdict #2): BINARY rerank-base twin — CandProbe proved
+          // this family is bound by decoding the rerank base's floats
+          // (q/s flat across candidate budgets 900-1302), so the float
+          // sidecar is rewritten as fixed-width f32 BinaryType (one blob
+          // decode + direct byte scoring via the extended VecDistance —
+          // tools/VecDecodeProbe measured the pure scan+score at ~1.2-1.3×)
+          // and the SAME partitioned search reranks against it
+          // (vecCol = "vecb"; coarse scan, probes, selection identical —
+          // results are bit-identical since the distance arithmetic is
+          // unchanged, asserted by DistanceSpec). The row prices the
+          // layout change in place against its float twin above.
+          try {
+            val float512b = dir512.resolve("vec_ivf_b").toString
+            if (!java.nio.file.Files.exists(
+                java.nio.file.Paths.get(float512b, "data", "_SUCCESS")))
+              float512Df.select(col("id"),
+                  graft.functions.VectorFunctions.vecToBinary(col("vec"))
+                    .as("vecb"), col("cluster"))
+                .repartition(kc512, col("cluster"))
+                .write.partitionBy("cluster").mode("overwrite")
+                .parquet(s"$float512b/data")
+            val float512bDf = spark.read.parquet(s"$float512b/data")
+            def mkBqIvfPart512B(q: DataFrame) = () =>
+              graft.operators.Bq.searchIvfPartitionedDf(bq512Df, float512bDf,
+                model512, Some(bqModel1m), q, k = 10, candidates = cand512,
+                nProbes = Some(1), baseClusterCol = Some("cluster"),
+                flatPacked = Some(bq512FlatDf), vecCol = "vecb")
+            val bqPart100B = mkBqIvfPart512B(q1m100)
+            withAqeOff(serve(bqPart100B()))
+            recalls1m += "bq_ivf_part_1m_kc512_np1_nq100_binb_batch" ->
+              recallOf(bqPart100B(), truth100)
+            results1m = results1m ++ timeInterleaved(Seq[(String, () => Long)](
+              ("bq_ivf_part_1m_kc512_np1_nq100_binb_batch",
+                () => withAqeOff(serve(bqPart100B())))))
+          } catch { case e: Throwable =>
+            errors += "bq_ivf_kc512_binb" -> errString(e)
+          }
           // sustained (pipelined warm) rows for the PARTITIONED kc512 arms
           // (r16 Missing #3): the batch rows carry the whole per-job floor;
           // these are the steady-state numbers of the byte-prune layout.
@@ -1823,6 +1907,9 @@ object Bench {
       }
       val modelLr = Ivf.readModel(spark, cacheDir.toString, "l2sqr")
       val idxLr = spark.read.parquet(idxPath)
+      // second build-scale point at ~8k rows/cell (r20; the low-rank
+      // fixture's density-matched comparator for the kc-scaled curve)
+      kcScaledBuildPoint("1mlr", vecLr, n1mLr)
       val ckLr = Some(s"bench1mlr_${n1mLr}_$kc")
       def mkLrPlain() = IvfHnsw.searchPinned(idxLr, modelLr, qLr, k = 10,
         ef = Some(120), nProbes = Some(1), cacheKey = ckLr)
@@ -1926,6 +2013,8 @@ object Bench {
       }
       val model2m = Ivf.readModel(spark, cacheDir.toString, "l2sqr")
       val idx2m = spark.read.parquet(idxPath)
+      // second build-scale point at ~8k rows/cell (r20 — build only)
+      kcScaledBuildPoint("2m", vec2m, n2m)
       val ck2m = Some(s"bench2m_${n2m}_$kc")
       def mk2m() = IvfHnsw.searchPinned(idx2m, model2m, q2m, k = 10,
         ef = Some(120), nProbes = Some(1), cacheKey = ck2m)
@@ -2030,8 +2119,40 @@ object Bench {
           ("bq_hamming_4m_d960_sustained", mkBq4m _, nq)))
         sustained4m ++= s4m
         sustainedSpread4m ++= sp4m
-        q4m.unpersist()
+        // r20 (verdict #1): the kc-scaled 4M point (≈8k rows/cell — the
+        // BuildKcProbe knee) ALSO serves: recall at np1/np2 + np1
+        // batch/sustained beside the fixed-kc rows above, adjudicating
+        // the sizing change on BOTH axes (build rate and served
+        // recall/q-s). Old 4M serving caches drop first — two resident
+        // 4M graph sets (~16 GB decoded each) would fight for the heap
+        // the r16 OOM named.
         bq4m.unpersist()
+        graft.operators.Hnsw.invalidateCaches(s"bench4m_${n4m}_$kc")
+        System.gc()
+        try {
+          val (model4mKc, idx4mKc, kc4mKc) = kcScaledBuildPoint("4m", vec4m, n4m)
+          val ck4mKc = Some(s"bench4m_${n4m}_$kc4mKc")
+          def mk4mKc1() = IvfHnsw.searchPinned(idx4mKc, model4mKc, q4m,
+            k = 10, ef = Some(120), nProbes = Some(1), cacheKey = ck4mKc)
+          def mk4mKc2() = IvfHnsw.searchPinned(idx4mKc, model4mKc, q4m,
+            k = 10, ef = Some(120), nProbes = Some(2), cacheKey = ck4mKc)
+          withAqeOff(serve(mk4mKc1())) // one-time pin shuffle + graph decode
+          recalls4m += s"ivf_hnsw_4m_kc${kc4mKc}_np1_batch" ->
+            recallOf(mk4mKc1(), truth4m)
+          recalls4m += s"ivf_hnsw_4m_kc${kc4mKc}_np2_batch" ->
+            recallOf(mk4mKc2(), truth4m)
+          results4m = results4m ++ timeInterleaved(Seq[(String, () => Long)](
+            (s"ivf_hnsw_4m_kc${kc4mKc}_np1_batch",
+              () => withAqeOff(serve(mk4mKc1())))))
+          val (s4mKc, sp4mKc) = sustainedGrid(Seq(
+            (s"ivf_hnsw_4m_kc${kc4mKc}_np1_sustained", mk4mKc1 _, nq)))
+          sustained4m ++= s4mKc
+          sustainedSpread4m ++= sp4mKc
+          graft.operators.Hnsw.invalidateCaches(s"bench4m_${n4m}_$kc4mKc")
+        } catch { case e: Throwable =>
+          errors += "bench_4m_kc" -> errString(e)
+        }
+        q4m.unpersist()
       }
     } catch { case e: Throwable =>
       errors += "bench_4m" ->
@@ -2057,12 +2178,13 @@ object Bench {
       "ivf_sq_1m_kc512_build" -> n1m,
       "ivf_hnsw_1mlr_d960_build" -> n1mLr,
       "ivf_hnsw_2m_d960_build" -> n2m,
-      "ivf_hnsw_4m_d960_build" -> n4m)
+      "ivf_hnsw_4m_d960_build" -> n4m) ++ buildKcRows
     val buildTotals = Map(
       "hnsw_1m_d960_build" -> build1m,
       "ivf_hnsw_1mlr_d960_build" -> build1mLr,
       "ivf_hnsw_2m_d960_build" -> build2m,
-      "ivf_hnsw_4m_d960_build" -> build4m)
+      "ivf_hnsw_4m_d960_build" -> build4m) ++
+      buildKcTotals.view.mapValues(Some(_)).toMap
     val buildScaleJson = buildStages.toSeq.sortBy(_._1).map {
       case (name, (route, graphs)) =>
         val rows = buildRows.getOrElse(name, 0L)

@@ -1788,12 +1788,20 @@ object VecDB {
     rows * (4L * dim + 4L * 16 * 2 + 64L)
 
   /** Cluster count for [[VecDB.buildHnswIndex]]'s beyond-gate auto-routing:
-    * ~50k rows per cluster (the bench-validated band — 1M serves best at
-    * kc=32, ~31k/cluster), floored at 16 so routing always prunes, capped
-    * at 65536 (at ~3.3B rows the per-cluster graphs stay serving-sized and
-    * the centroid sidecar stays driver-trivial at ≤256 MB for d960). */
+    * ~8k rows per cluster, floored at 16 so routing always prunes, capped
+    * at 65536 (past ~500M rows cells grow again so the centroid sidecar
+    * stays driver-trivial at ≤256 MB for d960 — documented trade, not a
+    * cliff). The r20 sizing (was ~50k rows/cell): BuildKcProbe on a
+    * 4M-density 1M fixture measured 31k rows/cell building at 2,279
+    * rows/s vs 7,208 at 7.8k rows/cell (3.2× — denser cells make every
+    * insert's beam score more near-coincident candidates, the InsertProbe
+    * attribution) with np1 recall IMPROVING (0.9568 → 0.9627); pushing to
+    * 2k rows/cell gains nothing further (route k-means cost) and drops
+    * np1 recall to 0.81. Reference anchor: kc is a free parameter of the
+    * IVF construction (`ivf_index.rs:64-107`); constant rows/cell keeps
+    * per-insert build cost scale-independent. */
   private[graft] def autoRouteClusters(rows: Long): Int =
-    math.min(65536L, math.max(16L, (rows + 49999L) / 50000L)).toInt
+    math.min(65536L, math.max(16L, (rows + 7999L) / 8000L)).toInt
 
   private[graft] def hnswBroadcastEligible(rows: Long, dim: Int): Boolean =
     hnswBroadcastBytes(rows, dim) <= BroadcastMaxBytes

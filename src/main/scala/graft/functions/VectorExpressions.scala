@@ -22,9 +22,18 @@ object VecDistanceKind {
   val all: Seq[String] = Seq(Dot, L2Sq, Cosine)
 }
 
-/** Codegen'd binary vector distance over two `array<float>` / `array<double>`
-  * columns, accumulating in double. Stays inside whole-stage codegen (a tight
-  * scalar loop, no intermediate arrays — unlike `aggregate(zip_with(...))`).
+/** Codegen'd binary vector distance over two vector columns, accumulating
+  * in double. Stays inside whole-stage codegen (a tight scalar loop, no
+  * intermediate arrays — unlike `aggregate(zip_with(...))`).
+  *
+  * Accepted operand types (mix freely):
+  *  - `array<float>` / `array<double>` — the engine's standard column;
+  *  - `binary` — a FIXED-WIDTH little-endian f32 image of the vector
+  *    (length = 4 × dim), the r20 rerank-base layout: parquet decodes one
+  *    byte blob per row (a single copy) where `array<float>` pays
+  *    per-element assembly, the measured bound of the float-heavy rerank
+  *    rows (tools/VecDecodeProbe). Reads go through Platform.getFloat —
+  *    alignment-free and little-endian on every supported JVM target.
   *
   * Semantics replicated from the reference:
   *  - dot: Σ aᵢ·bᵢ (`/root/reference/src/distance/mod.rs:71-77`)
@@ -44,13 +53,14 @@ case class VecDistance(left: Expression, right: Expression, kind: String)
   override def checkInputDataTypes(): TypeCheckResult = {
     def ok(dt: DataType): Boolean = dt match {
       case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+      case BinaryType => true
       case _ => false
     }
     if (!VecDistanceKind.all.contains(kind))
       TypeCheckResult.TypeCheckFailure(s"unknown distance kind '$kind'")
     else if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"vec_$kind requires array<float>/array<double> inputs, " +
+      s"vec_$kind requires array<float>/array<double>/binary inputs, " +
         s"got ${left.dataType.catalogString} and ${right.dataType.catalogString}")
   }
 
@@ -58,38 +68,51 @@ case class VecDistance(left: Expression, right: Expression, kind: String)
     case ArrayType(FloatType, _) => true
     case _ => false
   }
+  private def isBinary(e: Expression): Boolean = e.dataType == BinaryType
+
+  /** Interpreted accessor: element i of either operand encoding. */
+  private def elem(v: Any, bin: Boolean, flt: Boolean, i: Int): Double =
+    if (bin)
+      org.apache.spark.unsafe.Platform.getFloat(
+        v.asInstanceOf[Array[Byte]],
+        org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + (i.toLong << 2))
+        .toDouble
+    else if (flt) v.asInstanceOf[ArrayData].getFloat(i).toDouble
+    else v.asInstanceOf[ArrayData].getDouble(i)
+
+  private def dims(v: Any, bin: Boolean): Int =
+    if (bin) {
+      val len = v.asInstanceOf[Array[Byte]].length
+      if ((len & 3) != 0) throw new IllegalArgumentException(
+        s"vec_$kind: binary vector length $len is not a multiple of 4")
+      len >>> 2
+    } else v.asInstanceOf[ArrayData].numElements()
 
   override def nullSafeEval(l: Any, r: Any): Any = {
-    val a = l.asInstanceOf[ArrayData]
-    val b = r.asInstanceOf[ArrayData]
-    val n = a.numElements()
-    if (b.numElements() != n)
-      throw new IllegalArgumentException(
-        s"vec_$kind: dimension mismatch (${n} vs ${b.numElements()})")
+    val lb = isBinary(left); val rb = isBinary(right)
     val lf = isFloat(left); val rf = isFloat(right)
+    val n = dims(l, lb)
+    if (dims(r, rb) != n)
+      throw new IllegalArgumentException(
+        s"vec_$kind: dimension mismatch (${n} vs ${dims(r, rb)})")
     var i = 0
     kind match {
       case VecDistanceKind.Dot =>
         var acc = 0.0
         while (i < n) {
-          val x = if (lf) a.getFloat(i).toDouble else a.getDouble(i)
-          val y = if (rf) b.getFloat(i).toDouble else b.getDouble(i)
-          acc += x * y; i += 1
+          acc += elem(l, lb, lf, i) * elem(r, rb, rf, i); i += 1
         }
         acc
       case VecDistanceKind.L2Sq =>
         var acc = 0.0
         while (i < n) {
-          val x = if (lf) a.getFloat(i).toDouble else a.getDouble(i)
-          val y = if (rf) b.getFloat(i).toDouble else b.getDouble(i)
-          val d = x - y; acc += d * d; i += 1
+          val d = elem(l, lb, lf, i) - elem(r, rb, rf, i); acc += d * d; i += 1
         }
         acc
       case VecDistanceKind.Cosine =>
         var dot = 0.0; var na = 0.0; var nb = 0.0
         while (i < n) {
-          val x = if (lf) a.getFloat(i).toDouble else a.getDouble(i)
-          val y = if (rf) b.getFloat(i).toDouble else b.getDouble(i)
+          val x = elem(l, lb, lf, i); val y = elem(r, rb, rf, i)
           dot += x * y; na += x * x; nb += y * y; i += 1
         }
         1.0 - dot / math.max(math.sqrt(na) * math.sqrt(nb), 1e-10)
@@ -97,10 +120,23 @@ case class VecDistance(left: Expression, right: Expression, kind: String)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val la = if (isFloat(left)) "getFloat" else "getDouble"
-    val ra = if (isFloat(right)) "getFloat" else "getDouble"
+    val platform = "org.apache.spark.unsafe.Platform"
+    def lenOf(v: String, e: Expression, n: String): String =
+      if (isBinary(e))
+        s"""int $n = $v.length >>> 2;
+           |if (($v.length & 3) != 0) {
+           |  throw new IllegalArgumentException(
+           |    "vec_$kind: binary vector length " + $v.length + " is not a multiple of 4");
+           |}""".stripMargin
+      else s"int $n = $v.numElements();"
+    def getOf(v: String, e: Expression, i: String): String =
+      if (isBinary(e))
+        s"(double) $platform.getFloat($v, $platform.BYTE_ARRAY_OFFSET + (((long) $i) << 2))"
+      else if (isFloat(e)) s"(double) $v.getFloat($i)"
+      else s"$v.getDouble($i)"
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val n = ctx.freshName("n")
+      val n2 = ctx.freshName("n2")
       val i = ctx.freshName("i")
       val x = ctx.freshName("x")
       val y = ctx.freshName("y")
@@ -109,8 +145,8 @@ case class VecDistance(left: Expression, right: Expression, kind: String)
           val acc = ctx.freshName("acc")
           s"""double $acc = 0.0;
              |for (int $i = 0; $i < $n; $i++) {
-             |  double $x = (double) $a.$la($i);
-             |  double $y = (double) $b.$ra($i);
+             |  double $x = ${getOf(a, left, i)};
+             |  double $y = ${getOf(b, right, i)};
              |  $acc += $x * $y;
              |}
              |${ev.value} = $acc;""".stripMargin
@@ -119,8 +155,8 @@ case class VecDistance(left: Expression, right: Expression, kind: String)
           val d = ctx.freshName("d")
           s"""double $acc = 0.0;
              |for (int $i = 0; $i < $n; $i++) {
-             |  double $x = (double) $a.$la($i);
-             |  double $y = (double) $b.$ra($i);
+             |  double $x = ${getOf(a, left, i)};
+             |  double $y = ${getOf(b, right, i)};
              |  double $d = $x - $y;
              |  $acc += $d * $d;
              |}
@@ -131,16 +167,17 @@ case class VecDistance(left: Expression, right: Expression, kind: String)
           val nb = ctx.freshName("nb")
           s"""double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
              |for (int $i = 0; $i < $n; $i++) {
-             |  double $x = (double) $a.$la($i);
-             |  double $y = (double) $b.$ra($i);
+             |  double $x = ${getOf(a, left, i)};
+             |  double $y = ${getOf(b, right, i)};
              |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
              |}
              |${ev.value} = 1.0 - $dot / Math.max(Math.sqrt($na) * Math.sqrt($nb), 1e-10);""".stripMargin
       }
-      s"""int $n = $a.numElements();
-         |if ($b.numElements() != $n) {
+      s"""${lenOf(a, left, n)}
+         |${lenOf(b, right, n2)}
+         |if ($n2 != $n) {
          |  throw new IllegalArgumentException(
-         |    "vec_$kind: dimension mismatch (" + $n + " vs " + $b.numElements() + ")");
+         |    "vec_$kind: dimension mismatch (" + $n + " vs " + $n2 + ")");
          |}
          |$body""".stripMargin
     })
@@ -151,6 +188,67 @@ case class VecDistance(left: Expression, right: Expression, kind: String)
     copy(left = newLeft, right = newRight)
 
   override def prettyName: String = s"vec_$kind"
+}
+
+/** `array<float>` → fixed-width little-endian f32 `binary` (4 × dim
+  * bytes) — the r20 rerank-base layout's write-side pack. Build-time only
+  * (one pass per sidecar write), so an interpreted eval is fine; the READ
+  * side never unpacks — [[VecDistance]] scores the bytes directly. */
+case class VecToF32LE(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"vec_to_f32le requires array<float>, got ${dt.catalogString}")
+  }
+  override protected def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    val out = new Array[Byte](n << 2)
+    var i = 0
+    while (i < n) {
+      org.apache.spark.unsafe.Platform.putFloat(out,
+        org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + (i.toLong << 2),
+        a.getFloat(i))
+      i += 1
+    }
+    out
+  }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+  override def prettyName: String = "vec_to_f32le"
+}
+
+/** Inverse of [[VecToF32LE]]: fixed-width f32 `binary` → `array<float>`
+  * (full-extract / interop paths; serving never needs it). */
+case class F32LEToVec(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"f32le_to_vec requires binary, got ${dt.catalogString}")
+  }
+  override protected def nullSafeEval(v: Any): Any = {
+    val b = v.asInstanceOf[Array[Byte]]
+    if ((b.length & 3) != 0) throw new IllegalArgumentException(
+      s"f32le_to_vec: binary length ${b.length} is not a multiple of 4")
+    val n = b.length >>> 2
+    val out = new Array[Float](n)
+    var i = 0
+    while (i < n) {
+      out(i) = org.apache.spark.unsafe.Platform.getFloat(b,
+        org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + (i.toLong << 2))
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+  override def prettyName: String = "f32le_to_vec"
 }
 
 /** Column-level vector functions — the engine's F1–F4 scalar surface
@@ -172,6 +270,13 @@ object VectorFunctions {
   /** F2 — L2 norm √(a·a) (`/root/reference/src/distance/mod.rs:46-48`). */
   def vecNorm(a: Column): Column =
     org.apache.spark.sql.functions.sqrt(vecDot(a, a))
+
+  /** `array<float>` → fixed-width little-endian f32 binary (the r20
+    * rerank-base layout; [[distance]] scores the bytes directly). */
+  def vecToBinary(a: Column): Column = col(VecToF32LE(e(a)))
+
+  /** Fixed-width f32 binary → `array<float>` (extract/interop). */
+  def binaryToVec(a: Column): Column = col(F32LEToVec(e(a)))
 
   /** F5 — dispatch by algorithm name, mirroring the reference's
     * `DistanceAlgorithm::d` (`/root/reference/src/distance/mod.rs:96-129`

@@ -42,6 +42,48 @@ class DistanceSpec extends SparkTestBase {
     intercept[Exception] { one(Seq(1f, 2f), Seq(1f, 2f, 3f), "l2") }
   }
 
+  test("binary (f32 LE) operands: pack round-trips, distances bit-identical to the array path") {
+    // the r20 rerank-base layout: VecDistance scores fixed-width binary
+    // vectors directly; same float→double widening, same accumulation
+    // order ⇒ the doubles must be IDENTICAL, not merely close
+    val rnd = new scala.util.Random(41)
+    val rows = (0 until 50).map { i =>
+      (i.toLong, Seq.fill(97)(rnd.nextFloat() * 4f - 2f))
+    }
+    val df = rows.toDF("id", "vec")
+      .withColumn("vecb", vecToBinary(col("vec"))).cache()
+    // round-trip
+    val rt = df.select(col("id"), binaryToVec(col("vecb")).as("back"),
+        col("vec"))
+      .filter(col("back") =!= col("vec")).count()
+    assert(rt == 0L, "pack/unpack round-trip must be exact")
+    val q = rows.head._2
+    for (kind <- Seq("l2sqr", "cosine")) {
+      val viaArr = df.select(col("id"),
+          distance(col("vec"), typedLit(q), kind).as("d"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+      val viaBin = df.select(col("id"),
+          distance(col("vecb"), typedLit(q), kind).as("d"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+      // binary on BOTH sides too
+      val viaBoth = df.select(col("id"),
+          distance(col("vecb"), vecToBinary(typedLit(q)), kind).as("d"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+      rows.foreach { case (id, _) =>
+        assert(viaArr(id) == viaBin(id), s"$kind id=$id bin vs array")
+        assert(viaArr(id) == viaBoth(id), s"$kind id=$id bin-bin vs array")
+      }
+    }
+    // mismatched / malformed binary raises with the expression's message
+    val e = intercept[Exception] {
+      df.select(distance(expr("binary('abc')"), typedLit(q), "l2sqr"))
+        .collect()
+    }
+    assert(e.getMessage.contains("multiple of 4") ||
+      Option(e.getCause).exists(_.getMessage.contains("multiple of 4")))
+    df.unpersist()
+  }
+
   test("F6: registered SQL functions evaluate from spark.sql") {
     // the calc_dist SQL surface: register() must produce resolvable
     // functions (Spark 4 validates the registration source tag — a bad
