@@ -211,6 +211,9 @@ class VecDB(spark: SparkSession, root: String) {
     case m: graft.operators.IvfModel =>
       64L + m.centroids.length.toLong *
         (32L + 4L * (if (m.centroids.isEmpty) 0 else m.centroids(0).length))
+    case m: PqModel =>
+      64L + m.centroids.iterator.map(g =>
+        32L + g.iterator.map(c => 32L + 4L * c.length).sum).sum
     case Some(m: Bq.BqModel) => 64L + 8L * m.dim
     case _ => 64L
   }
@@ -683,9 +686,18 @@ class VecDB(spark: SparkSession, root: String) {
       val info = e.ivf.get
       val model = Ivf.readModel(spark, ivfDir(e).toString, e.dist,
         info.defaultNProbes)
-      Ivf.assign(appended.select(col("id"), col("vec")), model)
-        .write.partitionBy("cluster").mode("append")
-        .parquet(ivfDir(e).resolve("data").toString)
+      val dataPath = ivfDir(e).resolve("data").toString
+      val assigned = Ivf.assign(appended.select(col("id"), col("vec")), model)
+      // appends must match the existing layout's vector encoding (pre-r20
+      // sidecars store array<float> `vec`; r20 builds store f32-binary
+      // `vecb`) — a mixed directory would fail the scan's schema merge
+      val out =
+        if (spark.read.parquet(dataPath).columns.contains("vecb"))
+          assigned.select(col("id"),
+            graft.functions.VectorFunctions.vecToBinary(col("vec"))
+              .as("vecb"), col("cluster"))
+        else assigned
+      out.write.partitionBy("cluster").mode("append").parquet(dataPath)
     }
   }
 
@@ -1069,7 +1081,10 @@ class VecDB(spark: SparkSession, root: String) {
       "Cannot build IVF index for an empty table")
     val (model, assigned) = Ivf.build(df.select(col("id"), col("vec")), k,
       e.dist, trainFraction = trainProportion)
-    Ivf.writePartitioned(assigned, model, ivfDir(e).toString)
+    // binary f32 layout (r20): the rerank/scan decodes one blob per row
+    // instead of per-element array assembly — the measured bound of the
+    // float-heavy rerank rows (VERDICT r19 #2); bit-identical distances
+    Ivf.writePartitioned(assigned, model, ivfDir(e).toString, binary = true)
     invalidateSidecars(e.filename)
     catalogLock.synchronized {
       tables += key -> entry(key).copy(ivf = Some(IvfInfo(k, defaultNProbes)))
@@ -1260,6 +1275,13 @@ class VecDB(spark: SparkSession, root: String) {
   private def loadRouteModel(e: TableEntry): graft.operators.IvfModel =
     Ivf.readModel(spark, routeDir(e).toString, e.dist, e.routeProbes)
 
+  /** [[loadRouteModel]] through the sidecar cache — serve paths only
+    * (r20): the routed HNSW arms paid a centroid parquet read + collect
+    * per batch; one load per index generation is the serving shape. */
+  private def cachedRouteModel(e: TableEntry): graft.operators.IvfModel =
+    sidecarCachedAs[graft.operators.IvfModel](
+      routeDir(e).resolve("centroids").toString, e)(loadRouteModel(e))
+
   private def loadPqModel(key: String): PqModel = {
     val e = entry(key)
     val info = e.pq.get
@@ -1271,6 +1293,12 @@ class VecDB(spark: SparkSession, root: String) {
     }.toArray
     PqModel(e.dim, info.nBits, e.dist, centroids, residual = info.residual)
   }
+
+  /** [[loadPqModel]] through the sidecar cache — serve paths only (r20):
+    * the PQ arms paid a codebook parquet read + collect per batch. */
+  private def cachedPqModel(key: String, e: TableEntry): PqModel =
+    sidecarCachedAs[PqModel](
+      pqDir(e).resolve("centroids").toString, e)(loadPqModel(key))
 
   // ---------------------------------------------------------------- search
 
@@ -1352,7 +1380,13 @@ class VecDB(spark: SparkSession, root: String) {
       }
     }
     val ub = upperBound.getOrElse(Double.PositiveInfinity)
-    val data = table(key)
+    // serve-path table read through the sidecar cache (r20): `table(key)`
+    // re-lists the data directory per call; the stamp folds
+    // (version, nextId) so any rewrite/append rotates the listing.
+    // An explicit cacheTable() still takes priority.
+    val data = cached.getOrElse(key,
+      sidecarCachedAs[DataFrame](dataDir(e), e)(
+        spark.read.schema(dataSchema(e.dim)).parquet(dataDir(e))))
     val filtered = data.filter(Search.metaPattern(pattern, col("meta")))
     val serveable = queryBatchServeable(queries)
     // serving-shape broadcast paths for in-memory-sized tables, declarative
@@ -1367,13 +1401,13 @@ class VecDB(spark: SparkSession, root: String) {
         // distributed Dataset end to end ([[Hnsw.searchPinnedStream]] —
         // probe-pid explode + pid-exact shuffle + zip against the pinned
         // index); same ADC cost gate as the serving arms.
-        val idx = spark.read.parquet(hnswDir(e).toString)
+        val idx = sidecarDf(hnswDir(e).toString, e)
         val ck = Some(s"${hnswDir(e)}@c${e.created}v${e.version}n${e.nextId}")
         val usePq = efOpt.isDefined && pqInfo.isDefined &&
           VecDB.adcWalkEligible(e.dim, pqInfo.get.m, pinned = true)
         val route =
           if (e.hnswRouted) {
-            val rm = loadRouteModel(e)
+            val rm = cachedRouteModel(e)
             Some((rm, rm.defaultNProbes))
           } else None
         lastServedArm =
@@ -1383,12 +1417,12 @@ class VecDB(spark: SparkSession, root: String) {
           else "hnsw_stream"
         Hnsw.searchPinnedStream(idx, queries, k, efOpt,
           e.dist, efConstruction = e.efConstruction, upperBound = ub,
-          cacheKey = ck, pq = if (usePq) Some(loadPqModel(key)) else None,
+          cacheKey = ck, pq = if (usePq) Some(cachedPqModel(key, e)) else None,
           route = route)
       case (Some(efv), Some(info)) if !info.residual =>
         lastServedArm = "declarative_pq"
-        val codes = spark.read.parquet(pqDir(e).resolve("codes").toString)
-        Pq.searchFlat(filtered.join(codes, "id"), loadPqModel(key), queries,
+        val codes = sidecarDf(pqDir(e).resolve("codes").toString, e)
+        Pq.searchFlat(filtered.join(codes, "id"), cachedPqModel(key, e), queries,
           k, efv, ub)
       case _ =>
         // exact distributed KNN (ef is a serving-arm knob; the declarative
@@ -1409,13 +1443,13 @@ class VecDB(spark: SparkSession, root: String) {
         lastServedArm = "knn_pq_gated_plain_hnsw"
         hnswSearch(e, filtered, queries, k, Some(efv), ub, wholeTable = true)
       case (Some(efv), Some(info)) =>
-        val model = loadPqModel(key)
+        val model = cachedPqModel(key, e)
         if (e.hasHnsw && pattern.isEmpty) {
           // combined traversal (knn_pq, hnsw_index.rs:672-697): ADC-scored
           // graph walk + exact re-rank — sub-linear over the codes, vs the
           // flat arms' O(N) ADC scan per batch. Broadcast the index while
           // it fits; pin it across the cluster beyond the gate.
-          val idx = spark.read.parquet(hnswDir(e).toString)
+          val idx = sidecarDf(hnswDir(e).toString, e)
           val ck = Some(s"${hnswDir(e)}@c${e.created}v${e.version}n${e.nextId}")
           // a residual model only scores inside the routed walk (codes are
           // per-cluster shifts) — never the cluster-blind broadcast arm
@@ -1425,7 +1459,7 @@ class VecDB(spark: SparkSession, root: String) {
               efConstruction = e.efConstruction, upperBound = ub, cacheKey = ck)
           } else if (e.hnswRouted) {
             lastServedArm = "knn_pq_routed"
-            IvfHnsw.searchPinnedPq(idx, loadRouteModel(e), model, queries,
+            IvfHnsw.searchPinnedPq(idx, cachedRouteModel(e), model, queries,
               k, Some(efv), efConstruction = e.efConstruction,
               upperBound = ub, cacheKey = ck)
           } else {
@@ -1440,7 +1474,7 @@ class VecDB(spark: SparkSession, root: String) {
           lastServedArm = "pq_residual_fallback_hnsw"
           hnswSearch(e, filtered, queries, k, Some(efv), ub, pattern.isEmpty)
         } else {
-          val codes = spark.read.parquet(pqDir(e).resolve("codes").toString)
+          val codes = sidecarDf(pqDir(e).resolve("codes").toString, e)
           val encoded = filtered.join(codes, "id")
           if (pattern.isEmpty &&
               pqEligible(e.nextId, e.dim, info.m)) {
@@ -1495,6 +1529,10 @@ class VecDB(spark: SparkSession, root: String) {
             // come pre-listed from the sidecar cache (listing a kc-way
             // layout per batch would dominate the pruned read).
             val floatBase = sidecarDf(ivfDir(e).resolve("data").toString, e)
+            // r20 sidecars store the rerank base as f32-binary `vecb`
+            // (one blob decode per row); pre-r20 sidecars keep `vec`
+            val baseVecCol =
+              if (floatBase.columns.contains("vecb")) "vecb" else "vec"
             // flat twin (written by r18+ builds) enables the coverage-aware
             // dispatch: prune-void batches scan one contiguous parquet
             // instead of kc directories. Absent on pre-r18 sidecars — the
@@ -1507,9 +1545,10 @@ class VecDB(spark: SparkSession, root: String) {
             Sq.searchIvfPartitionedDf(
               sidecarDf(sqDir(e).resolve("ivf").resolve("data").toString, e),
               floatBase, ivfModel, model, queries, k, candidates,
-              nProbes = None, dist = e.dist,
+              nProbes = None, dist = e.dist, vecCol = baseVecCol,
               baseClusterCol = Some("cluster"),
               flatCodes = flat, flatBase = Some(filtered),
+              flatVecCol = Some("vec"),
               // batch-shape-aware routed serving (r20): nq-large,
               // non-exhaustive batches switch to approx coarse selection
               // inside the probed scan — see the sq_rerank_serve arm
@@ -1554,6 +1593,9 @@ class VecDB(spark: SparkSession, root: String) {
             // the coarse bytes instead of 1/4; reads pre-listed (sidecar
             // cache) like the sq_ivf arm
             val floatBase = sidecarDf(ivfDir(e).resolve("data").toString, e)
+            // binary-vs-float rerank base — see the sq_ivf arm
+            val baseVecCol =
+              if (floatBase.columns.contains("vecb")) "vecb" else "vec"
             // coverage-aware dispatch twin — see the sq_ivf arm
             val flatDir = bqDir(e).resolve("flat")
             val flat =
@@ -1565,9 +1607,10 @@ class VecDB(spark: SparkSession, root: String) {
               floatBase, ivfModel, sidecarCachedAs[Option[Bq.BqModel]](
                 bqDir(e).resolve("model").toString, e)(loadBqModel(e)),
               queries, k, candidates,
-              nProbes = None, dist = e.dist,
+              nProbes = None, dist = e.dist, vecCol = baseVecCol,
               baseClusterCol = Some("cluster"),
               flatPacked = flat, flatBase = Some(filtered),
+              flatVecCol = Some("vec"),
               // batch-shape-aware routed serving (r20) — see the sq_ivf arm
               coarseSelect = if (candidates < liveRows(e)) "auto" else "exact")
           } else {
@@ -1664,9 +1707,17 @@ class VecDB(spark: SparkSession, root: String) {
   private def ivfSearch(e: TableEntry, queries: DataFrame, k: Int,
       nProbes: Option[Int], ub: Double): DataFrame = {
     val info = e.ivf.get
-    val model = Ivf.readModel(spark, ivfDir(e).toString, e.dist,
-      info.defaultNProbes)
-    Ivf.searchPartitioned(ivfDir(e).toString, model, queries, k, nProbes, ub)
+    // model + data listing cached per index generation (r20): the plain
+    // IVF arm was the last serve path still paying a centroid parquet
+    // read + collect AND a partitioned-layout listing per batch — the
+    // SQ/BQ routed arms already served both from the sidecar cache
+    val model = sidecarCachedAs[graft.operators.IvfModel](
+      ivfDir(e).resolve("centroids").toString, e)(
+      Ivf.readModel(spark, ivfDir(e).toString, e.dist,
+        info.defaultNProbes))
+    Ivf.searchPartitionedDf(
+      sidecarDf(ivfDir(e).resolve("data").toString, e),
+      model, queries, k, nProbes, ub)
   }
 
   /** HNSW path: the stored sidecar when the whole table is searched; with a
@@ -1676,7 +1727,7 @@ class VecDB(spark: SparkSession, root: String) {
   private def hnswSearch(e: TableEntry, filtered: DataFrame, queries: DataFrame,
       k: Int, ef: Option[Int], ub: Double, wholeTable: Boolean): DataFrame =
     if (wholeTable) {
-      val idx = spark.read.parquet(hnswDir(e).toString)
+      val idx = sidecarDf(hnswDir(e).toString, e)
       // rotate on any content change: version bumps on delete, nextId on add
       val ck = Some(s"${hnswDir(e)}@c${e.created}v${e.version}n${e.nextId}")
       if (hnswEligible(e.nextId, e.dim))
@@ -1685,7 +1736,7 @@ class VecDB(spark: SparkSession, root: String) {
       else if (e.hnswRouted)
         // beyond-broadcast + routed: walk only each query's routeProbes
         // nearest clusters (delta subgraphs always walked)
-        IvfHnsw.searchPinned(idx, loadRouteModel(e), queries, k, ef,
+        IvfHnsw.searchPinned(idx, cachedRouteModel(e), queries, k, ef,
           efConstruction = e.efConstruction, upperBound = ub, cacheKey = ck)
       else
         // beyond-broadcast: pin the index across the cluster (resident,

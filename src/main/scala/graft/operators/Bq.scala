@@ -689,7 +689,11 @@ object Bq extends Serializable {
       dist: String,
       idCol: String,
       vecCol: String,
-      coarseSelect: String = "exact"): DataFrame = {
+      coarseSelect: String = "exact",
+      // vec column of `globalBase` when it differs from the pruned base's
+      // (r20 binary sidecar: the partitioned rerank base stores `vecb`
+      // f32-binary while the flat/global base is the float table)
+      flatVecCol: Option[String] = None): DataFrame = {
     // APPROX coarse selection over the routed kernel (r20): the per-chunk
     // cap comes from the chunk's OWN pruned scan's partition count (the
     // probed directories, not the full layout — a layout-wide P would
@@ -743,7 +747,7 @@ object Bq extends Serializable {
       if (deferredCoarse.isEmpty) None
       else Some(Rerank.exact(deferredCoarse.reduce(_ union _), globalBase,
         Rerank.queriesDf(globalBase.sparkSession, deferredQs.toArray), k,
-        dist, idCol, vecCol, "query_id", "query_vec",
+        dist, idCol, flatVecCol.getOrElse(vecCol), "query_id", "query_vec",
         estRows = deferredQs.length.toLong * candidates))
     (perChunk ++ global).reduce(_ union _)
   }
@@ -860,7 +864,8 @@ object Bq extends Serializable {
       baseClusterCol: Option[String] = None,
       flatPacked: Option[DataFrame] = None,
       flatBase: Option[DataFrame] = None,
-      coarseSelect: String = "exact"): DataFrame = {
+      coarseSelect: String = "exact",
+      flatVecCol: Option[String] = None): DataFrame = {
     require(candidates >= k, s"candidates ($candidates) must be >= k ($k)")
     val np = math.max(1, nProbes.getOrElse(ivfModel.defaultNProbes))
     val spark = base.sparkSession
@@ -896,6 +901,6 @@ object Bq extends Serializable {
         else None,
       flatBase.getOrElse(base),
       qs, bqModel, ivfModel, np, k, candidates, dist, idCol, vecCol,
-      coarseSelect)
+      coarseSelect, if (flatBase.isDefined) flatVecCol else None)
   }
 }

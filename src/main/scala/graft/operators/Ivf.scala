@@ -154,8 +154,21 @@ object Ivf {
     * sidecar — the Spark shape of the reference's inverted lists
     * (`ivf_index.rs:33-47`). Probe searches against this layout prune to
     * the probed clusters' directories before any byte is read. */
-  def writePartitioned(assigned: DataFrame, model: IvfModel, path: String): Unit = {
-    assigned.write.partitionBy("cluster").mode("overwrite")
+  def writePartitioned(assigned: DataFrame, model: IvfModel, path: String,
+      binary: Boolean = false): Unit = {
+    // binary = true stores the vector as a fixed-width little-endian f32
+    // blob (`vecb`) instead of `array<float>`: scans decode ONE binary
+    // cell per row where the array layout pays per-element assembly —
+    // the measured bound of the float-heavy rerank rows
+    // (tools/VecDecodeProbe, r20); VecDistance scores the blob in place
+    // with bit-identical arithmetic (DistanceSpec). Readers detect the
+    // column by name, so both layouts serve interchangeably.
+    val data =
+      if (binary) assigned.select(col("id"),
+        graft.functions.VectorFunctions.vecToBinary(col("vec")).as("vecb"),
+        col("cluster"))
+      else assigned
+    data.write.partitionBy("cluster").mode("overwrite")
       .parquet(s"$path/data")
     centroidsDf(assigned.sparkSession, model).write.mode("overwrite")
       .parquet(s"$path/centroids")
@@ -198,6 +211,23 @@ object Ivf {
       queries: DataFrame,
       k: Int,
       nProbes: Option[Int] = None,
+      upperBound: Double = Double.PositiveInfinity): DataFrame =
+    searchPartitionedDf(
+      queries.sparkSession.read.parquet(s"$path/data"),
+      model, queries, k, nProbes, upperBound)
+
+  /** [[searchPartitioned]] over a PRE-LISTED data DataFrame: listing a
+    * cluster-partitioned layout is a per-`read.parquet`-call driver cost
+    * (~1.3 s at kc=512, measured for the SQ/BQ sidecars) that a serving
+    * deployment pays once per index generation, not once per batch — the
+    * catalog passes its cached listing here (r20; the SQ/BQ routed arms
+    * already did). Results identical: same scan, same partition filter. */
+  def searchPartitionedDf(
+      dataDf: DataFrame,
+      model: IvfModel,
+      queries: DataFrame,
+      k: Int,
+      nProbes: Option[Int] = None,
       upperBound: Double = Double.PositiveInfinity): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
@@ -210,12 +240,14 @@ object Ivf {
     }.toSeq
     val clusters = probeRows.map(_._2).distinct.sorted
     val probedQueries = probeRows.toDF("query_id", "p_cluster", "query_vec")
-    val data = spark.read.parquet(s"$path/data")
+    val data = dataDf
       .filter(col("cluster").isin(clusters.map(Int.box): _*)) // partition-pruned
+    // binary-f32 layouts ([[writePartitioned]] binary=true) carry `vecb`
+    val vc = if (dataDf.columns.contains("vecb")) "vecb" else "vec"
     val scored = data
       .join(broadcast(probedQueries), col("cluster") === col("p_cluster"))
       .select(col("query_id"), col("id").cast("long").as("__id"),
-        VectorFunctions.distance(col("vec"), col("query_vec"), model.dist).as("__dist"))
+        VectorFunctions.distance(col(vc), col("query_vec"), model.dist).as("__dist"))
     val bounded =
       if (upperBound == Double.PositiveInfinity) scored
       else scored.filter(col("__dist") <= lit(upperBound))

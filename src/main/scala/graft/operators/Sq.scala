@@ -552,7 +552,10 @@ object Sq extends Serializable {
       dist: String,
       idCol: String,
       vecCol: String,
-      coarseSelect: String = "exact"): DataFrame = {
+      coarseSelect: String = "exact",
+      // vec column of `globalBase` when it differs from the pruned base's
+      // (r20 binary sidecar — see [[Bq.searchIvfChunked]]'s twin param)
+      flatVecCol: Option[String] = None): DataFrame = {
     // approx coarse selection over the routed kernel (r20) — see
     // [[Bq]]'s searchIvfChunked twin: the per-chunk cap comes from the
     // chunk's own pruned scan's partition count, the batch plan is
@@ -599,7 +602,7 @@ object Sq extends Serializable {
       if (deferredCoarse.isEmpty) None
       else Some(Rerank.exact(deferredCoarse.reduce(_ union _), globalBase,
         Rerank.queriesDf(globalBase.sparkSession, deferredQs.toArray), k,
-        dist, idCol, vecCol, "query_id", "query_vec",
+        dist, idCol, flatVecCol.getOrElse(vecCol), "query_id", "query_vec",
         estRows = deferredQs.length.toLong * candidates))
     (perChunk ++ global).reduce(_ union _)
   }
@@ -752,7 +755,8 @@ object Sq extends Serializable {
       baseClusterCol: Option[String] = None,
       flatCodes: Option[DataFrame] = None,
       flatBase: Option[DataFrame] = None,
-      coarseSelect: String = "exact"): DataFrame = {
+      coarseSelect: String = "exact",
+      flatVecCol: Option[String] = None): DataFrame = {
     require(candidates >= k, s"candidates ($candidates) must be >= k ($k)")
     val np = math.max(1, nProbes.getOrElse(ivfModel.defaultNProbes))
     val spark = base.sparkSession
@@ -786,7 +790,7 @@ object Sq extends Serializable {
         else None,
       flatBase.getOrElse(base),
       qs, ivfModel, np, sqModel, k, candidates, dist, idCol, vecCol,
-      coarseSelect)
+      coarseSelect, if (flatBase.isDefined) flatVecCol else None)
   }
 
   /** The r14 declarative probed scan (per-(row×query) codegen decode) —

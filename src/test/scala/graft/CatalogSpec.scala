@@ -437,6 +437,44 @@ class CatalogSpec extends SparkTestBase {
     db.close()
   }
 
+  test("plain IVF / PQ / routed arms serve models + listings from the sidecar cache, correct across index generations") {
+    // r20: ivfSearch / loadPqModel / loadRouteModel went through the
+    // sidecar cache (they re-read + collected centroid parquet per batch);
+    // residency must never affect results, and a clear+rebuild (new
+    // generation) must not serve the stale model
+    val db = freshDb()
+    db.createTableIfNotExists("t", 8, "l2sqr")
+    val rnd = new scala.util.Random(43)
+    val vecs = (0 until 60).map(_ => Array.fill(8)(rnd.nextFloat()))
+    db.batchAdd("t", vecs, vecs.indices.map(i => Map("i" -> i.toString)))
+    val flat = db.search("t", vecs(7), 5)
+    db.buildIvfIndex("t", k = 4, defaultNProbes = 4)
+    val viaIvf = db.search("t", vecs(7), 5, ef = Some(4))
+    assert(db.lastServedArm == "ivf")
+    assert(viaIvf == flat) // np=4 of 4 clusters = exhaustive
+    val entriesAfterFirst = db.sidecarCacheEntries
+    assert(entriesAfterFirst >= 2, // data listing + centroid model
+      s"ivf arm cached nothing: entries=$entriesAfterFirst")
+    // repeat batches hit the cache (no new entries) and match
+    assert(db.search("t", vecs(7), 5, ef = Some(4)) == viaIvf)
+    assert(db.sidecarCacheEntries == entriesAfterFirst)
+    // new generation: rebuild with DIFFERENT k — stale centroids would
+    // probe wrong clusters; the bumped stamp must reload
+    db.clearIvfIndex("t")
+    db.buildIvfIndex("t", k = 2, defaultNProbes = 2)
+    assert(db.search("t", vecs(7), 5, ef = Some(2)) == flat)
+    assert(db.lastServedArm == "ivf")
+    db.clearIvfIndex("t")
+    // PQ arm: codebook + codes listing served from the cache
+    db.buildPqTable("t", m = Some(4), nBits = Some(8))
+    val viaPq = db.search("t", vecs(7), 5, ef = Some(60))
+    assert(db.lastServedArm.startsWith("pq_"))
+    (0 until 2).foreach { _ =>
+      assert(db.search("t", vecs(7), 5, ef = Some(60)) == viaPq)
+    }
+    db.close()
+  }
+
   test("broadcast gates are byte-based: high-dim big tables are ineligible") {
     // rows × dim decides, not rows alone — the row gate let a 1M × d960
     // index (~4 GB of vectors) through the broadcast path

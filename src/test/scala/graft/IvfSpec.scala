@@ -141,4 +141,29 @@ class IvfSpec extends SparkTestBase {
       }
     }
   }
+
+  test("binary f32 partitioned layout: same results as the float layout, bit-identical distances") {
+    // r20 rerank-base layout: writePartitioned(binary = true) stores the
+    // vector as one fixed-width f32le blob per row (`vecb`); VecDistance
+    // scores it in place with the SAME arithmetic, so every result —
+    // including the distance doubles — must equal the float layout's
+    val (model, assigned) = built
+    val fdir = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "ivf_part_f").toString
+    val bdir = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "ivf_part_b").toString
+    Ivf.writePartitioned(assigned, model, fdir)
+    Ivf.writePartitioned(assigned, model, bdir, binary = true)
+    val bcols = spark.read.parquet(s"$bdir/data").columns.toSet
+    assert(bcols.contains("vecb") && !bcols.contains("vec"), bcols.toString)
+    for (np <- Seq(2, 7)) {
+      val f = Ivf.searchPartitioned(fdir, model, queries, k = 6,
+        nProbes = Some(np)).select("query_id", "id", "distance")
+        .as[(Long, Long, Double)].collect().toSet
+      val b = Ivf.searchPartitioned(bdir, model, queries, k = 6,
+        nProbes = Some(np)).select("query_id", "id", "distance")
+        .as[(Long, Long, Double)].collect().toSet
+      assert(b == f, s"np=$np (binary layout diverged from float)")
+    }
+  }
 }
