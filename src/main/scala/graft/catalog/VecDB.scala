@@ -500,6 +500,12 @@ class VecDB(spark: SparkSession, root: String) {
       appended.write.mode("append").parquet(dataDir(e))
       if (vecs.nonEmpty) appendIndexSidecars(key, e, appended)
       invalidateCache(key)
+      // close the mutation window (ADVICE r20): nextId is published at
+      // reservation time, so a lock-free search racing this append could
+      // cache a mid-append listing (or compactHnsw's pre-swap directory)
+      // under the FINAL stamp; bumping the generation at completion means
+      // stamps published during the window cannot outlive it
+      invalidateSidecars(e.filename)
     }
   }
 
@@ -601,6 +607,8 @@ class VecDB(spark: SparkSession, root: String) {
           // on the rollback path dropping it is harmless — either way the
           // next reader must re-open the data directory
           invalidateCache(key)
+          // close the mutation window (ADVICE r20) — see batchAdd
+          invalidateSidecars(e.filename)
         }
       }
       n
@@ -690,9 +698,12 @@ class VecDB(spark: SparkSession, root: String) {
       val assigned = Ivf.assign(appended.select(col("id"), col("vec")), model)
       // appends must match the existing layout's vector encoding (pre-r20
       // sidecars store array<float> `vec`; r20 builds store f32-binary
-      // `vecb`) — a mixed directory would fail the scan's schema merge
+      // `vecb`) — a mixed directory would fail the scan's schema merge.
+      // Layout probed via the cached sidecar listing (ADVICE r20): a bare
+      // spark.read.parquet would re-list + footer-read the kc-wide
+      // partitioned directory on EVERY batchAdd just to test one column
       val out =
-        if (spark.read.parquet(dataPath).columns.contains("vecb"))
+        if (sidecarDf(dataPath, e).columns.contains("vecb"))
           assigned.select(col("id"),
             graft.functions.VectorFunctions.vecToBinary(col("vec"))
               .as("vecb"), col("cluster"))
@@ -944,6 +955,7 @@ class VecDB(spark: SparkSession, root: String) {
           val efc = efConstruction.getOrElse(200)
           Hnsw.buildIndex(table(key), e.dist, efConstruction = efc)
             .write.mode("overwrite").parquet(hnswDir(e).toString)
+          invalidateSidecars(e.filename) // new sidecar ⇒ new listing generation
           catalogLock.synchronized {
             tables += key -> entry(key).copy(hasHnsw = true, efConstruction = efc)
             saveBrief()
@@ -974,6 +986,10 @@ class VecDB(spark: SparkSession, root: String) {
         idx.write.mode("overwrite").parquet(hnswDir(e).toString)
         Ivf.centroidsDf(spark, model).write.mode("overwrite")
           .parquet(routeDir(e).resolve("centroids").toString)
+        // rebuilds with different kClusters on unchanged data keep the same
+        // (created, version, nextId) — the generation bump is what rotates
+        // the cached route model + hnsw listing (ADVICE r20)
+        invalidateSidecars(e.filename)
         catalogLock.synchronized {
           tables += key -> entry(key).copy(hasHnsw = true,
             efConstruction = efc, hnswRouted = true,
@@ -994,6 +1010,11 @@ class VecDB(spark: SparkSession, root: String) {
     }
     cleared.foreach { e =>
       Hnsw.invalidateCaches(hnswDir(e).toString)
+      // purge the cached hnsw-dir listing + route model: a clear+rebuild on
+      // unchanged data leaves (created, version, nextId) identical, so
+      // without a generation bump the stale pre-clear file index (deleted
+      // part files) and routing centroids would keep serving (ADVICE r20)
+      invalidateSidecars(e.filename)
       deleteRecursively(hnswDir(e))
       deleteRecursively(routeDir(e))
     }

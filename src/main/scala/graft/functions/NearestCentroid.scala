@@ -1,5 +1,6 @@
 package graft.functions
 
+import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
@@ -12,15 +13,20 @@ import org.apache.spark.sql.types._
   * `164-170`: a 1-element `ResultSet` whose (distance, index) ordering makes
   * ties pick the lowest index).
   *
-  * Centroid sets are small (k × dim floats — even k=65536 × dim=1024 is
-  * 256 MB; typical IVF k ≈ √N is far less), so they ship in the serialized
-  * expression; the per-row work reads the `ArrayData` directly with no
-  * boxing. Used for IVF cluster assignment (one pass at build time) and the
+  * The centroid matrix rides a BROADCAST handle, not the serialized
+  * expression (r21, guide §2.6/§5): an embedded k × dim float matrix is
+  * copied into EVERY task binary of every stage the expression appears in —
+  * at kc=512 × d960 that is ~2 MB/task, the exact source of the r20 driver
+  * run's wall-to-wall "task of very large size (2922 KiB)" warnings (the
+  * kc512 encode/assign stages and the kc=500 4M build). As a broadcast the
+  * tasks carry only the handle and each executor fetches the matrix once.
+  * The per-row work reads the `ArrayData` directly with no boxing. Used for
+  * IVF cluster assignment (one pass at build time) and the
   * centroid-histogram operator (A3).
   */
 case class NearestCentroid(
     child: Expression,
-    centroids: Array[Array[Float]],
+    bcCentroids: Broadcast[Array[Array[Float]]],
     kind: String)
   extends UnaryExpression with CodegenFallback {
 
@@ -28,7 +34,7 @@ case class NearestCentroid(
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
-      if (centroids.nonEmpty) TypeCheckResult.TypeCheckSuccess
+      if (bcCentroids.value.nonEmpty) TypeCheckResult.TypeCheckSuccess
       else TypeCheckResult.TypeCheckFailure("empty centroid set")
     case other => TypeCheckResult.TypeCheckFailure(
       s"nearest_centroid requires array<float>/array<double>, got ${other.catalogString}")
@@ -46,10 +52,11 @@ case class NearestCentroid(
   // route-stage flattening)
   @transient private lazy val rowBuf = new ThreadLocal[Array[Double]] {
     override def initialValue(): Array[Double] =
-      new Array[Double](centroids(0).length)
+      new Array[Double](bcCentroids.value(0).length)
   }
 
   override def nullSafeEval(input: Any): Any = {
+    val centroids = bcCentroids.value
     val v = input.asInstanceOf[ArrayData]
     val n = v.numElements()
     val cosine = kind == "cosine"
@@ -112,10 +119,12 @@ case class NearestCentroid(
   * the pair meets in bucket c*. No pair below the threshold is ever missed,
   * regardless of centroid quality; centroid quality only affects bucket
   * sizes (cost), not correctness.
+  *
+  * Centroids ride a broadcast handle like [[NearestCentroid]] (r21).
   */
 case class CentroidsWithinRadius(
     child: Expression,
-    centroids: Array[Array[Float]],
+    bcCentroids: Broadcast[Array[Array[Float]]],
     margin: Double)
   extends UnaryExpression with CodegenFallback {
 
@@ -123,7 +132,7 @@ case class CentroidsWithinRadius(
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
-      if (centroids.nonEmpty) TypeCheckResult.TypeCheckSuccess
+      if (bcCentroids.value.nonEmpty) TypeCheckResult.TypeCheckSuccess
       else TypeCheckResult.TypeCheckFailure("empty centroid set")
     case other => TypeCheckResult.TypeCheckFailure(
       s"centroids_within_radius requires array<float>/array<double>, got ${other.catalogString}")
@@ -135,6 +144,7 @@ case class CentroidsWithinRadius(
   }
 
   override def nullSafeEval(input: Any): Any = {
+    val centroids = bcCentroids.value
     val v = input.asInstanceOf[ArrayData]
     val n = v.numElements()
     val ds = new Array[Double](centroids.length)

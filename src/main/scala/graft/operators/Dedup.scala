@@ -407,7 +407,8 @@ object Dedup {
       Ivf.nearestCentroid(col("vec"), model.centroids, "l2sqr").cast("int"))
     val expanded = base.withColumn("bucket",
       explode(ColumnShim.column(CentroidsWithinRadius(
-        ColumnShim.expression(col("vec")), model.centroids, margin))))
+        ColumnShim.expression(col("vec")),
+        base.sparkSession.sparkContext.broadcast(model.centroids), margin))))
     val pairs = nearest.as("a")
       .join(expanded.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.id") =!= col("b.id"))

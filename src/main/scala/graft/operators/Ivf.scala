@@ -75,9 +75,15 @@ object Ivf {
     IvfModel(centroids, dist)
   }
 
-  /** F11 as a Column: nearest-centroid id (ties → lowest id). */
-  def nearestCentroid(vec: Column, centroids: Array[Array[Float]], dist: String): Column =
-    ColumnShim.column(NearestCentroid(ColumnShim.expression(vec), centroids, dist))
+  /** F11 as a Column: nearest-centroid id (ties → lowest id). The centroid
+    * matrix is broadcast here (r21, guide §2.6/§5): embedded in the
+    * expression it was copied into every task binary — ~2 MB/task at
+    * kc=512 × d960, the r20 "task of very large size" warnings. */
+  def nearestCentroid(vec: Column, centroids: Array[Array[Float]], dist: String): Column = {
+    val bc = org.apache.spark.sql.SparkSession.active
+      .sparkContext.broadcast(centroids)
+    ColumnShim.column(NearestCentroid(ColumnShim.expression(vec), bc, dist))
+  }
 
   /** B3 — assignment pass: adds a `cluster` column. One full scan, no
     * shuffle; write with `.partitionBy("cluster")` for pruned probes. */

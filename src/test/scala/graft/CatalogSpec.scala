@@ -618,6 +618,49 @@ class CatalogSpec extends SparkTestBase {
     assert(!Files.exists(java.nio.file.Paths.get(root, "t", "hnsw")))
   }
 
+  test("sidecar cache: routed HNSW clear+rebuild with different kClusters never serves stale listings or route models") {
+    // ADVICE r20 (high): clearHnswIndex/buildIvfHnswIndex did not bump the
+    // sidecar generation, and (created, version, nextId) are unchanged by a
+    // clear+rebuild on unchanged data — the cached hnsw-dir file index
+    // (deleted part files ⇒ FileNotFoundException) and the cached routing
+    // centroids (wrong routing under a different kClusters) would outlive
+    // the rebuild. Serving through the cache across the cycle must match.
+    val root = Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "vecdb_test").toString
+    val db = new VecDB(spark, root)
+    db.createTableIfNotExists("t", 8, "l2sqr")
+    val rnd = new scala.util.Random(53)
+    val centers = Array.fill(4)(Array.fill(8)(rnd.nextFloat() * 10f))
+    val vecs = (0 until 120).map(i =>
+      centers(i % 4).map(x => x + rnd.nextFloat() * 0.1f))
+    db.batchAdd("t", vecs, vecs.indices.map(i => Map("i" -> i.toString)))
+    val flat = db.search("t", vecs(7), 5, ef = Some(200))
+    db.buildIvfHnswIndex("t", kClusters = 4, defaultNProbes = 4,
+      trainProportion = Some(0.5))
+    db.broadcastGateBytes = Some(1L) // dispatch takes the routed arm
+    try {
+      // full probes + generous ef ⇒ exact; populates the hnsw listing +
+      // route model sidecar entries
+      assert(db.search("t", vecs(7), 5, ef = Some(200)) == flat)
+      // clear + rebuild with a DIFFERENT kClusters on UNCHANGED data: the
+      // stamp's (created, version, nextId) are identical — only the
+      // generation bump separates the new sidecars from the cached ones
+      db.clearHnswIndex("t")
+      db.buildIvfHnswIndex("t", kClusters = 2, defaultNProbes = 2,
+        trainProportion = Some(0.5))
+      assert(db.search("t", vecs(7), 5, ef = Some(200)) == flat)
+      // and once more through the batch path (exercises sidecarDf directly)
+      import spark.implicits._
+      val q = Seq((0L, vecs(7))).toDF("query_id", "query_vec")
+      val got = db.searchBatch("t", q, 5, ef = Some(200))
+        .orderBy("distance", "id").collect()
+        .map(r => (Option(r.getAs[Map[String, String]]("meta"))
+          .getOrElse(Map.empty), r.getAs[Double]("distance"))).toSeq
+      assert(got == flat)
+    } finally db.broadcastGateBytes = None
+    db.close()
+  }
+
   test("routed append with empty high clusters: delta pids land above the routing floor") {
     val root = Files.createTempDirectory(
       java.nio.file.Paths.get("target"), "vecdb_test").toString
